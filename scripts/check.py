@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB against the sfDir
+parquet tables, sorts columns by name + rows, and compares values exactly.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(tuple(x) if isinstance(x, list) else x for x in r))
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = sorted(got_rel.columns)
+            got = canon(con.sql(
+                f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall())
+            exp_rel = con.sql(sql)
+            exp_cols = sorted(exp_rel.columns)
+            exp = canon(con.sql(
+                f"SELECT {', '.join(exp_cols)} FROM exp_rel").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            print(f"  got[:2]={got[:2]}\n  exp[:2]={exp[:2]}")
+            n_fail += 1
+        elif got != exp:
+            diffs = [(g, e) for g, e in zip(got, exp) if g != e]
+            print(f"FAIL {name}: {len(diffs)}/{len(got)} rows differ; first:")
+            print(f"  got={diffs[0][0]}\n  exp={diffs[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

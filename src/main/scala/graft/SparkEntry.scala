@@ -1,13 +1,52 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the training-data
+  * pipeline extensions) is exposed as a named query over the driver's
+  * testdata, with an equivalent DuckDB oracle SQL where SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (reference example-simple sliding-window aggregation)
+    * on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01SlidingWindowAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_sliding_window_agg"  -> (Relational.q01SlidingWindowAgg _),
+    "q02_tumbling_window_agg" -> (Relational.q02TumblingWindowAgg _),
+    "q03_filter_project"      -> (Relational.q03FilterProject _),
+    "q04_keyby_reduce"        -> (Relational.q04KeyByReduce _),
+    "q05_range_window_filter" -> (Relational.q05RangeWindowFilter _),
+    "q06_broadcast_enrich"    -> (Relational.q06BroadcastEnrich _),
+    "q09_shuffle_join_agg"    -> (Relational.q09ShuffleJoinAgg _),
+    "q10_topk"                -> (Relational.q10TopK _),
+    "q11_set_ops"             -> (Relational.q11SetOps _),
+    "q12_distinct_agg"        -> (Relational.q12DistinctAgg _),
+    "q13_rollup"              -> (Relational.q13Rollup _),
+    "q14_analytic_window"     -> (Relational.q14AnalyticWindow _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_sliding_window_agg"  -> Relational.q01Sql,
+    "q02_tumbling_window_agg" -> Relational.q02Sql,
+    "q03_filter_project"      -> Relational.q03Sql,
+    "q04_keyby_reduce"        -> Relational.q04Sql,
+    "q05_range_window_filter" -> Relational.q05Sql,
+    "q06_broadcast_enrich"    -> Relational.q06Sql,
+    "q09_shuffle_join_agg"    -> Relational.q09Sql,
+    "q10_topk"                -> Relational.q10Sql,
+    "q11_set_ops"             -> Relational.q11Sql,
+    "q12_distinct_agg"        -> Relational.q12Sql,
+    "q13_rollup"              -> Relational.q13Sql,
+    "q14_analytic_window"     -> Relational.q14Sql,
+  )
 }

@@ -1,0 +1,325 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Batch relational + event-time-window operators.
+  *
+  * Covers the reference's operator inventory (SURVEY.md §2) re-expressed as
+  * declarative DataFrame plans: flat-map/filter projection surface
+  * (`rlink/src/core/function.rs:185-207`), keyed reduce
+  * (`rlink/src/functions/reduce/schema_reduce.rs:490-598`), sliding/tumbling
+  * event-time windows (`rlink/src/functions/window/mod.rs:27-78`), range
+  * window filter (`rlink/src/functions/filter/range_window_filter.rs:9-78`),
+  * and broadcast config/dimension enrichment — the connect/CoProcess use
+  * case (`rlink/src/core/data_stream.rs:143-148`). Plus the relational ops
+  * the reference lacks but a complete engine exposes (joins, set ops,
+  * rollup, distinct aggregates, top-k, analytic windows).
+  *
+  * Scale notes (100 TB design intent):
+  *  - Aggregations are plain `groupBy(...).agg(...)` → Catalyst plans
+  *    partial (map-side) aggregation before the shuffle; group-key
+  *    cardinality here (event_type × window, user_id) is low relative to
+  *    input, so the shuffle carries only partial aggregates.
+  *  - The dimension join (q06) broadcasts the small side explicitly —
+  *    no shuffle of the fact table.
+  *  - The fact-fact join (q09) is a shuffle hash/sort-merge join on the
+  *    join key with AQE free to pick; both sides aggregate after the join
+  *    with partial aggregation.
+  *  - Double sums are computed as exact decimal sums cast back to double:
+  *    bit-identical results regardless of partitioning / merge order —
+  *    required for oracle hash-parity and a property the reference (single
+  *    reduce step, fixed order) gets implicitly.
+  */
+object Relational {
+
+  /** Order-insensitive exact sum of a double column: sum in Decimal, cast
+    * back. Deterministic under any partitioning — safe for distributed
+    * re-aggregation AND exactly reproducible in the DuckDB oracle. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast("double")
+
+  /** Exact average with deterministic double division. */
+  def davg(c: Column): Column = (dsum(c) / count(c)).cast("double")
+
+  // ---------------------------------------------------------------------
+  // q01 — flagship sliding event-time window aggregation
+  // (reference example-simple: window(60s,20s) + sum/max/min/count,
+  //  `example/example-simple/src/app.rs:34-67`)
+  // ---------------------------------------------------------------------
+  def q01SlidingWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("event_type"))
+      .agg(
+        dsum(col("value")).as("sum_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("sum_value"), col("max_value"),
+        col("min_value"), col("cnt"))
+      .orderBy("window_start", "event_type")
+
+  val q01Sql: String =
+    """SELECT CAST(FLOOR(epoch(ts)/20)*20 - 20*g.i AS BIGINT) AS window_start,
+      |       event_type,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+      |       MAX(value) AS max_value,
+      |       MIN(value) AS min_value,
+      |       COUNT(*) AS cnt
+      |FROM events CROSS JOIN (VALUES (0),(1),(2)) g(i)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q02 — tumbling event-time window (size == slide,
+  //  `rlink/src/core/window.rs:42-46`)
+  // ---------------------------------------------------------------------
+  def q02TumblingWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "60 seconds"), col("event_type"))
+      .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("sum_value"), col("cnt"))
+      .orderBy("window_start", "event_type")
+
+  val q02Sql: String =
+    """SELECT CAST(FLOOR(epoch(ts)/60)*60 AS BIGINT) AS window_start,
+      |       event_type,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+      |       COUNT(*) AS cnt
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q03 — projection + filter (the FlatMap/Filter surface,
+  //  `rlink/src/core/function.rs:185-207`). Filter + projection push to
+  //  the parquet scan (PushedFilters / pruned ReadSchema).
+  // ---------------------------------------------------------------------
+  def q03FilterProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("value") > lit(50.0))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        (col("value") * lit(2.0)).as("value_x2"),
+        upper(col("event_type")).as("etype"))
+      .orderBy("event_id")
+
+  val q03Sql: String =
+    """SELECT event_id, user_id, value * 2.0 AS value_x2,
+      |       UPPER(event_type) AS etype
+      |FROM events
+      |WHERE event_type = 'purchase' AND value > 50.0
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q04 — keyBy + unwindowed reduce (SchemaReduceFunction:
+  //  count/sum/max/min, `rlink/src/functions/reduce/schema_reduce.rs`)
+  // ---------------------------------------------------------------------
+  def q04KeyByReduce(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("value")).as("sum_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+      .orderBy("user_id")
+
+  val q04Sql: String =
+    """SELECT user_id, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+      |       MAX(value) AS max_value, MIN(value) AS min_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q05 — RangeWindowFilter: keep only windows within [begin, end)
+  //  (`rlink/src/functions/filter/range_window_filter.rs:9-78`).
+  //  2024-01-05 .. 2024-01-12 UTC, inside the events time range.
+  // ---------------------------------------------------------------------
+  private val rangeBegin = 1704412800L // 2024-01-05 00:00:00 UTC
+  private val rangeEnd   = 1705017600L // 2024-01-12 00:00:00 UTC
+
+  def q05RangeWindowFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "60 seconds"), col("event_type"))
+      .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").cast("long").as("window_start"),
+        col("window.end").cast("long").as("window_end"),
+        col("event_type"), col("sum_value"), col("cnt"))
+      .filter(col("window_start") >= lit(rangeBegin) && col("window_end") <= lit(rangeEnd))
+      .orderBy("window_start", "event_type")
+
+  val q05Sql: String =
+    s"""SELECT * FROM (
+       |  SELECT CAST(FLOOR(epoch(ts)/60)*60 AS BIGINT) AS window_start,
+       |         CAST(FLOOR(epoch(ts)/60)*60 + 60 AS BIGINT) AS window_end,
+       |         event_type,
+       |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       |         COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2, 3)
+       |WHERE window_start >= $rangeBegin AND window_end <= $rangeEnd
+       |ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q06 — broadcast dimension enrichment: the connect/CoProcess use case
+  //  (config stream enriching a fact stream,
+  //   `example/example-connect/src/app.rs:36-77`). The dimension side is
+  //  explicitly broadcast — at 100 TB the fact table never shuffles.
+  // ---------------------------------------------------------------------
+  def q06BroadcastEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev  = Tables.events(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q06Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q09 — fact-fact shuffle join + aggregation (engine superset: the
+  //  reference has no batch join; Spark's join family is part of our
+  //  surface). AQE picks shuffle-hash vs sort-merge at runtime.
+  // ---------------------------------------------------------------------
+  def q09ShuffleJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_returnflag"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus", "l_returnflag")
+  }
+
+  val q09Sql: String =
+    """SELECT o_orderstatus, l_returnflag,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus, l_returnflag
+      |ORDER BY o_orderstatus, l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10 — top-k (sort + limit). TakeOrderedAndProject: per-partition
+  //  top-k then driver merge — no full sort at scale.
+  // ---------------------------------------------------------------------
+  def q10TopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(10)
+
+  val q10Sql: String =
+    """SELECT user_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY total_value DESC, user_id
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11 — set operations: high-value purchasers who also signed up
+  //  (INTERSECT), minus users with errors above the same threshold
+  //  (EXCEPT).
+  // ---------------------------------------------------------------------
+  def q11SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String, minV: Double) =
+      ev.filter(col("event_type") === t && col("value") > lit(minV))
+        .select(col("user_id"))
+    users("purchase", 90.0)
+      .intersect(users("signup", 90.0))
+      .except(users("error", 99.0))
+      .orderBy("user_id")
+  }
+
+  val q11Sql: String =
+    """(SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90.0
+      | INTERSECT
+      | SELECT user_id FROM events WHERE event_type = 'signup' AND value > 90.0)
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 99.0
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12 — distinct aggregate + exact average (engine superset).
+  // ---------------------------------------------------------------------
+  def q12DistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("cnt"),
+        davg(col("value")).as("avg_value"))
+      .orderBy("event_type")
+
+  val q12Sql: String =
+    """SELECT event_type,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value) AS avg_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13 — rollup (grouping sets). NULL grouping rows disambiguated via
+  //  coalesce so both engines order identically.
+  // ---------------------------------------------------------------------
+  def q13Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("etype"),
+        col("cnt"), col("sum_value"))
+      .orderBy("etype")
+
+  val q13Sql: String =
+    """SELECT COALESCE(event_type, '(all)') AS etype, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP(event_type)
+      |ORDER BY etype""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q14 — analytic window functions: latest 3 events per user.
+  // ---------------------------------------------------------------------
+  def q14AnalyticWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .orderBy("user_id", "rn")
+  }
+
+  val q14Sql: String =
+    """SELECT user_id, rn, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  private lazy val nEvents = Tables.events(spark, sf).count()
+
+  test("q01 sliding window: every event falls in exactly 3 windows") {
+    val df = Relational.q01SlidingWindowAgg(spark, sf)
+    val totalCnt = df.agg(sum("cnt")).head.getLong(0)
+    assert(totalCnt === 3 * nEvents)
+  }
+
+  test("q01 window starts are multiples of the 20s slide") {
+    val bad = Relational.q01SlidingWindowAgg(spark, sf)
+      .filter(col("window_start") % 20 =!= 0).count()
+    assert(bad === 0)
+  }
+
+  test("q02 tumbling window: counts partition the input") {
+    val df = Relational.q02TumblingWindowAgg(spark, sf)
+    assert(df.agg(sum("cnt")).head.getLong(0) === nEvents)
+  }
+
+  test("q03 filter keeps only matching rows") {
+    val df = Relational.q03FilterProject(spark, sf)
+    assert(df.count() > 0)
+    assert(df.filter(col("etype") =!= "PURCHASE").count() === 0)
+    assert(df.filter(col("value_x2") <= 100.0).count() === 0)
+  }
+
+  test("q04 keyBy+reduce: one row per user, sums match global") {
+    val df = Relational.q04KeyByReduce(spark, sf).cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.count() === users)
+    val total = df.agg(sum("cnt")).head.getLong(0)
+    assert(total === nEvents)
+  }
+
+  test("q05 range filter bounds hold") {
+    val df = Relational.q05RangeWindowFilter(spark, sf)
+    assert(df.filter(col("window_start") < 1704412800L ||
+      col("window_end") > 1705017600L).count() === 0)
+  }
+
+  test("q06 broadcast enrich covers all events (every user_id has a customer)") {
+    val df = Relational.q06BroadcastEnrich(spark, sf)
+    assert(df.agg(sum("cnt")).head.getLong(0) === nEvents)
+  }
+
+  test("q10 topk is sorted desc and limited") {
+    val rows = Relational.q10TopK(spark, sf).collect()
+    assert(rows.length === 10)
+    val vals = rows.map(_.getAs[Double]("total_value"))
+    assert(vals.sameElements(vals.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q13 rollup grand total equals event count") {
+    val all = Relational.q13Rollup(spark, sf)
+      .filter(col("etype") === "(all)").head
+    assert(all.getAs[Long]("cnt") === nEvents)
+  }
+
+  test("q14 analytic window: at most 3 rows per user, rn in 1..3") {
+    val df = Relational.q14AnalyticWindow(spark, sf).cache()
+    assert(df.groupBy("user_id").count().filter(col("count") > 3).count() === 0)
+    assert(df.filter(col("rn") < 1 || col("rn") > 3).count() === 0)
+  }
+}
