@@ -25,6 +25,7 @@ object SparkEntry {
     "q04_keyby_reduce"        -> (Relational.q04KeyByReduce _),
     "q05_range_window_filter" -> (Relational.q05RangeWindowFilter _),
     "q06_broadcast_enrich"    -> (Relational.q06BroadcastEnrich _),
+    "q07_pct_histogram"       -> (Percentiles.q07PctHistogram _),
     "q09_shuffle_join_agg"    -> (Relational.q09ShuffleJoinAgg _),
     "q10_topk"                -> (Relational.q10TopK _),
     "q11_set_ops"             -> (Relational.q11SetOps _),
@@ -42,6 +43,7 @@ object SparkEntry {
     "q04_keyby_reduce"        -> Relational.q04Sql,
     "q05_range_window_filter" -> Relational.q05Sql,
     "q06_broadcast_enrich"    -> Relational.q06Sql,
+    "q07_pct_histogram"       -> Percentiles.q07Sql,
     "q09_shuffle_join_agg"    -> Relational.q09Sql,
     "q10_topk"                -> Relational.q10Sql,
     "q11_set_ops"             -> Relational.q11Sql,

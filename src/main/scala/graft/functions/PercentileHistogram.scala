@@ -1,0 +1,165 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{lit, udaf}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType}
+
+/** Fixed-boundary histogram percentile (LevelDB-histogram style), matching
+  * the reference engine's accumulator bit-for-bit:
+  * `rlink/src/functions/percentile/mod.rs` —
+  * state = `(scale.len + 1) * 8` bytes, bucket i's count as a big-endian
+  * u64 at offset `i*8`, total count in the trailing slot
+  * (`percentile/mod.rs:1-3,14-25`).
+  *
+  * `accumulate` buckets a value to the smallest boundary >= value, clamped
+  * to the first/last boundary (`percentile/mod.rs:59-122`).
+  *
+  * Deviation from the reference, by design: the reference's `merge`
+  * (`percentile/mod.rs:124-128`) adds the two byte arrays **byte-wise
+  * without carry**, which silently corrupts counts >= 256; it can afford
+  * that only because its single-reduce-step runtime never merges partial
+  * aggregates. Spark's distributed aggregation merges constantly, so we
+  * merge the u64 counters arithmetically — identical results wherever the
+  * reference is correct, and correct at any scale.
+  */
+class PercentileHistogram(scale: Array[Double])
+    extends Aggregator[Double, Array[Long], Array[Byte]] {
+
+  private val n = scale.length
+
+  /** Smallest boundary index >= v, clamped to [0, n-1]
+    * (reference `position_in_value_array`, `percentile/mod.rs:78-122`). */
+  private def bucket(v: Double): Int = {
+    val i = java.util.Arrays.binarySearch(scale, v)
+    if (i >= 0) i
+    else {
+      val ins = -i - 1
+      if (ins >= n) n - 1 else ins
+    }
+  }
+
+  override def zero: Array[Long] = new Array[Long](n + 1)
+
+  override def reduce(b: Array[Long], v: Double): Array[Long] = {
+    b(n) += 1L
+    b(bucket(v)) += 1L
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  /** Big-endian u64 blob, bit-identical to the reference accumulator. */
+  override def finish(b: Array[Long]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(b.length * 8).order(ByteOrder.BIG_ENDIAN)
+    b.foreach(buf.putLong)
+    buf.array()
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Scalar reader over the histogram blob — reference
+  * `PercentileReader.get_result` (`percentile/mod.rs:171-211`): position =
+  * `trunc(count * (100-p)/100)` clamped to `[1, count]`; scan buckets from
+  * the top accumulating counts; the bucket where the running count crosses
+  * the position yields its boundary value.
+  *
+  * CodegenFallback is fine here: this runs once per output group (post-
+  * aggregation), never per input row.
+  */
+case class PercentileResult(left: Expression, right: Expression, scale: Seq[Double])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pct_result expects (binary, int), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(blob: Any, p: Any): Any = {
+    val bytes = blob.asInstanceOf[Array[Byte]]
+    val waterLine = p.asInstanceOf[Int]
+    require(waterLine >= 0 && waterLine <= 100,
+      s"waterLine must be within [0, 100], got $waterLine")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val n = scale.length
+    val counter = bb.getLong(n * 8)
+    if (counter == 0L) return null
+    val rightFrac = (100 - waterLine).toDouble / 100.0
+    val rawPos = (counter.toDouble * rightFrac).toLong
+    val pos = if (rawPos <= 1L) 1L else if (rawPos >= counter) counter else rawPos
+    var scanned = 0L
+    var idx = n - 1
+    while (idx >= 0) {
+      val c = bb.getLong(idx * 8)
+      if (c != 0L) {
+        scanned += c
+        if (scanned >= pos) return scale(idx)
+      }
+      idx -= 1
+    }
+    null // unreachable: every accumulated value lands in some bucket
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API for the graft function library. */
+object GraftFunctions {
+
+  /** The 90-bucket LevelDB-histogram scale the reference examples use
+    * (`example/example-connect/src/percentile.rs:1-17`). */
+  val leveldbScale90: Array[Double] = {
+    val b = Array.newBuilder[Double]
+    (1 to 10).foreach(i => b += i.toDouble)            // 1..10 step 1
+    (12 to 20 by 2).foreach(i => b += i.toDouble)      // 12..20 step 2
+    (25 to 50 by 5).foreach(i => b += i.toDouble)      // 25..50 step 5
+    (60 to 100 by 10).foreach(i => b += i.toDouble)    // 60..100 step 10
+    (120 to 200 by 20).foreach(i => b += i.toDouble)   // 120..200 step 20
+    (250 to 500 by 50).foreach(i => b += i.toDouble)   // 250..500 step 50
+    (600 to 1000 by 100).foreach(i => b += i.toDouble) // 600..1000 step 100
+    Seq(1200, 1400, 1600, 1800, 2000).foreach(i => b += i.toDouble)
+    Seq(2500, 3000, 3500, 4000, 4500, 5000).foreach(i => b += i.toDouble)
+    Seq(6000, 7000, 8000, 9000, 10000).foreach(i => b += i.toDouble)
+    Seq(12000, 14000, 16000, 18000, 20000).foreach(i => b += i.toDouble)
+    Seq(25000, 30000, 35000, 40000, 45000, 50000).foreach(i => b += i.toDouble)
+    Seq(60000, 70000, 80000, 90000, 100000).foreach(i => b += i.toDouble)
+    Seq(120000, 140000, 160000, 180000, 200000).foreach(i => b += i.toDouble)
+    Seq(250000, 300000, 350000, 400000, 450000, 500000).foreach(i => b += i.toDouble)
+    Seq(600000, 700000, 800000, 900000, 1000000).foreach(i => b += i.toDouble)
+    b.result()
+  }
+
+  /** Histogram-percentile aggregate: returns the binary accumulator blob. */
+  def pctHist(c: Column, scale: Array[Double]): Column =
+    udaf(new PercentileHistogram(scale),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Double]())
+      .apply(c)
+
+  /** Read percentile `p` (integer water line, e.g. 90 / 99) from a blob. */
+  def pctResult(blob: Column, p: Int, scale: Array[Double]): Column =
+    ColumnBridge.column(
+      PercentileResult(ColumnBridge.expression(blob), Literal(p), scale.toSeq))
+
+  /** One-shot: percentile of a column at water line `p`. */
+  def pct(c: Column, p: Int, scale: Array[Double]): Column =
+    pctResult(pctHist(c, scale), p, scale)
+}
