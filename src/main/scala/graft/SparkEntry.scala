@@ -32,6 +32,16 @@ object SparkEntry {
     "q12_distinct_agg"        -> (Relational.q12DistinctAgg _),
     "q13_rollup"              -> (Relational.q13Rollup _),
     "q14_analytic_window"     -> (Relational.q14AnalyticWindow _),
+    "q15_dedup_exact"         -> (TextAnalysis.q15DedupExact _),
+    "q16_token_stats"         -> (TextAnalysis.q16TokenStats _),
+    "q17_quality_score"       -> (TextAnalysis.q17QualityScore _),
+    "q18_langid"              -> (TextAnalysis.q18LangId _),
+    "q19_fingerprint"         -> (TextAnalysis.q19Fingerprint _),
+    "q20_minhash_dedup"       -> (Dedup.q20MinHashDedup _),
+    "q21_simhash_dedup"       -> (Dedup.q21SimHashDedup _),
+    "q22_ann_brute_force"     -> (Similarity.q22AnnBruteForce _),
+    "q23_ann_lsh"             -> (Similarity.q23AnnLsh _),
+    "q24_multimodal_stub"     -> (Multimodal.q24MultimodalStub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +60,16 @@ object SparkEntry {
     "q12_distinct_agg"        -> Relational.q12Sql,
     "q13_rollup"              -> Relational.q13Sql,
     "q14_analytic_window"     -> Relational.q14Sql,
+    "q15_dedup_exact"         -> TextAnalysis.q15Sql,
+    "q16_token_stats"         -> TextAnalysis.q16Sql,
+    "q17_quality_score"       -> TextAnalysis.q17Sql,
+    "q18_langid"              -> TextAnalysis.q18Sql,
+    "q19_fingerprint"         -> TextAnalysis.q19Sql,
+    "q20_minhash_dedup"       -> Dedup.q20Sql,
+    // q21_simhash_dedup: no oracle — xxhash64 has no DuckDB equivalent;
+    // covered by DedupSpec (rows-only check driver-side).
+    "q22_ann_brute_force"     -> Similarity.q22Sql,
+    // q23_ann_lsh: no oracle — recall vs q22 covered by SimilaritySpec.
+    "q24_multimodal_stub"     -> Multimodal.q24Sql,
   )
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection for training-data curation.
+  *
+  * q20 — MinHash + LSH banding over word-trigram shingles, with exact
+  * Jaccard verification of candidates. q21 — 64-bit SimHash with
+  * pigeonhole-banded Hamming-distance join.
+  *
+  * Scale design (the whole point of MinHash/SimHash at 100 TB):
+  *  - Shingling, signatures, and band hashes are pure per-row projections
+  *    (higher-order array functions, no UDFs, no explode-per-hash): zero
+  *    shuffle until candidates.
+  *  - The only shuffles are (a) the band-bucket self-join keyed on
+  *    (band, 64-bit band hash) — tiny rows: two longs + an id — and
+  *    (b) the final pair-distinct. Documents themselves are only
+  *    re-read to verify the (rare) candidate pairs via a re-join on id.
+  *  - Candidate volume is governed by the (bands, rows) S-curve:
+  *    b=16, r=2 puts the 50% knee at j≈(1/16)^(1/2)≈0.25 and catches
+  *    j≥0.8 pairs with probability 1-(1-0.64)^16 ≈ 1-1e-7 — effectively
+  *    no false negatives at the 0.8 output threshold, so the exact-verify
+  *    output equals brute-force Jaccard≥0.8 (which is what the DuckDB
+  *    oracle computes).
+  */
+object Dedup {
+
+  /** doc_id + distinct word-trigram shingle array (pure projection). */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3
+          |     THEN array_distinct(transform(sequence(0, size(toks) - 3),
+          |            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+          |     ELSE array() END""".stripMargin).as("sh"))
+
+  private val NumHashes = 32
+  private val Bands     = 16 // r = NumHashes / Bands = 2 rows per band
+  private val Threshold = 0.8
+
+  // ---------------------------------------------------------------------
+  // q20 — MinHash + LSH + exact verification.
+  // ---------------------------------------------------------------------
+  def q20MinHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(spark, sfDir).cache()
+
+    // 32-hash MinHash signature in one projection: h_i(s) = xxhash64(s, i).
+    val sigs = docs.filter(size(col("sh")) > 0).select(
+      col("doc_id"),
+      expr(s"""transform(sequence(0, ${NumHashes - 1}),
+               |  i -> array_min(transform(sh, s -> xxhash64(s, i))))""".stripMargin)
+        .as("sig"))
+
+    // 16 bands of 2 rows; band key = xxhash64(sig[2b], sig[2b+1], b).
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${Bands - 1}),
+           |  b -> struct(b AS band, xxhash64(sig[2*b], sig[2*b+1], b) AS bh))""".stripMargin))
+        .as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+
+    // Bucket self-join -> candidate pairs (shuffle carries 3 longs/row).
+    val l = bands.as("l"); val r = bands.as("r")
+    val cands = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+    // Exact-Jaccard verification of the (rare) candidates.
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= Threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force oracle: all pairs with trigram-shingle Jaccard >= 0.8.
+    * Valid because the LSH miss probability at j >= 0.8 is ~1e-7. */
+  val q20Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 for i in range(1, len(toks) - 1)]
+      |           ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |        FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q21 — SimHash near-dup: 64-bit signature from token-frequency-weighted
+  // bit votes; pairs within Hamming distance <= 3 found via 4x16-bit
+  // pigeonhole bands (ham <= 3 => at least one band identical).
+  // No SQL oracle (xxhash64 doesn't exist in DuckDB) — covered by
+  // DedupSpec instead; the driver records a rows-only check.
+  // ---------------------------------------------------------------------
+  private val HamMax = 3
+  private val SimBands = 4 // 4 x 16-bit bands; pigeonhole for ham <= 3
+
+  def q21SimHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+
+    // Per-bit vote sums (64 longs/doc): partial aggregation map-side.
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$bit")
+    }
+    val sims = tokens.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { bit =>
+          when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      .cache()
+
+    // Pigeonhole bands: one row per 16-bit slice.
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        s"""transform(sequence(0, ${SimBands - 1}),
+           |  b -> struct(b AS band,
+           |              shiftright(simhash, b * 16) & 65535 AS bh))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("simhash"),
+        col("e.band").as("band"), col("e.bh").as("bh"))
+
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HamMax)
+      .orderBy("doc_a", "doc_b")
+  }
+}

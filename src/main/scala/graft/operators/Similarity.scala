@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * q22 — brute-force cosine top-k: the correctness baseline. Queries are
+  * broadcast; the vector table is scanned once (BroadcastNestedLoopJoin);
+  * ranking is a per-query window top-k. Linear in |vectors| x |queries| —
+  * the honest baseline any ANN index is measured against.
+  *
+  * q23 — random-hyperplane LSH (the scale path): L=8 tables x 4 bits.
+  * Bucket assignment is a pure projection (sign bits of dot products with
+  * 32 fixed seeded-Gaussian hyperplanes); the candidate join is keyed on
+  * (table, bucket) — at 100 TB the full cross product never materializes,
+  * only same-bucket candidates are scored.
+  *
+  * All vector math is codegen'd higher-order expressions (zip_with +
+  * sequential aggregate fold in double) — no UDFs; the fold order is
+  * deterministic, making the cosine bit-reproducible (and equal to
+  * DuckDB's list_dot_product on DOUBLE[], verified).
+  */
+object Similarity {
+
+  private val TopK      = 10
+  private val NumQueries = 5
+
+  /** Sequential-fold double dot product of two array columns. */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+
+  // ---------------------------------------------------------------------
+  // q22 — brute-force cosine top-k.
+  // ---------------------------------------------------------------------
+  def q22AnnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qnorm"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(dotExpr("qe", "embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q22Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS qe, norm AS qnorm FROM e
+       |      WHERE vec_id < $NumQueries),
+       |pairs AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, e.emb) / (q.qnorm * e.norm) AS cosine
+       |  FROM e, q WHERE e.vec_id != q.query_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23 — LSH-bucketed ANN (rows-only check; recall vs q22 covered by
+  // SimilaritySpec).
+  // ---------------------------------------------------------------------
+  // 8 tables x 4 bits: for a neighbor at angle θ the per-table collision
+  // probability is (1-θ/π)^4; union over 8 tables gives recall ≈ 0.8+ for
+  // cosine ≥ 0.5 while scoring only same-bucket candidates.
+  private val Tables_ = 8
+  private val BitsPerTable = 4
+  private val Dim = 64
+
+  /** 32 fixed hyperplanes (seeded Gaussian — deterministic across runs). */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(Tables_ * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private def bucketed(e: DataFrame): DataFrame = {
+    val planesCol = typedlit(planes.map(_.toSeq).toSeq)
+    // bucket_t = sum over bits of sign(dot(emb, plane[t*8+p])) << p
+    val withPlanes = e.withColumn("planes", planesCol)
+    val buckets = (0 until Tables_).map { t =>
+      val bits = (0 until BitsPerTable).map { p =>
+        val d = dotExpr("embedding", s"planes[${t * BitsPerTable + p}]")
+        s"(CASE WHEN ($d) > 0.0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      expr(s"struct($t AS tbl, ($bits) AS bucket)")
+    }
+    withPlanes
+      .withColumn("tb", explode(array(buckets: _*)))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  def q23AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sfDir)).cache()
+    val b = bucketed(e)
+    val qb = bucketed(e.filter(col("vec_id") < NumQueries))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qnorm"), col("tbl"), col("bucket"))
+    val cands = b.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qe"), col("qnorm"), col("embedding"), col("norm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        (expr(dotExpr("qe", "embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * exact deduplication, token statistics, quality scoring, language-ID
+  * heuristic, and content fingerprinting — all pure per-row projections or
+  * hash-keyed aggregations (embarrassingly parallel; the only shuffle is
+  * the dedup groupBy, keyed on a 128-bit hash, never on document text).
+  *
+  * Everything stays inside Catalyst built-ins (codegen'd, no UDFs), and
+  * every op has an exactly-equivalent DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text` (trimmed, multi-space safe). */
+  private val toks: Column = split(trim(col("text")), " +")
+
+  // ---------------------------------------------------------------------
+  // q15 — exact deduplication. Group key is md5(text), not text: at 100 TB
+  // the shuffle carries 16-byte keys, not documents. Collision probability
+  // at 2^-128 per pair is negligible against any realistic corpus.
+  // ---------------------------------------------------------------------
+  def q15DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  val q15Sql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q16 — token statistics (whitespace tokenization).
+  // ---------------------------------------------------------------------
+  def q16TokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        (expr("CAST(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) AS DOUBLE)")
+          / size(col("toks"))).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val q16Sql: String =
+    """SELECT doc_id, n_chars,
+      |       len(toks) AS n_tokens,
+      |       length(text) AS n_chars_calc,
+      |       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
+      |FROM (SELECT doc_id, n_chars, text,
+      |             regexp_split_to_array(trim(text), ' +') AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q17 — quality scoring: stopword ratio, punctuation ratio, length
+  // saturation, combined into one deterministic double score.
+  // ---------------------------------------------------------------------
+  private val stopwords = Seq("the", "a", "and", "of", "in", "to")
+  private val stopPred  = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+
+  def q17QualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter(toks, t -> $stopPred))").as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+        length(col("text")).as("n_chars_calc"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_punct").cast("double") / col("n_chars_calc")).as("punct_ratio"),
+        least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)).as("len_sat"))
+      .withColumn("quality",
+        lit(0.4) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * col("len_sat"))
+      .orderBy("doc_id")
+
+  val q17Sql: String = {
+    val duckStop = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    s"""SELECT doc_id, n_tokens, stop_ratio, punct_ratio, len_sat,
+       |       0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio) + 0.3 * len_sat AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |         len(toks) AS n_tokens,
+       |         CAST(len(list_filter(toks, t -> $duckStop)) AS DOUBLE) / len(toks) AS stop_ratio,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |           / length(text) AS punct_ratio,
+       |         LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_sat
+       |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), ' +') AS toks
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q18 — language identification via stopword-marker counts (n-gram
+  // heuristic). Deterministic argmax with fixed precedence; 'unknown'
+  // when no marker hits.
+  // ---------------------------------------------------------------------
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "une"),
+    "es" -> Seq("el", "los", "las", "y", "que"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def q18LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+    val withCounts = markers.foldLeft(base) { case (df, (l, ws)) =>
+      val pred = ws.map(w => s"t = '$w'").mkString(" OR ")
+      df.withColumn(s"c_$l", expr(s"size(filter(toks, t -> $pred))"))
+    }
+    val langs = markers.map(_._1)
+    val guess = langs.foldRight(lit("unknown")) { case (l, els) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"c_$l") >= col(s"c_$o"))
+        .reduce(_ && _) && col(s"c_$l") > 0
+      when(isMax, lit(l)).otherwise(els)
+    }
+    withCounts
+      .select((Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => col(s"c_$l")) :+ guess.as("guess")): _*)
+      .withColumn("hit", (col("guess") === col("lang")).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  val q18Sql: String = {
+    val counts = markers.map { case (l, ws) =>
+      val pred = ws.map(w => s"t = '$w'").mkString(" OR ")
+      s"len(list_filter(toks, t -> $pred)) AS c_$l"
+    }.mkString(",\n         ")
+    val langs = markers.map(_._1)
+    val cases = langs.map { l =>
+      val conds = (langs.filter(_ != l).map(o => s"c_$l >= c_$o") :+ s"c_$l > 0")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n              ")
+    s"""SELECT doc_id, lang, ${langs.map(l => s"c_$l").mkString(", ")},
+       |       guess, (guess = lang) AS hit
+       |FROM (
+       |  SELECT doc_id, lang, ${langs.map(l => s"c_$l").mkString(", ")},
+       |         CASE $cases
+       |              ELSE 'unknown' END AS guess
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |         $counts
+       |    FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
+       |          FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q19 — content fingerprint: 64-bit (16 hex chars) prefix of md5 over
+  // whitespace-normalized lowercase text. The md5 path is the
+  // oracle-checkable fingerprint; see GraftFunctions.pct — a rolling-hash
+  // variant lives in Dedup (simhash) where bit-level hashes matter.
+  // ---------------------------------------------------------------------
+  def q19Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        substring(md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))), 1, 16)
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  val q19Sql: String =
+    """SELECT doc_id,
+      |       substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

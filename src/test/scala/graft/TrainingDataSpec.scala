@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class TrainingDataSpec extends SparkSpec {
+
+  test("q15 exact dedup: all texts distinct at this SF -> one group per doc") {
+    val df = TextAnalysis.q15DedupExact(spark, sf)
+    assert(df.count() === Tables.documents(spark, sf).count())
+    assert(df.filter(col("n_copies") =!= 1).count() === 0)
+  }
+
+  test("q15 exact dedup collapses injected duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc"))
+      .toDF("doc_id", "text")
+    val got = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies").orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("q16 token stats: n_chars_calc equals the table's n_chars column") {
+    val df = TextAnalysis.q16TokenStats(spark, sf)
+    assert(df.filter(col("n_chars_calc") =!= col("n_chars")).count() === 0)
+    assert(df.filter(col("n_tokens") <= 0).count() === 0)
+  }
+
+  test("q17 quality score stays in [0, 1]") {
+    val df = TextAnalysis.q17QualityScore(spark, sf)
+    assert(df.filter(col("quality") < 0.0 || col("quality") > 1.0).count() === 0)
+  }
+
+  test("q18 langid is deterministic and defined for every doc") {
+    val df = TextAnalysis.q18LangId(spark, sf).cache()
+    assert(df.count() === 500)
+    // word-salad corpus: English markers dominate; no doc should be
+    // classified as zh (no CJK markers present)
+    assert(df.filter(col("guess") === "zh").count() === 0)
+    assert(df.filter(col("guess").isNull).count() === 0)
+  }
+
+  test("q19 fingerprints are 16 hex chars and unique on this corpus") {
+    val df = TextAnalysis.q19Fingerprint(spark, sf).cache()
+    assert(df.filter(length(col("fingerprint")) =!= 16).count() === 0)
+    assert(df.select("fingerprint").distinct().count() === df.count())
+  }
+
+  test("q20 minhash equals brute-force jaccard>=0.8 pairs (no LSH misses)") {
+    import spark.implicits._
+    val got = Dedup.q20MinHashDedup(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // independent brute force over all pairs on the small SF
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split(" +")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val exp = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa | sb).size >= 0.8
+    } yield (a, b)).toSet
+    assert(got === exp)
+    assert(got.nonEmpty) // the generator plants near-dups
+  }
+
+  test("q21 simhash: pairs are ordered, hamming <= 3, and overlap minhash dups") {
+    import spark.implicits._
+    val sim = Dedup.q21SimHashDedup(spark, sf).cache()
+    assert(sim.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(sim.filter(col("hamming") > 3).count() === 0)
+    val simPairs = sim.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mhPairs = Dedup.q20MinHashDedup(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // token-multiset-similar planted dups should also collide in simhash
+    assert((simPairs & mhPairs).nonEmpty)
+  }
+
+  test("q22 brute-force ANN: exactly top-10 per query, cosine in [-1, 1]") {
+    val df = Similarity.q22AnnBruteForce(spark, sf).cache()
+    assert(df.groupBy("query_id").count().filter(col("count") =!= 10).count() === 0)
+    assert(df.filter(col("cosine") < -1.0 || col("cosine") > 1.0).count() === 0)
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() === 0)
+  }
+
+  test("q23 LSH ANN: recall@10 against brute force is useful (> 0.4)") {
+    import spark.implicits._
+    val exact = Similarity.q22AnnBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.q23AnnLsh(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH recall@10 = $recall")
+    assert(recall > 0.4)
+  }
+
+  test("q24 multimodal stub: metadata derives from byte length; plumbing is typed") {
+    val df = Multimodal.q24MultimodalStub(spark, sf).cache()
+    assert(df.count() === 500)
+    assert(df.filter(col("width") =!= col("n_bytes") % 64 + 1).count() === 0)
+    assert(df.filter(length(col("header_hex")) =!= 16).count() === 0)
+  }
+}
