@@ -42,6 +42,7 @@ object SparkEntry {
     "q22_ann_brute_force"     -> (Similarity.q22AnnBruteForce _),
     "q23_ann_lsh"             -> (Similarity.q23AnnLsh _),
     "q24_multimodal_stub"     -> (Multimodal.q24MultimodalStub _),
+    "q25_stream_batch_parity" -> (graft.streaming.StreamParity.q25StreamBatchParity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +72,8 @@ object SparkEntry {
     "q22_ann_brute_force"     -> Similarity.q22Sql,
     // q23_ann_lsh: no oracle — recall vs q22 covered by SimilaritySpec.
     "q24_multimodal_stub"     -> Multimodal.q24Sql,
+    // q25 runs the SAME aggregation through the real streaming engine —
+    // its oracle is the batch flagship's oracle.
+    "q25_stream_batch_parity" -> Relational.q01Sql,
   )
 }

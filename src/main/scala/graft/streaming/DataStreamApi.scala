@@ -1,0 +1,193 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.GraftFunctions
+
+/** Thin typed facade mirroring the reference's DataStream builder API
+  * (`rlink/src/core/data_stream.rs:17-71`), compiled 1:1 to
+  * DataFrame / Structured Streaming operations. Works identically over
+  * batch and streaming DataFrames — the plan is declarative either way,
+  * and Catalyst/the streaming engine own execution.
+  *
+  * Reference surface → here:
+  *  - `register_source`                → `StreamExecutionEnvironment.fromDataFrame / memorySource`
+  *  - `flat_map` (`core/function.rs:185-195`) → `flatMap` (typed 1→N) / `map` (projection)
+  *  - `filter` (`core/function.rs:197-207`)   → `filter`
+  *  - `assign_timestamps_and_watermarks` (bounded out-of-orderness,
+  *    `functions/watermark/bounded_out_of_orderness_watermarks.rs`)
+  *                                      → `assignTimestampsAndWatermarks`
+  *  - `key_by` (`schema_key_selector.rs`)      → `keyBy`
+  *  - `window(SlidingEventTimeWindows)` (`functions/window/mod.rs:27-78`)
+  *                                      → `window` (incl. offset)
+  *  - `reduce(sum/max/min/count/pct)` (`schema_reduce.rs`) → `reduce(Agg.*)`
+  *  - `connect` + CoProcess (`core/data_stream.rs:143-148`) → `connect`
+  *    (broadcast enrichment) / `CoProcess.apply` (general stateful form)
+  *  - `add_sink` (print / kafka)        → `addSink(Sinks.*)`
+  */
+object api {
+
+  /** Duration helper mirroring the reference's ms-based window params. */
+  final case class Time(ms: Long) {
+    def spec: String = s"$ms milliseconds"
+  }
+  object Time {
+    def milliseconds(n: Long): Time = Time(n)
+    def seconds(n: Long): Time = Time(n * 1000L)
+    def minutes(n: Long): Time = Time(n * 60000L)
+  }
+
+  /** Event-time window assigners (`rlink/src/functions/window/mod.rs`).
+    * Tumbling = size == slide, exactly as the reference builds it. */
+  sealed trait WindowAssigner {
+    def size: Time; def slide: Time; def offset: Time
+    /** Spark's startTime must be in [0, slide); the reference allows
+      * back/forward offsets (`functions/window/mod.rs:8-24`) — identical
+      * bucketing after normalization mod slide. */
+    private[streaming] def normalizedOffset: Time =
+      Time(((offset.ms % slide.ms) + slide.ms) % slide.ms)
+  }
+  final case class SlidingEventTimeWindows(size: Time, slide: Time, offset: Time)
+      extends WindowAssigner
+  object SlidingEventTimeWindows {
+    def of(size: Time, slide: Time): SlidingEventTimeWindows =
+      SlidingEventTimeWindows(size, slide, Time(0))
+  }
+  final case class TumblingEventTimeWindows(size: Time, offset: Time)
+      extends WindowAssigner { def slide: Time = size }
+  object TumblingEventTimeWindows {
+    def of(size: Time): TumblingEventTimeWindows =
+      TumblingEventTimeWindows(size, Time(0))
+  }
+
+  /** Aggregation descriptors (`schema_reduce.rs:11-29`); output column
+    * names follow the reference convention `agg(col)`. */
+  sealed trait Agg { def column: Column; def name: String }
+  object Agg {
+    final case class Sum(col: String) extends Agg {
+      def column: Column = sum(col); def name = s"sum($col)"
+    }
+    final case class Max(col: String) extends Agg {
+      def column: Column = max(col); def name = s"max($col)"
+    }
+    final case class Min(col: String) extends Agg {
+      def column: Column = min(col); def name = s"min($col)"
+    }
+    final case class Count() extends Agg {
+      def column: Column = count(lit(1)); def name = "count"
+    }
+    final case class Pct(col: String, scale: Array[Double], p: Int) extends Agg {
+      def column: Column =
+        GraftFunctions.pct(org.apache.spark.sql.functions.col(col), p, scale)
+      def name = s"pct($col,$p)"
+    }
+  }
+
+  final class StreamExecutionEnvironment(val spark: SparkSession) {
+    def fromDataFrame(df: DataFrame): DataStream = new DataStream(df, this)
+    /** Bounded in-memory source ≙ `vec_source`
+      * (`functions/source/vec_input_format.rs`). */
+    def fromRows(rows: Seq[Row], schema: StructType): DataStream =
+      new DataStream(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), schema), this)
+    /** Unbounded rate source ≙ `RandInputFormat`. */
+    def rateSource(rowsPerSecond: Int): DataStream =
+      new DataStream(spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond).load(), this)
+  }
+  object StreamExecutionEnvironment {
+    def apply(spark: SparkSession) = new StreamExecutionEnvironment(spark)
+  }
+
+  final class DataStream(val df: DataFrame, env: StreamExecutionEnvironment) {
+    private def next(d: DataFrame) = new DataStream(d, env)
+
+    /** 1→N row transform — the reference's whole UDF/UDTF surface. */
+    def flatMap(schema: StructType)(f: Row => IterableOnce[Row]): DataStream = {
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      next(df.flatMap(f)(enc).toDF())
+    }
+    /** Declarative projection (preferred: stays in codegen). */
+    def map(cols: Column*): DataStream = next(df.select(cols: _*))
+    def filter(cond: Column): DataStream = next(df.filter(cond))
+
+    /** `SchemaTimestampAssigner` + `BoundedOutOfOrdernessWatermarks`:
+      * `tsCol` holds epoch millis (reference convention) or a timestamp;
+      * produces/overwrites an `eventTime` TimestampType column and, on
+      * streaming inputs, registers the watermark. */
+    def assignTimestampsAndWatermarks(tsCol: String, maxOutOfOrderness: Time): DataStream = {
+      val ts = df.schema(tsCol).dataType match {
+        case org.apache.spark.sql.types.TimestampType => col(tsCol)
+        case _ => timestamp_millis(col(tsCol).cast("long"))
+      }
+      val withTs = df.withColumn("eventTime", ts)
+      next(if (withTs.isStreaming)
+        withTs.withWatermark("eventTime", maxOutOfOrderness.spec)
+      else withTs)
+    }
+
+    def keyBy(keys: String*): KeyedStream = new KeyedStream(df, keys, env)
+
+    /** Broadcast dimension enrichment — the reference's dominant
+      * connect/CoProcess use (`example/example-connect/src/app.rs:36-77`).
+      * Stream-static broadcast join: the dimension never shuffles the
+      * fact side. */
+    def connect(dim: DataFrame, cond: Column): DataStream =
+      next(df.join(broadcast(dim), cond))
+
+    def addSink(sink: DataStream => Either[Unit, StreamingQuery]): Either[Unit, StreamingQuery] =
+      sink(this)
+  }
+
+  final class KeyedStream(df: DataFrame, keys: Seq[String],
+      env: StreamExecutionEnvironment) {
+    def window(assigner: WindowAssigner): WindowedStream =
+      new WindowedStream(df, keys, assigner, env)
+    /** Unwindowed keyed reduce (batch only — streaming needs a window). */
+    def reduce(aggs: Agg*): DataStream = {
+      val cols = aggs.map(a => a.column.as(a.name))
+      new DataStream(
+        df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*), env)
+    }
+  }
+
+  final class WindowedStream(df: DataFrame, keys: Seq[String],
+      assigner: WindowAssigner, env: StreamExecutionEnvironment) {
+    /** Incremental windowed aggregation ≙ WindowBaseReduceFunction
+      * (`functions/system/window_base_reduce.rs`): state keyed by
+      * (window, key), merged per-record, emitted when the watermark
+      * passes window end (append mode) — all engine-internal in Spark. */
+    def reduce(aggs: Agg*): DataStream = {
+      val w = window(col("eventTime"),
+        assigner.size.spec, assigner.slide.spec, assigner.normalizedOffset.spec)
+      val cols = aggs.map(a => a.column.as(a.name))
+      new DataStream(
+        df.groupBy((w +: keys.map(col)): _*).agg(cols.head, cols.tail: _*), env)
+    }
+  }
+
+  /** Sink constructors (`print_sink`, kafka/memory equivalents). */
+  object Sinks {
+    /** Print sink ≙ `functions/sink/print.rs`. */
+    def print(numRows: Int = 20): DataStream => Either[Unit, StreamingQuery] = s =>
+      if (s.df.isStreaming)
+        Right(s.df.writeStream.outputMode("append").format("console").start())
+      else Left(s.df.show(numRows, truncate = false))
+    /** Named in-memory table (streaming) / temp view (batch). */
+    def memory(name: String): DataStream => Either[Unit, StreamingQuery] = s =>
+      if (s.df.isStreaming)
+        Right(s.df.writeStream.outputMode("append").format("memory")
+          .queryName(name).start())
+      else Left(s.df.createOrReplaceTempView(name))
+    /** Parquet sink with checkpoint — the durable path. */
+    def parquet(path: String, checkpoint: String): DataStream => Either[Unit, StreamingQuery] = s =>
+      if (s.df.isStreaming)
+        Right(s.df.writeStream.outputMode("append").format("parquet")
+          .option("path", path).option("checkpointLocation", checkpoint).start())
+      else Left(s.df.write.mode("append").parquet(path))
+  }
+}
