@@ -26,6 +26,7 @@ object SparkEntry {
     "q05_range_window_filter" -> (Relational.q05RangeWindowFilter _),
     "q06_broadcast_enrich"    -> (Relational.q06BroadcastEnrich _),
     "q07_pct_histogram"       -> (Percentiles.q07PctHistogram _),
+    "q08_session_window"      -> (Relational.q08SessionWindow _),
     "q09_shuffle_join_agg"    -> (Relational.q09ShuffleJoinAgg _),
     "q10_topk"                -> (Relational.q10TopK _),
     "q11_set_ops"             -> (Relational.q11SetOps _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "q05_range_window_filter" -> Relational.q05Sql,
     "q06_broadcast_enrich"    -> Relational.q06Sql,
     "q07_pct_histogram"       -> Percentiles.q07Sql,
+    "q08_session_window"      -> Relational.q08Sql,
     "q09_shuffle_join_agg"    -> Relational.q09Sql,
     "q10_topk"                -> Relational.q10Sql,
     "q11_set_ops"             -> Relational.q11Sql,

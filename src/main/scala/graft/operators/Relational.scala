@@ -194,6 +194,38 @@ object Relational {
       |ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q08 — session windows (gap-based). The reference ships no session
+  //  windows (SURVEY §2.5); Spark's session_window makes them part of our
+  //  surface. Oracle reformulates via classic gaps-and-islands SQL: a new
+  //  session starts when the gap to the previous event exceeds 300s.
+  // ---------------------------------------------------------------------
+  def q08SessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "300 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").cast("long").as("session_start"),
+        col("user_id"), col("cnt"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val q08Sql: String =
+    """SELECT CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS session_start,
+      |       user_id, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, value,
+      |           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |                     > 300.0 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q09 — fact-fact shuffle join + aggregation (engine superset: the
   //  reference has no batch join; Spark's join family is part of our
   //  surface). AQE picks shuffle-hash vs sort-merge at runtime.
