@@ -44,6 +44,8 @@ object SparkEntry {
     "q23_ann_lsh"             -> (Similarity.q23AnnLsh _),
     "q24_multimodal_stub"     -> (Multimodal.q24MultimodalStub _),
     "q25_stream_batch_parity" -> (graft.streaming.StreamParity.q25StreamBatchParity _),
+    "q26_embedding_dedup"     -> (Similarity.q26EmbeddingDedup _),
+    "q27_token_explode"       -> (TextAnalysis.q27TokenExplode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,5 +79,7 @@ object SparkEntry {
     // q25 runs the SAME aggregation through the real streaming engine —
     // its oracle is the batch flagship's oracle.
     "q25_stream_batch_parity" -> Relational.q01Sql,
+    "q26_embedding_dedup"     -> Similarity.q26Sql,
+    "q27_token_explode"       -> TextAnalysis.q27Sql,
   )
 }

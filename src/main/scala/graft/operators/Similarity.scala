@@ -76,6 +76,38 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q26 — embedding-cosine near-duplicate detection: all pairs with
+  // cosine >= threshold. Self-join pruned by vec_id ordering; at scale
+  // the LSH bucketing (q23) provides the candidate set — here the
+  // threshold filter IS the semantics, so the oracle is brute force.
+  // ---------------------------------------------------------------------
+  private val DupCosine = 0.45
+
+  def q26EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sfDir))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("norm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr(dotExpr("ea", "eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= DupCosine)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q26Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       list_dot_product(a.emb, b.emb) / (a.norm * b.norm) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.emb, b.emb) / (a.norm * b.norm) >= $DupCosine
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q23 — LSH-bucketed ANN (rows-only check; recall vs q22 covered by
   // SimilaritySpec).
   // ---------------------------------------------------------------------

@@ -183,4 +183,27 @@ object TextAnalysis {
       |       substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q27 — the table-generating (1→N flatMap/UDTF) surface in SQL form
+  // (`rlink/src/core/function.rs:185-195` → explode/Generator): explode
+  // tokens, count corpus-wide frequencies, top 20. The explode feeds a
+  // partial-aggregated groupBy — the shuffle carries (token, count)
+  // partials, not the exploded rows.
+  // ---------------------------------------------------------------------
+  def q27TokenExplode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+
+  val q27Sql: String =
+    """SELECT token, COUNT(*) AS freq
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY freq DESC, token
+      |LIMIT 20""".stripMargin
 }

@@ -132,6 +132,18 @@ object api {
 
     def keyBy(keys: String*): KeyedStream = new KeyedStream(df, keys, env)
 
+    /** Round-robin redistribution ≙ `RoundRobinFlagMapFunction`
+      * (`functions/flat_map/round_robin_flat_map.rs`). Spark round-robins
+      * per partition batch rather than per record — equivalent for load
+      * balancing (SURVEY §7 risk register). */
+    def rebalance(parallelism: Int): DataStream = next(df.repartition(parallelism))
+
+    /** Hash-partition by key columns ≙ the keyBy partition routing
+      * (`runtime/worker/runnable/key_by_runnable.rs:77-85`) when an
+      * explicit co-location is wanted before several same-key stages. */
+    def partitionByKey(parallelism: Int, keys: String*): DataStream =
+      next(df.repartition(parallelism, keys.map(col): _*))
+
     /** Broadcast dimension enrichment — the reference's dominant
       * connect/CoProcess use (`example/example-connect/src/app.rs:36-77`).
       * Stream-static broadcast join: the dimension never shuffles the
