@@ -162,4 +162,18 @@ object GraftFunctions {
   /** One-shot: percentile of a column at water line `p`. */
   def pct(c: Column, p: Int, scale: Array[Double]): Column =
     pctResult(pctHist(c, scale), p, scale)
+
+  /** Codegen'd sequential-fold dot product of two numeric array columns
+    * (see [[DotProduct]]); bit-identical to the `aggregate(zip_with(...))`
+    * formulation and DuckDB's `list_dot_product`. */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine similarity via [[dot]]; norms computed inline. Prefer
+    * precomputing norms once per side when a side is reused (see
+    * Similarity.withNorm). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (org.apache.spark.sql.functions.sqrt(dot(a, a)) *
+      org.apache.spark.sql.functions.sqrt(dot(b, b)))
 }

@@ -19,23 +19,21 @@ import graft.Tables
   * (table, bucket) — at 100 TB the full cross product never materializes,
   * only same-bucket candidates are scored.
   *
-  * All vector math is codegen'd higher-order expressions (zip_with +
-  * sequential aggregate fold in double) — no UDFs; the fold order is
+  * All vector math runs through the native codegen'd [[graft.functions.DotProduct]]
+  * expression — a single fused loop inside whole-stage codegen, no UDFs,
+  * no intermediate arrays. The fold order is sequential-in-double and
   * deterministic, making the cosine bit-reproducible (and equal to
   * DuckDB's list_dot_product on DOUBLE[], verified).
   */
 object Similarity {
 
+  import graft.functions.GraftFunctions.dot
+
   private val TopK      = 10
   private val NumQueries = 5
 
-  /** Sequential-fold double dot product of two array columns. */
-  private def dotExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+    df.withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
 
   // ---------------------------------------------------------------------
   // q22 — brute-force cosine top-k.
@@ -47,7 +45,7 @@ object Similarity {
         col("norm").as("qnorm"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (expr(dotExpr("qe", "embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
+        (dot(col("qe"), col("embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))))
@@ -91,7 +89,7 @@ object Similarity {
       col("norm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (expr(dotExpr("ea", "eb")) / (col("na") * col("nb"))).as("cosine"))
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= DupCosine)
       .orderBy("vec_a", "vec_b")
   }
@@ -130,10 +128,10 @@ object Similarity {
     val withPlanes = e.withColumn("planes", planesCol)
     val buckets = (0 until Tables_).map { t =>
       val bits = (0 until BitsPerTable).map { p =>
-        val d = dotExpr("embedding", s"planes[${t * BitsPerTable + p}]")
-        s"(CASE WHEN ($d) > 0.0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString(" + ")
-      expr(s"struct($t AS tbl, ($bits) AS bucket)")
+        val d = dot(col("embedding"), col("planes").getItem(t * BitsPerTable + p))
+        when(d > lit(0.0), lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("bucket"))
     }
     withPlanes
       .withColumn("tb", explode(array(buckets: _*)))
@@ -154,7 +152,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     cands
       .select(col("query_id"), col("neighbor_id"),
-        (expr(dotExpr("qe", "embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
+        (dot(col("qe"), col("embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{cosine, dot}
+
+/** Native DotProduct expression: bit-parity with the higher-order-function
+  * formulation it replaced, across codegen and interpreted paths. */
+class VectorSpec extends SparkSpec {
+
+  private val foldDot =
+    """aggregate(zip_with(embedding, embedding,
+      |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  test("dot is bit-identical to the sequential aggregate(zip_with) fold") {
+    val rows = Tables.embeddings(spark, sf)
+      .select(
+        dot(col("embedding"), col("embedding")).as("native"),
+        expr(foldDot).as("fold"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("dot handles mixed float/double element types") {
+    val out = Tables.embeddings(spark, sf).limit(5)
+      .withColumn("ones", expr(
+        "transform(sequence(1, size(embedding)), i -> CAST(1.0 AS DOUBLE))"))
+      .select(
+        dot(col("embedding"), col("ones")).as("d"),
+        expr("""aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
+               |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("s"))
+      .collect()
+    out.foreach(r => assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("dot rejects non-array inputs at analysis") {
+    val e = intercept[Exception] {
+      Tables.embeddings(spark, sf)
+        .select(dot(col("vec_id"), col("embedding"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("dot expects"))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val rows = Tables.embeddings(spark, sf).limit(20)
+      .select(cosine(col("embedding"), col("embedding")).as("c")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+}
