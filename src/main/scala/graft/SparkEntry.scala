@@ -46,6 +46,8 @@ object SparkEntry {
     "q25_stream_batch_parity" -> (graft.streaming.StreamParity.q25StreamBatchParity _),
     "q26_embedding_dedup"     -> (Similarity.q26EmbeddingDedup _),
     "q27_token_explode"       -> (TextAnalysis.q27TokenExplode _),
+    "q28_asof_join"           -> (TemporalJoins.q28AsofJoin _),
+    "q29_range_join"          -> (TemporalJoins.q29RangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +83,7 @@ object SparkEntry {
     "q25_stream_batch_parity" -> Relational.q01Sql,
     "q26_embedding_dedup"     -> Similarity.q26Sql,
     "q27_token_explode"       -> TextAnalysis.q27Sql,
+    "q28_asof_join"           -> TemporalJoins.q28Sql,
+    "q29_range_join"          -> TemporalJoins.q29Sql,
   )
 }

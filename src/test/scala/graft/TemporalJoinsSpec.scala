@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+/** Cross-checks the scale-path temporal joins against naive reference
+  * formulations (join-then-rank / unbucketed range join) on sf0.001. */
+class TemporalJoinsSpec extends SparkSpec {
+
+  test("q28 as-of (union+window) equals naive join-then-rank") {
+    val got = TemporalJoins.q28AsofJoin(spark, sf)
+
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sf)
+    val joined = e.join(o,
+        e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_id"))
+          .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_totalprice").as("asof_price"))
+      .orderBy("event_id")
+
+    assert(got.collect().toSeq == joined.collect().toSeq)
+  }
+
+  test("q28 matches are at-or-before the event time") {
+    val matched = TemporalJoins.q28AsofJoin(spark, sf)
+      .filter(col("asof_orderkey").isNotNull)
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("asof_orderkey"), col("o_orderdate"))
+    val e = Tables.events(spark, sf).select(col("event_id"), col("ts"))
+    val bad = matched.join(o, "asof_orderkey").join(e, "event_id")
+      .filter(col("o_orderdate") > col("ts"))
+    assert(bad.count() == 0)
+    assert(matched.count() > 0)
+  }
+
+  test("q29 bucketed range join equals naive range join") {
+    val got = TemporalJoins.q29RangeJoin(spark, sf)
+
+    val ev = Tables.events(spark, sf)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").as("e_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val naive = e.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("e_ts") - expr("INTERVAL 21600 SECONDS") &&
+          col("p_ts") < col("e_ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("p_ts")).as("n_purchases"))
+      .orderBy("event_id")
+
+    assert(got.collect().toSeq == naive.collect().toSeq)
+    // the corpus actually exercises both matched and unmatched cases
+    assert(got.filter(col("n_purchases") > 0).count() > 0)
+    assert(got.filter(col("n_purchases") === 0).count() > 0)
+  }
+}
