@@ -48,6 +48,8 @@ object SparkEntry {
     "q27_token_explode"       -> (TextAnalysis.q27TokenExplode _),
     "q28_asof_join"           -> (TemporalJoins.q28AsofJoin _),
     "q29_range_join"          -> (TemporalJoins.q29RangeJoin _),
+    "q30_ann_ivf"             -> (Similarity.q30AnnIvf _),
+    "q31_salted_join"         -> (Skew.q31SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +87,8 @@ object SparkEntry {
     "q27_token_explode"       -> TextAnalysis.q27Sql,
     "q28_asof_join"           -> TemporalJoins.q28Sql,
     "q29_range_join"          -> TemporalJoins.q29Sql,
+    // q30_ann_ivf: no oracle — approximate by design; recall@10 vs the
+    // exact q22 is asserted in SimilaritySpec (rows-only check driver-side).
+    "q31_salted_join"         -> Skew.q31Sql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,64 @@ object Similarity {
       .withColumn("tb", explode(array(buckets: _*)))
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q30 — IVF (inverted-file) ANN: the other classic scale path.
+  // A tiny coarse quantizer (K fixed centroids, collected once driver-side
+  // — the standard "train the index" step; 16 x 64 doubles) partitions
+  // vectors into K cells by nearest centroid. Queries probe only their
+  // `nprobe` best cells, so at 100 TB the scored candidate set is
+  // ~nprobe/K of the corpus, reached via an equi-join on cell id — never
+  // a cross product. Cell assignment is a pure codegen'd projection
+  // (K dot products + argmax via array_max over (score, idx) structs).
+  // Rows-only driver check; recall@10 vs brute force in SimilaritySpec.
+  // ---------------------------------------------------------------------
+  private val NumCells = 16
+  private val NProbe   = 4
+  /** Fixed, spread vec_ids whose embeddings seed the quantizer. */
+  private def centroidIds: Seq[Long] = (1 to NumCells).map(i => 7L * i)
+
+  def q30AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    // Index build: collect K unit-normalized centroids (driver-side by
+    // design — this is index training, not the data path).
+    val cents: Seq[Seq[Double]] = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n): Seq[Double]
+      }.toSeq
+
+    def scoredCells(embCol: Column): Seq[Column] =
+      cents.zipWithIndex.map { case (c, i) =>
+        struct(dot(embCol, typedlit(c)).as("s"), lit(i).as("c"))
+      }
+    def cellOf(embCol: Column): Column =
+      array_max(array(scoredCells(embCol): _*)).getField("c")
+    def topCells(embCol: Column): Column =
+      slice(reverse(array_sort(array(scoredCells(embCol): _*))), 1, NProbe)
+
+    val e = withNorm(Tables.embeddings(spark, sfDir))
+    val vecs = e.select(col("vec_id"), col("embedding"), col("norm"),
+      cellOf(col("embedding")).as("cell"))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qnorm"),
+        explode(topCells(col("embedding")).getField("c")).as("cell"))
+
+    vecs.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
   }
 
   def q23AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
