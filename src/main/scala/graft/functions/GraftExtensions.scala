@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** SQL surface for the graft function library.
+  *
+  * Deploy-time path: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * injects the expressions into every session built on the cluster —
+  * the standard `SparkSessionExtensions` plumbing.
+  *
+  * Runtime path: `GraftExtensions.register(spark)` installs the same
+  * functions (plus the histogram UDAF, which goes through the UDF
+  * registry) on an already-running session — needed because a session
+  * handed to us by a driver has already been built.
+  *
+  * SQL functions:
+  *  - `graft_dot(a, b)` — codegen'd sequential-fold dot product ([[DotProduct]])
+  *  - `graft_pct_result(blob, p)` — percentile read over a histogram blob
+  *    on the reference's 90-bucket LevelDB scale ([[PercentileResult]])
+  *  - `graft_pct_hist(v)` — histogram-percentile aggregate on the same
+  *    scale (via `register` only; aggregates use the UDF registry)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.expressions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions.GraftExtensions", null, name, usage, "")
+
+  val expressions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - sequential-fold double dot product of two numeric arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_dot expects 2 arguments, got ${args.length}")
+        DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_pct_result"),
+      info("graft_pct_result", "graft_pct_result(blob, p) - percentile p from a histogram blob (LevelDB 90-bucket scale)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_pct_result expects 2 arguments, got ${args.length}")
+        PercentileResult(args(0), args(1), GraftFunctions.leveldbScale90.toSeq)
+      }))
+
+  /** Install on a live session: expressions into the function registry,
+    * the histogram aggregate into the UDF registry. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    expressions.foreach { case (ident, inf, builder) =>
+      ColumnBridge.registerFunction(spark, ident, inf, builder)
+    }
+    spark.udf.register("graft_pct_hist",
+      udaf(new PercentileHistogram(GraftFunctions.leveldbScale90),
+        ExpressionEncoder[Double]()))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+
+/** SQL-callable graft functions: the SparkSessionExtensions injection list
+  * and the live-session registration path. */
+class GraftSqlSpec extends SparkSpec {
+
+  test("GraftExtensions applies cleanly to a SparkSessionExtensions") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    assert(GraftExtensions.expressions.map(_._1.funcName) ==
+      Seq("graft_dot", "graft_pct_result"))
+  }
+
+  test("graft_dot in SQL equals the Column API dot") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS d FROM emb_v ORDER BY vec_id")
+    val viaCol = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        GraftFunctions.dot(col("embedding"), col("embedding")).as("d"))
+      .orderBy("vec_id")
+    assert(viaSql.collect().toSeq == viaCol.collect().toSeq)
+  }
+
+  test("graft_pct_hist + graft_pct_result in SQL equals the q07 operator") {
+    GraftExtensions.register(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("events_v")
+    val viaSql = spark.sql(
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       graft_pct_result(graft_pct_hist(value), 90) AS p90,
+        |       graft_pct_result(graft_pct_hist(value), 99) AS p99
+        |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
+    val viaOp = graft.operators.Percentiles.q07PctHistogram(spark, sf)
+    assert(viaSql.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("graft_dot arity errors surface at analysis") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(embedding) FROM emb_v").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"))
+  }
+}
