@@ -50,6 +50,8 @@ object SparkEntry {
     "q29_range_join"          -> (TemporalJoins.q29RangeJoin _),
     "q30_ann_ivf"             -> (Similarity.q30AnnIvf _),
     "q31_salted_join"         -> (Skew.q31SaltedJoin _),
+    "q32_bpe_tokens"          -> (TextAnalysis.q32BpeTokens _),
+    "q33_rolling_hash"        -> (TextAnalysis.q33RollingHash _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +92,7 @@ object SparkEntry {
     // q30_ann_ivf: no oracle — approximate by design; recall@10 vs the
     // exact q22 is asserted in SimilaritySpec (rows-only check driver-side).
     "q31_salted_join"         -> Skew.q31Sql,
+    "q32_bpe_tokens"          -> TextAnalysis.q32Sql,
+    "q33_rolling_hash"        -> TextAnalysis.q33Sql,
   )
 }

@@ -48,12 +48,20 @@ object Dedup {
   def q20MinHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingled(spark, sfDir).cache()
 
-    // 32-hash MinHash signature in one projection: h_i(s) = xxhash64(s, i).
-    val sigs = docs.filter(size(col("sh")) > 0).select(
-      col("doc_id"),
-      expr(s"""transform(sequence(0, ${NumHashes - 1}),
-               |  i -> array_min(transform(sh, s -> xxhash64(s, i))))""".stripMargin)
-        .as("sig"))
+    // 32-hash MinHash signature in one projection. Each variable-length
+    // shingle string is hashed ONCE (xxhash64); the 32 family members
+    // re-hash that fixed-width i64 with the member index,
+    // h_i(s) = xxhash64(h(s), i) — a valid universal family, and far
+    // cheaper than 32 string hashes per shingle (the dominant MinHash
+    // cost at corpus scale).
+    val sigs = docs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        expr("transform(sh, s -> xxhash64(s))").as("hs"))
+      .select(
+        col("doc_id"),
+        expr(s"""transform(sequence(0, ${NumHashes - 1}),
+                 |  i -> array_min(transform(hs, h -> xxhash64(h, i))))""".stripMargin)
+          .as("sig"))
 
     // 16 bands of 2 rows; band key = xxhash64(sig[2b], sig[2b+1], b).
     val bands = sigs.select(

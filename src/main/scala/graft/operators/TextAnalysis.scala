@@ -206,4 +206,60 @@ object TextAnalysis {
       |GROUP BY token
       |ORDER BY freq DESC, token
       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q32 — BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+  // (contractions | space-prefixed letter runs | digit runs | punctuation
+  // runs | whitespace). The regex is RE2/Java-compatible so Spark and the
+  // DuckDB oracle tokenize identically. Pure projection — the real BPE
+  // merge step would be a dictionary broadcast + per-token loop, but the
+  // count that matters for data curation is pre-tokenizer tokens.
+  // ---------------------------------------------------------------------
+  private val bpePattern =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  def q32BpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(bpePattern), lit(0)).as("bt"))
+      .select(
+        col("doc_id"),
+        size(col("bt")).as("n_bpe_tokens"),
+        size(array_distinct(col("bt"))).as("n_distinct_bpe"))
+      .orderBy("doc_id")
+
+  val q32Sql: String =
+    s"""SELECT doc_id,
+       |       len(bt) AS n_bpe_tokens,
+       |       len(list_distinct(bt)) AS n_distinct_bpe
+       |FROM (SELECT doc_id,
+       |             regexp_extract_all(text, '${bpePattern.replace("'", "''")}') AS bt
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q33 — rolling-hash fingerprint (Rabin-Karp polynomial hash over the
+  // character stream, mod 1e9+7 so every intermediate fits in i64 in both
+  // engines): the incremental-fingerprint complement to q19's md5. The
+  // fold is a codegen'd higher-order aggregate — per-row, no shuffle.
+  // ---------------------------------------------------------------------
+  def q33RollingHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(filter(split(text, ''), c -> c != ''),
+          |            c -> CAST(ascii(c) AS BIGINT)),
+          |  CAST(0 AS BIGINT),
+          |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin).as("rhash"))
+      .orderBy("doc_id")
+
+  val q33Sql: String =
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(list_filter(string_split(text, ''), c -> c != ''),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 }

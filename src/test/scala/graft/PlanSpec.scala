@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, Similarity, TextAnalysis}
+
+/** Plan-shape assertions — the 100 TB readiness gates: filters/projections
+  * reach the parquet scan, small dims broadcast, aggregates are partial
+  * before the shuffle, top-k never global-sorts. */
+class PlanSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03: filter and projection are pushed to the parquet scan") {
+    val plan = finalPlan(Relational.q03FilterProject(spark, sf))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("EqualTo(event_type,purchase)"))
+    assert(plan.contains("GreaterThan(value,50.0)"))
+  }
+
+  test("q03: scan reads only referenced columns") {
+    val plan = finalPlan(Relational.q03FilterProject(spark, sf))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), "unused column must be pruned")
+  }
+
+  test("q06: dimension join is a broadcast hash join") {
+    val plan = finalPlan(Relational.q06BroadcastEnrich(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q01: aggregation is partial (map-side) before the shuffle") {
+    val plan = finalPlan(Relational.q01SlidingWindowAgg(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"))
+  }
+
+  test("q10: top-k uses TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(Relational.q10TopK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q22: query side broadcasts; scan side never shuffles the vectors") {
+    val plan = finalPlan(Similarity.q22AnnBruteForce(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q33 rolling hash is a pure per-row projection (no UDFs, no hash shuffle)") {
+    val plan = finalPlan(TextAnalysis.q33RollingHash(spark, sf))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLAppliedFunction"))
+    // only the deterministic output sort may exchange; no aggregation shuffle
+    assert(!plan.contains("Exchange hashpartitioning"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+}
