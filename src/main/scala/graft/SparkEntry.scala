@@ -52,6 +52,7 @@ object SparkEntry {
     "q31_salted_join"         -> (Skew.q31SaltedJoin _),
     "q32_bpe_tokens"          -> (TextAnalysis.q32BpeTokens _),
     "q33_rolling_hash"        -> (TextAnalysis.q33RollingHash _),
+    "q34_approx_distinct"     -> (Relational.q34ApproxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +95,7 @@ object SparkEntry {
     "q31_salted_join"         -> Skew.q31Sql,
     "q32_bpe_tokens"          -> TextAnalysis.q32Sql,
     "q33_rolling_hash"        -> TextAnalysis.q33Sql,
+    // q34_approx_distinct: no oracle — HLL++ is approximate by design;
+    // RelationalSpec bounds the error vs exact countDistinct.
   )
 }

@@ -334,6 +334,24 @@ object Relational {
       |ORDER BY etype""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q34 — approximate distinct (HyperLogLog++): the sketch that replaces
+  //  countDistinct at 100 TB. countDistinct needs a shuffle of all
+  //  distinct values (or an expand + two-phase agg); the HLL sketch is a
+  //  fixed few-KB buffer per group, merged associatively — partial
+  //  aggregation map-side, constant shuffle volume regardless of
+  //  cardinality. Approximate by design → no value oracle; the driver
+  //  records a rows-only check and RelationalSpec bounds the error vs
+  //  exact countDistinct (rsd 0.01 → well under 5%).
+  // ---------------------------------------------------------------------
+  def q34ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------------
   // q14 — analytic window functions: latest 3 events per user.
   // ---------------------------------------------------------------------
   def q14AnalyticWindow(spark: SparkSession, sfDir: String): DataFrame = {

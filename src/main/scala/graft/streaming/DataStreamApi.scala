@@ -62,6 +62,14 @@ object api {
     def of(size: Time): TumblingEventTimeWindows =
       TumblingEventTimeWindows(size, Time(0))
   }
+  /** Gap-based session windows — not in the reference (SURVEY §2.5);
+    * Spark's session_window makes them part of our surface. */
+  final case class SessionEventTimeWindows(gap: Time) extends WindowAssigner {
+    def size: Time = gap; def slide: Time = gap; def offset: Time = Time(0)
+  }
+  object SessionEventTimeWindows {
+    def withGap(gap: Time): SessionEventTimeWindows = SessionEventTimeWindows(gap)
+  }
 
   /** Aggregation descriptors (`schema_reduce.rs:11-29`); output column
     * names follow the reference convention `agg(col)`. */
@@ -174,8 +182,12 @@ object api {
       * (window, key), merged per-record, emitted when the watermark
       * passes window end (append mode) — all engine-internal in Spark. */
     def reduce(aggs: Agg*): DataStream = {
-      val w = window(col("eventTime"),
-        assigner.size.spec, assigner.slide.spec, assigner.normalizedOffset.spec)
+      val w = assigner match {
+        case SessionEventTimeWindows(gap) =>
+          session_window(col("eventTime"), gap.spec).as("window")
+        case a =>
+          window(col("eventTime"), a.size.spec, a.slide.spec, a.normalizedOffset.spec)
+      }
       val cols = aggs.map(a => a.column.as(a.name))
       new DataStream(
         df.groupBy((w +: keys.map(col)): _*).agg(cols.head, cols.tail: _*), env)

@@ -64,6 +64,20 @@ class RelationalSpec extends SparkSpec {
     assert(all.getAs[Long]("cnt") === nEvents)
   }
 
+  test("q34 approx distinct is within 5% of exact countDistinct") {
+    val approx = Relational.q34ApproxDistinct(spark, sf)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05,
+        s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+
   test("q14 analytic window: at most 3 rows per user, rn in 1..3") {
     val df = Relational.q14AnalyticWindow(spark, sf).cache()
     assert(df.groupBy("user_id").count().filter(col("count") > 3).count() === 0)

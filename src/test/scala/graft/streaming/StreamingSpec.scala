@@ -129,6 +129,88 @@ class StreamingSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // Facade session windows (superset op) — streaming equals batch.
+  // -------------------------------------------------------------------
+  test("facade session windows: streaming result equals batch result") {
+    def pipeline(ds: DataStream): DataStream = ds
+      .assignTimestampsAndWatermarks("timestamp", Time.seconds(1))
+      .keyBy("name")
+      .window(SessionEventTimeWindows.withGap(Time.seconds(8)))
+      .reduce(Agg.Sum("value"), Agg.Count())
+
+    val batch = pipeline(env.fromDataFrame(fixtureDf)).df
+      .select(col("window.start").cast("long"), col("name"),
+        col("sum(value)"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    // fixture gaps: offsets 0,5 then 15,20,25 then 35,... — an 8s gap
+    // splits sessions at every 10s jump: multiple sessions per key
+    assert(batch.count(_._2 == "A-key-0") > 1)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Fixtures.Model]
+    val query = pipeline(env.fromDataFrame(source.toDF())).df
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_stream").start()
+    try {
+      source.addData(Fixtures.genRecords())
+      query.processAllAvailable()
+      source.addData(Fixtures.Model(Fixtures.BaseTs + 7200 * 1000L, "zzz", 0L))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("session_stream")
+      .filter(col("name") =!= "zzz")
+      .select(col("window.start").cast("long"), col("name"),
+        col("sum(value)"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+  }
+
+  // -------------------------------------------------------------------
+  // Pct aggregate through the facade — streaming equals batch, values
+  // are scale boundaries.
+  // -------------------------------------------------------------------
+  test("facade Agg.Pct: streaming percentile equals batch percentile") {
+    val scale = graft.functions.GraftFunctions.leveldbScale90
+    def pipeline(ds: DataStream): DataStream = ds
+      .assignTimestampsAndWatermarks("timestamp", Time.seconds(1))
+      .keyBy("name")
+      .window(TumblingEventTimeWindows.of(Time.seconds(60)))
+      .reduce(Agg.Pct("value", scale, 90), Agg.Count())
+
+    val batch = pipeline(env.fromDataFrame(fixtureDf)).df
+      .select(col("window.start").cast("long"), col("name"),
+        col("pct(value,90)"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(batch.forall(t => scale.contains(t._3)))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Fixtures.Model]
+    val query = pipeline(env.fromDataFrame(source.toDF())).df
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pct_stream").start()
+    try {
+      source.addData(Fixtures.genRecords())
+      query.processAllAvailable()
+      source.addData(Fixtures.Model(Fixtures.BaseTs + 7200 * 1000L, "zzz", 0L))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("pct_stream")
+      .filter(col("name") =!= "zzz")
+      .select(col("window.start").cast("long"), col("name"),
+        col("pct(value,90)"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+  }
+
+  // -------------------------------------------------------------------
   // CoProcess: general tagged-union stateful correlation.
   // -------------------------------------------------------------------
   test("CoProcess.connect enriches a fact side with config-side state") {
