@@ -1,0 +1,31 @@
+package graft
+
+/** Driver-contract smoke: entry() must return rows on a session the driver
+  * hands us (no custom confs assumed — Tables.events sets what it needs at
+  * runtime). */
+class EntrySpec extends SparkSpec {
+  test("SparkEntry.entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has either an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the only rows-only checks: approximate/hash-family ops
+    assert(noOracle == Set("q21_simhash_dedup", "q23_ann_lsh", "q30_ann_ivf",
+      "q34_approx_distinct"))
+  }
+
+  test("oracle column names match the Spark result columns") {
+    // the driver sorts columns by name before hashing — a name mismatch
+    // fails even with identical values. Guard the contract for every
+    // query with an oracle by checking the Spark-side names appear in the
+    // SQL text (aliased identically).
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val cols = SparkEntry.queries(name)(spark, sf).columns
+      cols.foreach { c =>
+        assert(sql.toLowerCase.contains(c.toLowerCase),
+          s"$name: column '$c' not present in oracle SQL")
+      }
+    }
+  }
+}
