@@ -229,6 +229,45 @@ class StreamingSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // Stream-stream interval join: the general two-stream correlation the
+  // reference's CoProcess covers, as a first-class watermarked join —
+  // both sides' state is evicted by watermark + range bound, so state
+  // stays O(window), not O(stream).
+  // -------------------------------------------------------------------
+  test("stream-stream interval join with watermarks matches expected pairs") {
+    import StreamingSpec.{Click, Imp}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+
+    val joined = imps.toDF()
+      .withColumn("its", timestamp_millis(col("impTs"))).drop("impTs")
+      .withWatermark("its", "10 seconds")
+      .join(
+        clicks.toDF()
+          .withColumn("cts", timestamp_millis(col("clickTs"))).drop("clickTs")
+          .withWatermark("cts", "10 seconds"),
+        expr("impId = clickImpId AND cts >= its AND cts <= its + interval 60 seconds"))
+
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      val t0 = Fixtures.BaseTs
+      imps.addData(Imp("i1", t0), Imp("i2", t0 + 5000))
+      clicks.addData(
+        Click("i1", t0 + 30 * 1000),   // inside the 60s bound -> joins
+        Click("i2", t0 + 120 * 1000),  // outside the bound -> dropped
+        Click("i9", t0 + 10 * 1000))   // no matching impression
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("ss_join")
+      .select("impId", "clickImpId").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("i1", "i1")))
+  }
+
+  // -------------------------------------------------------------------
   // Kafka offset-mode mapping (FIXTURES.md §4 bounded-replay shape).
   // -------------------------------------------------------------------
   test("Kafka Direct offset range maps to starting/endingOffsets JSON") {
@@ -256,4 +295,6 @@ class StreamingSpec extends SparkSpec {
 object StreamingSpec {
   final case class Fact(k: String, v: Long)
   final case class Config(k: String, mult: Long)
+  final case class Imp(impId: String, impTs: Long)
+  final case class Click(clickImpId: String, clickTs: Long)
 }
