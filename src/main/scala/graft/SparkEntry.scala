@@ -53,6 +53,7 @@ object SparkEntry {
     "q32_bpe_tokens"          -> (TextAnalysis.q32BpeTokens _),
     "q33_rolling_hash"        -> (TextAnalysis.q33RollingHash _),
     "q34_approx_distinct"     -> (Relational.q34ApproxDistinct _),
+    "q35_bucketed_join"       -> (Bucketing.q35BucketedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +98,6 @@ object SparkEntry {
     "q33_rolling_hash"        -> TextAnalysis.q33Sql,
     // q34_approx_distinct: no oracle — HLL++ is approximate by design;
     // RelationalSpec bounds the error vs exact countDistinct.
+    "q35_bucketed_join"       -> Bucketing.q35Sql,
   )
 }

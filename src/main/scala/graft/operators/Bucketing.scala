@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Bucketed (co-located) joins — the layout-level answer to repeated
+  * fact-fact joins at 100 TB: write both tables bucketed + sorted by the
+  * join key once, and every subsequent join on that key runs with NO
+  * exchange on either side (Catalyst sees compatible HashPartitioning
+  * from the bucket spec and plans a sort-merge join over matching
+  * buckets). The one-time bucketed write replaces a per-query shuffle of
+  * the big fact table — amortized after the first join.
+  *
+  * q35 recomputes the q09 join/aggregation through bucketed copies of
+  * lineitem/orders: same oracle, different physical layout. PlanSpec
+  * asserts the join itself is exchange-free.
+  */
+object Bucketing {
+
+  private val BucketCount = 8
+
+  /** Write `df` as a bucketed+sorted external table (idempotent). */
+  def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
+      path: String, key: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .bucketBy(BucketCount, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Bucketed twins of lineitem/orders for this sfDir; returns the two
+    * table names. Reuses existing tables within a session. */
+  def ensureBucketedTables(spark: SparkSession, sfDir: String): (String, String) = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val (li, ord) = (s"graft_li_b$tag", s"graft_ord_b$tag")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$tag"
+    if (!spark.catalog.tableExists(li))
+      writeBucketed(spark, Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"),
+        li, s"$base/lineitem", "l_orderkey")
+    if (!spark.catalog.tableExists(ord))
+      writeBucketed(spark, Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus"),
+        ord, s"$base/orders", "o_orderkey")
+    (li, ord)
+  }
+
+  def q35BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (li, ord) = ensureBucketedTables(spark, sfDir)
+    val l = spark.table(li)
+    val o = spark.table(ord)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_returnflag"))
+      .agg(
+        Relational.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus", "l_returnflag")
+  }
+
+  val q35Sql: String = Relational.q09Sql
+}

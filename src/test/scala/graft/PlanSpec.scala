@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Relational, Similarity, TextAnalysis}
 
 /** Plan-shape assertions — the 100 TB readiness gates: filters/projections
   * reach the parquet scan, small dims broadcast, aggregates are partial
@@ -48,6 +48,20 @@ class PlanSpec extends SparkSpec {
   test("q22: query side broadcasts; scan side never shuffles the vectors") {
     val plan = finalPlan(Similarity.q22AnnBruteForce(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q35: bucketed join runs with no exchange on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (li, ord) = Bucketing.ensureBucketedTables(spark, sf)
+      val l = spark.table(li)
+      val o = spark.table(ord)
+      val plan = finalPlan(l.join(o, l("l_orderkey") === o("o_orderkey")))
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed layout must make the join shuffle-free")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q33 rolling hash is a pure per-row projection (no UDFs, no hash shuffle)") {
