@@ -64,6 +64,9 @@ object Dedup {
           .as("sig"))
 
     // 16 bands of 2 rows; band key = xxhash64(sig[2b], sig[2b+1], b).
+    // Cached: the self-join below consumes this tiny (3-longs/row) table
+    // on BOTH sides — without the cache each side would recompute the
+    // whole signature pipeline (measured ~2x the query cost at sf0.1).
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(
@@ -71,6 +74,7 @@ object Dedup {
            |  b -> struct(b AS band, xxhash64(sig[2*b], sig[2*b+1], b) AS bh))""".stripMargin))
         .as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      .cache()
 
     // Bucket self-join -> candidate pairs (shuffle carries 3 longs/row).
     val l = bands.as("l"); val r = bands.as("r")
@@ -145,6 +149,7 @@ object Dedup {
            |              shiftright(simhash, b * 16) & 65535 AS bh))""".stripMargin)).as("e"))
       .select(col("doc_id"), col("simhash"),
         col("e.band").as("band"), col("e.bh").as("bh"))
+      .cache() // consumed by both sides of the self-join
 
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r,

@@ -68,6 +68,47 @@ class OpsSpec extends SparkSpec {
     assert(got.toMap === expected)
   }
 
+  test("flagship streaming agg runs on the RocksDB state store (spillable state)") {
+    // At 100 TB window state outgrows the in-heap HDFSBacked provider;
+    // RocksDB spills to local disk with incremental checkpointing. Same
+    // results, swap-in config.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Fixtures.Model]
+      val q = source.toDF()
+        .withColumn("eventTime", timestamp_millis(col("timestamp")))
+        .withWatermark("eventTime", "1 second")
+        .groupBy(window(col("eventTime"), "60 seconds", "20 seconds"), col("name"))
+        .agg(sum("value").as("s"), max("value").as("mx"),
+          min("value").as("mn"), count(lit(1)).as("c"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rocksdb_probe").start()
+      source.addData(Fixtures.genRecords())
+      q.processAllAvailable()
+      source.addData(Fixtures.Model(Fixtures.BaseTs + 7200 * 1000L, "zzz", 0L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("rocksdb_probe")
+        .filter(col("name") =!= "zzz")
+        .select(col("window.start").cast("long").as("ws"), col("name"),
+          col("s"), col("mx"), col("mn"), col("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      assert(got === Fixtures.expectedWindows(Fixtures.genRecords(), 60, 20))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("BatchedJdbcShapedSink: batch_size flush + round-robin endpoints, no loss") {
     OpsSpec.inserted.clear()
     val sink = new BatchedJdbcShapedSink(
