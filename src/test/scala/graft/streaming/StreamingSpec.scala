@@ -228,6 +228,40 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(("a", 3L), ("a", 6L), ("b", 50L)))
   }
 
+  test("CoProcess over streams: operator state persists across micro-batches") {
+    import StreamingSpec.{Config, Fact}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val facts = MemoryStream[Fact]
+    val configs = MemoryStream[Config]
+
+    val out = CoProcess.connect(facts.toDS(), configs.toDS())(_.k, _.k) {
+      (k: String, it: Iterator[Either[Fact, Config]], state: GroupState[Long]) =>
+        var mult = state.getOption.getOrElse(1L)
+        val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        it.foreach {
+          case Right(c) => mult = c.mult; state.update(mult)
+          case Left(f)  => emitted += ((k, f.v * mult))
+        }
+        emitted.iterator
+    }
+
+    val query = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("coprocess_stream").start()
+    try {
+      // micro-batch 1: config side only -> stored in operator state
+      configs.addData(Config("a", 3))
+      query.processAllAvailable()
+      // micro-batch 2: facts arrive later, enriched from persisted state
+      facts.addData(Fact("a", 2), Fact("b", 10))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("coprocess_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // key "a" uses the batch-1 config (2*3); key "b" saw none (10*1)
+    assert(got === Set(("a", 6L), ("b", 10L)))
+  }
+
   // -------------------------------------------------------------------
   // Stream-stream interval join: the general two-stream correlation the
   // reference's CoProcess covers, as a first-class watermarked join —
