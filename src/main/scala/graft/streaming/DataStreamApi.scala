@@ -140,6 +140,16 @@ object api {
 
     def keyBy(keys: String*): KeyedStream = new KeyedStream(df, keys, env)
 
+    /** Exact deduplication on key columns. On a watermarked stream the
+      * engine keeps one state row per key and evicts it once the
+      * watermark passes (`withinWatermark = true` uses
+      * dropDuplicatesWithinWatermark — state bounded by the watermark
+      * delay, the only scalable mode for unbounded key spaces). */
+    def deduplicate(withinWatermark: Boolean, keys: String*): DataStream =
+      next(
+        if (withinWatermark && df.isStreaming) df.dropDuplicatesWithinWatermark(keys)
+        else df.dropDuplicates(keys))
+
     /** Round-robin redistribution ≙ `RoundRobinFlagMapFunction`
       * (`functions/flat_map/round_robin_flat_map.rs`). Spark round-robins
       * per partition batch rather than per record — equivalent for load

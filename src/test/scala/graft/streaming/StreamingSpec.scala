@@ -228,6 +228,31 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(("a", 3L), ("a", 6L), ("b", 50L)))
   }
 
+  test("streaming deduplicate drops cross-micro-batch duplicates, state bounded by watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Fixtures.Model]
+    val dedup = env.fromDataFrame(source.toDF())
+      .assignTimestampsAndWatermarks("timestamp", Time.seconds(10))
+      .deduplicate(withinWatermark = true, "name", "value")
+
+    val query = dedup.df.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      val t0 = Fixtures.BaseTs
+      source.addData(Fixtures.Model(t0, "k", 1), Fixtures.Model(t0, "k", 1))
+      query.processAllAvailable()
+      // same key+value again in a later micro-batch, still inside the
+      // watermark window -> deduplicated against state
+      source.addData(Fixtures.Model(t0 + 1000, "k", 1), Fixtures.Model(t0 + 1000, "k", 2))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("dedup_stream")
+      .select("name", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sorted.toSeq === Seq(("k", 1L), ("k", 2L)))
+  }
+
   test("CoProcess over streams: operator state persists across micro-batches") {
     import StreamingSpec.{Config, Fact}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
