@@ -10,11 +10,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * `spark.streams.addListener(new GraftMetricsListener)` and scrape
   * `snapshot` from any reporter.
   */
-final class GraftMetricsListener extends StreamingQueryListener {
+final case class QueryMetrics(
+    name: String, batches: Long, inputRows: Long,
+    stateRows: Long, lastRowsPerSec: Double)
 
-  final case class QueryMetrics(
-      name: String, batches: Long, inputRows: Long,
-      stateRows: Long, lastRowsPerSec: Double)
+final class GraftMetricsListener extends StreamingQueryListener {
 
   private val metrics = new ConcurrentHashMap[String, QueryMetrics]()
 
