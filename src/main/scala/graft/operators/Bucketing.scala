@@ -34,7 +34,10 @@ object Bucketing {
   /** Bucketed twins of lineitem/orders for this sfDir; returns the two
     * table names. Reuses existing tables within a session. */
   def ensureBucketedTables(spark: SparkSession, sfDir: String): (String, String) = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    // Tag includes a hash of the raw path: distinct sfDirs that sanitize
+    // identically must not share cached tables.
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Integer.toHexString(sfDir.hashCode)
     val (li, ord) = (s"graft_li_b$tag", s"graft_ord_b$tag")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$tag"
     if (!spark.catalog.tableExists(li))

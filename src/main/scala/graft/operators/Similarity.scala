@@ -156,9 +156,13 @@ object Similarity {
   private def centroidIds: Seq[Long] = (1 to NumCells).map(i => 7L * i)
 
   def q30AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    // One scan of the corpus serves centroid collection, cell assignment,
+    // and the probe side (same multi-consumer shape as q23's cache).
+    val e = withNorm(Tables.embeddings(spark, sfDir)).cache()
+
     // Index build: collect K unit-normalized centroids (driver-side by
     // design — this is index training, not the data path).
-    val cents: Seq[Seq[Double]] = Tables.embeddings(spark, sfDir)
+    val cents: Seq[Seq[Double]] = e
       .filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
@@ -177,7 +181,6 @@ object Similarity {
     def topCells(embCol: Column): Column =
       slice(reverse(array_sort(array(scoredCells(embCol): _*))), 1, NProbe)
 
-    val e = withNorm(Tables.embeddings(spark, sfDir))
     val vecs = e.select(col("vec_id"), col("embedding"), col("norm"),
       cellOf(col("embedding")).as("cell"))
     val probes = e.filter(col("vec_id") < NumQueries)

@@ -35,10 +35,16 @@ object Skew {
   def saltedJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    // Salt derives from a per-row id, NOT the key — rows of the same hot
-    // key must spread across all salt values.
+    // Salt derives from the full row content, NOT the key — rows of the
+    // same hot key spread across salt values — and NOT from
+    // monotonically_increasing_id(), which changes on task recompute and
+    // would duplicate/drop rows if a map stage is retried mid-join
+    // (SPARK-23207 class). Deterministic per row content: a retried task
+    // re-derives the same salt. (Fully identical duplicate rows share a
+    // salt — residual skew only if a hot key's rows are also identical.)
     val sf = fact.withColumn("__graft_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.map(fact(_)): _*)), lit(salts.toLong))
+        .cast("int"))
     val sd = dim.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sf.join(sd,

@@ -146,9 +146,14 @@ object api {
       * dropDuplicatesWithinWatermark — state bounded by the watermark
       * delay, the only scalable mode for unbounded key spaces). */
     def deduplicate(withinWatermark: Boolean, keys: String*): DataStream =
-      next(
-        if (withinWatermark && df.isStreaming) df.dropDuplicatesWithinWatermark(keys)
-        else df.dropDuplicates(keys))
+      next((withinWatermark && df.isStreaming, keys.isEmpty) match {
+        // no keys = dedup on ALL columns (dropDuplicates(Seq.empty) would
+        // instead collapse everything to one arbitrary row)
+        case (true, true)   => df.dropDuplicatesWithinWatermark()
+        case (true, false)  => df.dropDuplicatesWithinWatermark(keys)
+        case (false, true)  => df.dropDuplicates()
+        case (false, false) => df.dropDuplicates(keys)
+      })
 
     /** Round-robin redistribution ≙ `RoundRobinFlagMapFunction`
       * (`functions/flat_map/round_robin_flat_map.rs`). Spark round-robins

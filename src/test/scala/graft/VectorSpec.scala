@@ -47,6 +47,24 @@ class VectorSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("dot expects"))
   }
 
+  test("dot returns NULL on length mismatch or null elements (fold parity)") {
+    val df = Tables.embeddings(spark, sf).limit(1)
+      .select(
+        dot(col("embedding"), expr("slice(embedding, 1, 3)")).as("mismatch"),
+        dot(expr("CAST(array(1.0, NULL) AS array<double>)"),
+          expr("CAST(array(1.0, 2.0) AS array<double>)")).as("withnull"),
+        expr("""aggregate(zip_with(CAST(array(1.0, NULL) AS array<double>),
+               |                   CAST(array(1.0, 2.0) AS array<double>),
+               |                   (x, y) -> x * y),
+               |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("foldnull"))
+      .collect()
+    df.foreach { r =>
+      assert(r.isNullAt(0), "length mismatch must yield NULL")
+      assert(r.isNullAt(1), "null element must yield NULL")
+      assert(r.isNullAt(2), "(fold reference also NULL)")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val rows = Tables.embeddings(spark, sf).limit(20)
       .select(cosine(col("embedding"), col("embedding")).as("c")).collect()

@@ -253,6 +253,12 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted.toSeq === Seq(("k", 1L), ("k", 2L)))
   }
 
+  test("deduplicate with no keys dedups full rows, not collapse-to-one") {
+    val ds = env.fromDataFrame(
+      Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("k", "v"))
+    assert(ds.deduplicate(withinWatermark = false).df.count() === 2)
+  }
+
   test("CoProcess over streams: operator state persists across micro-batches") {
     import StreamingSpec.{Config, Fact}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
