@@ -54,6 +54,8 @@ object SparkEntry {
     "q33_rolling_hash"        -> (TextAnalysis.q33RollingHash _),
     "q34_approx_distinct"     -> (Relational.q34ApproxDistinct _),
     "q35_bucketed_join"       -> (Bucketing.q35BucketedJoin _),
+    "q36_hash_split"          -> (TextAnalysis.q36HashSplit _),
+    "q37_tfidf"               -> (TextAnalysis.q37TfIdf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +101,7 @@ object SparkEntry {
     // q34_approx_distinct: no oracle — HLL++ is approximate by design;
     // RelationalSpec bounds the error vs exact countDistinct.
     "q35_bucketed_join"       -> Bucketing.q35Sql,
+    "q36_hash_split"          -> TextAnalysis.q36Sql,
+    "q37_tfidf"               -> TextAnalysis.q37Sql,
   )
 }

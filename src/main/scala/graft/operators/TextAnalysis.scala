@@ -262,4 +262,84 @@ object TextAnalysis {
       |         (a, b) -> (a * 31 + b) % 1000000007) AS rhash
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q36 — deterministic train/validation/test split by content hash:
+  // the reproducible-split primitive every training pipeline needs.
+  // Bucket = first 8 md5 hex chars as int mod 100 — a pure projection,
+  // stable across engines/runs/partitionings (unlike randomSplit), and
+  // exactly reproducible in the oracle. 90/5/5.
+  // ---------------------------------------------------------------------
+  def q36HashSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+          .as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  val q36Sql: String =
+    """SELECT doc_id,
+      |       CASE WHEN bucket < 90 THEN 'train'
+      |            WHEN bucket < 95 THEN 'validation'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |             CAST(('0x' || substr(md5(text), 1, 8))::BIGINT AS BIGINT) % 100 AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q37 — TF-IDF: top-3 most characteristic tokens per document.
+  // tf = term count in doc; idf = ln(N / df). Two shuffles total: the
+  // (doc, token) count agg and the token document-frequency agg (whose
+  // result is a small broadcast-joined dimension); ranking is a per-doc
+  // window. The idf join key is the token, never the document text.
+  // ---------------------------------------------------------------------
+  def q37TfIdf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count() // corpus size: one scalar, known at plan time
+    val tokens = docs.select(col("doc_id"), explode(toks).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df")))
+          .as("tfidf"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rank") <= 3)
+      // ln() is not correctly-rounded — Java's Math.log and libm differ in
+      // the last ulp — so the reported score is rounded to 6 decimals for
+      // cross-engine comparability (ranking uses the full double).
+      .select(col("doc_id"), col("rank"), col("token"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val q37Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+      |SELECT doc_id, rank, token, ROUND(tfidf, 6) AS tfidf FROM (
+      |  SELECT doc_id, token, tfidf,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY tfidf DESC, token) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
 }
