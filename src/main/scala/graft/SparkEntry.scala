@@ -56,6 +56,7 @@ object SparkEntry {
     "q35_bucketed_join"       -> (Bucketing.q35BucketedJoin _),
     "q36_hash_split"          -> (TextAnalysis.q36HashSplit _),
     "q37_tfidf"               -> (TextAnalysis.q37TfIdf _),
+    "q38_repetition"          -> (TextAnalysis.q38Repetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +104,6 @@ object SparkEntry {
     "q35_bucketed_join"       -> Bucketing.q35Sql,
     "q36_hash_split"          -> TextAnalysis.q36Sql,
     "q37_tfidf"               -> TextAnalysis.q37Sql,
+    "q38_repetition"          -> TextAnalysis.q38Sql,
   )
 }

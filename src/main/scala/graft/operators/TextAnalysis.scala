@@ -342,4 +342,37 @@ object TextAnalysis {
       |  FROM scored)
       |WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q38 — repetition ratios (Gopher-style quality filter): fraction of
+  // duplicated tokens and duplicated bigrams per document. High values
+  // flag boilerplate/spam for curation. Pure per-row projection.
+  // ---------------------------------------------------------------------
+  def q38Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("bg", when(size(col("t")) >= 2, expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("t"))).cast("double") / size(col("t")))
+          .as("token_rep"),
+        when(col("bg").isNotNull,
+          lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+          .as("bigram_rep"))
+      .orderBy("doc_id")
+
+  val q38Sql: String =
+    """SELECT doc_id,
+      |       len(t) AS n_tokens,
+      |       1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS token_rep,
+      |       CASE WHEN len(t) >= 2
+      |            THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+      |            END AS bigram_rep
+      |FROM (SELECT doc_id, t,
+      |             [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bg
+      |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
 }
