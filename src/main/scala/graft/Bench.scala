@@ -43,9 +43,12 @@ object Bench {
     // session sees; min also suppresses one-off GC/scheduler noise.
     val names = SparkEntry.queries.keys.filterNot(_ == "q25_stream_batch_parity")
       .toSeq.sorted
+    // If either run fails, report -1: a half-failed query must be visible
+    // in the JSON, not silently replaced by its surviving (possibly cold)
+    // run's time.
     val results = names.map { n =>
       val t1 = materialize(n); val t2 = materialize(n)
-      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
 
     val nEvents = Tables.events(spark, sfDir).count()

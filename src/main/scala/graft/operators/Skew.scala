@@ -42,9 +42,19 @@ object Skew {
     // (SPARK-23207 class). Deterministic per row content: a retried task
     // re-derives the same salt. (Fully identical duplicate rows share a
     // salt — residual skew only if a hot key's rows are also identical.)
+    // xxhash64 rejects MapType columns — hash only the hashable ones.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType  => containsMap(a.elementType)
+      case _             => false
+    }
+    val hashable = fact.schema.fields.toSeq
+      .filterNot(f => containsMap(f.dataType)).map(f => fact(f.name))
+    require(hashable.nonEmpty, "fact must have at least one non-map column")
     val sf = fact.withColumn("__graft_salt",
-      pmod(xxhash64(struct(fact.columns.map(fact(_)): _*)), lit(salts.toLong))
-        .cast("int"))
+      pmod(xxhash64(struct(hashable: _*)), lit(salts.toLong)).cast("int"))
     val sd = dim.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sf.join(sd,

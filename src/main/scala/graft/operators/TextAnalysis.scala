@@ -301,26 +301,32 @@ object TextAnalysis {
   def q37TfIdf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val nDocs = docs.count() // corpus size: one scalar, known at plan time
+    // Corpus size as a lazy one-row aggregate (broadcast), NOT an eager
+    // count(): constructing this DataFrame runs no jobs.
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val tokens = docs.select(col("doc_id"), explode(toks).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tokens.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // tf already has one row per (doc, token): document frequency is a
+    // re-aggregation of tf — no second corpus scan, no distinct shuffle
+    // of the exploded token set.
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
-        (col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df")))
+        // ln() is not correctly-rounded (Java Math.log vs libm differ in
+        // the last ulp), so the comparison-visible score is rounded to 6
+        // decimals AND ranking uses the rounded value: mathematically
+        // tied tokens computed via different expressions collapse to an
+        // exact tie broken deterministically by token in both engines.
+        round(col("tf").cast("double") * log(col("n") / col("df")), 6)
           .as("tfidf"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("token"))))
       .filter(col("rank") <= 3)
-      // ln() is not correctly-rounded — Java's Math.log and libm differ in
-      // the last ulp — so the reported score is rounded to 6 decimals for
-      // cross-engine comparability (ranking uses the full double).
-      .select(col("doc_id"), col("rank"), col("token"),
-        round(col("tfidf"), 6).as("tfidf"))
+      .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
       .orderBy("doc_id", "rank")
   }
 
@@ -333,9 +339,9 @@ object TextAnalysis {
       |n AS (SELECT COUNT(*) AS n FROM documents),
       |scored AS (
       |  SELECT tf.doc_id, tf.token,
-      |         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf
+      |         ROUND(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
       |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
-      |SELECT doc_id, rank, token, ROUND(tfidf, 6) AS tfidf FROM (
+      |SELECT doc_id, rank, token, tfidf FROM (
       |  SELECT doc_id, token, tfidf,
       |         ROW_NUMBER() OVER (PARTITION BY doc_id
       |                            ORDER BY tfidf DESC, token) AS rank

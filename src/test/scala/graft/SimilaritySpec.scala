@@ -37,6 +37,13 @@ class SimilaritySpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("salted join tolerates map-typed fact columns (salt skips maps)") {
+    val f = spark.range(10).toDF("k")
+      .withColumn("m", map(lit("a"), col("k")))
+    val d = spark.range(10).toDF("dk")
+    assert(Skew.saltedJoin(f, "k", d, "dk", salts = 4).count() === 10)
+  }
+
   test("q31 salted aggregation equals q06 broadcast aggregation") {
     val a = Skew.q31SaltedJoin(spark, sf).collect().toSeq
     val b = graft.operators.Relational.q06BroadcastEnrich(spark, sf).collect().toSeq
