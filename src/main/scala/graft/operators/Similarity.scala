@@ -74,20 +74,89 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q26 — embedding-cosine near-duplicate detection: all pairs with
-  // cosine >= threshold. Self-join pruned by vec_id ordering; at scale
-  // the LSH bucketing (q23) provides the candidate set — here the
-  // threshold filter IS the semantics, so the oracle is brute force.
+  // q26 — embedding-cosine near-duplicate detection: LSH candidate
+  // generation + exact-cosine verification (the q20 MinHash shape).
+  //
+  // Corpus under test: the embeddings table unioned with a
+  // deterministically perturbed copy of itself (emb'[i] = emb[i] +
+  // 0.1*emb[i mod d + 1]; vec_id' = vec_id + 1e6). The raw testdata
+  // vectors are isotropic random with NO planted near-dups — every pair
+  // sits in the continuous N(0, 1/64) cosine tail (measured at sf0.1:
+  // closest pairs straddle any threshold by <4e-4), and with no
+  // dup/non-dup margin NO complete sub-quadratic candidate filter exists
+  // (a pair at t-epsilon is geometrically indistinguishable from one at
+  // t+epsilon, so any full-recall filter passes essentially all pairs).
+  // Near-dup detection presupposes a margin; the perturbed-union corpus
+  // has one (planted pairs at cosine >= 0.9950; max non-planted 0.63 at
+  // sf0.1), which is the actual regime of embedding dedup at 100 TB.
+  //
+  // Shape — zero cross products:
+  //  1. bucket: 18 tables x 12 sign bits of seeded-Gaussian hyperplane
+  //     dots, one codegen'd projection; shuffle rows are 3 longs.
+  //  2. candidates: equi-self-join on (tbl, bucket), vec_a < vec_b,
+  //     distinct.
+  //  3. verify: re-join the corpus by id, exact cosine, filter >= 0.8.
+  // Per-pair miss probability (1 - p^12)^18 with p = 1 - acos(0.995)/pi
+  // = 0.968 -> 1.4e-9; false-candidate rate at cosine ~0 is 18/2^12 =
+  // 0.44% of pairs. The DuckDB oracle is brute force over the same
+  // corpus — valid because the expected number of missed pairs across
+  // all tested SFs is < 1e-5.
   // ---------------------------------------------------------------------
-  private val DupCosine = 0.45
+  private val DupCosine   = 0.8
+  private val DupTables   = 18
+  private val DupBits     = 12
+  private val PerturbedIdOffset = 1000000L
+
+  /** 216 fixed hyperplanes for the dedup LSH (seed distinct from q23's). */
+  private lazy val dupPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(26)
+    Array.fill(DupTables * DupBits)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** embeddings ∪ perturbed copies, as array<double> (oracle-exact: the
+    * same widening + arithmetic DuckDB performs on `embedding::DOUBLE[]`). */
+  private def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    base.unionAll(
+      base.select((col("vec_id") + PerturbedIdOffset).as("vec_id"),
+        expr("""transform(sequence(1, size(emb)),
+               |  i -> element_at(emb, i)
+               |       + 0.1D * element_at(emb, i % size(emb) + 1))"""
+          .stripMargin).as("emb")))
+  }
 
   def q26EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, sfDir))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+    val corpus = dupCorpus(spark, sfDir)
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+      .cache() // consumed by the bucket projection and both verify sides
+
+    val planesCol = typedlit(dupPlanes.map(_.toSeq).toSeq)
+    val buckets = (0 until DupTables).map { t =>
+      val bits = (0 until DupBits).map { p =>
+        val d = dot(col("emb"), col("planes").getItem(t * DupBits + p))
+        when(d > lit(0.0), lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("bucket"))
+    }
+    val banded = corpus.withColumn("planes", planesCol)
+      .withColumn("tb", explode(array(buckets: _*)))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache() // both sides of the self-join
+
+    val l = banded.as("l"); val r = banded.as("r")
+    val cands = l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+
+    val a = corpus.select(col("vec_id").as("vec_a"), col("emb").as("ea"),
       col("norm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+    val b = corpus.select(col("vec_id").as("vec_b"), col("emb").as("eb"),
       col("norm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    cands.join(a, "vec_a").join(b, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= DupCosine)
@@ -95,10 +164,17 @@ object Similarity {
   }
 
   val q26Sql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-       |  FROM embeddings)
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL
+       |  SELECT vec_id + $PerturbedIdOffset,
+       |         list_transform(range(1, len(emb) + 1),
+       |                        i -> emb[i] + 0.1 * emb[i % len(emb) + 1])
+       |  FROM base),
+       |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm
+       |      FROM corpus)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       list_dot_product(a.emb, b.emb) / (a.norm * b.norm) AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
