@@ -87,8 +87,17 @@ object Similarity {
   // (a pair at t-epsilon is geometrically indistinguishable from one at
   // t+epsilon, so any full-recall filter passes essentially all pairs).
   // Near-dup detection presupposes a margin; the perturbed-union corpus
-  // has one (planted pairs at cosine >= 0.9950; max non-planted 0.63 at
-  // sf0.1), which is the actual regime of embedding dedup at 100 TB.
+  // has one (planted pairs at cosine >= 0.9950 at every SF — the
+  // perturbation is deterministic per-vector, so the planted cosine does
+  // not drift with corpus size; max non-planted cosine measured per gate
+  // SF: 0.51 at sf0.001 and sf0.01 (the table is 500 rows at both),
+  // 0.63 at sf0.1 — the extreme of
+  // ~n^2/2 draws from a cosine distribution concentrated as N(0, 1/64),
+  // whose growth is O(sqrt(log n)): headroom to the 0.8 threshold shrinks
+  // only logarithmically, leaving > 0.1 of margin for corpora far beyond
+  // these SFs), which is the actual regime of embedding dedup at 100 TB.
+  // SimilaritySpec additionally asserts LSH == brute force over the full
+  // corpus at sf0.001, and PlanSpec pins the no-cross-product plan shape.
   //
   // Shape — zero cross products:
   //  1. bucket: 18 tables x 12 sign bits of seeded-Gaussian hyperplane
@@ -105,7 +114,6 @@ object Similarity {
   private val DupCosine   = 0.8
   private val DupTables   = 18
   private val DupBits     = 12
-  private val PerturbedIdOffset = 1000000L
 
   /** 216 fixed hyperplanes for the dedup LSH (seed distinct from q23's). */
   private lazy val dupPlanes: Array[Array[Double]] = {
@@ -114,13 +122,21 @@ object Similarity {
   }
 
   /** embeddings ∪ perturbed copies, as array<double> (oracle-exact: the
-    * same widening + arithmetic DuckDB performs on `embedding::DOUBLE[]`). */
-  private def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    * same widening + arithmetic DuckDB performs on `embedding::DOUBLE[]`).
+    * Perturbed ids are offset by max(vec_id)+1, computed as a driver-side
+    * scalar from a column-pruned one-row aggregate (the same category as
+    * index training — O(1) driver data), never a fixed constant, so
+    * perturbed ids cannot collide with real ids at any scale factor.
+    * (A broadcast one-row cross join would express this lazily but plans
+    * as a BroadcastNestedLoopJoin, which PlanSpec's no-BNLJ gate on q26
+    * deliberately forbids.) */
+  private[graft] def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val idOff: Long = base.agg(max(col("vec_id"))).head.getLong(0) + 1L
     base.unionAll(
-      base.select((col("vec_id") + PerturbedIdOffset).as("vec_id"),
+      base.select((col("vec_id") + idOff).as("vec_id"),
         expr("""transform(sequence(1, size(emb)),
                |  i -> element_at(emb, i)
                |       + 0.1D * element_at(emb, i % size(emb) + 1))"""
@@ -140,10 +156,14 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bits.as("bucket"))
     }
+    // Single cache (the corpus + norms): the self-join recomputes the
+    // 216-dot bucket projection on each side from the cached corpus
+    // instead of pinning a second, 18x-exploded dataset in memory — the
+    // recompute is cheaper at scale than holding 18 rows per vector
+    // resident across the whole session.
     val banded = corpus.withColumn("planes", planesCol)
       .withColumn("tb", explode(array(buckets: _*)))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .cache() // both sides of the self-join
 
     val l = banded.as("l"); val r = banded.as("r")
     val cands = l.join(r,
@@ -169,7 +189,7 @@ object Similarity {
        |corpus AS (
        |  SELECT vec_id, emb FROM base
        |  UNION ALL
-       |  SELECT vec_id + $PerturbedIdOffset,
+       |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
        |         list_transform(range(1, len(emb) + 1),
        |                        i -> emb[i] + 0.1 * emb[i % len(emb) + 1])
        |  FROM base),
@@ -217,55 +237,122 @@ object Similarity {
 
   // ---------------------------------------------------------------------
   // q30 — IVF (inverted-file) ANN: the other classic scale path.
-  // A tiny coarse quantizer (K fixed centroids, collected once driver-side
-  // — the standard "train the index" step; 16 x 64 doubles) partitions
-  // vectors into K cells by nearest centroid. Queries probe only their
-  // `nprobe` best cells, so at 100 TB the scored candidate set is
-  // ~nprobe/K of the corpus, reached via an equi-join on cell id — never
-  // a cross product. Cell assignment is a pure codegen'd projection
-  // (K dot products + argmax via array_max over (score, idx) structs).
-  // Rows-only driver check; recall@10 vs brute force in SimilaritySpec.
+  // A tiny coarse quantizer (K centroids trained by spherical k-means on
+  // a bounded driver-side sample — the standard "train the index" step;
+  // 16 x 64 doubles) partitions vectors into K cells by nearest centroid.
+  // Queries probe only their `nprobe` best cells, so at 100 TB the scored
+  // candidate set is ~nprobe/K of the corpus, reached via an equi-join on
+  // cell id — never a cross product. Cell assignment is a pure codegen'd
+  // projection (K dot products + argmax via array_max over (score, idx)
+  // structs). Rows-only driver check; recall@10 vs brute force in
+  // SimilaritySpec (floor 0.85 at nprobe <= 6).
   // ---------------------------------------------------------------------
-  private val NumCells = 16
-  private val NProbe   = 6 // 6/16 of the corpus scored; recall@10 ~0.6 measured
-  /** Fixed, spread vec_ids whose embeddings seed the quantizer. */
-  private def centroidIds: Seq[Long] = (1 to NumCells).map(i => 7L * i)
+  private val NumCells    = 24
+  private val NProbe      = 6 // probes 6/24 cells; recall@10 asserted >= 0.85
+  private val TrainSample = 4096 // ~170x NumCells — bounded regardless of SF
+  private val LloydIters  = 15
+  /** Multi-assignment width: a vector is indexed in every cell whose
+    * centroid cosine is within this of its best cell (cell-overlap /
+    * spill-tree-style redundancy). Swept at sf0.001: (K=24, nprobe=6,
+    * delta=0.15) -> recall@10 0.90 scanning 43% of the corpus, vs 0.64 at
+    * 38% for the old untrained 16-cell single-assign quantizer. Costs
+    * ~2.1x index rows; probe count and per-query cell math are unchanged. */
+  private val AssignDelta = 0.15
+
+  /** Spherical k-means (Lloyd) over a bounded, deterministic sample,
+    * entirely driver-side: 4096 x 64 doubles is index *training*, not the
+    * data path — at 100 TB the sample stays 4096 rows (TakeOrdered scan,
+    * per-partition top-k, no shuffle of the corpus). Ids are independent
+    * of vector geometry in this corpus, so id-ordered take is an unbiased
+    * sample; a production path would swap in `df.sample`. Assignment is
+    * argmax cosine (= argmax dot against unit centroids); empty cells are
+    * reseeded from the currently worst-quantized sample point (standard
+    * Lloyd repair), so the quantizer always ends with exactly K cells. */
+  private[graft] def trainCentroids(sample: Array[Array[Double]],
+      k: Int = NumCells, iters: Int = LloydIters): Array[Array[Double]] = {
+    require(sample.length >= k, s"need >= $k training vectors")
+    val dim = sample.head.length
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val unit = sample.map(normalized)
+    // init: evenly spaced sample points (deterministic)
+    var cents = Array.tabulate(k)(i => unit((i.toLong * unit.length / k).toInt).clone())
+    var iter = 0
+    while (iter < iters) {
+      val sums   = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var worst = -1; var worstScore = Double.MaxValue
+      var si = 0
+      while (si < unit.length) {
+        val v = unit(si)
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * cents(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        if (bestDot < worstScore) { worstScore = bestDot; worst = si }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+        si += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) unit(worst).clone() // repair: reseed empty cell
+        else normalized(sums(c))
+      }
+      iter += 1
+    }
+    require(cents.length == k, s"quantizer must end with $k centroids")
+    cents
+  }
 
   def q30AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    // One scan of the corpus serves centroid collection, cell assignment,
-    // and the probe side (same multi-consumer shape as q23's cache).
+    // One scan of the corpus serves cell assignment and the probe side
+    // (same multi-consumer shape as q23's cache).
     val e = withNorm(Tables.embeddings(spark, sfDir)).cache()
 
-    // Index build: collect K unit-normalized centroids (driver-side by
-    // design — this is index training, not the data path).
-    val cents: Seq[Seq[Double]] = e
-      .filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id"), col("embedding")).collect()
-      .sortBy(_.getLong(0))
-      .map { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / n): Seq[Double]
-      }.toSeq
+    // Index build: train the coarse quantizer on a bounded sample
+    // (driver-side by design — this is index training, not the data path).
+    val sample: Array[Array[Double]] = e
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(TrainSample)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents: Seq[Seq[Double]] = trainCentroids(sample).map(_.toSeq).toSeq
 
-    def scoredCells(embCol: Column): Seq[Column] =
-      cents.zipWithIndex.map { case (c, i) =>
-        struct(dot(embCol, typedlit(c)).as("s"), lit(i).as("c"))
-      }
-    def cellOf(embCol: Column): Column =
-      array_max(array(scoredCells(embCol): _*)).getField("c")
-    def topCells(embCol: Column): Column =
-      slice(reverse(array_sort(array(scoredCells(embCol): _*))), 1, NProbe)
+    // Cell scores normalized by the vector norm (cosine to each centroid)
+    // so the multi-assignment width is norm-invariant.
+    def scoredCells(embCol: Column, normCol: Column): Column =
+      array(cents.zipWithIndex.map { case (c, i) =>
+        struct((dot(embCol, typedlit(c)) / normCol).as("s"), lit(i).as("c"))
+      }: _*)
 
-    val vecs = e.select(col("vec_id"), col("embedding"), col("norm"),
-      cellOf(col("embedding")).as("cell"))
+    // Index side: each vector lands in every cell within AssignDelta of
+    // its best cell (array_max on struct<s,c> compares s first).
+    val vecs = e
+      .withColumn("sc", scoredCells(col("embedding"), col("norm")))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        explode(expr(
+          s"transform(filter(sc, x -> x.s >= array_max(sc).s - $AssignDelta), x -> x.c)"))
+          .as("cell"))
+    // Query side: probe the NProbe best cells.
     val probes = e.filter(col("vec_id") < NumQueries)
+      .withColumn("sc", scoredCells(col("embedding"), col("norm")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("norm").as("qnorm"),
-        explode(topCells(col("embedding")).getField("c")).as("cell"))
+        explode(slice(reverse(array_sort(col("sc"))), 1, NProbe).getField("c"))
+          .as("cell"))
 
     vecs.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+      // multi-assignment can surface the same (query, vector) pair via
+      // several probed cells — dedup candidates before ranking
+      .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qe"), col("embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
       .withColumn("rank", row_number().over(

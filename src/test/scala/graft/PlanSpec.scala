@@ -50,6 +50,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q26: dedup plan is hash equi-joins only — no cartesian, no nested loop") {
+    val plan = finalPlan(Similarity.q26EmbeddingDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "LSH dedup must never materialize the all-pairs cross product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation and verify must stay equi-key hash joins")
+  }
+
   test("q35: bucketed join runs with no exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
