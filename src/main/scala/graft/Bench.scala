@@ -62,7 +62,8 @@ object Bench {
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(16, cpus.toInt).toString)
 
-    // Parity path (MemoryStream round-trip incl. driver collect + sort).
+    // Parity path (file-stream source end to end — no driver in the data
+    // path; includes the final result sort).
     val tParity = {
       val t0 = System.nanoTime()
       graft.streaming.StreamParity.q25StreamBatchParity(spark, sfDir)

@@ -138,6 +138,34 @@ object api {
       else withTs)
     }
 
+    /** `WatermarksWithIdleness` ≙ reference
+      * `rlink/src/functions/watermark/watermarks_with_idleness.rs:13-90`:
+      * a source that stops producing is marked idle after `timeout` and
+      * removed from watermark alignment
+      * (`runtime/worker/runnable/source_runnable.rs:635-659`), so one
+      * stalled Kafka partition cannot freeze every downstream window.
+      *
+      * Spark mapping: the micro-batch engine tracks one watermark per
+      * `withWatermark` operator and combines them with
+      * `spark.sql.streaming.multipleWatermarkPolicy`. The default `min`
+      * reproduces the reference's *aligned* behavior — and its stall.
+      * `max` is the idleness behavior: a source with no new data simply
+      * stops contributing to the global watermark, and windows keep
+      * closing off the live sources. Spark re-evaluates per batch, so no
+      * explicit timeout is needed; `timeout` is accepted for API parity
+      * and documents the intent (the effective idle latency in Spark is
+      * one trigger interval). Session-wide conf: set before `start()`. */
+    def withIdleness(timeout: Time): DataStream = {
+      require(timeout.ms >= 0)
+      env.spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+      this
+    }
+
+    /** Multi-source merge (the reference wires several sources into one
+      * DAG; Spark unions the streams). Each side keeps its own watermark
+      * assigner — combine with [[withIdleness]] when one side can idle. */
+    def union(other: DataStream): DataStream = next(df.unionByName(other.df))
+
     def keyBy(keys: String*): KeyedStream = new KeyedStream(df, keys, env)
 
     /** Exact deduplication on key columns. On a watermarked stream the
@@ -174,6 +202,22 @@ object api {
     def connect(dim: DataFrame, cond: Column): DataStream =
       next(df.join(broadcast(dim), cond))
 
+    /** Slowly-changing dimension enrichment ≙ `ConfigInputFormat`'s
+      * periodic re-emit (`example/example-utils/src/config_input_format.rs:16`):
+      * the reference re-reads its config source on an interval and
+      * broadcasts updates into the operator. Spark shape: `foreachBatch`
+      * re-evaluates `dim()` at every micro-batch boundary, so each batch
+      * joins against a FRESH snapshot of the dimension (a new read ⇒ a
+      * new file listing ⇒ updated/compacted dimension files are picked
+      * up). The dimension is broadcast per batch — the fact side never
+      * shuffles. `write` receives each enriched micro-batch. */
+    def connectRefreshing(dim: () => DataFrame, cond: Column)(
+        write: DataFrame => Unit): StreamingQuery =
+      df.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          write(batch.join(broadcast(dim()), cond))
+        }.start()
+
     def addSink(sink: DataStream => Either[Unit, StreamingQuery]): Either[Unit, StreamingQuery] =
       sink(this)
   }
@@ -209,24 +253,106 @@ object api {
     }
   }
 
-  /** Sink constructors (`print_sink`, kafka/memory equivalents). */
+  /** Sink constructors (`print_sink`, kafka/memory equivalents).
+    *
+    * Every streaming sink takes an optional `trigger` interval ≙ the
+    * reference's `TimePeriodicWatermarks` emit cadence
+    * (`functions/watermark/time_periodic_watermarks.rs:12-70`): in Spark
+    * the watermark is re-computed and published once per micro-batch, so
+    * the micro-batch trigger interval IS the periodic-watermark knob. */
   object Sinks {
-    /** Print sink ≙ `functions/sink/print.rs`. */
-    def print(numRows: Int = 20): DataStream => Either[Unit, StreamingQuery] = s =>
+    private def withTrigger(w: DataStreamWriter[Row],
+        trigger: Option[Time]): DataStreamWriter[Row] =
+      trigger.fold(w)(t => w.trigger(Trigger.ProcessingTime(t.ms)))
+
+    /** Print sink ≙ `functions/sink/print.rs:51-103`, format-faithful
+      * (periodic header + `task, [start, end], fields` rows). */
+    def print(trigger: Option[Time] = None): DataStream => Either[Unit, StreamingQuery] = s =>
       if (s.df.isStreaming)
-        Right(s.df.writeStream.outputMode("append").format("console").start())
-      else Left(s.df.show(numRows, truncate = false))
+        Right(withTrigger(
+          s.df.writeStream.outputMode("append")
+            .foreach(new PrintSink.Writer(s.df.schema)), trigger).start())
+      else Left(PrintSink.printBatch(s.df))
     /** Named in-memory table (streaming) / temp view (batch). */
-    def memory(name: String): DataStream => Either[Unit, StreamingQuery] = s =>
+    def memory(name: String, trigger: Option[Time] = None): DataStream => Either[Unit, StreamingQuery] = s =>
       if (s.df.isStreaming)
-        Right(s.df.writeStream.outputMode("append").format("memory")
-          .queryName(name).start())
+        Right(withTrigger(
+          s.df.writeStream.outputMode("append").format("memory")
+            .queryName(name), trigger).start())
       else Left(s.df.createOrReplaceTempView(name))
     /** Parquet sink with checkpoint — the durable path. */
-    def parquet(path: String, checkpoint: String): DataStream => Either[Unit, StreamingQuery] = s =>
+    def parquet(path: String, checkpoint: String,
+        trigger: Option[Time] = None): DataStream => Either[Unit, StreamingQuery] = s =>
       if (s.df.isStreaming)
-        Right(s.df.writeStream.outputMode("append").format("parquet")
-          .option("path", path).option("checkpointLocation", checkpoint).start())
+        Right(withTrigger(
+          s.df.writeStream.outputMode("append").format("parquet")
+            .option("path", path).option("checkpointLocation", checkpoint),
+          trigger).start())
       else Left(s.df.write.mode("append").parquet(path))
+  }
+}
+
+/** Reference-format print rendering (`functions/sink/print.rs:51-103`):
+  * a header `task_number|window[start,end]|0:f0|1:f1|...` re-printed when
+  * more than 3 s elapsed since the last row, then per-row
+  * `task_number, [HH:MM:SS, HH:MM:SS], v0, v1, ...` — the window rendered
+  * from the `window` struct column (the reference carries the window as
+  * element metadata; our window is a column, excluded from the field
+  * list), empty when absent. Times are UTC `%T`, like the reference's
+  * `fmt_date_time(.., "%T")`. */
+object PrintSink {
+  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.sql.ForeachWriter
+
+  private val tfmt = java.time.format.DateTimeFormatter
+    .ofPattern("HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+  private def fmtT(ts: java.sql.Timestamp): String = tfmt.format(ts.toInstant)
+
+  private def dataFields(schema: StructType): Seq[Int] =
+    schema.fields.indices.filterNot(i => schema(i).name == "window")
+
+  def header(schema: StructType): String =
+    "task_number|window[start,end]|" + dataFields(schema).zipWithIndex
+      .map { case (fi, i) => s"$i:${schema(fi).name}" }.mkString("|")
+
+  def formatRow(taskNumber: Int, schema: StructType, row: Row): String = {
+    val wIdx = schema.fields.indexWhere(_.name == "window")
+    val windowStr =
+      if (wIdx >= 0 && !row.isNullAt(wIdx)) {
+        val w = row.getStruct(wIdx)
+        s"[${fmtT(w.getAs[java.sql.Timestamp]("start"))}, ${fmtT(w.getAs[java.sql.Timestamp]("end"))}]"
+      } else ""
+    val fields = dataFields(schema)
+      .map(i => if (row.isNullAt(i)) "null" else row.get(i).toString)
+    s"$taskNumber, $windowStr, ${fields.mkString(", ")}"
+  }
+
+  /** Streaming side: per-partition writer, partition id = task_number
+    * (the reference's `task_id.task_number`). */
+  final class Writer(schema: StructType, headerEveryMs: Long = 3000)
+      extends ForeachWriter[Row] {
+    private var task = 0
+    private var lastPrint = 0L
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      task = partitionId.toInt; true
+    }
+    override def process(row: Row): Unit = {
+      val now = System.currentTimeMillis()
+      if (now - lastPrint > headerEveryMs) println(header(schema))
+      lastPrint = now
+      println(formatRow(task, schema, row))
+    }
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  /** Batch side: same rendering via foreachPartition (executor stdout). */
+  def printBatch(df: DataFrame): Unit = {
+    val schema = df.schema
+    val h = header(schema)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val task = org.apache.spark.TaskContext.getPartitionId()
+      if (rows.hasNext) println(h)
+      rows.foreach(r => println(formatRow(task, schema, r)))
+    }
   }
 }

@@ -1,51 +1,70 @@
 package graft.streaming
 
-import java.sql.Timestamp
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.Tables
-
 /** Streaming/batch parity: the flagship sliding-window aggregation run
-  * through the REAL Structured Streaming engine (MemoryStream source,
-  * watermark, append-mode windowed state, memory sink) over the same
-  * events table — its result must equal the batch q01 and therefore the
-  * same DuckDB oracle.
+  * through the REAL Structured Streaming engine (file source, watermark,
+  * append-mode windowed state, memory sink) over the same events table —
+  * its result must equal the batch q01 and therefore the same DuckDB
+  * oracle.
+  *
+  * The data path is fully distributed: the events table is consumed by
+  * the parquet file-stream source (executors read the files directly;
+  * the driver only lists them), unlike a MemoryStream gate, which would
+  * round-trip every row through the driver. The only driver-side values
+  * are the max timestamp (a column-pruned one-row aggregate, needed to
+  * place the sentinel) and the final windowed result.
   *
   * End-of-stream flush: the reference emits `MAX_WATERMARK` on stream
   * termination so all open windows close
   * (`rlink/src/runtime/worker/runnable/watermark_assigner_runnable.rs:125-128`).
   * Spark's append mode has no termination flush, so we replay the same
-  * trick explicitly: a sentinel event 1 hour past the last real event
-  * advances the watermark beyond every real window; sentinel-keyed rows
-  * are filtered from the result.
-  *
-  * Bounded replay through MemoryStream collects the input to the driver —
-  * acceptable for the correctness gate only; unbounded production paths
-  * use Kafka/file sources (`graft.streaming.Kafka`) where data never
-  * touches the driver.
+  * trick: a one-row sentinel FILE, 1 hour past the last real event, sits
+  * alongside the real table in the streamed directory. After the batch
+  * containing it commits, the watermark passes every real window end and
+  * the engine's no-data micro-batch emits all remaining windows
+  * (`processAllAvailable` blocks until that quiesces). Sentinel-keyed
+  * rows are filtered from the result.
   */
 object StreamParity {
-
-  final case class Ev(ts: Timestamp, event_type: String, value: Double)
 
   private val runId = new AtomicInteger(0)
 
   def q25StreamBatchParity(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Raw schema: ts stays a nanos Long (legacy conf) so the sentinel file
+    // and the real table are schema-identical for the file source.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = raw.schema
+    val maxTsNanos = raw.agg(max("ts")).head.getLong(0)
 
-    val rows = Tables.events(spark, sfDir)
+    // Stream directory: symlink the real table + write the sentinel file.
+    val dir = Files.createTempDirectory("q25_parity")
+    Files.createSymbolicLink(
+      dir.resolve("events.parquet"), Paths.get(s"$sfDir/events.parquet"))
+    val sentinelVals = schema.fields.map { f =>
+      f.name match {
+        case "ts"         => maxTsNanos + 3600L * 1000 * 1000 * 1000 // +1 hour
+        case "event_type" => "zzz_sentinel"
+        case "value"      => 0.0
+        case _            => null
+      }
+    }
+    val sentinelDir = Files.createTempDirectory("q25_sentinel")
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(sentinelVals: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => Files.copy(p, dir.resolve("zz_sentinel.parquet")))
+
+    val agg = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("ts"), col("event_type"), col("value"))
-      .as[Ev].collect()
-    val maxTsMs = rows.iterator.map(_.ts.getTime).max
-
-    val source = MemoryStream[Ev]
-    val agg = source.toDF()
       .withWatermark("ts", "1 second")
       .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("event_type"))
       .agg(
@@ -57,13 +76,8 @@ object StreamParity {
     val table = s"q25_parity_${runId.incrementAndGet()}"
     val query = agg.writeStream.outputMode("append")
       .format("memory").queryName(table).start()
-    try {
-      source.addData(rows.toIndexedSeq)
-      query.processAllAvailable()
-      // end-of-stream: MAX_WATERMARK analog
-      source.addData(Ev(new Timestamp(maxTsMs + 3600 * 1000L), "zzz_sentinel", 0.0))
-      query.processAllAvailable()
-    } finally query.stop()
+    try query.processAllAvailable()
+    finally query.stop()
 
     spark.table(table)
       .filter(col("event_type") =!= "zzz_sentinel")

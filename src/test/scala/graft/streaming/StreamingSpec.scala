@@ -333,6 +333,147 @@ class StreamingSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // E5 — idleness watermarks: an idle source must not gate the global
+  // watermark (reference watermarks_with_idleness.rs:13-90).
+  // -------------------------------------------------------------------
+  test("E5 idleness: windows close off the live source while the other source idles") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val active = MemoryStream[Fixtures.Model]
+    val idler  = MemoryStream[Fixtures.Model]
+    val prevPolicy = spark.conf
+      .getOption("spark.sql.streaming.multipleWatermarkPolicy")
+
+    val a = env.fromDataFrame(active.toDF())
+      .assignTimestampsAndWatermarks("timestamp", Time.seconds(1))
+    val b = env.fromDataFrame(idler.toDF())
+      .assignTimestampsAndWatermarks("timestamp", Time.seconds(1))
+    // Two independently-watermarked sources; withIdleness removes the
+    // idle one from gating (multipleWatermarkPolicy=max). Under the
+    // default `min` policy this test would hang open: the idle source's
+    // watermark stays at its last event forever.
+    val agg = a.union(b).withIdleness(Time.seconds(5))
+      .keyBy("name")
+      .window(TumblingEventTimeWindows.of(Time.seconds(60)))
+      .reduce(Agg.Sum("value"), Agg.Count())
+
+    val query = agg.df.writeStream.outputMode("append")
+      .format("memory").queryName("idle_stream").start()
+    try {
+      val t0 = Fixtures.BaseTs
+      // both sources contribute to the first window...
+      active.addData(Fixtures.Model(t0, "k", 1))
+      idler.addData(Fixtures.Model(t0, "k", 5))
+      query.processAllAvailable()
+      // ...then only `active` keeps moving; `idler` goes permanently idle
+      active.addData(Fixtures.Model(t0 + 600 * 1000, "k", 2))
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+      prevPolicy match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", p)
+        case None => spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+      }
+    }
+
+    val rows = spark.table("idle_stream")
+      .select(col("window.start").cast("long"), col("sum(value)"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the t0 window emitted despite the idle source, merging BOTH sides
+    assert(rows.contains((Fixtures.BaseTs / 1000 / 60 * 60, 6L, 2L)))
+  }
+
+  // -------------------------------------------------------------------
+  // S3 — slowly-changing dimension refresh (config_input_format.rs:16):
+  // every micro-batch joins a FRESH snapshot of the dimension.
+  // -------------------------------------------------------------------
+  test("S3 dimension refresh: micro-batches pick up dimension updates") {
+    import StreamingSpec.Fact
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val facts = MemoryStream[Fact]
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    val outPath = java.nio.file.Files.createTempDirectory("graft_enriched").toString
+
+    Seq(("a", 3L)).toDF("dk", "mult").write.mode("overwrite").parquet(dimPath)
+    val query = env.fromDataFrame(facts.toDF())
+      .connectRefreshing(() => spark.read.parquet(dimPath), col("k") === col("dk")) {
+        out => out.select(col("v"), col("mult")).write.mode("append").parquet(outPath)
+      }
+    try {
+      facts.addData(Fact("a", 1))
+      query.processAllAvailable()
+      // dimension changes between micro-batches
+      Seq(("a", 5L)).toDF("dk", "mult").write.mode("overwrite").parquet(dimPath)
+      facts.addData(Fact("a", 2))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.read.parquet(outPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fact 1 enriched with the old dim (x3), fact 2 with the refreshed (x5)
+    assert(got === Set((1L, 3L), (2L, 5L)))
+  }
+
+  // -------------------------------------------------------------------
+  // S2 — rate source (≙ RandInputFormat, rand_input_format.rs:19-52):
+  // start it for real, observe rows, stop.
+  // -------------------------------------------------------------------
+  test("S2 rate source: starts, produces rows, stops") {
+    val query = env.rateSource(rowsPerSecond = 100).df
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rate_smoke").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rate_smoke").limit(1).isEmpty &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    assert(spark.table("rate_smoke").count() > 0)
+    assert(spark.table("rate_smoke").columns.toSet === Set("timestamp", "value"))
+  }
+
+  // -------------------------------------------------------------------
+  // E4 — periodic-watermark cadence knob: the sink trigger interval.
+  // -------------------------------------------------------------------
+  test("E4 trigger-interval knob on sinks drives the micro-batch cadence") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Fixtures.Model]
+    val query = env.fromDataFrame(src.toDF())
+      .addSink(Sinks.memory("e4_trigger", trigger = Some(Time.milliseconds(50))))
+      .toOption.get
+    try {
+      src.addData(Fixtures.Model(Fixtures.BaseTs, "k", 1))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.table("e4_trigger").count() === 1)
+  }
+
+  // -------------------------------------------------------------------
+  // K1 — print sink format parity (print.rs:51-103).
+  // -------------------------------------------------------------------
+  test("K1 print format: header and rows render as task, [window], fields") {
+    val win = env.fromDataFrame(fixtureDf)
+      .assignTimestampsAndWatermarks("timestamp", Time.seconds(1))
+      .keyBy("name")
+      .window(TumblingEventTimeWindows.of(Time.seconds(60)))
+      .reduce(Agg.Count())
+      .df.select(col("window"), col("name"), col("count"))
+    assert(PrintSink.header(win.schema) ===
+      "task_number|window[start,end]|0:name|1:count")
+    val row = win.filter(col("name") === "A-key-0")
+      .orderBy(col("window.start")).head()
+    // BaseTs = 2020-03-11T12:01:00+08:00 = 04:01:00 UTC; first tumbling
+    // minute holds values 1..9
+    assert(PrintSink.formatRow(3, win.schema, row) ===
+      "3, [04:01:00, 04:02:00], A-key-0, 9")
+    // windowless rows render an empty window slot, like the reference
+    val plain = fixtureDf.select(col("name"), col("value")).head()
+    assert(PrintSink.formatRow(0, fixtureDf.select(col("name"), col("value")).schema, plain)
+      === s"0, , ${plain.getString(0)}, ${plain.getLong(1)}")
+  }
+
+  // -------------------------------------------------------------------
   // Kafka offset-mode mapping (FIXTURES.md §4 bounded-replay shape).
   // -------------------------------------------------------------------
   test("Kafka Direct offset range maps to starting/endingOffsets JSON") {
@@ -354,6 +495,35 @@ class StreamingSpec extends SparkSpec {
   test("Kafka FromCheckpoint falls back to cold-start offsets") {
     val opts = Kafka.sourceOptions("b:9092", "t", Kafka.FromCheckpoint("earliest"))
     assert(opts("startingOffsets") === "earliest")
+  }
+
+  // -------------------------------------------------------------------
+  // S4 — Kafka.read executed for every offset mode, not just option
+  // string-equality: the call must wire format+options into
+  // spark.readStream and reach Spark's source resolution. This sandbox
+  // ships no spark-sql-kafka connector jar (zero-egress image), so
+  // resolution itself is the deepest reachable layer here: with the
+  // connector on the classpath the same call returns the kafka schema —
+  // asserted when available, otherwise the failure must be Spark's
+  // DATA_SOURCE_NOT_FOUND for "kafka" (proving our builder executed all
+  // the way into the source lookup, with no earlier error in our code).
+  // -------------------------------------------------------------------
+  test("S4 Kafka.read reaches source resolution for all three offset modes") {
+    val modes: Seq[Kafka.OffsetRange] = Seq(
+      Kafka.FromCheckpoint("earliest"),
+      Kafka.Direct(Map(0 -> 121L, 1 -> 71L), Some(Map(0 -> 137L, 1 -> 84L))),
+      Kafka.Timestamp(Map(0 -> 1500000000000L), None))
+    modes.foreach { mode =>
+      scala.util.Try(Kafka.read(spark, "broker:9092", "t", mode)) match {
+        case scala.util.Success(df) =>
+          assert(df.isStreaming)
+          assert(Set("key", "value", "topic", "partition", "offset")
+            .subsetOf(df.columns.toSet))
+        case scala.util.Failure(e) =>
+          assert(e.getMessage.toLowerCase.contains("kafka"),
+            s"must fail at kafka source resolution, not earlier: $e")
+      }
+    }
   }
 }
 
