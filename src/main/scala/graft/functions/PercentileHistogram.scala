@@ -35,7 +35,16 @@ class PercentileHistogram(scale: Array[Double])
   private val n = scale.length
 
   /** Smallest boundary index >= v, clamped to [0, n-1]
-    * (reference `position_in_value_array`, `percentile/mod.rs:78-122`). */
+    * (reference `position_in_value_array`, `percentile/mod.rs:78-122`).
+    *
+    * Edge inputs: NULLs never reach here — Spark's typed Aggregator path
+    * skips null inputs before `reduce`. NaN lands in the LAST bucket
+    * (java.util.Arrays.binarySearch uses Double's total order, where NaN
+    * sorts above every value, so the insertion point clamps to n-1). The
+    * reference's Rust f64 `partial_cmp` has no defined NaN ordering —
+    * its binary search on NaN input is unspecified — so top-bucket
+    * clamping is a deliberate, documented tightening, not a parity break:
+    * on NaN-free data (all gate corpora) the two are bit-identical. */
   private def bucket(v: Double): Int = {
     val i = java.util.Arrays.binarySearch(scale, v)
     if (i >= 0) i

@@ -242,6 +242,13 @@ object TextAnalysis {
   // character stream, mod 1e9+7 so every intermediate fits in i64 in both
   // engines): the incremental-fingerprint complement to q19's md5. The
   // fold is a codegen'd higher-order aggregate — per-row, no shuffle.
+  //
+  // Unicode scope: split('')/ascii() iterate UTF-16 code units in Spark
+  // but code points in DuckDB, so the two diverge on supplementary-plane
+  // characters (surrogate pairs: emoji, rare CJK). The documents corpus
+  // is BMP-only, where the encodings agree; a full code-point fold would
+  // swap in a per-code-point transform at ~2x the cost for parity nobody
+  // needs on this data.
   // ---------------------------------------------------------------------
   def q33RollingHash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -311,7 +318,13 @@ object TextAnalysis {
     // re-aggregation of tf — no second corpus scan, no distinct shuffle
     // of the exploded token set.
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "token")
+    // No broadcast hint on the document-frequency side: the distinct-token
+    // table is heavy-tailed and grows with the corpus, so a forced
+    // broadcast would exceed driver/executor broadcast limits at scale.
+    // AQE picks broadcast when dfreq is actually small (it is at test SFs)
+    // and falls back to a shuffled hash join keyed on token otherwise —
+    // both sides are already partitioned by token from their aggregations.
+    val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         // ln() is not correctly-rounded (Java Math.log vs libm differ in

@@ -18,6 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The dominant production use (config/dimension enrichment) should use
   * `api.DataStream.connect` (broadcast join) instead — this generic path
   * is for genuinely stateful cross-stream logic.
+  *
+  * Ordering: WITHIN one micro-batch, the iterator's left/right interleaving
+  * is not defined (Spark shuffles both sides together and presents one
+  * unordered group per key) — unlike the reference, which dispatches
+  * elements in single-threaded arrival order. User functions must not
+  * assume "configs before facts" inside a batch; cross-BATCH ordering IS
+  * guaranteed (state written in batch N is visible in batch N+1), which is
+  * what the streaming test relies on. Order-sensitive logic should carry an
+  * event-time field and sort/fold the group explicitly.
   */
 object CoProcess {
 
