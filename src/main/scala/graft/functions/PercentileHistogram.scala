@@ -179,6 +179,15 @@ object GraftFunctions {
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** All LSH bucket ids of a vector in one fused loop (see
+    * [[HyperplaneBuckets]]): returns array<int> of length
+    * planes.length / bitsPerTable; pair with posexplode to get
+    * (table, bucket) rows. */
+  def hyperplaneBuckets(v: Column, planes: Seq[Seq[Double]],
+      bitsPerTable: Int): Column =
+    ColumnBridge.column(
+      HyperplaneBuckets(ColumnBridge.expression(v), planes, bitsPerTable))
+
   /** Cosine similarity via [[dot]]; norms computed inline. Prefer
     * precomputing norms once per side when a side is reused (see
     * Similarity.withNorm). */

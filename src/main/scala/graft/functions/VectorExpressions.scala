@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native codegen'd dot product of two numeric arrays.
@@ -97,4 +97,117 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** All random-hyperplane LSH bucket ids of a vector in ONE fused codegen
+  * loop: output[t] = sum over p of (dot(v, plane[t*bits+p]) > 0) << p.
+  *
+  * Why not compose [[DotProduct]] per plane: 18x12 planes as separate
+  * column expressions embed 216 64-element array literals into every
+  * stage that references the projection — the generated Java source
+  * balloons past 200 KB and Janino compilation (per stage, per cold run)
+  * costs seconds of driver time, dwarfing the arithmetic. Here the plane
+  * matrix rides along as one referenced `double[][]` constant object and
+  * the generated code is a three-line nested loop, identical arithmetic,
+  * sign-exact with the per-plane `when(dot > 0, 1 << p)` formulation.
+  *
+  * Null/shape semantics: a null or length-mismatched input vector (or a
+  * null element) yields NULL — the row drops out of candidate
+  * generation, exactly like the dot-based formulation dropped it from
+  * every bucket.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Double]],
+    bitsPerTable: Int) extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.length % bitsPerTable == 0,
+    s"planes (${planes.length}) must be a multiple of bitsPerTable ($bitsPerTable)")
+  private val numTables = planes.length / bitsPerTable
+  private val dim = planes.head.length
+
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_buckets expects array<float|double>, got $t")
+  }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val f = isFloat
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < bitsPerTable) {
+        val plane = planesArr(t * bitsPerTable + p)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          if (v.isNullAt(i)) return null
+          acc += (if (f) v.getFloat(i).toDouble else v.getDouble(i)) * plane(i)
+          i += 1
+        }
+        if (acc > 0.0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planesArr, "double[][]")
+    val getter =
+      if (isFloat) (v: String, i: String) => s"((double) $v.getFloat($i))"
+      else (v: String, i: String) => s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      val plane = ctx.freshName("plane")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$numTables];
+         |  for (int $t = 0; $t < $numTables && !${ev.isNull}; $t++) {
+         |    int $bucket = 0;
+         |    for (int $p = 0; $p < $bitsPerTable; $p++) {
+         |      double[] $plane = $planesRef[$t * $bitsPerTable + $p];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |        $acc += ${getter(v, i)} * $plane[$i];
+         |      }
+         |      if (${ev.isNull}) break;
+         |      if ($acc > 0.0) $bucket |= (1 << $p);
+         |    }
+         |    $out[$t] = $bucket;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

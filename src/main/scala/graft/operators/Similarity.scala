@@ -146,24 +146,26 @@ object Similarity {
   def q26EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = dupCorpus(spark, sfDir)
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-      .cache() // consumed by the bucket projection and both verify sides
 
-    val planesCol = typedlit(dupPlanes.map(_.toSeq).toSeq)
-    val buckets = (0 until DupTables).map { t =>
-      val bits = (0 until DupBits).map { p =>
-        val d = dot(col("emb"), col("planes").getItem(t * DupBits + p))
-        when(d > lit(0.0), lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bits.as("bucket"))
-    }
-    // Single cache (the corpus + norms): the self-join recomputes the
-    // 216-dot bucket projection on each side from the cached corpus
-    // instead of pinning a second, 18x-exploded dataset in memory — the
-    // recompute is cheaper at scale than holding 18 rows per vector
-    // resident across the whole session.
-    val banded = corpus.withColumn("planes", planesCol)
-      .withColumn("tb", explode(array(buckets: _*)))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // All 18 bucket ids in ONE fused codegen loop (HyperplaneBuckets):
+    // composing 216 per-plane dot expressions instead would embed 216
+    // 64-double literals into the generated Java of every stage that
+    // references this projection — seconds of Janino compile time per
+    // cold run for identical arithmetic.
+    //
+    // Single cache, placed on the EXPENSIVE-to-compute, CHEAP-to-hold
+    // side: banded rows are 3 longs (~24 B) each, so both sides of the
+    // self-join read them from memory. The corpus (wide embedding
+    // arrays, trivial recompute from the scan) is deliberately NOT
+    // cached — re-deriving it for the two verify sides re-reads a
+    // column-pruned parquet scan instead of pinning every vector in
+    // executor memory for the session.
+    val banded = corpus
+      .select(col("vec_id"), posexplode(
+        graft.functions.GraftFunctions.hyperplaneBuckets(
+          col("emb"), dupPlanes.map(_.toSeq).toSeq, DupBits)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+      .cache()
 
     val l = banded.as("l"); val r = banded.as("r")
     val cands = l.join(r,
@@ -218,22 +220,14 @@ object Similarity {
     Array.fill(Tables_ * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
-  private def bucketed(e: DataFrame): DataFrame = {
-    val planesCol = typedlit(planes.map(_.toSeq).toSeq)
-    // bucket_t = sum over bits of sign(dot(emb, plane[t*8+p])) << p
-    val withPlanes = e.withColumn("planes", planesCol)
-    val buckets = (0 until Tables_).map { t =>
-      val bits = (0 until BitsPerTable).map { p =>
-        val d = dot(col("embedding"), col("planes").getItem(t * BitsPerTable + p))
-        when(d > lit(0.0), lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bits.as("bucket"))
-    }
-    withPlanes
-      .withColumn("tb", explode(array(buckets: _*)))
+  private def bucketed(e: DataFrame): DataFrame =
+    // bucket_t = sum over bits of sign(dot(emb, plane[t*8+p])) << p — all
+    // tables in one fused codegen loop (see q26's HyperplaneBuckets note).
+    e.select(col("vec_id"), col("embedding"), col("norm"), posexplode(
+        graft.functions.GraftFunctions.hyperplaneBuckets(
+          col("embedding"), planes.map(_.toSeq).toSeq, BitsPerTable)))
       .select(col("vec_id"), col("embedding"), col("norm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-  }
+        col("pos").as("tbl"), col("col").as("bucket"))
 
   // ---------------------------------------------------------------------
   // q30 — IVF (inverted-file) ANN: the other classic scale path.

@@ -70,4 +70,36 @@ class VectorSpec extends SparkSpec {
       .select(cosine(col("embedding"), col("embedding")).as("c")).collect()
     rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("hyperplaneBuckets equals the per-plane when(dot > 0) formulation") {
+    import graft.functions.GraftFunctions.hyperplaneBuckets
+    val tables = 6; val bits = 5; val dim = 64
+    val rnd = new scala.util.Random(99)
+    val planes = Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val perPlane = (0 until tables).map { t =>
+      (0 until bits).map { p =>
+        when(dot(col("embedding"), typedlit(planes(t * bits + p))) > lit(0.0),
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val rows = Tables.embeddings(spark, sf).limit(50)
+      .select(
+        hyperplaneBuckets(col("embedding"), planes, bits).as("fused"),
+        array(perPlane: _*).as("reference"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+      assert(r.getSeq[Int](0).length === tables)
+    }
+  }
+
+  test("hyperplaneBuckets yields NULL on dimension mismatch") {
+    import graft.functions.GraftFunctions.hyperplaneBuckets
+    val planes = Seq.fill(4)(Seq.fill(3)(1.0))
+    val rows = Tables.embeddings(spark, sf).limit(1)
+      .select(hyperplaneBuckets(col("embedding"), planes, 2).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.isNullAt(0)))
+  }
 }
