@@ -56,4 +56,14 @@ object Kafka {
 
   def sinkOptions(bootstrap: String, topic: String): Map[String, String] =
     Map("kafka.bootstrap.servers" -> bootstrap, "topic" -> topic)
+
+  /** `KafkaOutputFormat` analog: wires the sink options + checkpoint onto
+    * a streaming writer (`connector-kafka/src/sink/output_format.rs`).
+    * The input must carry a `value` column (binary/string), optionally
+    * `key`/`topic`/`partition` — Spark's kafka sink contract. */
+  def write(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("kafka")
+      .options(sinkOptions(bootstrap, topic))
+      .option("checkpointLocation", checkpoint)
 }

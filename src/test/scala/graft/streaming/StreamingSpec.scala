@@ -508,6 +508,21 @@ class StreamingSpec extends SparkSpec {
   // DATA_SOURCE_NOT_FOUND for "kafka" (proving our builder executed all
   // the way into the source lookup, with no earlier error in our code).
   // -------------------------------------------------------------------
+  test("K2 Kafka.write reaches sink resolution (value-column contract wired)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Fixtures.Model]
+    val ckpt = java.nio.file.Files.createTempDirectory("k2_ckpt").toString
+    val writer = Kafka.write(
+      src.toDF().selectExpr("CAST(value AS STRING) AS value"),
+      "broker:9092", "t", ckpt)
+    scala.util.Try(writer.start()) match {
+      case scala.util.Success(q) => q.stop() // connector present: sink resolved
+      case scala.util.Failure(e) =>
+        assert(e.getMessage.toLowerCase.contains("kafka"),
+          s"must fail at kafka sink resolution, not earlier: $e")
+    }
+  }
+
   test("S4 Kafka.read reaches source resolution for all three offset modes") {
     val modes: Seq[Kafka.OffsetRange] = Seq(
       Kafka.FromCheckpoint("earliest"),
