@@ -53,14 +53,17 @@ object Bench {
 
     val nEvents = Tables.events(spark, sfDir).count()
 
-    // Streaming paths: cap state partitions at 16. Stateful queries pay a
-    // per-partition state-store commit every micro-batch; with ~300k
-    // window-state rows, 32 partitions of ~10k rows are commit-dominated
-    // while 16 still saturate the cores (measured ~20% faster). On a real
-    // cluster this is the `shuffle.partitions`-vs-state-store sizing
-    // tradeoff — partitions sized to state volume, not core count.
+    // Streaming paths: cap state partitions at 8. Stateful queries pay a
+    // per-partition state-store commit every micro-batch; at this state
+    // volume (~30k window-state groups) the sweep measured 3.4/3.8/4.4/
+    // 6.0 s ingest at 4/8/16/32 partitions (HDFS-backed store; RocksDB
+    // 4x worse here — its per-query instance setup dominates at this
+    // scale). 8 keeps ~4k state rows per partition while staying wide
+    // enough to not serialize the map side. On a real cluster this is
+    // the `shuffle.partitions`-vs-state-store sizing tradeoff —
+    // partitions sized to state volume, not core count.
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(16, cpus.toInt).toString)
+      math.min(8, cpus.toInt).toString)
 
     // Parity path (file-stream source end to end — no driver in the data
     // path; includes the final result sort).

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bucketing, Relational, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Dedup, Relational, Similarity, TextAnalysis}
 
 /** Plan-shape assertions — the 100 TB readiness gates: filters/projections
   * reach the parquet scan, small dims broadcast, aggregates are partial
@@ -56,6 +56,21 @@ class PlanSpec extends SparkSpec {
       "LSH dedup must never materialize the all-pairs cross product")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "candidate generation and verify must stay equi-key hash joins")
+  }
+
+  test("q30: IVF probe is an equi-join on cell with broadcast probes — no cross product") {
+    val plan = finalPlan(Similarity.q30AnnIvf(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the small probe side must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the cell equi-join, never a cross product")
+  }
+
+  test("q20: MinHash candidate generation never materializes a cross product") {
+    val plan = finalPlan(Dedup.q20MinHashDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q35: bucketed join runs with no exchange on either side") {
