@@ -49,6 +49,23 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"graft_pct_result expects 2 arguments, got ${args.length}")
         PercentileResult(args(0), args(1), GraftFunctions.leveldbScale90.toSeq)
+      }),
+    (FunctionIdentifier("graft_hyperplane_buckets"),
+      info("graft_hyperplane_buckets",
+        "graft_hyperplane_buckets(v, planes, bits) - all LSH bucket ids of vector v; " +
+          "planes is a CONSTANT array<array<double>> (tables*bits hyperplanes), " +
+          "output array<int> of length planes/bits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_hyperplane_buckets expects 3 arguments, got ${args.length}")
+        require(args(1).foldable && args(2).foldable,
+          "planes and bits must be constants")
+        val ad = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val planes = (0 until ad.numElements())
+          .map(i => ad.getArray(i).toDoubleArray().toSeq)
+        HyperplaneBuckets(args(0), planes,
+          args(2).eval().asInstanceOf[Number].intValue())
       }))
 
   /** Install on a live session: expressions into the function registry,

@@ -12,7 +12,27 @@ class GraftSqlSpec extends SparkSpec {
   test("GraftExtensions applies cleanly to a SparkSessionExtensions") {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.expressions.map(_._1.funcName) ==
-      Seq("graft_dot", "graft_pct_result"))
+      Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets"))
+  }
+
+  test("graft_hyperplane_buckets in SQL equals the Column API") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_hb_v")
+    val planes = Seq.tabulate(4, 64)((p, i) => if (i % (p + 2) == 0) 1.0 else -0.5)
+    val planesSql = planes
+      .map(_.map(d => s"${d}D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val viaSql = spark.sql(
+      s"""SELECT vec_id, graft_hyperplane_buckets(embedding, $planesSql, 2) AS b
+         |FROM emb_hb_v ORDER BY vec_id LIMIT 20""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    val viaCol = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        GraftFunctions.hyperplaneBuckets(col("embedding"), planes, 2).as("b"))
+      .orderBy("vec_id").limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.forall(_._2.length == 2))
   }
 
   test("graft_dot in SQL equals the Column API dot") {
