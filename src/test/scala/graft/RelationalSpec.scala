@@ -64,6 +64,23 @@ class RelationalSpec extends SparkSpec {
     assert(all.getAs[Long]("cnt") === nEvents)
   }
 
+  test("results are partitioning-invariant: q01/q07/q37 identical at width 3 and 8") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      graft.operators.Relational.q01SlidingWindowAgg(spark, sf).collect().toSeq,
+      graft.operators.Percentiles.q07PctHistogram(spark, sf).collect().toSeq,
+      graft.operators.TextAnalysis.q37TfIdf(spark, sf).collect().toSeq)
+    val atDefault = runAll()
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val atThree = runAll()
+      // decimal sums, histogram merges, and rounded tf-idf ranking must
+      // not depend on partition count / merge order (the 1000-executor
+      // determinism property dsum exists for)
+      assert(atDefault === atThree)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("q34 approx distinct is within 5% of exact countDistinct") {
     val approx = Relational.q34ApproxDistinct(spark, sf)
       .select("event_type", "approx_users").collect()

@@ -12,4 +12,92 @@ class ParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  /** Bounded replay across MULTIPLE micro-batches: events split into 4
+    * time-range files consumed one per trigger (the reference's
+    * offset-ordered bounded replay), watermark advancing between batches
+    * and emitting windows incrementally — final result must still equal
+    * the batch flagship. Exercises cross-batch watermark progression,
+    * which the single-batch q25 gate does not. */
+  test("multi-batch time-ordered file replay equals batch q01") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val schema = raw.schema
+    val (minTs, maxTs) = {
+      val r = raw.agg(min("ts"), max("ts")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val dir = Files.createTempDirectory("q25_multi")
+    val span = maxTs - minTs + 1
+    val nFiles = 4
+    for (i <- 0 until nFiles) {
+      val lo = minTs + span * i / nFiles
+      val hi = minTs + span * (i + 1) / nFiles
+      val part = raw.filter(col("ts") >= lo && col("ts") < hi)
+      val tmp = Files.createTempDirectory(s"q25_multi_part$i")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.list(tmp).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        val dst = dir.resolve(f"f$i%02d.parquet")
+        Files.copy(p, dst)
+        // one file per trigger, consumed oldest-first: pin the order
+        dst.toFile.setLastModified(1000000000000L + i * 10000L)
+      }
+    }
+
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("event_type"))
+      .agg(
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double").as("sum_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        count(lit(1)).as("cnt"))
+    val query = agg.writeStream.outputMode("append")
+      .format("memory").queryName("q25_multi").start()
+    val emittedAfterData: Long =
+      try {
+        query.processAllAvailable()
+        val n = spark.table("q25_multi").count()
+        // flush remaining windows: sentinel file 1h past the end
+        val sentinelVals = schema.fields.map { f =>
+          f.name match {
+            case "ts"         => maxTs + 3600L * 1000 * 1000 * 1000
+            case "event_type" => "zzz_sentinel"
+            case "value"      => 0.0
+            case _            => null
+          }
+        }
+        val tmp = Files.createTempDirectory("q25_multi_sent")
+        spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(sentinelVals: _*)), schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        Files.list(tmp).filter(_.toString.endsWith(".parquet")).forEach { p =>
+          val dst = dir.resolve("zz_sentinel.parquet")
+          Files.copy(p, dst)
+          dst.toFile.setLastModified(1000000000000L + nFiles * 10000L)
+        }
+        query.processAllAvailable()
+        n
+      } finally query.stop()
+
+    val streamed = spark.table("q25_multi")
+      .filter(col("event_type") =!= "zzz_sentinel")
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("sum_value"), col("max_value"),
+        col("min_value"), col("cnt"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = graft.operators.Relational.q01SlidingWindowAgg(spark, sf)
+      .collect().toSeq
+    assert(streamed === batch)
+    // watermark progression emitted windows INCREMENTALLY: most of the
+    // result must have been appended before the sentinel flush
+    assert(emittedAfterData > batch.size / 2,
+      s"expected incremental emission, got $emittedAfterData of ${batch.size} pre-flush")
+  }
 }
