@@ -54,6 +54,32 @@ object Kafka {
     spark.readStream.format("kafka")
       .options(sourceOptions(bootstrap, topic, range)).load()
 
+  /** Multi-topic bounded replay ≙ the reference's multi-topic offset maps
+    * (`offset_range.rs` `properties_convert_test`: topic -> [(partition,
+    * offset)]). Subscribes all topics; per-topic-partition start/end
+    * offsets in one JSON document each. */
+  def sourceOptionsMulti(bootstrap: String,
+      begin: Map[String, Map[Int, Long]],
+      end: Option[Map[String, Map[Int, Long]]]): Map[String, String] = {
+    def json(m: Map[String, Map[Int, Long]]): String =
+      m.toSeq.sortBy(_._1).map { case (t, pm) =>
+        pm.toSeq.sortBy(_._1)
+          .map { case (p, o) => s""""$p": $o""" }
+          .mkString(s""""$t": {""", ", ", "}")
+      }.mkString("{", ", ", "}")
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> begin.keys.toSeq.sorted.mkString(","),
+      "startingOffsets" -> json(begin)) ++
+      end.map(e => "endingOffsets" -> json(e))
+  }
+
+  def readMulti(spark: SparkSession, bootstrap: String,
+      begin: Map[String, Map[Int, Long]],
+      end: Option[Map[String, Map[Int, Long]]]): DataFrame =
+    spark.readStream.format("kafka")
+      .options(sourceOptionsMulti(bootstrap, begin, end)).load()
+
   def sinkOptions(bootstrap: String, topic: String): Map[String, String] =
     Map("kafka.bootstrap.servers" -> bootstrap, "topic" -> topic)
 

@@ -333,6 +333,25 @@ class StreamingSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // Reference unit-test parity (`functions/window/mod.rs`
+  // window_assigner_test): a 24h tumbling window with an 8h BACK offset —
+  // daily windows aligned to UTC+8 midnight.
+  // -------------------------------------------------------------------
+  test("reference window_assigner_test parity: 24h window, 8h back offset") {
+    val w = SlidingEventTimeWindows(
+      Time.minutes(24 * 60), Time.minutes(24 * 60), Time(-8L * 3600 * 1000))
+    assert(w.normalizedOffset.ms === 16L * 3600 * 1000)
+    // 2020-03-11T01:00:00Z falls in the daily window that started at
+    // 2020-03-10T16:00:00Z (= 2020-03-11T00:00 UTC+8)
+    val ws = env.fromDataFrame(
+        Seq((1583888400000L, "k", 1L)).toDF("timestamp", "name", "value"))
+      .assignTimestampsAndWatermarks("timestamp", Time.seconds(1))
+      .keyBy("name").window(w).reduce(Agg.Count())
+      .df.select(col("window.start").cast("long")).head().getLong(0)
+    assert(ws === 1583856000L)
+  }
+
+  // -------------------------------------------------------------------
   // E5 — idleness watermarks: an idle source must not gate the global
   // watermark (reference watermarks_with_idleness.rs:13-90).
   // -------------------------------------------------------------------
@@ -495,6 +514,23 @@ class StreamingSpec extends SparkSpec {
   test("Kafka FromCheckpoint falls back to cold-start offsets") {
     val opts = Kafka.sourceOptions("b:9092", "t", Kafka.FromCheckpoint("earliest"))
     assert(opts("startingOffsets") === "earliest")
+  }
+
+  test("Kafka multi-topic offsets mirror the reference properties_convert_test") {
+    // offset_range.rs test values: begin 121/71/78, end 137/84/94 on both
+    // topic-0 and topic-1
+    val begin = Map(
+      "topic-0" -> Map(0 -> 121L, 1 -> 71L, 2 -> 78L),
+      "topic-1" -> Map(0 -> 121L, 1 -> 71L, 2 -> 78L))
+    val end = Map(
+      "topic-0" -> Map(0 -> 137L, 1 -> 84L, 2 -> 94L),
+      "topic-1" -> Map(0 -> 137L, 1 -> 84L, 2 -> 94L))
+    val opts = Kafka.sourceOptionsMulti("b:9092", begin, Some(end))
+    assert(opts("subscribe") === "topic-0,topic-1")
+    assert(opts("startingOffsets") ===
+      """{"topic-0": {"0": 121, "1": 71, "2": 78}, "topic-1": {"0": 121, "1": 71, "2": 78}}""")
+    assert(opts("endingOffsets") ===
+      """{"topic-0": {"0": 137, "1": 84, "2": 94}, "topic-1": {"0": 137, "1": 84, "2": 94}}""")
   }
 
   // -------------------------------------------------------------------
