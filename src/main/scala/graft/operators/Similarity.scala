@@ -205,7 +205,7 @@ object Similarity {
 
   // ---------------------------------------------------------------------
   // q23 — LSH-bucketed ANN (rows-only check; recall vs q22 covered by
-  // SimilaritySpec).
+  // TrainingDataSpec).
   // ---------------------------------------------------------------------
   // 8 tables x 4 bits: for a neighbor at angle θ the per-table collision
   // probability is (1-θ/π)^4; union over 8 tables gives recall ≈ 0.8+ for
