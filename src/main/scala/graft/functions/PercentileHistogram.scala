@@ -188,6 +188,12 @@ object GraftFunctions {
     ColumnBridge.column(
       HyperplaneBuckets(ColumnBridge.expression(v), planes, bitsPerTable))
 
+  /** Rabin-Karp code-point fingerprint (see [[RollingHash]]):
+    * (h*31 + codepoint) mod 1e9+7, matching DuckDB's code-point `ascii`
+    * semantics on all inputs including surrogate pairs. */
+  def rollingHash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
   /** Cosine similarity via [[dot]]; norms computed inline. Prefer
     * precomputing norms once per side when a side is reused (see
     * Similarity.withNorm). */

@@ -239,25 +239,19 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------------
   // q33 — rolling-hash fingerprint (Rabin-Karp polynomial hash over the
-  // character stream, mod 1e9+7 so every intermediate fits in i64 in both
-  // engines): the incremental-fingerprint complement to q19's md5. The
-  // fold is a codegen'd higher-order aggregate — per-row, no shuffle.
-  //
-  // Unicode scope: split('')/ascii() iterate UTF-16 code units in Spark
-  // but code points in DuckDB, so the two diverge on supplementary-plane
-  // characters (surrogate pairs: emoji, rare CJK). The documents corpus
-  // is BMP-only, where the encodings agree; a full code-point fold would
-  // swap in a per-code-point transform at ~2x the cost for parity nobody
-  // needs on this data.
+  // code-point stream, mod 1e9+7 so every intermediate fits in i64 in
+  // both engines): the incremental-fingerprint complement to q19's md5.
+  // One fused codegen loop per row (graft.functions.RollingHash), no
+  // shuffle; iterates true code points, so it matches DuckDB's
+  // code-point `ascii` semantics on every input INCLUDING
+  // supplementary-plane characters (the HOF formulation it replaced
+  // walked UTF-16 code units and was ~10x slower through boxed
+  // per-character lambdas).
   // ---------------------------------------------------------------------
   def q33RollingHash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  transform(filter(split(text, ''), c -> c != ''),
-          |            c -> CAST(ascii(c) AS BIGINT)),
-          |  CAST(0 AS BIGINT),
-          |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin).as("rhash"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rollingHash(col("text")).as("rhash"))
       .orderBy("doc_id")
 
   val q33Sql: String =

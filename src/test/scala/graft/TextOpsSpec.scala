@@ -32,15 +32,36 @@ class TextOpsSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
       .toDF("doc_id", "text")
-    df.createOrReplaceTempView("rh_docs")
-    val h = df.select(col("doc_id"), expr(
-      """aggregate(
-        |  transform(filter(split(text, ''), c -> c != ''),
-        |            c -> CAST(ascii(c) AS BIGINT)),
-        |  CAST(0 AS BIGINT),
-        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin).as("h"))
+    val h = df
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rollingHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(1L) == h(2L))
     assert(h(1L) != h(3L))
+  }
+
+  test("RollingHash equals the HOF ascii-fold it replaced on the BMP corpus") {
+    val rows = Tables.documents(spark, sf)
+      .select(
+        graft.functions.GraftFunctions.rollingHash(col("text")).as("native"),
+        expr("""aggregate(
+               |  transform(filter(split(text, ''), c -> c != ''),
+               |            c -> CAST(ascii(c) AS BIGINT)),
+               |  CAST(0 AS BIGINT),
+               |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("RollingHash folds CODE POINTS: surrogate pairs hash as one value") {
+    import spark.implicits._
+    // "a😀": code points 97, 128512 -> h = (97*31 + 128512) mod 1e9+7
+    val h = Seq("a😀").toDF("text")
+      .select(graft.functions.GraftFunctions.rollingHash(col("text")))
+      .head().getLong(0)
+    assert(h === (97L * 31 + 128512) % 1000000007L)
+    // the UTF-16 code-unit fold would instead see 97, 0xD83D, 0xDE00
+    assert(h !== ((97L * 31 + 0xD83DL) % 1000000007L * 31 + 0xDE00L) % 1000000007L)
   }
 }
