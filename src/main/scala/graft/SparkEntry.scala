@@ -57,6 +57,7 @@ object SparkEntry {
     "q36_hash_split"          -> (TextAnalysis.q36HashSplit _),
     "q37_tfidf"               -> (TextAnalysis.q37TfIdf _),
     "q38_repetition"          -> (TextAnalysis.q38Repetition _),
+    "q39_frame_sample"        -> (Multimodal.q39FrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +106,6 @@ object SparkEntry {
     "q36_hash_split"          -> TextAnalysis.q36Sql,
     "q37_tfidf"               -> TextAnalysis.q37Sql,
     "q38_repetition"          -> TextAnalysis.q38Sql,
+    "q39_frame_sample"        -> Multimodal.q39Sql,
   )
 }

@@ -59,4 +59,52 @@ object Multimodal {
       |       substr(hex(encode(text)), 1, 16) AS header_hex
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q39 — frame sampling + resize planning: every SampleStep-th frame of
+  // each media payload becomes its own row with its timestamp and the
+  // post-resize dimensions.
+  //
+  // Ordering matters at 100 TB: sampling happens BEFORE decode — the
+  // sampled (doc, frame_idx) plan is a pure codegen'd projection over
+  // metadata (explode of a sequence), and only the sampled frames would
+  // ever reach the per-partition decoder (the q24 mapPartitions shape).
+  // Decoding everything and then discarding 4/5 of it would quintuple
+  // the most expensive stage of a real video pipeline. The per-frame
+  // "feature" is the same deterministic stub arithmetic q24 uses
+  // (oracle-checkable; swap for the real extractor output downstream).
+  // ---------------------------------------------------------------------
+  private val SampleStep = 5
+  private val FrameMs    = 100 // stub: 10 fps
+
+  def q39FrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).as("n_bytes"))
+      .select(col("doc_id"),
+        (col("n_bytes") % 64 + 1).as("width"),
+        (col("n_bytes") / 64 + 1).cast("int").as("height"),
+        (col("n_bytes") / 100 + 1).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        (col("width") / 2 + 1).cast("int").as("out_w"),
+        (col("height") / 2 + 1).cast("int").as("out_h"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(SampleStep)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * FrameMs).cast("long").as("ts_ms"),
+        col("out_w"), col("out_h"),
+        ((col("doc_id") * 31 + col("frame_idx")) % 1000000007L).as("feat"))
+      .orderBy("doc_id", "frame_idx")
+
+  val q39Sql: String =
+    s"""SELECT doc_id,
+       |       CAST(frame_idx AS INTEGER) AS frame_idx,
+       |       CAST(frame_idx * $FrameMs AS BIGINT) AS ts_ms,
+       |       CAST((n_bytes % 64 + 1) // 2 + 1 AS INTEGER) AS out_w,
+       |       CAST((n_bytes // 64 + 1) // 2 + 1 AS INTEGER) AS out_h,
+       |       (doc_id * 31 + frame_idx) % 1000000007 AS feat
+       |FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       |             unnest(range(0, octet_length(encode(text)) // 100 + 1, $SampleStep)) AS frame_idx
+       |      FROM documents)
+       |ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -107,4 +107,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(df.filter(col("width") =!= col("n_bytes") % 64 + 1).count() === 0)
     assert(df.filter(length(col("header_hex")) =!= 16).count() === 0)
   }
+
+  test("q39 frame sampling: every 5th frame, timestamps and resize dims consistent") {
+    val meta = Multimodal.q24MultimodalStub(spark, sf)
+      .select(col("doc_id"), col("n_frames"), col("width"), col("height"))
+    val frames = Multimodal.q39FrameSample(spark, sf)
+    // sampled index set is exactly {0, 5, 10, ...} < n_frames per doc
+    val bad = frames.join(meta, "doc_id").filter(
+      col("frame_idx") % 5 =!= 0 ||
+        col("frame_idx") >= col("n_frames") ||
+        col("ts_ms") =!= col("frame_idx") * 100L ||
+        col("out_w") =!= expr("CAST(width / 2 + 1 AS INT)") ||
+        col("out_h") =!= expr("CAST(height / 2 + 1 AS INT)"))
+    assert(bad.count() === 0)
+    val perDoc = frames.groupBy("doc_id").count()
+      .join(meta, "doc_id")
+      .filter(col("count") =!= expr("CAST((n_frames - 1) / 5 AS INT) + 1"))
+    assert(perDoc.count() === 0)
+    assert(frames.count() > 500) // multiple sampled frames per document
+  }
 }
