@@ -35,7 +35,8 @@ object GraftExtensions {
   private type Builder = Seq[Expression] => Expression
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions.GraftExtensions", null, name, usage, "")
+    new ExpressionInfo("graft.functions.GraftExtensions", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val expressions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_dot"),

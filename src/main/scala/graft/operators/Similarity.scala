@@ -134,7 +134,7 @@ object Similarity {
     val base = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val idOff: Long = base.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val idOff: Long = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
     base.unionAll(
       base.select((col("vec_id") + idOff).as("vec_id"),
         expr("""transform(sequence(1, size(emb)),

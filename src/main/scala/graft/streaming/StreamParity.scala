@@ -41,7 +41,7 @@ object StreamParity {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val schema = raw.schema
-    val maxTsNanos = raw.agg(max("ts")).head.getLong(0)
+    val maxTsNanos = raw.agg(max("ts")).head().getLong(0)
 
     // Stream directory: symlink the real table + write the sentinel file.
     val dir = Files.createTempDirectory("q25_parity")
@@ -57,7 +57,7 @@ object StreamParity {
     }
     val sentinelDir = Files.createTempDirectory("q25_sentinel")
     spark.createDataFrame(
-        java.util.Arrays.asList(Row(sentinelVals: _*)), schema)
+        java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
     Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
       .forEach(p => Files.copy(p, dir.resolve("zz_sentinel.parquet")))
