@@ -84,7 +84,7 @@ object SparkEntry {
     "q19_fingerprint"         -> TextAnalysis.q19Sql,
     "q20_minhash_dedup"       -> Dedup.q20Sql,
     // q21_simhash_dedup: no oracle — xxhash64 has no DuckDB equivalent;
-    // covered by DedupSpec (rows-only check driver-side).
+    // covered by TrainingDataSpec (rows-only check driver-side).
     "q22_ann_brute_force"     -> Similarity.q22Sql,
     // q23_ann_lsh: no oracle — recall vs q22 covered by SimilaritySpec.
     "q24_multimodal_stub"     -> Multimodal.q24Sql,

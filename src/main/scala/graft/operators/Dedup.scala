@@ -119,7 +119,7 @@ object Dedup {
   // bit votes; pairs within Hamming distance <= 3 found via 4x16-bit
   // pigeonhole bands (ham <= 3 => at least one band identical).
   // No SQL oracle (xxhash64 doesn't exist in DuckDB) — covered by
-  // DedupSpec instead; the driver records a rows-only check.
+  // TrainingDataSpec instead; the driver records a rows-only check.
   // ---------------------------------------------------------------------
   private val HamMax = 3
   private val SimBands = 4 // 4 x 16-bit bands; pigeonhole for ham <= 3
