@@ -86,7 +86,7 @@ object SparkEntry {
     // q21_simhash_dedup: no oracle — xxhash64 has no DuckDB equivalent;
     // covered by TrainingDataSpec (rows-only check driver-side).
     "q22_ann_brute_force"     -> Similarity.q22Sql,
-    // q23_ann_lsh: no oracle — recall vs q22 covered by SimilaritySpec.
+    // q23_ann_lsh: no oracle — recall vs q22 covered by TrainingDataSpec.
     "q24_multimodal_stub"     -> Multimodal.q24Sql,
     // q25 runs the SAME aggregation through the real streaming engine —
     // its oracle is the batch flagship's oracle.
