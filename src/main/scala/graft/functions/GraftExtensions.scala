@@ -67,6 +67,14 @@ object GraftExtensions {
           .map(i => ad.getArray(i).toDoubleArray().toSeq)
         HyperplaneBuckets(args(0), planes,
           args(2).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier("graft_rolling_hash"),
+      info("graft_rolling_hash",
+        "graft_rolling_hash(text) - Rabin-Karp code-point fingerprint, (h*31 + cp) mod 1e9+7"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_rolling_hash expects 1 argument, got ${args.length}")
+        RollingHash(args(0))
       }))
 
   /** Install on a live session: expressions into the function registry,

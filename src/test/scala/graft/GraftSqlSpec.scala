@@ -12,7 +12,21 @@ class GraftSqlSpec extends SparkSpec {
   test("GraftExtensions applies cleanly to a SparkSessionExtensions") {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.expressions.map(_._1.funcName) ==
-      Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets"))
+      Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets",
+        "graft_rolling_hash"))
+  }
+
+  test("graft_rolling_hash in SQL equals the Column API") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_rh_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_rolling_hash(text) AS h FROM docs_rh_v ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaCol = Tables.documents(spark, sf)
+      .select(col("doc_id"), GraftFunctions.rollingHash(col("text")).as("h"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
   test("graft_hyperplane_buckets in SQL equals the Column API") {
