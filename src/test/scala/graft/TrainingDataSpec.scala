@@ -90,7 +90,7 @@ class TrainingDataSpec extends SparkSpec {
     assert(df.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
-  test("q23 LSH ANN: recall@10 against brute force is useful (> 0.4)") {
+  test("q23 LSH ANN: recall@10 against brute force stays above 0.55") {
     import spark.implicits._
     val exact = Similarity.q22AnnBruteForce(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -98,7 +98,7 @@ class TrainingDataSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"LSH recall@10 = $recall")
-    assert(recall > 0.4)
+    assert(recall > 0.55) // 0.64 measured; deterministic planes, so this is regression margin
   }
 
   test("q24 multimodal stub: metadata derives from byte length; plumbing is typed") {
