@@ -188,6 +188,15 @@ object GraftFunctions {
     ColumnBridge.column(
       HyperplaneBuckets(ColumnBridge.expression(v), planes, bitsPerTable))
 
+  /** Query-directed multiprobe LSH buckets (see
+    * [[HyperplaneBucketProbes]]): flat array<int> of numTables*numProbes
+    * bucket ids — base bucket first per table, then perturbations of the
+    * lowest-|dot| bits. Query-side companion of [[hyperplaneBuckets]]. */
+  def hyperplaneBucketProbes(v: Column, planes: Seq[Seq[Double]],
+      bitsPerTable: Int, numProbes: Int): Column =
+    ColumnBridge.column(HyperplaneBucketProbes(
+      ColumnBridge.expression(v), planes, bitsPerTable, numProbes))
+
   /** Rabin-Karp code-point fingerprint (see [[RollingHash]]):
     * (h*31 + codepoint) mod 1e9+7, matching DuckDB's code-point `ascii`
     * semantics on all inputs including surrogate pairs. */

@@ -212,6 +212,144 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Query-directed multiprobe LSH buckets (Qin et al., VLDB 2007, the
+  * standard trick for raising hyperplane-LSH recall without adding
+  * tables): for each table emit the base bucket PLUS `numProbes - 1`
+  * perturbed buckets, flipping the sign bits whose hyperplane dot
+  * products have the smallest |dot| — precisely the bits most likely to
+  * disagree with a true neighbor's signature. Perturbation sets are all
+  * single bits and bit pairs, ranked ascending by |dot| (resp. |dot_i| +
+  * |dot_j|); ties break on generation order, so the probe sequence is a
+  * pure deterministic function of the vector.
+  *
+  * Output is a flat array<int> of numTables * numProbes bucket ids —
+  * entry t*numProbes + j is probe j of table t; consumers posexplode and
+  * recover the table as pos / numProbes. Used on the QUERY side only:
+  * the index keeps one bucket per table ([[HyperplaneBuckets]] over the
+  * same planes), so index size is unchanged and the candidate join stays
+  * a (tbl, bucket) equi-join — probing multiplies only the tiny query
+  * side by numProbes, never the corpus.
+  *
+  * Eval and codegen share [[HyperplaneBucketProbes.compute]] (the
+  * RollingHash one-definition-of-truth pattern): the generated code is a
+  * single static call with the plane matrix as a referenced object, so
+  * whole-stage codegen stays small no matter how many planes ride along.
+  *
+  * Null/shape semantics match [[HyperplaneBuckets]]: null or
+  * length-mismatched vectors (or a null element) yield NULL.
+  */
+case class HyperplaneBucketProbes(child: Expression, planes: Seq[Seq[Double]],
+    bitsPerTable: Int, numProbes: Int) extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.length % bitsPerTable == 0,
+    s"planes (${planes.length}) must be a multiple of bitsPerTable ($bitsPerTable)")
+  require(numProbes >= 1 &&
+      numProbes <= 1 + bitsPerTable + bitsPerTable * (bitsPerTable - 1) / 2,
+    s"numProbes ($numProbes) must be in [1, 1 + bits + bits*(bits-1)/2]")
+
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket_probes expects array<float|double>, got $t")
+  }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBucketProbes.compute(input.asInstanceOf[ArrayData], planesArr,
+      bitsPerTable, numProbes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planesArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.HyperplaneBucketProbes.compute(
+         |  $v, $planesRef, $bitsPerTable, $numProbes, $isFloat);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBucketProbes {
+
+  /** One definition of truth for interpreted eval AND codegen (called as
+    * a static forwarder from generated Java). Returns null on any
+    * shape/null violation. */
+  def compute(v: ArrayData, planes: Array[Array[Double]], bits: Int,
+      probes: Int, isFloat: Boolean): ArrayData = {
+    val dim = planes(0).length
+    if (v.numElements() != dim) return null
+    val numTables = planes.length / bits
+    val out = new Array[Int](numTables * probes)
+    val dots = new Array[Double](bits)
+    val nCand = bits + bits * (bits - 1) / 2
+    val masks  = new Array[Int](nCand)
+    val scores = new Array[Double](nCand)
+    var t = 0
+    while (t < numTables) {
+      var base = 0
+      var p = 0
+      while (p < bits) {
+        val plane = planes(t * bits + p)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          if (v.isNullAt(i)) return null
+          acc += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * plane(i)
+          i += 1
+        }
+        dots(p) = acc
+        if (acc > 0.0) base |= (1 << p)
+        p += 1
+      }
+      out(t * probes) = base
+      if (probes > 1) {
+        // Perturbation candidates: singles {a} scored |dot_a|, pairs
+        // {a,b} scored |dot_a| + |dot_b|.
+        var k = 0
+        var a = 0
+        while (a < bits) {
+          masks(k) = 1 << a; scores(k) = math.abs(dots(a)); k += 1
+          var b = a + 1
+          while (b < bits) {
+            masks(k) = (1 << a) | (1 << b)
+            scores(k) = math.abs(dots(a)) + math.abs(dots(b))
+            k += 1
+            b += 1
+          }
+          a += 1
+        }
+        // Partial selection sort: only the probes-1 smallest are needed.
+        var j = 0
+        while (j < probes - 1) {
+          var m = j
+          var c = j + 1
+          while (c < nCand) { if (scores(c) < scores(m)) m = c; c += 1 }
+          val s = scores(j); scores(j) = scores(m); scores(m) = s
+          val w = masks(j);  masks(j)  = masks(m);  masks(m)  = w
+          out(t * probes + 1 + j) = base ^ masks(j)
+          j += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Rabin-Karp rolling fingerprint over the CODE POINTS of a string:
   * h = fold(cp => (h * 31 + cp) mod 1e9+7), h0 = 0.
   *

@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
       "candidate generation and verify must stay equi-key hash joins")
   }
 
+  test("q23: multiprobe candidates come from a broadcast bucket equi-join — no cross product") {
+    val plan = finalPlan(Similarity.q23AnnLsh(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the probed query side must broadcast into a (tbl, bucket) equi-join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "multiprobe must widen the query side only, never the join shape")
+  }
+
   test("q30: IVF probe is an equi-join on cell with broadcast probes — no cross product") {
     val plan = finalPlan(Similarity.q30AnnIvf(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),

@@ -90,7 +90,7 @@ class TrainingDataSpec extends SparkSpec {
     assert(df.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
-  test("q23 LSH ANN: recall@10 against brute force stays above 0.55") {
+  test("q23 LSH ANN: recall@10 >= 0.85 and candidates stay a strict corpus subset") {
     import spark.implicits._
     val exact = Similarity.q22AnnBruteForce(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -98,7 +98,16 @@ class TrainingDataSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"LSH recall@10 = $recall")
-    assert(recall > 0.55) // 0.64 measured; deterministic planes, so this is regression margin
+    // 0.98 measured with the 8x6x7 multiprobe config; deterministic
+    // planes, so 0.85 is regression margin, not flake allowance.
+    assert(recall >= 0.85)
+    // Scored fraction: the multiprobe index must remain a real filter,
+    // never degenerate into brute force over the corpus.
+    val n = Tables.embeddings(spark, sf).count()
+    val scored = Similarity.lshCandidates(spark, sf).count()
+    val frac = scored.toDouble / (n * 5)
+    info(f"scored candidate fraction = $frac%.3f")
+    assert(frac < 0.75, "multiprobe LSH must score a strict subset of the corpus")
   }
 
   test("q24 multimodal stub: metadata derives from byte length; plumbing is typed") {
