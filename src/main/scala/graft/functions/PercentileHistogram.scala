@@ -197,6 +197,13 @@ object GraftFunctions {
     ColumnBridge.column(HyperplaneBucketProbes(
       ColumnBridge.expression(v), planes, bitsPerTable, numProbes))
 
+  /** Cosine against every centroid of a coarse quantizer in one fused
+    * loop (see [[CentroidScores]]): array<struct<s:double,c:int>> in
+    * centroid order — `array_max`/`array_sort` pick cells by score. */
+  def centroidScores(v: Column, norm: Column, cents: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CentroidScores(
+      ColumnBridge.expression(v), ColumnBridge.expression(norm), cents))
+
   /** Rabin-Karp code-point fingerprint (see [[RollingHash]]):
     * (h*31 + codepoint) mod 1e9+7, matching DuckDB's code-point `ascii`
     * semantics on all inputs including surrogate pairs. */

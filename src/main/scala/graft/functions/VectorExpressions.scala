@@ -350,6 +350,101 @@ object HyperplaneBucketProbes {
   }
 }
 
+/** Cosine of a vector against every centroid of a coarse quantizer, in
+  * ONE fused codegen loop: output[c] = struct(dot(v, cent[c]) / norm, c).
+  *
+  * The IVF operator (Similarity.q30) scores each vector against all K
+  * centroids to pick its cell(s). Composed per-centroid — K `struct(
+  * dot(emb, typedlit(cent)) / norm, i)` columns — each 64-double centroid
+  * becomes an array literal in the generated source, and K now scales
+  * with the corpus (K ≈ √n), so at any real scale the stage hits the
+  * same Janino blowup [[HyperplaneBuckets]] exists to avoid. Here the
+  * centroid matrix rides along as one referenced `double[][]` and the
+  * generated code is a static call.
+  *
+  * Bit-parity contract with the formulation it replaces: per centroid, a
+  * sequential left-to-right double fold (exactly [[DotProduct]]'s order)
+  * divided by the supplied norm column; output structs are in centroid
+  * order, so `array_max` / `array_sort` (which compare field-by-field,
+  * score first) see identical values.
+  *
+  * Null/shape semantics: null or length-mismatched vectors (or a null
+  * element, or a null norm) yield NULL — the row drops out of the index
+  * and of probing, as it did under the composed formulation.
+  */
+case class CentroidScores(vec: Expression, norm: Expression,
+    cents: Seq[Seq[Double]]) extends BinaryExpression {
+
+  require(cents.nonEmpty, "need at least one centroid")
+
+  override def left: Expression = vec
+  override def right: Expression = norm
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", DoubleType, nullable = false),
+    StructField("c", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, norm.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (vt, nt) => TypeCheckResult.TypeCheckFailure(
+      s"centroid_scores expects (array<float|double>, double), got ($vt, $nt)")
+  }
+
+  private def isFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    CentroidScores.compute(v.asInstanceOf[ArrayData],
+      n.asInstanceOf[Double], centsArr, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, n) => {
+      s"""
+         |${ev.value} = graft.functions.CentroidScores.compute(
+         |  $v, $n, $centsRef, $isFloat);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, norm = newRight)
+}
+
+object CentroidScores {
+
+  /** One definition of truth for interpreted eval AND codegen. */
+  def compute(v: ArrayData, norm: Double, cents: Array[Array[Double]],
+      isFloat: Boolean): ArrayData = {
+    val dim = cents(0).length
+    if (v.numElements() != dim) return null
+    val out = new Array[Any](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i)) return null
+        acc += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * cent(i)
+        i += 1
+      }
+      out(c) = org.apache.spark.sql.catalyst.InternalRow(acc / norm, c)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Rabin-Karp rolling fingerprint over the CODE POINTS of a string:
   * h = fold(cp => (h * 31 + cp) mod 1e9+7), h0 = 0.
   *

@@ -270,26 +270,50 @@ object Similarity {
 
   // ---------------------------------------------------------------------
   // q30 — IVF (inverted-file) ANN: the other classic scale path.
-  // A tiny coarse quantizer (K centroids trained by spherical k-means on
-  // a bounded driver-side sample — the standard "train the index" step;
-  // 16 x 64 doubles) partitions vectors into K cells by nearest centroid.
-  // Queries probe only their `nprobe` best cells, so at 100 TB the scored
-  // candidate set is ~nprobe/K of the corpus, reached via an equi-join on
-  // cell id — never a cross product. Cell assignment is a pure codegen'd
-  // projection (K dot products + argmax via array_max over (score, idx)
+  // A coarse quantizer (K centroids trained by spherical k-means on a
+  // bounded driver-side sample — the standard "train the index" step)
+  // partitions vectors into K cells by nearest centroid. Queries probe
+  // only their `nprobe` best cells, so at 100 TB the scored candidate
+  // set is ~nprobe/K of the corpus, reached via an equi-join on cell
+  // id — never a cross product. Cell assignment is one fused codegen
+  // call (CentroidScores: K cosines + array_max over (score, idx)
   // structs). Rows-only driver check; recall@10 vs brute force in
-  // SimilaritySpec (floor 0.85 at nprobe <= 6).
+  // SimilaritySpec (floor 0.85).
+  //
+  // K SCALES WITH THE CORPUS: K = max(24, ceil(sqrt(n))) — the classic
+  // IVF sizing (cells grow as sqrt(n), so cell size ALSO grows as
+  // sqrt(n) and probing nprobe cells scores ~nprobe*sqrt(n) candidates,
+  // not a fixed fraction of the corpus). A fixed K=24 scored ~43% of
+  // the corpus at test scale and would degenerate to a near-full scan
+  // at 100 TB. `n` comes from one count() — a one-row driver aggregate
+  // at index-build time, same class as the max-id scalars.
   // ---------------------------------------------------------------------
-  private val NumCells    = 24
-  private val NProbe      = 6 // probes 6/24 cells; recall@10 asserted >= 0.85
-  private val TrainSample = 4096 // ~170x NumCells — bounded regardless of SF
-  private val LloydIters  = 15
+  private val MinCells      = 24
+  private val ProbeFrac     = 0.20 // nprobe = max(6, ceil(K/5))
+  private val SamplePerCell = 32   // training sample = max(4096, 32K), bounded
+  private val LloydIters    = 15
   /** Multi-assignment width: a vector is indexed in every cell whose
     * centroid cosine is within this of its best cell (cell-overlap /
-    * spill-tree-style redundancy). Swept at sf0.001: (K=24, nprobe=6,
-    * delta=0.15) -> recall@10 0.90 scanning 43% of the corpus, vs 0.64 at
-    * 38% for the old untrained 16-cell single-assign quantizer. Costs
-    * ~2.1x index rows; probe count and per-query cell math are unchanged. */
+    * spill-tree-style redundancy). Costs ~2.1x index rows; probe count
+    * and per-query cell math are unchanged.
+    *
+    * (probeFrac, delta) swept via IvfSweep at both SFs (recall@10 /
+    * scored fraction):
+    *   (0.20, 0.15)  sf0.001: 0.90/0.42   sf0.1: 0.90/0.48  <- production
+    *   (0.20, 0.12)  sf0.001: 0.86/0.37   sf0.1: 0.80/0.37
+    *   (0.15, 0.10)  sf0.001: 0.86/0.33   sf0.1: 0.68/0.25
+    *   (0.35, 0.15)  sf0.001: 0.96/0.57   sf0.1: 0.98/0.66
+    * The ~0.5 scored fraction at recall 0.9 is set by the corpus's
+    * neighbor spectrum, not the index: this corpus is isotropic random,
+    * so the measured top-10 sits at cosine 0.3-0.45, where a neighbor's
+    * cell is nearly independent of the query's probe list (same
+    * information wall q23 documents). On a real near-dup workload
+    * (neighbors at cosine >= 0.8) a vector's cell and its neighbor's
+    * coincide with high probability, so a SMALL CONSTANT nprobe (the
+    * max(6, _) floor) already recalls them and the scored fraction
+    * collapses to ~6 * multiAssign / K — shrinking as K = sqrt(n) grows
+    * with the corpus. probeFrac is the knob a deployment turns down to
+    * match its neighbor distances, exactly like q23's probes. */
   private val AssignDelta = 0.15
 
   /** Spherical k-means (Lloyd) over a bounded, deterministic sample,
@@ -302,7 +326,7 @@ object Similarity {
     * reseeded from the currently worst-quantized sample point (standard
     * Lloyd repair), so the quantizer always ends with exactly K cells. */
   private[graft] def trainCentroids(sample: Array[Array[Double]],
-      k: Int = NumCells, iters: Int = LloydIters): Array[Array[Double]] = {
+      k: Int, iters: Int = LloydIters): Array[Array[Double]] = {
     require(sample.length >= k, s"need >= $k training vectors")
     val dim = sample.head.length
     def normalized(v: Array[Double]): Array[Double] = {
@@ -344,26 +368,34 @@ object Similarity {
     cents
   }
 
-  def q30AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** IVF candidate set — separated so the config sweep and the
+    * scored-fraction assertion can count candidates without ranking. */
+  private[graft] def ivfCandidates(spark: SparkSession, sfDir: String,
+      probeFrac: Double = ProbeFrac, delta: Double = AssignDelta): DataFrame = {
     // One scan of the corpus serves cell assignment and the probe side
     // (same multi-consumer shape as q23's cache).
     val e = withNorm(Tables.embeddings(spark, sfDir)).cache()
+
+    // Size the quantizer to the corpus (see the K-scaling note above).
+    val n = e.count()
+    val k = math.max(MinCells, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(6, math.ceil(k * probeFrac).toInt)
 
     // Index build: train the coarse quantizer on a bounded sample
     // (driver-side by design — this is index training, not the data path).
     val sample: Array[Array[Double]] = e
       .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(TrainSample)
+      .orderBy(col("vec_id")).limit(math.max(4096, SamplePerCell * k))
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val cents: Seq[Seq[Double]] = trainCentroids(sample).map(_.toSeq).toSeq
+    val cents: Seq[Seq[Double]] = trainCentroids(sample, k).map(_.toSeq).toSeq
 
     // Cell scores normalized by the vector norm (cosine to each centroid)
-    // so the multi-assignment width is norm-invariant.
+    // so the multi-assignment width is norm-invariant. One fused codegen
+    // call — K scales with the corpus, so composing K typedlit dot
+    // columns would hit the Janino blowup HyperplaneBuckets documents.
     def scoredCells(embCol: Column, normCol: Column): Column =
-      array(cents.zipWithIndex.map { case (c, i) =>
-        struct((dot(embCol, typedlit(c)) / normCol).as("s"), lit(i).as("c"))
-      }: _*)
+      graft.functions.GraftFunctions.centroidScores(embCol, normCol, cents)
 
     // Index side: each vector lands in every cell within AssignDelta of
     // its best cell (array_max on struct<s,c> compares s first).
@@ -371,14 +403,14 @@ object Similarity {
       .withColumn("sc", scoredCells(col("embedding"), col("norm")))
       .select(col("vec_id"), col("embedding"), col("norm"),
         explode(expr(
-          s"transform(filter(sc, x -> x.s >= array_max(sc).s - $AssignDelta), x -> x.c)"))
+          s"transform(filter(sc, x -> x.s >= array_max(sc).s - $delta), x -> x.c)"))
           .as("cell"))
-    // Query side: probe the NProbe best cells.
+    // Query side: probe the nprobe best cells.
     val probes = e.filter(col("vec_id") < NumQueries)
       .withColumn("sc", scoredCells(col("embedding"), col("norm")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("norm").as("qnorm"),
-        explode(slice(reverse(array_sort(col("sc"))), 1, NProbe).getField("c"))
+        explode(slice(reverse(array_sort(col("sc"))), 1, nprobe).getField("c"))
           .as("cell"))
 
     vecs.join(broadcast(probes), Seq("cell"))
@@ -387,6 +419,12 @@ object Similarity {
       // several probed cells — dedup candidates before ranking
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qe"), col("qnorm"), col("embedding"), col("norm"))
+  }
+
+  def q30AnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    ivfCandidates(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"),
         (dot(col("qe"), col("embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -394,7 +432,6 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
-  }
 
   /** Candidate set for a given LSH config — separated so the config
     * sweep (and a scored-fraction assertion) can count candidates

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Scratch sweep harness for the q30 IVF config (run manually:
+  * `sbt "Test/runMain graft.IvfSweep"`). Reports recall@10 vs brute
+  * force and the scored candidate fraction per (probeFrac, delta) at
+  * each SF — K itself is corpus-derived (max(24, sqrt(n))).
+  */
+object IvfSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val n = Tables.embeddings(spark, sf).count()
+      val exact = Similarity.q22AnnBruteForce(spark, sf)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      println(s"=== $sf  n=$n  k=${math.max(24, math.ceil(math.sqrt(n.toDouble)).toInt)} ===")
+      for ((pf, d) <- Seq((0.20, 0.15), (0.20, 0.12), (0.22, 0.12),
+          (0.25, 0.12), (0.18, 0.15), (0.20, 0.18))) {
+        val cands = Similarity.ivfCandidates(spark, sf, pf, d)
+        val nCands = cands.count()
+        val frac = nCands.toDouble / (n * 5)
+        val approx = cands
+          .select(col("query_id"), col("neighbor_id"),
+            (graft.functions.GraftFunctions.dot(col("qe"), col("embedding"))
+              / (col("qnorm") * col("norm"))).as("cosine"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+              .orderBy(col("cosine").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 10)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        val recall = (exact & approx).size.toDouble / exact.size
+        println(f"probeFrac=$pf%.2f delta=$d%.2f  recall@10=$recall%.3f  frac=$frac%.3f")
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}

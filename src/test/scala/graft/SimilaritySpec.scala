@@ -7,7 +7,7 @@ import graft.operators.{Similarity, Skew}
 /** IVF ANN recall + salted-join equivalence. */
 class SimilaritySpec extends SparkSpec {
 
-  test("q30 IVF ANN: top-10 per query, recall@10 >= 0.85 at nprobe <= 6") {
+  test("q30 IVF ANN: top-10 per query, recall@10 >= 0.85") {
     val ivf = Similarity.q30AnnIvf(spark, sf)
     val exact = Similarity.q22AnnBruteForce(spark, sf)
 
@@ -20,6 +20,31 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.toDouble / exact.count()
     info(f"IVF recall@10 = $recall%.2f")
     assert(recall >= 0.85)
+  }
+
+  test("q30 IVF at sf0.1: K grows with the corpus, recall holds, " +
+      "candidates stay a strict subset") {
+    // The larger SF is where the corpus-derived K (max(24, sqrt(n)))
+    // actually departs from MinCells: n=2000 -> K=45, nprobe=9. Floors
+    // from the IvfSweep frontier (0.90 recall / 0.48 fraction measured;
+    // deterministic sample + seeded k-means, so these are regression
+    // margins, not flake allowances).
+    val big = "/root/testdata/sf0.1"
+    val exact = Similarity.q22AnnBruteForce(spark, big)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.q30AnnIvf(spark, big)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@10 at sf0.1 = $recall%.2f")
+    assert(recall >= 0.85)
+
+    val n = Tables.embeddings(spark, big).count()
+    val scored = Similarity.ivfCandidates(spark, big).count()
+    val frac = scored.toDouble / (n * 5)
+    info(f"scored candidate fraction = $frac%.3f")
+    assert(frac < 0.55, "the probed index must stay a strict corpus subset")
   }
 
   test("q26 LSH dedup equals brute force over the full perturbed corpus") {

@@ -102,4 +102,41 @@ class VectorSpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(r.isNullAt(0)))
   }
+
+  test("centroidScores equals the per-centroid struct(dot/norm, i) formulation") {
+    import graft.functions.GraftFunctions.centroidScores
+    val k = 7; val dim = 64
+    val rnd = new scala.util.Random(41)
+    val cents = Seq.fill(k)(Seq.fill(dim)(rnd.nextGaussian()))
+    val perCent = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((dot(col("embedding"), typedlit(c)) / col("norm")).as("s"),
+        lit(i).as("c"))
+    }: _*)
+    val rows = Tables.embeddings(spark, sf).limit(50)
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+      .select(
+        centroidScores(col("embedding"), col("norm"), cents).as("fused"),
+        perCent.as("reference"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getSeq[org.apache.spark.sql.Row](0)
+      val g = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(f.length === k)
+      f.zip(g).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(b.getDouble(0)))
+        assert(a.getInt(1) === b.getInt(1))
+      }
+    }
+  }
+
+  test("centroidScores yields NULL on dimension mismatch") {
+    import graft.functions.GraftFunctions.centroidScores
+    val cents = Seq(Seq(1.0, 2.0, 3.0))
+    val rows = Tables.embeddings(spark, sf).limit(1)
+      .select(centroidScores(col("embedding"), lit(1.0), cents).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.isNullAt(0)))
+  }
 }
