@@ -46,8 +46,16 @@ object Bench {
     // If either run fails, report -1: a half-failed query must be visible
     // in the JSON, not silently replaced by its surviving (possibly cold)
     // run's time.
+    //
+    // Cache hygiene: the dedup/ANN operators cache() their corpus-derived
+    // intermediates for intra-query reuse. Dropping them after each
+    // query's runs bounds session memory to ONE query's working set
+    // (instead of pinning every query's corpus for the whole 40-query
+    // batch) — the second timed run still sees the first run's cache, so
+    // per-query numbers keep their warm-run semantics.
     val results = names.map { n =>
       val t1 = materialize(n); val t2 = materialize(n)
+      spark.sharedState.cacheManager.clearCache()
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
 

@@ -18,7 +18,17 @@ object TestSpark {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterEach {
   lazy val spark: SparkSession = TestSpark.spark
   val sf: String = "/root/testdata/sf0.001"
+
+  // Cache hygiene mirror of Bench/Verify: each test's cached
+  // intermediates are dropped afterwards, so the shared session never
+  // accumulates pinned corpora (and re-caching the same plan in a later
+  // test can't warn "Asked to cache already cached data").
+  override protected def afterEach(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    super.afterEach()
+  }
 }
