@@ -110,8 +110,26 @@ object api {
     def apply(spark: SparkSession) = new StreamExecutionEnvironment(spark)
   }
 
-  final class DataStream(val df: DataFrame, env: StreamExecutionEnvironment) {
-    private def next(d: DataFrame) = new DataStream(d, env)
+  final class DataStream(val df: DataFrame, env: StreamExecutionEnvironment,
+      private[streaming] val idlenessMax: Boolean = false) {
+    private def next(d: DataFrame) = new DataStream(d, env, idlenessMax)
+
+    /** Starts a query with this stream's watermark-policy choice scoped
+      * to THE QUERY, not the session: Spark captures
+      * `multipleWatermarkPolicy` into the query's OffsetSeqMetadata at
+      * start, so set-start-restore means a second query started later in
+      * the same session still sees the session default (`min`) unless it
+      * called [[withIdleness]] itself. */
+    private[streaming] def startScoped(
+        w: DataStreamWriter[Row]): StreamingQuery =
+      if (!idlenessMax) w.start()
+      else {
+        val conf = env.spark.conf
+        val key = "spark.sql.streaming.multipleWatermarkPolicy"
+        val prev = conf.getOption(key)
+        conf.set(key, "max")
+        try w.start() finally prev.fold(conf.unset(key))(conf.set(key, _))
+      }
 
     /** 1→N row transform — the reference's whole UDF/UDTF surface. */
     def flatMap(schema: StructType)(f: Row => IterableOnce[Row]): DataStream = {
@@ -154,19 +172,24 @@ object api {
       * closing off the live sources. Spark re-evaluates per batch, so no
       * explicit timeout is needed; `timeout` is accepted for API parity
       * and documents the intent (the effective idle latency in Spark is
-      * one trigger interval). Session-wide conf: set before `start()`. */
+      * one trigger interval).
+      *
+      * Scope: the choice rides on THIS stream and is applied only around
+      * its own query start ([[startScoped]]) — it never leaks into other
+      * queries of the session. */
     def withIdleness(timeout: Time): DataStream = {
       require(timeout.ms >= 0)
-      env.spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
-      this
+      new DataStream(df, env, idlenessMax = true)
     }
 
     /** Multi-source merge (the reference wires several sources into one
       * DAG; Spark unions the streams). Each side keeps its own watermark
       * assigner — combine with [[withIdleness]] when one side can idle. */
-    def union(other: DataStream): DataStream = next(df.unionByName(other.df))
+    def union(other: DataStream): DataStream = new DataStream(
+      df.unionByName(other.df), env, idlenessMax || other.idlenessMax)
 
-    def keyBy(keys: String*): KeyedStream = new KeyedStream(df, keys, env)
+    def keyBy(keys: String*): KeyedStream =
+      new KeyedStream(df, keys, env, idlenessMax)
 
     /** Exact deduplication on key columns. On a watermarked stream the
       * engine keeps one state row per key and evicts it once the
@@ -213,29 +236,31 @@ object api {
       * shuffles. `write` receives each enriched micro-batch. */
     def connectRefreshing(dim: () => DataFrame, cond: Column)(
         write: DataFrame => Unit): StreamingQuery =
-      df.writeStream.outputMode("append")
+      startScoped(df.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           write(batch.join(broadcast(dim()), cond))
-        }.start()
+        })
 
     def addSink(sink: DataStream => Either[Unit, StreamingQuery]): Either[Unit, StreamingQuery] =
       sink(this)
   }
 
   final class KeyedStream(df: DataFrame, keys: Seq[String],
-      env: StreamExecutionEnvironment) {
+      env: StreamExecutionEnvironment, idlenessMax: Boolean = false) {
     def window(assigner: WindowAssigner): WindowedStream =
-      new WindowedStream(df, keys, assigner, env)
+      new WindowedStream(df, keys, assigner, env, idlenessMax)
     /** Unwindowed keyed reduce (batch only — streaming needs a window). */
     def reduce(aggs: Agg*): DataStream = {
       val cols = aggs.map(a => a.column.as(a.name))
       new DataStream(
-        df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*), env)
+        df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*), env,
+        idlenessMax)
     }
   }
 
   final class WindowedStream(df: DataFrame, keys: Seq[String],
-      assigner: WindowAssigner, env: StreamExecutionEnvironment) {
+      assigner: WindowAssigner, env: StreamExecutionEnvironment,
+      idlenessMax: Boolean = false) {
     /** Incremental windowed aggregation ≙ WindowBaseReduceFunction
       * (`functions/system/window_base_reduce.rs`): state keyed by
       * (window, key), merged per-record, emitted when the watermark
@@ -249,7 +274,8 @@ object api {
       }
       val cols = aggs.map(a => a.column.as(a.name))
       new DataStream(
-        df.groupBy((w +: keys.map(col)): _*).agg(cols.head, cols.tail: _*), env)
+        df.groupBy((w +: keys.map(col)): _*).agg(cols.head, cols.tail: _*), env,
+        idlenessMax)
     }
   }
 
@@ -269,25 +295,25 @@ object api {
       * (periodic header + `task, [start, end], fields` rows). */
     def print(trigger: Option[Time] = None): DataStream => Either[Unit, StreamingQuery] = s =>
       if (s.df.isStreaming)
-        Right(withTrigger(
+        Right(s.startScoped(withTrigger(
           s.df.writeStream.outputMode("append")
-            .foreach(new PrintSink.Writer(s.df.schema)), trigger).start())
+            .foreach(new PrintSink.Writer(s.df.schema)), trigger)))
       else Left(PrintSink.printBatch(s.df))
     /** Named in-memory table (streaming) / temp view (batch). */
     def memory(name: String, trigger: Option[Time] = None): DataStream => Either[Unit, StreamingQuery] = s =>
       if (s.df.isStreaming)
-        Right(withTrigger(
+        Right(s.startScoped(withTrigger(
           s.df.writeStream.outputMode("append").format("memory")
-            .queryName(name), trigger).start())
+            .queryName(name), trigger)))
       else Left(s.df.createOrReplaceTempView(name))
     /** Parquet sink with checkpoint — the durable path. */
     def parquet(path: String, checkpoint: String,
         trigger: Option[Time] = None): DataStream => Either[Unit, StreamingQuery] = s =>
       if (s.df.isStreaming)
-        Right(withTrigger(
+        Right(s.startScoped(withTrigger(
           s.df.writeStream.outputMode("append").format("parquet")
             .option("path", path).option("checkpointLocation", checkpoint),
-          trigger).start())
+          trigger)))
       else Left(s.df.write.mode("append").parquet(path))
   }
 }

@@ -359,8 +359,6 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val active = MemoryStream[Fixtures.Model]
     val idler  = MemoryStream[Fixtures.Model]
-    val prevPolicy = spark.conf
-      .getOption("spark.sql.streaming.multipleWatermarkPolicy")
 
     val a = env.fromDataFrame(active.toDF())
       .assignTimestampsAndWatermarks("timestamp", Time.seconds(1))
@@ -375,9 +373,16 @@ class StreamingSpec extends SparkSpec {
       .window(TumblingEventTimeWindows.of(Time.seconds(60)))
       .reduce(Agg.Sum("value"), Agg.Count())
 
-    val query = agg.df.writeStream.outputMode("append")
-      .format("memory").queryName("idle_stream").start()
+    val query = agg.addSink(Sinks.memory("idle_stream"))
+      .toOption.get
     try {
+      // The policy was applied only AROUND query start — the effective
+      // session policy is already back to `min`, so a second query
+      // started now aligns on the slowest source unless it opted in
+      // itself (this is the regression the old session-global conf.set
+      // leaked through).
+      assert(spark.conf
+        .get("spark.sql.streaming.multipleWatermarkPolicy") == "min")
       val t0 = Fixtures.BaseTs
       // both sources contribute to the first window...
       active.addData(Fixtures.Model(t0, "k", 1))
@@ -386,13 +391,7 @@ class StreamingSpec extends SparkSpec {
       // ...then only `active` keeps moving; `idler` goes permanently idle
       active.addData(Fixtures.Model(t0 + 600 * 1000, "k", 2))
       query.processAllAvailable()
-    } finally {
-      query.stop()
-      prevPolicy match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", p)
-        case None => spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
-      }
-    }
+    } finally query.stop()
 
     val rows = spark.table("idle_stream")
       .select(col("window.start").cast("long"), col("sum(value)"), col("count"))
