@@ -58,6 +58,7 @@ object SparkEntry {
     "q37_tfidf"               -> (TextAnalysis.q37TfIdf _),
     "q38_repetition"          -> (TextAnalysis.q38Repetition _),
     "q39_frame_sample"        -> (Multimodal.q39FrameSample _),
+    "q40_ngram_jaccard"       -> (Dedup.q40NgramJaccard _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,5 +108,6 @@ object SparkEntry {
     "q37_tfidf"               -> TextAnalysis.q37Sql,
     "q38_repetition"          -> TextAnalysis.q38Sql,
     "q39_frame_sample"        -> Multimodal.q39Sql,
+    "q40_ngram_jaccard"       -> Dedup.q40Sql,
   )
 }

@@ -161,4 +161,95 @@ object Dedup {
       .filter(col("hamming") <= HamMax)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---------------------------------------------------------------------
+  // q40 — EXACT n-gram Jaccard similarity join via prefix filtering
+  // (PPJoin family, Xiao et al., WWW 2008). The fourth dedup mode: where
+  // q20 trades a ~1e-7 miss probability for MinHash's constant-size
+  // signatures, this one is exact BY CONSTRUCTION at any threshold —
+  // the mode a pipeline reaches for when the dedup threshold is low
+  // (0.5 here, vs 0.8 for q20) and banding's S-curve would leak misses.
+  //
+  // Prefix-filter theorem: order the shingle universe by any global
+  // total order; if jaccard(A,B) >= θ then the first
+  // |A| - ceil(θ|A|) + 1 elements of A and the first
+  // |B| - ceil(θ|B|) + 1 of B share at least one element. So candidate
+  // generation explodes ONLY each doc's prefix (about half the shingles
+  // at θ=0.5, an (1-θ) fraction in general) into an inverted-index
+  // equi-join keyed on the shingle's xxhash64 — the shuffle carries two
+  // longs per prefix entry, never a document. Exact verification then
+  // re-joins the (rare) candidate pairs to the full string shingle
+  // arrays — identical shape to q20's verify, so hash collisions can
+  // only ADD candidates (killed by verify), never remove a true pair.
+  //
+  // At 100 TB the candidate volume is governed by shingle document
+  // frequency; a production deployment orders the universe
+  // rarest-first (df-ascending) to shrink prefixes of common shingles.
+  // Hash order is a valid total order with the same exactness
+  // guarantee — df-ordering is a pure performance refinement.
+  // ---------------------------------------------------------------------
+  private val JaccardThreshold = 0.5
+
+  /** doc_id + distinct word-BIGRAM shingles (q20 uses trigrams; bigrams
+    * make 0.5-similar pairs denser, exercising the lower threshold). */
+  private def bigramShingled(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 2
+          |     THEN array_distinct(transform(sequence(0, size(toks) - 2),
+          |            i -> concat(toks[i], ' ', toks[i+1])))
+          |     ELSE array() END""".stripMargin).as("sh"))
+
+  def q40NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = JaccardThreshold
+    val docs = bigramShingled(spark, sfDir).filter(size(col("sh")) > 0)
+      .cache() // consumed by prefix explode + both verify sides
+
+    // Canonical order = sorted xxhash64; prefix = first
+    // sz - ceil(θ*sz) + 1 hashes.
+    val prefixes = docs
+      .select(col("doc_id"),
+        expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"),
+        size(col("sh")).as("sz"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(hs, 1, sz - CAST(ceil($t * sz) AS INT) + 1)")).as("h"))
+
+    // Inverted-index candidate join: two longs per row, equi-keyed.
+    val l = prefixes.as("l"); val r = prefixes.as("r")
+    val cands = l.join(r,
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+    // Exact verification on the string shingles (q20's shape).
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force oracle: exact bigram Jaccard >= 0.5 over all pairs —
+    * equality (not approximation) is the prefix-filter guarantee. */
+  val q40Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 2
+      |           THEN [toks[i] || ' ' || toks[i+1]
+      |                 for i in range(1, len(toks))]
+      |           ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |        FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

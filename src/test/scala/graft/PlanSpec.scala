@@ -76,6 +76,13 @@ class PlanSpec extends SparkSpec {
       "candidates must come from the cell equi-join, never a cross product")
   }
 
+  test("q40: prefix-filter candidates come from an equi-join — no cross product") {
+    val plan = finalPlan(Dedup.q40NgramJaccard(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the inverted-index join must stay equi-keyed on the shingle hash")
+  }
+
   test("q20: MinHash candidate generation never materializes a cross product") {
     val plan = finalPlan(Dedup.q20MinHashDedup(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

@@ -71,6 +71,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.nonEmpty) // the generator plants near-dups
   }
 
+  test("q40 prefix-filtered join equals brute-force bigram jaccard>=0.5 (exact by construction)") {
+    import spark.implicits._
+    val got = Dedup.q40NgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // independent brute force over all pairs on the small SF
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split(" +")
+      if (toks.length < 2) Set.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val exp = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b && sa.nonEmpty
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa | sb).size >= 0.5
+    } yield (a, b)).toSet
+    assert(got === exp)
+    assert(got.nonEmpty) // the generator plants near-dups
+    // Cross-mode sanity: every 0.8-trigram pair (q20) should also be a
+    // 0.5-bigram pair — each token edit perturbs fewer bigrams than
+    // trigrams, so bigram jaccard >= trigram jaccard on these corpora
+    // and 0.8-similar pairs clear the 0.5 bar with margin.
+    val mh = Dedup.q20MinHashDedup(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(got))
+  }
+
   test("q21 simhash: pairs are ordered, hamming <= 3, and overlap minhash dups") {
     import spark.implicits._
     val sim = Dedup.q21SimHashDedup(spark, sf).cache()
