@@ -68,6 +68,14 @@ object GraftExtensions {
         HyperplaneBuckets(args(0), planes,
           args(2).eval().asInstanceOf[Number].intValue())
       }),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(token_hashes) - 64-bit SimHash signature from an array<long> of token hashes (majority bit vote)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_simhash64 expects 1 argument, got ${args.length}")
+        SimHash64(args(0))
+      }),
     (FunctionIdentifier("graft_rolling_hash"),
       info("graft_rolling_hash",
         "graft_rolling_hash(text) - Rabin-Karp code-point fingerprint, (h*31 + cp) mod 1e9+7"),

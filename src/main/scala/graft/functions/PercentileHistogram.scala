@@ -204,6 +204,13 @@ object GraftFunctions {
     ColumnBridge.column(CentroidScores(
       ColumnBridge.expression(v), ColumnBridge.expression(norm), cents))
 
+  /** 64-bit SimHash signature of an array<long> of token hashes (see
+    * [[SimHash64]]): bit b set iff more tokens have bit b set than clear.
+    * Pure projection — pair with `transform(toks, t -> xxhash64(t))` for
+    * a zero-shuffle document signature. */
+  def simHash64(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
   /** Rabin-Karp code-point fingerprint (see [[RollingHash]]):
     * (h*31 + codepoint) mod 1e9+7, matching DuckDB's code-point `ascii`
     * semantics on all inputs including surrogate pairs. */

@@ -445,6 +445,85 @@ object CentroidScores {
   }
 }
 
+/** 64-bit SimHash signature from an array of per-token 64-bit hashes:
+  * bit b of the output is 1 iff strictly more tokens have bit b set than
+  * clear (Charikar, STOC 2002 — the vote formulation with unit weights;
+  * duplicate tokens vote once per occurrence, exactly like the
+  * exploded-token aggregation it replaces).
+  *
+  * Why an expression and not an aggregation: SimHash is a function of ONE
+  * document's own tokens, so computing it via explode + 64 vote-sum
+  * columns + groupBy(doc_id) (the previous q21 shape) re-shuffles every
+  * token in the corpus just to reassemble rows that were never split —
+  * at 100 TB that shuffle IS the query cost. As a projection over the
+  * in-row token-hash array the signature costs zero shuffles; the first
+  * exchange in the dedup plan becomes the banded candidate join itself.
+  *
+  * Null semantics: a null array or a null element yields NULL (the row
+  * drops out of banding, as a null token hash dropped its vote before —
+  * but builtin xxhash64 never returns null for non-null input, so this
+  * only fires on genuinely null input).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<long> of token hashes, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = SimHash64.compute(input.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.SimHash64.compute($h);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** One definition of truth for interpreted eval AND codegen. Returns
+    * null iff an element is null. Vote rule: bit set iff vote sum > 0 —
+    * identical to the `when(sum > 0, 1 << bit)` aggregation this
+    * replaces (ties and empty input give a 0 bit). */
+  def compute(hashes: ArrayData): java.lang.Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (hashes.isNullAt(i)) return null
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
 /** Rabin-Karp rolling fingerprint over the CODE POINTS of a string:
   * h = fold(cp => (h * 31 + cp) mod 1e9+7), h0 = 0.
   *

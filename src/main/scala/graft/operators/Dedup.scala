@@ -125,21 +125,17 @@ object Dedup {
   private val SimBands = 4 // 4 x 16-bit bands; pigeonhole for ham <= 3
 
   def q21SimHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val tokens = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-
-    // Per-bit vote sums (64 longs/doc): partial aggregation map-side.
-    val votes = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$bit")
-    }
-    val sims = tokens.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    // Signature = one fused projection (graft.functions.SimHash64 over
+    // the per-token xxhash64 array). SimHash is a function of a
+    // document's OWN tokens, so the previous explode + 64-vote-column
+    // groupBy(doc_id) shape re-shuffled every token in the corpus just
+    // to reassemble rows that were never split; as a projection the
+    // first exchange in this plan is the banded candidate join itself.
+    val sims = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        (0 until 64).map { bit =>
-          when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-      .cache()
+        graft.functions.GraftFunctions.simHash64(
+          expr("transform(split(trim(text), ' +'), t -> xxhash64(t))"))
+          .as("simhash"))
 
     // Pigeonhole bands: one row per 16-bit slice.
     val banded = sims.select(col("doc_id"), col("simhash"),

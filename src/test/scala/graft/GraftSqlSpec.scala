@@ -13,7 +13,24 @@ class GraftSqlSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.expressions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets",
-        "graft_rolling_hash"))
+        "graft_simhash64", "graft_rolling_hash"))
+  }
+
+  test("graft_simhash64 in SQL equals the Column API") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_sh_v")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |       graft_simhash64(transform(split(trim(text), ' +'),
+        |                                 t -> xxhash64(t))) AS s
+        |FROM docs_sh_v ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaCol = Tables.documents(spark, sf)
+      .select(col("doc_id"), GraftFunctions.simHash64(
+        expr("transform(split(trim(text), ' +'), t -> xxhash64(t))")).as("s"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
   test("graft_rolling_hash in SQL equals the Column API") {

@@ -103,6 +103,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q21: simhash signature is a projection — no aggregation shuffle before banding") {
+    val plan = finalPlan(Dedup.q21SimHashDedup(spark, sf))
+    // The signature used to be explode + 64-vote-column groupBy(doc_id):
+    // a full token shuffle plus a HashAggregate pair upstream of the band
+    // join. As a SimHash64 projection the ONLY aggregation left in the
+    // plan is the candidate-pair distinct — whose partial/final pair the
+    // AdaptiveSparkPlan string prints twice (final + initial plan), so
+    // the ceiling is 4; the old signature aggregation would add 4 more.
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs <= 4, s"expected only the pair-distinct partial/final " +
+      s"aggregate pair, found $aggs HashAggregates:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q33 rolling hash is a pure per-row projection (no UDFs, no hash shuffle)") {
     val plan = finalPlan(TextAnalysis.q33RollingHash(spark, sf))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLAppliedFunction"))

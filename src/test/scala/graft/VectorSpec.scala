@@ -139,4 +139,42 @@ class VectorSpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(r.isNullAt(0)))
   }
+
+  test("simHash64 equals the exploded 64-vote-column aggregation it replaced") {
+    import graft.functions.GraftFunctions.simHash64
+    // Old q21 shape: explode tokens, 64 per-bit vote sums, reassemble.
+    val tokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$bit")
+    }
+    val oldSig = tokens.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { bit =>
+          when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("old_sig"))
+    val newSig = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        simHash64(expr("transform(split(trim(text), ' +'), t -> xxhash64(t))"))
+          .as("new_sig"))
+    val diff = oldSig.join(newSig, "doc_id")
+      .filter(col("old_sig") =!= col("new_sig"))
+    assert(diff.count() === 0)
+    assert(newSig.count() === Tables.documents(spark, sf).count())
+  }
+
+  test("simHash64 yields NULL on null elements, 0 on empty array") {
+    import graft.functions.GraftFunctions.simHash64
+    val rows = Tables.documents(spark, sf).limit(1)
+      .select(
+        simHash64(expr("CAST(array(1, NULL) AS array<bigint>)")).as("withnull"),
+        simHash64(expr("CAST(array() AS array<bigint>)")).as("empty"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0), "null token hash must yield NULL")
+      assert(r.getLong(1) === 0L, "empty input: every vote ties -> all bits 0")
+    }
+  }
 }
