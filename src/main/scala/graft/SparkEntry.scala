@@ -59,6 +59,13 @@ object SparkEntry {
     "q38_repetition"          -> (TextAnalysis.q38Repetition _),
     "q39_frame_sample"        -> (Multimodal.q39FrameSample _),
     "q40_ngram_jaccard"       -> (Dedup.q40NgramJaccard _),
+    "q41_decontamination"     -> (Curation.q41Decontamination _),
+    "q42_stratified_mix"      -> (Curation.q42StratifiedMix _),
+    "q43_sequence_pack"       -> (Curation.q43SequencePack _),
+    "q44_scrub"               -> (Curation.q44Scrub _),
+    "q45_quality_curate"      -> (Curation.q45QualityCurate _),
+    "q46_dedup_components"    -> (Clustering.q46DedupComponents _),
+    "q47_kmeans_cluster"      -> (Clustering.q47KmeansCluster _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +116,15 @@ object SparkEntry {
     "q38_repetition"          -> TextAnalysis.q38Sql,
     "q39_frame_sample"        -> Multimodal.q39Sql,
     "q40_ngram_jaccard"       -> Dedup.q40Sql,
+    "q41_decontamination"     -> Curation.q41Sql,
+    "q42_stratified_mix"      -> Curation.q42Sql,
+    "q43_sequence_pack"       -> Curation.q43Sql,
+    "q44_scrub"               -> Curation.q44Sql,
+    "q45_quality_curate"      -> Curation.q45Sql,
+    "q46_dedup_components"    -> Clustering.q46Sql,
+    // q47_kmeans_cluster: no oracle — iterative float training is not
+    // SQL-expressible; ClusteringSpec asserts the objective is
+    // non-decreasing and the output partitions the corpus (driver
+    // records a rows-only check).
   )
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph/geometry clustering for training-data curation.
+  *
+  * q46 — dedup-graph connected components: near-duplicate PAIRS (q40's
+  * exact bigram-Jaccard join) only become a dedup DECISION once
+  * transitive groups are resolved — A~B and B~C must collapse to one
+  * cluster {A,B,C} with one canonical survivor, or chained dups leak
+  * through pairwise-only dedup. Components are computed by iterative
+  * min-label propagation over the edge list.
+  *
+  * q47 — distributed spherical k-means over the embedding column: the
+  * corpus-clustering step of curation pipelines (topic balancing,
+  * diversity sampling, per-cluster quotas). Unlike q30's IVF training
+  * (bounded driver-side sample — index building), this is FULL-CORPUS
+  * Lloyd's: assignment and centroid sums run as Spark aggregations on
+  * executors; the driver only ever sees K*(dim+1) scalars per round.
+  */
+object Clustering {
+
+  // ---------------------------------------------------------------------
+  // q46 — connected components over the q40 near-dup pairs; canonical
+  // doc per component = min doc_id (keep-first dedup policy). Output is
+  // one row per document (singletons are their own canonical), so the
+  // result is corpus-sized, never pair-sized.
+  //
+  // Scale shape: each round is one equi-join (edges x labels, both sides
+  // 2-long rows) + a min-groupBy — label propagation converges in
+  // diameter rounds, and near-dup graphs are shallow (dup clusters are
+  // tight cliques/chains; measured diameter <= 3 on every SF here, 25
+  // round cap as a guard). Lineage is truncated every round with an
+  // eager localCheckpoint, or iteration i's plan would embed i joins.
+  // The only driver-side value per round is the O(1) convergence count.
+  // For adversarial long-chain graphs the classic fix is large-star/
+  // small-star contraction (O(log n) rounds, same join shape) — not
+  // needed for the dedup workload this models.
+  // ---------------------------------------------------------------------
+  private val MaxCcRounds = 25
+
+  def q46DedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.q40NgramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .cache()
+
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < MaxCcRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("dst_lbl")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst_lbl")).as("nbr_lbl"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("moved"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("moved")).count()
+      labels = updated.select(col("node"), col("lbl"))
+      round += 1
+    }
+    edges.unpersist()
+
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("component"),
+        (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Transitive closure by recursive CTE over the same exact edge set —
+    * tractable at oracle SFs because the near-dup edge list is tiny. */
+  val q46Sql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 2
+      |           THEN [toks[i] || ' ' || toks[i+1]
+      |                 for i in range(1, len(toks))]
+      |           ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |        FROM documents)),
+      |e0 AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |r AS (
+      |  SELECT u AS node, v AS reach FROM e
+      |  UNION
+      |  SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),
+      |comp AS (SELECT node, LEAST(node, MIN(reach)) AS component
+      |         FROM r GROUP BY node)
+      |SELECT d.doc_id,
+      |       COALESCE(comp.component, d.doc_id) AS component,
+      |       COALESCE(comp.component, d.doc_id) = d.doc_id AS is_canonical
+      |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q47 — distributed spherical k-means (full-corpus Lloyd's).
+  //
+  // Per round: (1) assignment = argmax cosine against the K current
+  // centroids, one fused CentroidScores projection (no shuffle);
+  // (2) centroid update = posexplode(unit vector) -> groupBy(cluster,
+  // dim) sum — ONE shuffle whose map-side partial aggregation collapses
+  // every partition to at most K*dim rows, so shuffle volume is
+  // O(partitions * K * dim), independent of corpus size; (3) the driver
+  // collects K*dim sums + K counts (O(1) wrt corpus), renormalizes, and
+  // broadcasts the next round's centroids inside the expression. Empty
+  // clusters keep their previous centroid. Deterministic: init =
+  // evenly-id-spaced corpus vectors, fixed round count.
+  //
+  // No SQL oracle (iterative float training); ClusteringSpec asserts
+  // the spherical objective (mean cosine to assigned centroid) is
+  // non-decreasing over rounds and the output partitions the corpus.
+  // ---------------------------------------------------------------------
+  private val KmK      = 8
+  private val KmRounds = 5
+
+  import graft.functions.GraftFunctions.{centroidScores, dot}
+
+  /** Unit-normalized corpus: (vec_id, unit array<double>). */
+  private def unitCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+      .filter(col("norm") > 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)").as("unit"))
+
+  /** Full-corpus Lloyd's; returns (final centroids, per-round mean-cosine
+    * objective trace). Exposed for the spec's monotonicity assertion. */
+  private[graft] def kmeansTrain(spark: SparkSession, sfDir: String,
+      k: Int = KmK, rounds: Int = KmRounds): (Array[Array[Double]], Seq[Double]) = {
+    val corpus = unitCorpus(spark, sfDir).cache()
+    val n = corpus.count()
+    require(n >= k, s"need >= $k vectors")
+
+    // Deterministic init: evenly-id-spaced corpus vectors (ids are
+    // independent of geometry in this corpus). K rows to the driver.
+    val initIds = corpus.select(col("vec_id")).orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val picked = Array.tabulate(k)(i => initIds((i.toLong * n / k).toInt))
+    var cents: Array[Array[Double]] = corpus
+      .filter(col("vec_id").isin(picked.toSeq: _*))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+    val objectives = Seq.newBuilder[Double]
+    var r = 0
+    while (r < rounds) {
+      val assigned = corpus.withColumn("best",
+          array_max(centroidScores(col("unit"), lit(1.0), cents.map(_.toSeq).toSeq)))
+        .select(col("vec_id"), col("unit"),
+          col("best.c").as("cluster"), col("best.s").as("cos"))
+      // Objective + per-cluster counts in one pass (one tiny driver row
+      // per cluster); sums via the posexplode partial-agg shape.
+      val stats = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cos")).as("sumcos"))
+        .collect().map(row => row.getInt(0) -> (row.getLong(1), row.getDouble(2)))
+        .toMap
+      objectives += stats.values.map(_._2).sum / n
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("unit")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+        .collect()
+      val dim = cents(0).length
+      val next = Array.tabulate(k)(c => cents(c).clone())
+      val acc = Array.fill(k)(new Array[Double](dim))
+      sums.foreach { row =>
+        acc(row.getInt(0))(row.getInt(1)) = row.getDouble(2)
+      }
+      var c = 0
+      while (c < k) {
+        if (stats.contains(c) && stats(c)._1 > 0) {
+          val v = acc(c)
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          if (nrm > 0) next(c) = v.map(_ / nrm)
+        }
+        c += 1
+      }
+      cents = next
+      r += 1
+    }
+    corpus.unpersist()
+    (cents, objectives.result())
+  }
+
+  def q47KmeansCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cents, _) = kmeansTrain(spark, sfDir)
+    unitCorpus(spark, sfDir)
+      .withColumn("best",
+        array_max(centroidScores(col("unit"), lit(1.0), cents.map(_.toSeq).toSeq)))
+      .select(col("best.c").as("cluster"), col("best.s").as("cos"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("cos")), 6).as("avg_cosine"))
+      .orderBy("cluster")
+  }
+}

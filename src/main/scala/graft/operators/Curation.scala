@@ -1,0 +1,305 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators: the selection/mixing/packing layer a
+  * large-scale LLM pipeline runs AFTER cleaning (TextAnalysis) and dedup
+  * (Dedup/Similarity) and BEFORE the trainer reads the data.
+  *
+  * q41 — train/test decontamination: n-gram overlap between the training
+  *       split and the held-out split (the q36 deterministic hash split).
+  * q42 — deterministic stratified sampling ("data mixing"): per-language
+  *       keep rates applied via a content-hash bucket, reproducible
+  *       across engines/runs/partitionings (no randomSplit).
+  * q43 — sequence packing: concat-and-chop assignment of documents into
+  *       fixed-size token contexts, per (lang, shard) stream.
+  * q44 — blocklist scrub + PII pattern counts: redaction as a pure
+  *       projection, verifiable via the redacted text's md5.
+  * q45 — quality-quota curation: keep the best ceil(n/5) docs per
+  *       language by the q17 quality score.
+  *
+  * Everything is Catalyst built-ins (codegen'd, no UDFs); every op has an
+  * exactly-equivalent DuckDB oracle. Scale notes inline per operator.
+  */
+object Curation {
+
+  private val toks = split(trim(col("text")), " +")
+
+  /** First 8 md5 hex chars -> [0, 100) bucket (q36's split bucket). */
+  private def splitBucket = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+    .cast("long") % 100).as("bucket")
+
+  // ---------------------------------------------------------------------
+  // q41 — train/test decontamination. The held-out split (q36's bucket
+  // >= 95) must not share content with the training split (bucket < 90):
+  // a train document is CONTAMINATED if it shares any word 4-gram with
+  // any test document. (Real deployments use 8-13-gram windows; this
+  // corpus's vocabulary is ~40 words, so 4-grams play the same
+  // statistical role — planted near-dup pairs that straddle the split
+  // boundary surface here, random cross-split collisions mostly don't.)
+  //
+  // Scale shape: n-grams never leave the executor as strings — the join
+  // key is md5(gram) (16 bytes), per-doc grams are array_distinct'd
+  // before exploding, and the test side (5% of the corpus, distinct
+  // (gram, doc)) is the small side of the equi-join. The output is one
+  // row per train document (LEFT join keeps the clean ones), so result
+  // size is bounded by the corpus, not by the pair count.
+  // ---------------------------------------------------------------------
+  private val DeconN = 4
+
+  def q41Decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), splitBucket, toks.as("toks"))
+    val grams = d.select(col("doc_id"), col("bucket"),
+      explode(expr(
+        s"""CASE WHEN size(toks) >= $DeconN
+           |     THEN array_distinct(transform(sequence(0, size(toks) - $DeconN),
+           |            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
+           |     ELSE array() END""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("bucket"), md5(col("g")).as("gh"))
+    val train = grams.filter(col("bucket") < 90)
+      .select(col("doc_id"), col("gh"))
+    val test = grams.filter(col("bucket") >= 95)
+      .select(col("doc_id").as("test_doc"), col("gh")).distinct()
+    val hits = train.join(test, "gh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared_ngrams"),
+        countDistinct(col("test_doc")).as("n_test_docs"))
+    d.filter(col("bucket") < 90).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        coalesce(col("n_test_docs"), lit(0L)).as("n_test_docs"),
+        (coalesce(col("n_test_docs"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val q41Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT AS BIGINT) % 100 AS bucket,
+       |         regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, bucket,
+       |         unnest(list_distinct(CASE WHEN len(toks) >= $DeconN
+       |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       |                 for i in range(1, len(toks) - ${DeconN - 2})]
+       |           ELSE [] END)) AS gram
+       |  FROM d),
+       |tr AS (SELECT doc_id, gram FROM g WHERE bucket < 90),
+       |te AS (SELECT DISTINCT doc_id AS test_doc, gram FROM g WHERE bucket >= 95),
+       |hits AS (
+       |  SELECT tr.doc_id,
+       |         COUNT(DISTINCT tr.gram) AS n_shared_ngrams,
+       |         COUNT(DISTINCT te.test_doc) AS n_test_docs
+       |  FROM tr JOIN te USING (gram) GROUP BY tr.doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(hits.n_shared_ngrams, 0) AS n_shared_ngrams,
+       |       COALESCE(hits.n_test_docs, 0) AS n_test_docs,
+       |       COALESCE(hits.n_test_docs, 0) > 0 AS contaminated
+       |FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+       |WHERE d.bucket < 90
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q42 — deterministic stratified sampling for corpus mixing: each
+  // language is downsampled to a target keep-rate (upweighting rare
+  // strata is the dual operation with rates > observed share). The keep
+  // decision is a pure function of the document content — md5 hex chars
+  // 9-16 (decorrelated from q36's split, which uses chars 1-8) mod 100
+  // against the stratum's rate — so the sample is reproducible across
+  // engines, runs, and partitionings, and composes with the q36 split.
+  // Zero shuffles except the final tiny per-language rollup.
+  // ---------------------------------------------------------------------
+  private val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "de" -> 80, "fr" -> 80, "es" -> 80, "zh" -> 90)
+
+  def q42StratifiedMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = MixRates.foldRight(lit(100)) { case ((l, r), els) =>
+      when(col("lang") === l, lit(r)).otherwise(els)
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"),
+        (conv(substring(md5(col("text")), 9, 8), 16, 10).cast("long") % 100)
+          .as("mix_bucket"))
+      .withColumn("kept", col("mix_bucket") < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .orderBy("lang")
+  }
+
+  val q42Sql: String = {
+    val cases = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""SELECT lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_total,
+       |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       |FROM (SELECT lang, n_chars,
+       |             CAST(('0x' || substr(md5(text), 9, 8))::BIGINT AS BIGINT) % 100
+       |               < CASE $cases ELSE 100 END AS kept
+       |      FROM documents)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q43 — sequence packing (concat-and-chop): within each (lang, shard)
+  // stream, documents are concatenated in doc_id order and chopped into
+  // fixed CtxTokens-token training contexts; each document is assigned
+  // its starting chunk and the number of chunks it spans. This is the
+  // deterministic packing a pretraining data loader performs, expressed
+  // as a running-sum window — integer arithmetic only, so the oracle
+  // matches bit-for-bit.
+  //
+  // Scale shape: packing is embarrassingly parallel ACROSS streams and
+  // inherently sequential WITHIN one — so the stream key (lang, shard)
+  // is the unit of parallelism, with the shard derived from the content
+  // hash. At 100 TB you raise NumShards so each stream's window sort
+  // fits an executor (the window sorts within partitions of bounded
+  // size; no global sort exists in the plan).
+  // ---------------------------------------------------------------------
+  private val CtxTokens = 256
+  private val NumShards = 4
+
+  def q43SequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("text")), 17, 4), 16, 10).cast("long") % NumShards)
+          .as("shard"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        col("tok_offset"),
+        expr(s"tok_offset div $CtxTokens").as("chunk_id"),
+        expr(s"((tok_offset + n_tokens - 1) div $CtxTokens) - (tok_offset div $CtxTokens) + 1")
+          .as("n_chunks_spanned"))
+      .orderBy("doc_id")
+  }
+
+  val q43Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         CAST(('0x' || substr(md5(text), 17, 4))::BIGINT AS BIGINT) % $NumShards AS shard,
+       |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, lang, shard, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (
+       |           PARTITION BY lang, shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+       |  FROM d)
+       |SELECT doc_id, lang, shard, n_tokens, tok_offset,
+       |       tok_offset // $CtxTokens AS chunk_id,
+       |       ((tok_offset + n_tokens - 1) // $CtxTokens) - (tok_offset // $CtxTokens) + 1
+       |         AS n_chunks_spanned
+       |FROM o
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q44 — blocklist scrub + PII pattern counts: per document, count
+  // blocklisted vocabulary hits and email/URL pattern matches, and emit
+  // the md5 of the token-level redacted text. Pure per-row projection —
+  // the scrub never shuffles, and the redacted text itself never leaves
+  // the executor (only its fingerprint does). The email/URL regexes use
+  // only syntax with identical semantics in Java regex and RE2 (DuckDB).
+  // On this corpus the regex counters are structurally exercised but hit
+  // zero (no emails/URLs in the synthetic text); the blocklist hits are
+  // the live path.
+  // ---------------------------------------------------------------------
+  private val Blocklist = Seq("spark", "vector", "stream")
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val UrlRe   = """https?://[^ ]+"""
+
+  def q44Scrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val blockedPred = Blocklist.map(w => s"t = '$w'").mkString(" OR ")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"),
+        expr(s"size(filter(toks, t -> $blockedPred))").as("n_blocked"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
+        md5(concat_ws(" ", expr(
+          s"transform(toks, t -> CASE WHEN $blockedPred THEN '[REDACTED]' ELSE t END)")))
+          .as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q44Sql: String = {
+    val blockedPred = Blocklist.map(w => s"t = '$w'").mkString(" OR ")
+    s"""SELECT doc_id,
+       |       len(list_filter(toks, t -> $blockedPred)) AS n_blocked,
+       |       len(regexp_extract_all(text, '${EmailRe.replace("\\", "\\\\")}')) AS n_emails,
+       |       len(regexp_extract_all(text, '$UrlRe')) AS n_urls,
+       |       md5(array_to_string(
+       |         list_transform(toks, t -> CASE WHEN $blockedPred THEN '[REDACTED]' ELSE t END),
+       |         ' ')) AS redacted_md5
+       |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), ' +') AS toks
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q45 — quality-quota curation: keep the best ceil(n/5) documents per
+  // language by the q17 quality score (ties broken by doc_id — and the
+  // score arithmetic is bit-identical across engines, q17's oracle
+  // proves it, so the rank order is too). The per-language quota makes
+  // this a composition of two windows over the SAME partitioning: one
+  // shuffle by lang, then rank + count in one pass. At 100 TB lang is a
+  // low-cardinality skewed key: the plan works because the window sort
+  // is within-partition; a production variant shards hot languages
+  // exactly like q43's (lang, shard) streams.
+  // ---------------------------------------------------------------------
+  def q45QualityCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter(toks, t -> ${TextAnalysis.stopPredSql}))").as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+        length(col("text")).as("n_chars_calc"))
+      .select(col("doc_id"), col("lang"),
+        (lit(0.4) * (col("n_stop").cast("double") / col("n_tokens"))
+          + lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars_calc"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+          .as("quality"))
+    val w = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("n_lang", count(lit(1)).over(w))
+      .filter(col("rank") <= expr("(n_lang + 4) div 5"))
+      .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+      .orderBy("lang", "rank")
+  }
+
+  val q45Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |         0.4 * (CAST(len(list_filter(toks, t -> ${TextAnalysis.stopPredSql})) AS DOUBLE) / len(toks))
+       |         + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text))
+       |         + 0.3 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality
+       |  FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), ' +') AS toks
+       |        FROM documents)),
+       |ranked AS (
+       |  SELECT lang, doc_id, quality,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY quality DESC, doc_id) AS rank,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM scored)
+       |SELECT lang, rank, doc_id, quality
+       |FROM ranked
+       |WHERE rank <= (n_lang + 4) // 5
+       |ORDER BY lang, rank""".stripMargin
+}

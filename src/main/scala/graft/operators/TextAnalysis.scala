@@ -67,7 +67,12 @@ object TextAnalysis {
   // saturation, combined into one deterministic double score.
   // ---------------------------------------------------------------------
   private val stopwords = Seq("the", "a", "and", "of", "in", "to")
-  private val stopPred  = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+  /** `t = 'the' OR ...` lambda predicate — identical text works in Spark
+    * `filter(toks, t -> ...)` and DuckDB `list_filter`; shared with the
+    * q45 quality-quota curation so both score with the same stop set. */
+  private[operators] val stopPredSql =
+    stopwords.map(w => s"t = '$w'").mkString(" OR ")
+  private val stopPred = stopPredSql
 
   def q17QualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

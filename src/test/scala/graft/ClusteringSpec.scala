@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Dedup}
+
+/** Connected-components dedup canonicalization and distributed k-means:
+  * semantic invariants (the q46 DuckDB oracle covers hash parity; q47 is
+  * iterative float training, so its guarantees live here). */
+class ClusteringSpec extends SparkSpec {
+
+  test("q46 components: every doc labeled, canonical is the component min") {
+    val df = Clustering.q46DedupComponents(spark, sf).cache()
+    assert(df.count() === Tables.documents(spark, sf).count())
+    // component label is the minimum doc_id of its members
+    val badMin = df.groupBy("component").agg(min(col("doc_id")).as("mn"))
+      .filter(col("component") =!= col("mn"))
+    assert(badMin.count() === 0)
+    // exactly one canonical per component, and it carries the label id
+    val canon = df.filter(col("is_canonical"))
+    assert(canon.count() === df.select("component").distinct().count())
+    assert(canon.filter(col("doc_id") =!= col("component")).count() === 0)
+  }
+
+  test("q46 components agree with an independent union-find over the q40 pairs") {
+    import spark.implicits._
+    val pairs = Dedup.q40NgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // driver-side union-find as the independent reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = Clustering.q46DedupComponents(spark, sf)
+      .filter(!col("is_canonical") || col("doc_id").isin(expected.keys.toSeq: _*))
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    expected.foreach { case (node, root) =>
+      assert(got(node) === root, s"node $node")
+    }
+    // chains must exist on this corpus for the test to mean anything
+    assert(expected.values.toSet.size < expected.size)
+  }
+
+  test("q47 k-means: output partitions the corpus into k clusters") {
+    val df = Clustering.q47KmeansCluster(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(df.agg(sum(col("n_vectors"))).head().getLong(0) === n)
+    assert(df.count() <= 8)
+    assert(df.filter(col("avg_cosine") < -1.0 || col("avg_cosine") > 1.0)
+      .count() === 0)
+  }
+
+  test("q47 k-means: the spherical objective is non-decreasing over rounds") {
+    val (_, objectives) = Clustering.kmeansTrain(spark, sf, k = 8, rounds = 4)
+    assert(objectives.length === 4)
+    objectives.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-9,
+        s"objective must not regress: $objectives")
+      case _ =>
+    }
+    // training must actually move the centroids off their init
+    assert(objectives.last > objectives.head)
+  }
+}

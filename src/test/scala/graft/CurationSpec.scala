@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, TextAnalysis}
+
+/** Curation-layer operators: decontamination, stratified mixing, sequence
+  * packing, scrubbing, quality quotas — semantic invariants beyond the
+  * DuckDB oracle hash-parity the driver checks. */
+class CurationSpec extends SparkSpec {
+
+  test("q41 decontamination: finds cross-split overlap; clean docs carry zero counts") {
+    val df = Curation.q41Decontamination(spark, sf).cache()
+    // output is exactly the training split of the q36 hash split
+    val trainCount = TextAnalysis.q36HashSplit(spark, sf)
+      .filter(col("split") === "train").count()
+    assert(df.count() === trainCount)
+    // the generator plants near-dups; some straddle the split boundary
+    assert(df.filter(col("contaminated")).count() > 0)
+    // flag/count consistency both ways
+    assert(df.filter(col("contaminated") &&
+      (col("n_test_docs") === 0 || col("n_shared_ngrams") === 0)).count() === 0)
+    assert(df.filter(!col("contaminated") &&
+      (col("n_test_docs") > 0 || col("n_shared_ngrams") > 0)).count() === 0)
+  }
+
+  test("q41 decontamination: a train doc sharing a 4-gram with a test doc is flagged") {
+    import spark.implicits._
+    // independent brute force on the small SF
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 100
+    }
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split(" +")
+      if (toks.length < 4) Set.empty
+      else toks.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val testGrams = docs.filter(d => bucket(d._2) >= 95)
+      .flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => bucket(d._2) < 90)
+      .filter(d => grams(d._2).exists(testGrams.contains))
+      .map(_._1).toSet
+    val got = Curation.q41Decontamination(spark, sf)
+      .filter(col("contaminated")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got === expected)
+  }
+
+  test("q42 stratified mix: kept fraction tracks the per-language rate") {
+    val rows = Curation.q42StratifiedMix(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    val rates = Map("en" -> 50, "de" -> 80, "fr" -> 80, "es" -> 80, "zh" -> 90)
+    rows.foreach { r =>
+      val (lang, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(kept <= total)
+      val rate = rates.getOrElse(lang, 100)
+      // md5 buckets are uniform; at ~100 docs/stratum allow a wide but
+      // meaningful band around the target rate
+      val frac = kept.toDouble / total
+      assert(math.abs(frac - rate / 100.0) < 0.2,
+        s"$lang kept $frac vs target ${rate / 100.0}")
+    }
+  }
+
+  test("q42 stratified mix is invariant under repartitioning (determinism)") {
+    val a = Curation.q42StratifiedMix(spark, sf).collect().toSeq
+    val b = Curation.q42StratifiedMix(spark, sf)
+      .repartition(3).orderBy("lang").collect().toSeq
+    assert(a === b)
+  }
+
+  test("q43 sequence packing: offsets are gapless running sums within each stream") {
+    import spark.implicits._
+    val rows = Curation.q43SequencePack(spark, sf)
+      .select("lang", "shard", "doc_id", "n_tokens", "tok_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, stream) =>
+      val ordered = stream.sortBy(_._3)
+      var expect = 0L
+      ordered.foreach { case (_, _, _, n, off) =>
+        assert(off === expect, "offset must be the sum of preceding docs")
+        expect += n
+      }
+    }
+  }
+
+  test("q43 sequence packing: chunk span arithmetic is consistent") {
+    val df = Curation.q43SequencePack(spark, sf)
+    assert(df.filter(col("chunk_id") =!= expr("tok_offset div 256")).count() === 0)
+    assert(df.filter(col("n_chunks_spanned") < 1).count() === 0)
+    // a doc spans >1 chunk iff it crosses a 256-token boundary
+    assert(df.filter(
+      (col("n_chunks_spanned") > 1) =!=
+        (expr("(tok_offset + n_tokens - 1) div 256") > col("chunk_id")))
+      .count() === 0)
+  }
+
+  test("q44 scrub: counts match the blocklist; redaction changes exactly the flagged docs") {
+    val df = Curation.q44Scrub(spark, sf).cache()
+    assert(df.count() === Tables.documents(spark, sf).count())
+    // corpus vocabulary contains blocklisted words
+    assert(df.filter(col("n_blocked") > 0).count() > 0)
+    // no emails/URLs exist in the synthetic text (plumbing-only counters)
+    assert(df.filter(col("n_emails") =!= 0 || col("n_urls") =!= 0).count() === 0)
+    // redacted_md5 equals md5(original tokens re-joined) iff nothing was
+    // blocked (tokenize-then-rejoin normalizes whitespace, so compare
+    // against the same normalization)
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", split(trim(col("text")), " +"))).as("norm_md5"))
+    val joined = df.join(base, "doc_id")
+    assert(joined.filter(col("n_blocked") === 0 &&
+      col("redacted_md5") =!= col("norm_md5")).count() === 0)
+    assert(joined.filter(col("n_blocked") > 0 &&
+      col("redacted_md5") === col("norm_md5")).count() === 0)
+  }
+
+  test("q45 quality curation: exactly ceil(n/5) docs survive per language, best first") {
+    import spark.implicits._
+    val perLang = Tables.documents(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Curation.q45QualityCurate(spark, sf).cache()
+    val keptPerLang = kept.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, n) =>
+      assert(keptPerLang.getOrElse(lang, 0L) === (n + 4) / 5,
+        s"quota mismatch for $lang")
+    }
+    // ranks are 1..k dense and quality is non-increasing within a language
+    kept.select("lang", "rank", "quality")
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_._2)
+        assert(ordered.map(_._2).toSeq === (1 to ordered.length))
+        ordered.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 >= b._3)
+          case _ =>
+        }
+      }
+  }
+}
