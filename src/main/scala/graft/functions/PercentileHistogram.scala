@@ -204,6 +204,14 @@ object GraftFunctions {
     ColumnBridge.column(CentroidScores(
       ColumnBridge.expression(v), ColumnBridge.expression(norm), cents))
 
+  /** Jaccard of two ascending-sorted array<long> hash sets in one O(n+m)
+    * merge (see [[SortedHashJaccard]]): the exactness-preserving
+    * prefilter for similarity-join verification (jaccard_hash >=
+    * jaccard_string for any hash). */
+  def sortedHashJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedHashJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** 64-bit SimHash signature of an array<long> of token hashes (see
     * [[SimHash64]]): bit b set iff more tokens have bit b set than clear.
     * Pure projection — pair with `transform(toks, t -> xxhash64(t))` for

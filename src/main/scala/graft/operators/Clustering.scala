@@ -8,7 +8,7 @@ import graft.Tables
 /** Graph/geometry clustering for training-data curation.
   *
   * q46 — dedup-graph connected components: near-duplicate PAIRS (q40's
-  * exact bigram-Jaccard join) only become a dedup DECISION once
+  * exact trigram-Jaccard join) only become a dedup DECISION once
   * transitive groups are resolved — A~B and B~C must collapse to one
   * cluster {A,B,C} with one canonical survivor, or chained dups leak
   * through pairwise-only dedup. Components are computed by iterative
@@ -84,9 +84,9 @@ object Clustering {
   val q46Sql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id,
-      |         list_distinct(CASE WHEN len(toks) >= 2
-      |           THEN [toks[i] || ' ' || toks[i+1]
-      |                 for i in range(1, len(toks))]
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 for i in range(1, len(toks) - 1)]
       |           ELSE [] END) AS sh
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
       |        FROM documents)),

