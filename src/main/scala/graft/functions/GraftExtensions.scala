@@ -68,6 +68,14 @@ object GraftExtensions {
         HyperplaneBuckets(args(0), planes,
           args(2).eval().asInstanceOf[Number].intValue())
       }),
+    (FunctionIdentifier("graft_sorted_hash_jaccard"),
+      info("graft_sorted_hash_jaccard",
+        "graft_sorted_hash_jaccard(a, b) - Jaccard of two ascending-sorted array<long> hash sets via one O(n+m) merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_sorted_hash_jaccard expects 2 arguments, got ${args.length}")
+        SortedHashJaccard(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64",
         "graft_simhash64(token_hashes) - 64-bit SimHash signature from an array<long> of token hashes (majority bit vote)"),

@@ -35,6 +35,9 @@ object Clustering {
   // tight cliques/chains; measured diameter <= 3 on every SF here, 25
   // round cap as a guard). Lineage is truncated every round with an
   // eager localCheckpoint, or iteration i's plan would embed i joins.
+  // (localCheckpoint trades fault tolerance for speed — executor loss
+  // drops its blocks; a 100 TB deployment sets a checkpoint dir and
+  // swaps in reliable checkpoint() at the same call sites.)
   // The only driver-side value per round is the O(1) convergence count.
   // For adversarial long-chain graphs the classic fix is large-star/
   // small-star contraction (O(log n) rounds, same join shape) — not

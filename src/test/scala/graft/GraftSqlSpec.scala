@@ -13,7 +13,22 @@ class GraftSqlSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.expressions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets",
-        "graft_simhash64", "graft_rolling_hash"))
+        "graft_sorted_hash_jaccard", "graft_simhash64", "graft_rolling_hash"))
+  }
+
+  test("graft_sorted_hash_jaccard in SQL matches set Jaccard semantics") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_sorted_hash_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS half,
+        |       graft_sorted_hash_jaccard(array(1L, 1L, 2L), array(1L, 2L)) AS dup_ones,
+        |       graft_sorted_hash_jaccard(CAST(array() AS array<bigint>),
+        |                                 CAST(array() AS array<bigint>)) AS empty""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === 0.5)  // {1,2,3} vs {2,3,4}: 2/4
+      assert(r.getDouble(1) === 1.0)  // duplicates collapse: {1,2} vs {1,2}
+      assert(r.getDouble(2) === 0.0)
+    }
   }
 
   test("graft_simhash64 in SQL equals the Column API") {

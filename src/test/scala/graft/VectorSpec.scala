@@ -165,6 +165,27 @@ class VectorSpec extends SparkSpec {
     assert(newSig.count() === Tables.documents(spark, sf).count())
   }
 
+  test("sortedHashJaccard equals string-set Jaccard on collision-free inputs") {
+    import graft.functions.GraftFunctions.sortedHashJaccard
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("t"))
+      .select(col("doc_id"), expr("array_distinct(t)").as("s"),
+        expr("array_sort(transform(array_distinct(t), x -> xxhash64(x)))").as("hs"))
+    val a = docs.select(col("doc_id").as("ia"), col("s").as("sa"), col("hs").as("ha"))
+    val b = docs.select(col("doc_id").as("ib"), col("s").as("sb"), col("hs").as("hb"))
+    val rows = a.join(b, col("ia") < col("ib")).limit(500)
+      .select(
+        sortedHashJaccard(col("ha"), col("hb")).as("viahash"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb")))).as("viastring"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("simHash64 yields NULL on null elements, 0 on empty array") {
     import graft.functions.GraftFunctions.simHash64
     val rows = Tables.documents(spark, sf).limit(1)
