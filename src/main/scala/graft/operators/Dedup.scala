@@ -223,11 +223,19 @@ object Dedup {
     val t = JaccardThreshold
     // One scan: string shingles (final exact verify) + their sorted
     // hashes (inverted index AND the merge-based verify prefilter).
-    val docs = shingled(spark, sfDir)
+    // The cache holds the BARE shingle projection; hs/sz are derived
+    // AFTER it. Deriving them in the same select would let
+    // CollapseProject inline the shingle HOF tree into all three
+    // output columns — evaluated three times per row, interpreted
+    // (CodegenFallback), which was most of this query's cold cost
+    // (cache build 7.5 s vs 0.5 s split this way). Consumers recompute
+    // hs from the CACHED sh column instead — 47 hashes per row per
+    // consumer, noise by comparison.
+    val docs0 = shingled(spark, sfDir).cache()
+    val docs = docs0
       .select(col("doc_id"), col("sh"),
         expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"),
         size(col("sh")).as("sz"))
-      .cache()
 
     // Rarest-first canonical order: df per shingle hash (one linear
     // aggregation over per-doc-distinct shingles), then each doc's
