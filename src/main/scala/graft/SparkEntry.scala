@@ -66,6 +66,7 @@ object SparkEntry {
     "q45_quality_curate"      -> (Curation.q45QualityCurate _),
     "q46_dedup_components"    -> (Clustering.q46DedupComponents _),
     "q47_kmeans_cluster"      -> (Clustering.q47KmeansCluster _),
+    "q48_quantize_stats"      -> (Similarity.q48QuantizeStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +127,6 @@ object SparkEntry {
     // SQL-expressible; ClusteringSpec asserts the objective is
     // non-decreasing and the output partitions the corpus (driver
     // records a rows-only check).
+    "q48_quantize_stats"      -> Similarity.q48Sql,
   )
 }

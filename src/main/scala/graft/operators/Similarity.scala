@@ -453,6 +453,54 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q48 — int8 symmetric quantization stats for the embedding column:
+  // the storage/serving prep step of a vector pipeline (4x smaller than
+  // float32; q_i = round_half_up(x_i * 127 / amax), dequant = q_i *
+  // amax / 127). Emits per-vector amax (the quantizer scale source) and
+  // the squared reconstruction error — the numbers a pipeline monitors
+  // to decide whether int8 is safe for its recall target. Pure per-row
+  // projection, zero shuffles.
+  //
+  // Expression-structure note: the per-row scalar `amax` is needed
+  // INSIDE the per-element error lambda. Referencing a derived column
+  // there would let CollapseProject inline the array_max tree into the
+  // lambda body — recomputed PER ELEMENT (the 64x blowup documented on
+  // Dedup.shingled). Instead amax is LAMBDA-BOUND once per row via
+  // transform over a one-element array: transform(array(<amax>), m ->
+  // aggregate(..m..))[0] — m is a bound variable, the tree evaluates
+  // once. The identical construct exists in DuckDB (list_transform over
+  // a one-element list), keeping the oracle arithmetic bit-equal.
+  // ---------------------------------------------------------------------
+  def q48QuantizeStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          .as("amax"),
+        expr(
+          """transform(array(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))),
+            |  m -> CASE WHEN m = 0D THEN 0D ELSE
+            |    aggregate(embedding, CAST(0 AS DOUBLE),
+            |      (acc, x) -> acc +
+            |        (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127D / m + 0.5D) * m / 127D)
+            |      * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127D / m + 0.5D) * m / 127D))
+            |  END)[0]""".stripMargin).as("sq_err"))
+      .orderBy("vec_id")
+
+  val q48Sql: String =
+    """SELECT vec_id,
+      |       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax,
+      |       list_transform([list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))],
+      |         m -> CASE WHEN m = 0 THEN 0.0 ELSE
+      |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(embedding::DOUBLE[],
+      |               x -> (x - floor(x * 127 / m + 0.5) * m / 127)
+      |                  * (x - floor(x * 127 / m + 0.5) * m / 127))),
+      |             (a, b) -> a + b) END
+      |       )[1] AS sq_err
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   def q23AnnLsh(spark: SparkSession, sfDir: String): DataFrame =
     lshCandidates(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"),

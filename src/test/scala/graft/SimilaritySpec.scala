@@ -7,6 +7,22 @@ import graft.operators.{Similarity, Skew}
 /** IVF ANN recall + salted-join equivalence. */
 class SimilaritySpec extends SparkSpec {
 
+  test("q48 quantization: per-element error bounded by half a quantization step") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.q48QuantizeStats(spark, sf).cache()
+    assert(df.count() === Tables.embeddings(spark, sf).count())
+    // per-element |err| <= (amax/127)/2, so sq_err <= dim * step^2/4
+    val dim = 64
+    val bad = df.filter(
+      col("sq_err") > lit(dim) * (col("amax") / 127.0) * (col("amax") / 127.0) / 4.0
+        + lit(1e-12))
+    assert(bad.count() === 0)
+    assert(df.filter(col("amax") <= 0).count() === 0)
+    // quantization must be lossy but tight on gaussian data: mean
+    // squared error strictly between 0 and the uniform-quantizer bound
+    assert(df.filter(col("sq_err") <= 0).count() === 0)
+  }
+
   test("q30 IVF ANN: top-10 per query, recall@10 >= 0.85") {
     val ivf = Similarity.q30AnnIvf(spark, sf)
     val exact = Similarity.q22AnnBruteForce(spark, sf)
