@@ -67,6 +67,7 @@ object SparkEntry {
     "q46_dedup_components"    -> (Clustering.q46DedupComponents _),
     "q47_kmeans_cluster"      -> (Clustering.q47KmeansCluster _),
     "q48_quantize_stats"      -> (Similarity.q48QuantizeStats _),
+    "q49_stream_dedup"        -> (graft.streaming.StreamParity.q49StreamDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,5 +129,8 @@ object SparkEntry {
     // non-decreasing and the output partitions the corpus (driver
     // records a rows-only check).
     "q48_quantize_stats"      -> Similarity.q48Sql,
+    // q49 runs the q15 dedup aggregation through the real streaming
+    // engine (state across micro-batches) — its oracle is q15's.
+    "q49_stream_dedup"        -> TextAnalysis.q15Sql,
   )
 }

@@ -87,4 +87,40 @@ object StreamParity {
         col("min_value"), col("cnt"))
       .orderBy("window_start", "event_type")
   }
+
+  /** q49 — streaming exact dedup: the q15 md5-keyed dedup aggregation
+    * run through the REAL streaming engine with state carried ACROSS
+    * micro-batches. The documents table is re-laid-out as four files and
+    * streamed with maxFilesPerTrigger=1, so the aggregation state (one
+    * entry per distinct text hash) is built incrementally over four
+    * micro-batches — the unbounded-keyed-state shape of the reference's
+    * KeyedStateFlatMapFunction, held to the BATCH q15 oracle (complete
+    * mode's final table is split-invariant by construction).
+    *
+    * Scale notes: the group key is md5(text) — 16 bytes per distinct
+    * document in the state store, never the text. Complete mode is
+    * correct here because the OUTPUT is aggregate-sized (one row per
+    * distinct hash), not corpus-sized; a pipeline materializing the kept
+    * documents themselves would switch to update mode with a
+    * downstream idempotent sink keyed on text_hash. */
+  def q49StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val schema = docs.schema
+    val dir = Files.createTempDirectory("q49_docs")
+    docs.repartition(4).write.mode("overwrite").parquet(dir.toString)
+
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+    val table = s"q49_dedup_${runId.incrementAndGet()}"
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(table).start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(table).orderBy("keep_id")
+  }
 }

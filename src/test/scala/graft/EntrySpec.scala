@@ -21,10 +21,11 @@ class EntrySpec extends SparkSpec {
     // fails even with identical values. Guard the contract for every
     // query with an oracle by checking the Spark-side names appear in the
     // SQL text (aliased identically).
-    // q25 executes a streaming round-trip and q35 writes bucketed tables
-    // at DataFrame-construction time — their column parity is enforced by
-    // the oracle gate itself; keep this guard constant-cost.
-    val eager = Set("q25_stream_batch_parity", "q35_bucketed_join")
+    // q25/q49 execute streaming round-trips and q35 writes bucketed
+    // tables at DataFrame-construction time — their column parity is
+    // enforced by the oracle gate itself; keep this guard constant-cost.
+    val eager = Set("q25_stream_batch_parity", "q35_bucketed_join",
+      "q49_stream_dedup")
     (SparkEntry.oracleSql -- eager).foreach { case (name, sql) =>
       val cols = SparkEntry.queries(name)(spark, sf).columns
       cols.foreach { c =>

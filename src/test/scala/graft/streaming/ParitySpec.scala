@@ -100,4 +100,12 @@ class ParitySpec extends SparkSpec {
     assert(emittedAfterData > batch.size / 2,
       s"expected incremental emission, got $emittedAfterData of ${batch.size} pre-flush")
   }
+
+  test("q49 streaming dedup equals batch q15 (state carried across micro-batches)") {
+    val streamed = StreamParity.q49StreamDedup(spark, sf).collect().toSeq
+    val batch = graft.operators.TextAnalysis.q15DedupExact(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
