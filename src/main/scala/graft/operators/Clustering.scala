@@ -152,10 +152,21 @@ object Clustering {
     require(n >= k, s"need >= $k vectors")
 
     // Deterministic init: evenly-id-spaced corpus vectors (ids are
-    // independent of geometry in this corpus). K rows to the driver.
-    val initIds = corpus.select(col("vec_id")).orderBy("vec_id")
-      .collect().map(_.getLong(0))
-    val picked = Array.tabulate(k)(i => initIds((i.toLong * n / k).toInt))
+    // independent of geometry in this corpus), located via EXACT
+    // distributed quantiles of vec_id — O(k) driver values, never a
+    // collect of the id column (error 0.0 = Greenwald-Khanna exact
+    // rank query, returns actual data points). The k init VECTORS then
+    // come back through one isin-pruned scan.
+    val picked0 = corpus.stat
+      .approxQuantile("vec_id", Array.tabulate(k)(i => i.toDouble / k), 0.0)
+      .map(_.toLong).distinct
+    // rank collisions can only happen when n barely exceeds k; top up
+    // deterministically from the smallest ids not already picked.
+    val picked: Array[Long] =
+      if (picked0.length >= k) picked0.take(k)
+      else picked0 ++ corpus.select(col("vec_id")).orderBy("vec_id")
+        .limit(k + picked0.length).collect().map(_.getLong(0))
+        .filterNot(picked0.contains).take(k - picked0.length)
     var cents: Array[Array[Double]] = corpus
       .filter(col("vec_id").isin(picked.toSeq: _*))
       .orderBy("vec_id").collect()
