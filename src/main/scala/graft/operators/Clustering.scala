@@ -133,15 +133,22 @@ object Clustering {
   private val KmK      = 8
   private val KmRounds = 5
 
-  import graft.functions.GraftFunctions.{centroidScores, dot}
+  import graft.functions.GraftFunctions.centroidScores
 
-  /** Unit-normalized corpus: (vec_id, unit array<double>). */
+  /** Unit-normalized corpus: (vec_id, unit array<double>). The norm is
+    * LAMBDA-BOUND once per row (transform over a one-element array —
+    * the q48 construct): referencing a derived norm column inside the
+    * per-element division lambda would let CollapseProject inline the
+    * whole sqrt(dot) tree there, recomputed per element (64x). */
   private def unitCorpus(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
-      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-      .filter(col("norm") > 0)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)").as("unit"))
+      .select(col("vec_id"), expr(
+        """transform(array(sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+          |    (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+          |  nrm -> CASE WHEN nrm = 0D THEN NULL
+          |              ELSE transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+          |         END)[0]""".stripMargin).as("unit"))
+      .filter(col("unit").isNotNull)
 
   /** Full-corpus Lloyd's; returns (final centroids, per-round mean-cosine
     * objective trace). Exposed for the spec's monotonicity assertion. */
