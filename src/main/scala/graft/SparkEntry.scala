@@ -68,6 +68,7 @@ object SparkEntry {
     "q47_kmeans_cluster"      -> (Clustering.q47KmeansCluster _),
     "q48_quantize_stats"      -> (Similarity.q48QuantizeStats _),
     "q49_stream_dedup"        -> (graft.streaming.StreamParity.q49StreamDedup _),
+    "q51_dup_ngram_stats"     -> (Dedup.q51DupNgramStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,5 +133,6 @@ object SparkEntry {
     // q49 runs the q15 dedup aggregation through the real streaming
     // engine (state across micro-batches) — its oracle is q15's.
     "q49_stream_dedup"        -> TextAnalysis.q15Sql,
+    "q51_dup_ngram_stats"     -> Dedup.q51Sql,
   )
 }

@@ -290,6 +290,86 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------------
+  // q51 — duplicated-n-gram statistics: the substring-level duplication
+  // signal (the aggregate form of Lee et al. 2022's "Deduplicating
+  // Training Data Makes Language Models Better" — there, duplicated
+  // 50-token substrings are CUT from documents; here the corpus's n-gram
+  // granularity is 4 words against a ~40-word vocabulary, and the
+  // operator emits the per-document measurements a pipeline filters on:
+  // how much of each document's n-gram mass also appears elsewhere).
+  //
+  // Where q20/q40 answer "which PAIRS of documents are near-identical",
+  // this answers "how much of THIS document is boilerplate shared with
+  // ANY other document" — a doc can be 80% duplicated content without
+  // having any single near-duplicate pair partner.
+  //
+  // Scale shape: per-doc-distinct grams explode as md5 hashes (16 bytes
+  // — grams never leave the executor as strings); document frequency is
+  // one count aggregation with map-side partials; the join back to
+  // per-doc grams is equi-keyed on the hash. Output is one row per
+  // document. All counts are exact — md5's 128 bits make collisions
+  // implausible at any corpus size (unlike a 64-bit hash, whose birthday
+  // bound a 100 TB corpus's ~2^40 distinct grams would actually hit).
+  // ---------------------------------------------------------------------
+  private val DupGramN = 4
+
+  def q51DupNgramStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= DupGramN)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $DupGramN),
+           |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    // Grams are per-doc distinct, so count(1) per hash = document
+    // frequency. Re-join df to each doc's grams, then collapse per doc.
+    val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfreq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"),
+        max(col("df")).as("max_df"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("max_df"), lit(0L)).as("max_df"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup_grams"), lit(0L)).cast("double")
+            / col("n_grams")).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle counts grams as strings directly — the md5 keying is a Spark
+    * shuffle-width optimization, invisible in the result. */
+  val q51Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(
+       |           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       |            for i in range(1, len(toks) - ${DupGramN - 2})])) AS gram
+       |  FROM d WHERE len(toks) >= $DupGramN),
+       |dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+       |pd AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |         sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+       |         max(df) AS max_df
+       |  FROM g JOIN dfreq USING (gram) GROUP BY doc_id)
+       |SELECT d2.doc_id,
+       |       CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       |       CAST(COALESCE(pd.max_df, 0) AS BIGINT) AS max_df,
+       |       CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN 0.0
+       |            ELSE CAST(pd.n_dup_grams AS DOUBLE) / pd.n_grams END AS dup_fraction
+       |FROM documents d2 LEFT JOIN pd ON d2.doc_id = pd.doc_id
+       |ORDER BY d2.doc_id""".stripMargin
+
   /** Brute-force oracle: exact trigram Jaccard >= 0.5 over all pairs —
     * equality (not approximation) is the prefix-filter guarantee. */
   val q40Sql: String =

@@ -162,4 +162,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(perDoc.count() === 0)
     assert(frames.count() > 500) // multiple sampled frames per document
   }
+
+  test("q51 dup-ngram stats agree with an independent in-memory model") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split(" +")
+      if (toks.length < 4) Set.empty
+      else toks.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    byDoc.values.foreach(_.foreach(g => df(g) = df.getOrElse(g, 0L) + 1L))
+    val expected = byDoc.map { case (id, gs) =>
+      val nDup = gs.count(df(_) > 1).toLong
+      val maxDf = if (gs.isEmpty) 0L else gs.map(df).max
+      (id, (gs.size.toLong, nDup, maxDf,
+        if (gs.isEmpty) 0.0 else nDup.toDouble / gs.size))
+    }
+    val got = Dedup.q51DupNgramStats(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expected)
+    // the corpus must actually exercise the signal: some docs share grams
+    assert(expected.values.count(_._2 > 0) > 0)
+  }
 }
