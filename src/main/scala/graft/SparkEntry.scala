@@ -68,6 +68,7 @@ object SparkEntry {
     "q47_kmeans_cluster"      -> (Clustering.q47KmeansCluster _),
     "q48_quantize_stats"      -> (Similarity.q48QuantizeStats _),
     "q49_stream_dedup"        -> (graft.streaming.StreamParity.q49StreamDedup _),
+    "q50_semdedup"            -> (Clustering.q50SemDedup _),
     "q51_dup_ngram_stats"     -> (Dedup.q51DupNgramStats _),
   )
 
@@ -133,6 +134,9 @@ object SparkEntry {
     // q49 runs the q15 dedup aggregation through the real streaming
     // engine (state across micro-batches) — its oracle is q15's.
     "q49_stream_dedup"        -> TextAnalysis.q15Sql,
+    // q50_semdedup: no oracle — the k-means partition is iterative float
+    // training; ClusteringSpec asserts precision 1.0 vs brute-force
+    // pairs and recall >= 0.85 (driver records a rows-only check).
     "q51_dup_ngram_stats"     -> Dedup.q51Sql,
   )
 }

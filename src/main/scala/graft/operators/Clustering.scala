@@ -150,11 +150,18 @@ object Clustering {
           |         END)[0]""".stripMargin).as("unit"))
       .filter(col("unit").isNotNull)
 
-  /** Full-corpus Lloyd's; returns (final centroids, per-round mean-cosine
-    * objective trace). Exposed for the spec's monotonicity assertion. */
+  /** Full-corpus Lloyd's over the embeddings table; returns (final
+    * centroids, per-round mean-cosine objective trace). Exposed for the
+    * spec's monotonicity assertion. */
   private[graft] def kmeansTrain(spark: SparkSession, sfDir: String,
-      k: Int = KmK, rounds: Int = KmRounds): (Array[Array[Double]], Seq[Double]) = {
-    val corpus = unitCorpus(spark, sfDir).cache()
+      k: Int = KmK, rounds: Int = KmRounds): (Array[Array[Double]], Seq[Double]) =
+    kmeansTrainOn(unitCorpus(spark, sfDir), k, rounds)
+
+  /** Lloyd's over ANY (vec_id long, unit array<double>) corpus — q47
+    * trains on the raw embeddings, q50 on the planted-near-dup union. */
+  private[graft] def kmeansTrainOn(unitDf: DataFrame,
+      k: Int, rounds: Int): (Array[Array[Double]], Seq[Double]) = {
+    val corpus = unitDf.cache()
     val n = corpus.count()
     require(n >= k, s"need >= $k vectors")
 
@@ -230,5 +237,77 @@ object Clustering {
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(col("cos")), 6).as("avg_cosine"))
       .orderBy("cluster")
+  }
+
+  // ---------------------------------------------------------------------
+  // q50 — SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+  // k-means-partition the embedding space, then search for near-dup
+  // pairs ONLY within each cluster — the clustering replaces LSH banding
+  // (q26) as the candidate generator. Drop policy: a vector is dropped
+  // iff a same-cluster near-dup with a smaller id exists (greedy
+  // keep-first, the q15/q26 convention; transitive resolution across
+  // pairs is q46's job).
+  //
+  // Corpus: q26's planted-near-dup union — the margin argument at
+  // Similarity.scala:80-100 applies unchanged (raw isotropic embeddings
+  // admit NO subquadratic complete candidate filter, so near-dup
+  // detection presupposes a margin corpus).
+  //
+  // Scale shape: K grows linearly with the corpus
+  // (K = n / SemTargetClusterSize), holding EXPECTED cluster size
+  // constant, so the within-cluster pairwise verify is O(n * cluster)
+  // dots — linear in corpus size, the paper's own scaling argument
+  // (vs q26's LSH whose candidate count is corpus-density-driven).
+  // Candidates come from an equi-self-join on the cluster id (PlanSpec
+  // gates no-cross-product); a skewed cluster at 100 TB gets the same
+  // medicine as any skewed join key (salt, or size-cap + re-cluster).
+  //
+  // Approximate BY DESIGN: a pair split across clusters is missed.
+  // ClusteringSpec measures recall vs brute force (floor 0.85) and
+  // asserts precision is exactly 1.0 (every emitted drop is
+  // exact-cosine-verified). No SQL oracle (k-means is iterative float
+  // training) — driver records a rows-only check, like q23/q30/q47.
+  // ---------------------------------------------------------------------
+  private val SemDupCosine         = 0.8
+  private val SemTargetClusterSize = 64
+  private val SemRounds            = 5
+
+  def q50SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    // Unit-normalize the planted corpus (emb is already array<double>);
+    // norm lambda-bound once per row — see unitCorpus for why.
+    val unit = Similarity.dupCorpus(spark, sfDir)
+      .select(col("vec_id"), expr(
+        """transform(array(sqrt(aggregate(emb, CAST(0 AS DOUBLE),
+          |    (a, x) -> a + x * x))),
+          |  nrm -> CASE WHEN nrm = 0D THEN NULL
+          |              ELSE transform(emb, x -> x / nrm)
+          |         END)[0]""".stripMargin).as("unit"))
+      .filter(col("unit").isNotNull)
+
+    val n = unit.count()
+    val k = math.max(8, (n / SemTargetClusterSize).toInt)
+    val (cents, _) = kmeansTrainOn(unit, k, SemRounds)
+
+    val assigned = unit
+      .withColumn("best",
+        array_max(centroidScores(col("unit"), lit(1.0), cents.map(_.toSeq).toSeq)))
+      .select(col("vec_id"), col("unit"), col("best.c").as("cluster"))
+      .cache()
+
+    // Within-cluster candidate pairs; unit vectors make cosine = dot.
+    // l.vec_id > r.vec_id orients each pair once, with l the drop side.
+    val dropped = assigned.as("l")
+      .join(assigned.as("r"),
+        col("l.cluster") === col("r.cluster") &&
+          col("l.vec_id") > col("r.vec_id"))
+      .filter(dot(col("l.unit"), col("r.unit")) >= SemDupCosine)
+      .select(col("l.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        (!coalesce(col("is_dropped"), lit(false))).as("is_kept"))
+      .orderBy("vec_id")
   }
 }

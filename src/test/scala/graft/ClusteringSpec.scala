@@ -57,6 +57,40 @@ class ClusteringSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("q50 semdedup: precision 1.0 and recall >= 0.85 vs brute-force pairs") {
+    import spark.implicits._
+    val out = Clustering.q50SemDedup(spark, sf).cache()
+    val corpus = graft.operators.Similarity.dupCorpus(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // output covers the corpus exactly once
+    assert(out.count() === corpus.length)
+    assert(out.select("vec_id").distinct().count() === corpus.length)
+    // brute-force expected drop set: any smaller-id near-dup anywhere
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val sorted = corpus.sortBy(_._1)
+    val expectedDrop = (for {
+      i <- sorted.indices; j <- 0 until i
+      if cos(sorted(i)._2, sorted(j)._2) >= 0.8
+    } yield sorted(i)._1).toSet
+    val gotDrop = out.filter(!col("is_kept")).select("vec_id")
+      .as[Long].collect().toSet
+    // every emitted drop is exact-verified within its cluster -> no
+    // false positives, ever
+    assert(gotDrop.subsetOf(expectedDrop),
+      s"false drops: ${gotDrop -- expectedDrop}")
+    // cluster-split pairs may be missed, but rarely: planted pairs sit
+    // at cosine >= 0.995 and almost always share an argmax centroid
+    assert(expectedDrop.nonEmpty)
+    val recall = (gotDrop & expectedDrop).size.toDouble / expectedDrop.size
+    info(f"semdedup recall vs brute force = $recall%.3f (${expectedDrop.size} true drops)")
+    assert(recall >= 0.85, f"recall $recall%.3f below floor")
+    out.unpersist()
+  }
+
   test("q47 k-means: the spherical objective is non-decreasing over rounds") {
     val (_, objectives) = Clustering.kmeansTrain(spark, sf, k = 8, rounds = 4)
     assert(objectives.length === 4)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bucketing, Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Clustering, Dedup, Relational, Similarity, TextAnalysis}
 
 /** Plan-shape assertions — the 100 TB readiness gates: filters/projections
   * reach the parquet scan, small dims broadcast, aggregates are partial
@@ -65,6 +65,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "multiprobe must widen the query side only, never the join shape")
+  }
+
+  test("q50: semdedup candidates come from the cluster equi-join — no cross product") {
+    val plan = finalPlan(Clustering.q50SemDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "within-cluster pairing must be an equi-join on the cluster id")
   }
 
   test("q30: IVF probe is an equi-join on cell with broadcast probes — no cross product") {
