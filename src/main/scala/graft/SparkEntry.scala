@@ -70,6 +70,7 @@ object SparkEntry {
     "q49_stream_dedup"        -> (graft.streaming.StreamParity.q49StreamDedup _),
     "q50_semdedup"            -> (Clustering.q50SemDedup _),
     "q51_dup_ngram_stats"     -> (Dedup.q51DupNgramStats _),
+    "q52_incremental_dedup"   -> (Dedup.q52IncrementalDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,5 +139,6 @@ object SparkEntry {
     // training; ClusteringSpec asserts precision 1.0 vs brute-force
     // pairs and recall >= 0.85 (driver records a rows-only check).
     "q51_dup_ngram_stats"     -> Dedup.q51Sql,
+    "q52_incremental_dedup"   -> Dedup.q52Sql,
   )
 }

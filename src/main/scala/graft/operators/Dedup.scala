@@ -370,6 +370,150 @@ object Dedup {
        |FROM documents d2 LEFT JOIN pd ON d2.doc_id = pd.doc_id
        |ORDER BY d2.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q52 — incremental corpus dedup: the admission gate of a CONTINUOUSLY
+  // INGESTING pipeline. The corpus is split deterministically into an
+  // EXISTING index side (doc_id % 5 != 0) and an INCOMING batch
+  // (doc_id % 5 == 0); each incoming document gets a verdict, first
+  // match wins:
+  //   exact_corpus    — byte-identical text already in the corpus
+  //   exact_batch     — byte-identical to a smaller-id incoming doc
+  //                     (first occurrence in the batch is admitted)
+  //   near_dup_corpus — trigram Jaccard >= 0.5 with ANY existing doc
+  //   admitted        — otherwise
+  // Batch-internal NEAR-dup resolution is deliberately out of scope:
+  // that is a transitive-group decision (q46's component job), while
+  // this operator models the index-lookup path a streaming ingest takes
+  // per batch.
+  //
+  // Scale shape: the asymmetric variant of q40's exact prefix-filter
+  // join — the prefix theorem (jaccard(A,B) >= θ forces the rarest-first
+  // prefixes to intersect) is side-agnostic, so candidates come from an
+  // inverted-index equi-join of INCOMING prefixes against EXISTING
+  // prefixes only; the batch side of the join is a ~1/5 slice (at 100 TB
+  // an incremental batch is a far smaller fraction still, and the
+  // existing side's postings are the precomputed persistent index).
+  // Exact checks shuffle 16-byte md5 keys, never text. Verification is
+  // q40's two-stage shape (sorted-hash merge prefilter, then exact
+  // string Jaccard), so the output equals the brute-force oracle.
+  // ---------------------------------------------------------------------
+  private val IncomingMod = 5
+
+  /** Core over any (doc_id long, text string) frame — exposed so the
+    * spec can inject exact duplicates (the gate corpus has none). */
+  private[graft] def incrementalDedup(base: DataFrame): DataFrame = {
+    val t = JaccardThreshold
+    val inc = pmod(col("doc_id"), lit(IncomingMod)) === 0
+
+    // Exact layer: content-hash equi-joins, 16-byte keys.
+    val hashed = base.select(col("doc_id"), inc.as("inc"),
+      md5(col("text")).as("ch"))
+    val existingH = hashed.filter(!col("inc"))
+      .select(col("ch")).distinct().withColumn("hit_corpus", lit(true))
+    val incoming = hashed.filter(col("inc"))
+    val firstInBatch = incoming.groupBy(col("ch"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val exactFlags = incoming
+      .join(existingH, Seq("ch"), "left")
+      .join(firstInBatch, "ch")
+      .select(col("doc_id"),
+        coalesce(col("hit_corpus"), lit(false)).as("exact_corpus"),
+        (col("doc_id") > col("first_id")).as("exact_batch"))
+
+    // Near-dup layer: q40's rarest-first prefix filter, asymmetric.
+    // df is computed over the FULL corpus (both sides) — any global
+    // total order preserves exactness; full-corpus df is also what the
+    // persistent index would maintain incrementally.
+    val docs0 = base
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"""
+          .stripMargin).as("sh"))
+      .cache()
+    val docs = docs0.select(col("doc_id"), col("sh"),
+      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"),
+      size(col("sh")).as("sz"))
+    val exploded = docs
+      .select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = exploded.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(col("df"), col("h"))).as("dhs"))
+      .select(col("doc_id"), col("sz"), explode(expr(
+        s"slice(array_sort(dhs), 1, sz - CAST(ceil($t * sz) AS INT) + 1).h"))
+        .as("h"))
+    val li = prefixes.filter(pmod(col("doc_id"), lit(IncomingMod)) === 0).as("l")
+    val re = prefixes.filter(pmod(col("doc_id"), lit(IncomingMod)) =!= 0).as("r")
+    val cands = li.join(re,
+        col("l.h") === col("r.h") &&
+          greatest(col("l.sz"), col("r.sz")) * t <=
+            least(col("l.sz"), col("r.sz")))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val ha = docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val hb = docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    val hashPass = cands.join(ha, "doc_a").join(hb, "doc_b")
+      .filter(graft.functions.GraftFunctions
+        .sortedHashJaccard(col("hs_a"), col("hs_b")) >= t)
+      .select(col("doc_a"), col("doc_b"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val nearDup = hashPass.join(a, "doc_a").join(b, "doc_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(array_union(col("sh_a"), col("sh_b"))) >= t)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("near_corpus", lit(true))
+
+    exactFlags.join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_corpus"), "exact_corpus")
+          .when(col("exact_batch"), "exact_batch")
+          .when(coalesce(col("near_corpus"), lit(false)), "near_dup_corpus")
+          .otherwise("admitted").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  def q52IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalDedup(Tables.documents(spark, sfDir).select("doc_id", "text"))
+
+  /** Brute force on both layers: text equality for the exact verdicts,
+    * all incoming x existing trigram Jaccard for the near-dup verdict —
+    * equality with the prefix-filtered join is the exactness guarantee. */
+  val q52Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, doc_id % $IncomingMod = 0 AS inc FROM documents),
+       |t AS (
+       |  SELECT doc_id, inc,
+       |         list_distinct(CASE WHEN len(toks) >= 3
+       |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                 for i in range(1, len(toks) - 1)]
+       |           ELSE [] END) AS sh
+       |  FROM (SELECT doc_id, inc, regexp_split_to_array(trim(text), ' +') AS toks
+       |        FROM d)),
+       |exact_corpus AS (
+       |  SELECT DISTINCT i.doc_id FROM d i JOIN d e
+       |    ON i.inc AND NOT e.inc AND i.text = e.text),
+       |exact_batch AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS first_id
+       |    FROM d WHERE inc)
+       |  WHERE doc_id > first_id),
+       |near AS (
+       |  SELECT DISTINCT i.doc_id FROM t i JOIN t e
+       |    ON i.inc AND NOT e.inc
+       |  WHERE len(i.sh) > 0 AND len(e.sh) > 0
+       |    AND CAST(len(list_intersect(i.sh, e.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(i.sh, e.sh))) >= ${JaccardThreshold})
+       |SELECT d.doc_id,
+       |       CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_corpus) THEN 'exact_corpus'
+       |            WHEN d.doc_id IN (SELECT doc_id FROM exact_batch) THEN 'exact_batch'
+       |            WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup_corpus'
+       |            ELSE 'admitted' END AS verdict
+       |FROM d WHERE d.inc
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Brute-force oracle: exact trigram Jaccard >= 0.5 over all pairs —
     * equality (not approximation) is the prefix-filter guarantee. */
   val q40Sql: String =

@@ -163,6 +163,60 @@ class TrainingDataSpec extends SparkSpec {
     assert(frames.count() > 500) // multiple sampled frames per document
   }
 
+  test("q52 incremental dedup: verdicts match an independent model, incl. injected exact dups") {
+    import spark.implicits._
+    // Inject exact duplicates with chosen ids: the gate corpus has all-
+    // distinct texts, so the exact_corpus / exact_batch verdicts need
+    // planted rows. doc_id % 5 == 0 is the incoming side.
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val someExisting = base.find(_._1 % 5 != 0).get
+    val someIncoming = base.find(x => x._1 % 5 == 0 && x._2.trim.nonEmpty).get
+    val maxId = base.map(_._1).max
+    // next multiples of 5 above maxId: two copies of an existing text
+    // (first -> exact_corpus) and one copy of an incoming text
+    // (-> exact_batch, the original being first in batch)
+    val id1 = (maxId / 5 + 1) * 5
+    val injected = Seq(
+      (id1, someExisting._2),       // exact_corpus
+      (id1 + 5, someIncoming._2),   // exact_batch (someIncoming._1 < id1+5)
+      (id1 + 10, someExisting._2))  // exact_corpus wins over exact_batch
+    val all = base.toSeq ++ injected
+    val got = graft.operators.Dedup.incrementalDedup(
+        all.toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+
+    // independent in-memory model
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split(" +")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val existing = all.filter(_._1 % 5 != 0)
+    val incoming = all.filter(_._1 % 5 == 0)
+    val existingTexts = existing.map(_._2).toSet
+    val existingSh = existing.map(x => shingles(x._2)).filter(_.nonEmpty)
+    val firstByText = incoming.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.map(_._1).min }
+    val expected = incoming.map { case (id, text) =>
+      val sh = shingles(text)
+      val v =
+        if (existingTexts.contains(text)) "exact_corpus"
+        else if (firstByText(text) < id) "exact_batch"
+        else if (sh.nonEmpty && existingSh.exists(es =>
+          (sh & es).size.toDouble / (sh | es).size >= 0.5)) "near_dup_corpus"
+        else "admitted"
+      id -> v
+    }.toMap
+    assert(got === expected)
+    assert(got(id1) === "exact_corpus")
+    assert(got(id1 + 5) === "exact_batch")
+    assert(got(id1 + 10) === "exact_corpus")
+    // the natural corpus must exercise the near-dup path too
+    assert(expected.values.count(_ == "near_dup_corpus") > 0)
+  }
+
   test("q51 dup-ngram stats agree with an independent in-memory model") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
