@@ -71,6 +71,7 @@ object SparkEntry {
     "q50_semdedup"            -> (Clustering.q50SemDedup _),
     "q51_dup_ngram_stats"     -> (Dedup.q51DupNgramStats _),
     "q52_incremental_dedup"   -> (Dedup.q52IncrementalDedup _),
+    "q53_ann_ivf_pq"          -> (Similarity.q53AnnIvfPq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,5 +141,9 @@ object SparkEntry {
     // pairs and recall >= 0.85 (driver records a rows-only check).
     "q51_dup_ngram_stats"     -> Dedup.q51Sql,
     "q52_incremental_dedup"   -> Dedup.q52Sql,
+    // q53_ann_ivf_pq: no oracle — two stages of iterative float training
+    // (coarse k-means + per-subspace PQ codebooks); SimilaritySpec
+    // asserts recall@10 vs the exact q22 (driver records a rows-only
+    // check, like q23/q30).
   )
 }

@@ -225,6 +225,24 @@ object GraftFunctions {
   def rollingHash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 
+  /** Pack a vector's m per-subspace PQ code indices into one long (see
+    * [[PqEncode]]): the 8-byte index-side representation of a PQ scan. */
+  def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]], bits: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), books, bits))
+
+  /** Flat m*K ADC lookup table of a query vector against the PQ
+    * codebooks (see [[PqLut]]): the query-side companion of
+    * [[pqEncode]]. */
+  def pqLut(q: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(q), books))
+
+  /** Asymmetric-distance score of a packed code against a query LUT
+    * (see [[PqAdcScore]]): m table reads per candidate, inside
+    * whole-stage codegen. */
+  def pqAdcScore(code: Column, lut: Column, m: Int, bits: Int, k: Int): Column =
+    ColumnBridge.column(PqAdcScore(ColumnBridge.expression(code),
+      ColumnBridge.expression(lut), m, bits, k))
+
   /** Cosine similarity via [[dot]]; norms computed inline. Prefer
     * precomputing norms once per side when a side is reused (see
     * Similarity.withNorm). */

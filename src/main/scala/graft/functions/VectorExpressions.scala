@@ -672,3 +672,257 @@ object RollingHash {
     h
   }
 }
+
+/** Product-quantization encoder (Jégou et al., TPAMI 2011): split a
+  * dim-d vector into m contiguous subvectors, quantize each against its
+  * own K-codeword codebook by MINIMUM L2 distance, and pack the m code
+  * indices into one long — `bits` bits per code, subspace i at bit
+  * offset i*bits. With m=8, bits=6 a 64-float embedding (256 B) becomes
+  * a 48-bit code (8 B): the 32x compression that makes exhaustive
+  * ADC scans memory-bandwidth-bound instead of FLOP-bound at 100 TB.
+  *
+  * The codebook tensor rides along as one referenced `double[][][]` —
+  * composing this from per-codeword expressions would embed m*K array
+  * literals in the generated source (the Janino blowup
+  * [[HyperplaneBuckets]] documents). Ties break to the LOWEST codeword
+  * index; null input, shape mismatch, or a null element yields NULL (the
+  * vector drops out of the index, matching every other vector op here).
+  */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]],
+    bits: Int) extends UnaryExpression {
+
+  private val m = books.length
+  private val k = books.head.length
+  private val dsub = books.head.head.length
+  require(m >= 1 && k >= 1 && k <= (1 << bits) && m * bits <= 64,
+    s"PQ shape invalid: m=$m K=$k bits=$bits")
+  require(books.forall(b => b.length == k && b.forall(_.length == dsub)),
+    "ragged codebook tensor")
+
+  @transient private lazy val booksArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float|double>, got $t")
+  }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = PqEncode.compute(input.asInstanceOf[ArrayData], booksArr, bits, isFloat)
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", booksArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.PqEncode.compute(
+         |  $v, $booksRef, $bits, $isFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+
+  /** One definition of truth for interpreted eval AND codegen. */
+  def compute(v: ArrayData, books: Array[Array[Array[Double]]], bits: Int,
+      isFloat: Boolean): java.lang.Long = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    if (v.numElements() != m * dsub) return null
+    var code = 0L
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val idx = s * dsub + j
+          if (v.isNullAt(idx)) return null
+          val x = (if (isFloat) v.getFloat(idx).toDouble else v.getDouble(idx)) - cw(j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
+        c += 1
+      }
+      code |= best.toLong << (bits * s)
+      s += 1
+    }
+    java.lang.Long.valueOf(code)
+  }
+}
+
+/** Query-side ADC lookup table for [[PqEncode]] codes: a flat
+  * array<double> of m*K entries, entry i*K + c = dot(query_sub_i,
+  * codebook_i_codeword_c). Built ONCE per query row (the tiny broadcast
+  * side); after it, scoring any corpus code is m array reads + adds
+  * ([[PqAdcScore]]) instead of a dim-length dot product — the
+  * asymmetric-distance trick that makes PQ scans cheap. Null/shape
+  * semantics match [[PqEncode]].
+  */
+case class PqLut(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  private val m = books.length
+  private val k = books.head.length
+  private val dsub = books.head.head.length
+  require(books.forall(b => b.length == k && b.forall(_.length == dsub)),
+    "ragged codebook tensor")
+
+  @transient private lazy val booksArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut expects array<float|double>, got $t")
+  }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqLut.compute(input.asInstanceOf[ArrayData], booksArr, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", booksArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.PqLut.compute($v, $booksRef, $isFloat);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqLut {
+
+  /** One definition of truth for interpreted eval AND codegen. */
+  def compute(v: ArrayData, books: Array[Array[Array[Double]]],
+      isFloat: Boolean): ArrayData = {
+    val m = books.length
+    val k = books(0).length
+    val dsub = books(0)(0).length
+    if (v.numElements() != m * dsub) return null
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      var c = 0
+      while (c < k) {
+        val cw = book(c)
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          val idx = s * dsub + j
+          if (v.isNullAt(idx)) return null
+          acc += (if (isFloat) v.getFloat(idx).toDouble else v.getDouble(idx)) * cw(j)
+          j += 1
+        }
+        out(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Asymmetric-distance score of one packed PQ code against a query LUT:
+  * sum over subspaces i of lut[i*K + code_i], code_i = bits i*bits ..
+  * i*bits+bits-1 of the long. This is the entire per-candidate cost of a
+  * PQ scan — m array reads — and it lives inside whole-stage codegen, so
+  * the candidate join's hot loop never allocates. Approximates
+  * dot(query, vector) with the vector replaced by its per-subspace
+  * codeword reconstruction. NULL if the LUT length is not m*K (shape
+  * drift guard); the code itself is total — any 64-bit value decodes.
+  */
+case class PqAdcScore(code: Expression, lut: Expression, m: Int, bits: Int,
+    k: Int) extends BinaryExpression {
+
+  require(m >= 1 && k >= 1 && k <= (1 << bits) && m * bits <= 64,
+    s"PQ shape invalid: m=$m K=$k bits=$bits")
+
+  override def left: Expression = code
+  override def right: Expression = lut
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (code.dataType, lut.dataType) match {
+      case (LongType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ct, lt) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score expects (bigint, array<double>), got ($ct, $lt)")
+    }
+
+  override def nullSafeEval(c: Any, l: Any): Any = {
+    val r = PqAdcScore.compute(c.asInstanceOf[Long], l.asInstanceOf[ArrayData],
+      m, bits, k)
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.PqAdcScore.compute(
+         |  $c, $l, $m, $bits, $k);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(code = newLeft, lut = newRight)
+}
+
+object PqAdcScore {
+
+  /** One definition of truth for interpreted eval AND codegen. */
+  def compute(code: Long, lut: ArrayData, m: Int, bits: Int,
+      k: Int): java.lang.Double = {
+    if (lut.numElements() != m * k) return null
+    val mask = (1L << bits) - 1L
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = ((code >>> (bits * s)) & mask).toInt
+      if (c >= k) return null // unencodable under this codebook — shape drift
+      acc += lut.getDouble(s * k + c)
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}

@@ -511,4 +511,163 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
+
+  // ---------------------------------------------------------------------
+  // q53 — IVF-PQ ANN (Jégou et al., TPAMI 2011; the Faiss `IVFPQ` index
+  // with `by_residual=false`): q30's coarse-cell pruning composed with
+  // product-quantized scoring. The index side stores (cell, vec_id,
+  // 64-bit PQ code) — THREE LONGS PER VECTOR instead of the 64-float
+  // embedding, a ~10x reduction of what the candidate join shuffles and
+  // what 100 TB of index occupies (the code itself is 32x smaller than
+  // the vector). Scoring a candidate is 8 LUT reads (PqAdcScore, inside
+  // whole-stage codegen), not a 64-wide dot product; the exact
+  // embeddings are touched ONLY for the top `PqRerank` ADC-ranked
+  // candidates per query (the standard re-rank step — Faiss's
+  // `k_factor`), reached by an equi-join on vec_id.
+  //
+  // Pipeline: coarse quantizer (q30's trainCentroids, K=max(24,√n)
+  // cells, multi-assign delta 0.15) prunes to ~nprobe/K of the corpus;
+  // PQ (m=8 subspaces x 256 codewords x 8 bits — the Faiss default —
+  // trained per-subspace on the same bounded sample) ranks the
+  // candidates by approximate dot; exact cosine re-ranks the short
+  // list. PQ runs on UNIT vectors so ADC approximates cosine directly;
+  // codebooks are L2-trained (standard PQ) and ride into codegen as one
+  // referenced tensor. K_pq is FIXED at 256: codebook size is a
+  // property of the subvector geometry, not the corpus — more data does
+  // not need more codewords, it needs more cells (and K_cells already
+  // scales as √n).
+  //
+  // Config sweep (recall@10 vs exact q22, sf0.01 / sf0.1; IVF candidate
+  // ceiling is 0.90 at both): 6-bit K=64, rerank 64 → 0.86 / 0.68;
+  // 8-bit K=256, rerank 64 → 0.90 / 0.84; 8-bit, rerank 128 →
+  // 0.90 / 0.90 (the ceiling — PQ+re-rank then loses NOTHING on top of
+  // cell pruning). The 6→8-bit jump matters because this corpus's
+  // true top-10 sits at cosine 0.3-0.45 with tiny gaps (see q30's
+  // spectrum note): ADC noise must be small relative to those gaps.
+  //
+  // No SQL oracle (two stages of iterative float training);
+  // SimilaritySpec asserts recall@10 vs the exact q22 with a floor, and
+  // VectorSpec pins PqEncode/PqLut/PqAdcScore against a reference model.
+  // ---------------------------------------------------------------------
+  private val PqM      = 8
+  private val PqBits   = 8
+  private val PqK      = 1 << PqBits // 256 codewords per subspace (Faiss default)
+  private val PqRerank = 128         // exact-re-rank depth per query
+
+  /** Per-subspace L2 Lloyd's over a bounded driver-side sample (the PQ
+    * analogue of [[trainCentroids]]; same determinism + empty-cell
+    * repair, but centroids are MEANS, not unit vectors — PQ quantizes
+    * raw subvector geometry). Input vectors must already be
+    * unit-normalized by the caller. */
+  private[graft] def trainPqBooks(sample: Array[Array[Double]], m: Int,
+      k: Int, iters: Int = LloydIters): Array[Array[Array[Double]]] = {
+    require(sample.length >= k, s"need >= $k training vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var cents = Array.tabulate(k)(i => sub((i.toLong * sub.length / k).toInt).clone())
+      var iter = 0
+      while (iter < iters) {
+        val sums   = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        var worst = -1; var worstD = -1.0
+        var si = 0
+        while (si < sub.length) {
+          val v = sub(si)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val x = v(j) - cents(c)(j); d += x * x; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          if (bestD > worstD) { worstD = bestD; worst = si }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+          si += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) sub(worst).clone() // repair: reseed empty cell
+          else sums(c).map(_ / counts(c))
+        }
+        iter += 1
+      }
+      cents
+    }
+  }
+
+  def q53AnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{centroidScores, pqAdcScore, pqEncode, pqLut}
+    val e = withNorm(Tables.embeddings(spark, sfDir)).cache()
+    val n = e.count() // also materializes the cache: norm is read back, not recomputed
+    val kc = math.max(MinCells, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(6, math.ceil(kc * ProbeFrac).toInt)
+
+    // One bounded sample trains BOTH quantizers (see q30's sampling note).
+    val sample: Array[Array[Double]] = e
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(math.max(4096, SamplePerCell * kc))
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm == 0) v else v.map(_ / nrm)
+    }
+    val cents: Seq[Seq[Double]] = trainCentroids(sample, kc).map(_.toSeq).toSeq
+    val books: Seq[Seq[Seq[Double]]] =
+      trainPqBooks(sample.map(unit), PqM, PqK)
+        .map(_.map(_.toSeq).toSeq).toSeq
+
+    // Unit vectors read the cached norm column (no recompute: e is
+    // materialized, so `norm` is a stored column, not its defining tree).
+    val withUnit = e.withColumn("unit",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+
+    // Index side: (cell, vec_id, code) — the join never carries vectors.
+    val vecs = withUnit
+      .withColumn("sc", centroidScores(col("embedding"), col("norm"), cents))
+      .select(col("vec_id"),
+        pqEncode(col("unit"), books, PqBits).as("code"),
+        explode(expr(
+          s"transform(filter(sc, x -> x.s >= array_max(sc).s - $AssignDelta), x -> x.c)"))
+          .as("cell"))
+    // Query side: nprobe best cells, LUT built once per query row.
+    val probes = withUnit.filter(col("vec_id") < NumQueries)
+      .withColumn("sc", centroidScores(col("embedding"), col("norm"), cents))
+      .select(col("vec_id").as("query_id"), pqLut(col("unit"), books).as("lut"),
+        explode(slice(reverse(array_sort(col("sc"))), 1, nprobe).getField("c"))
+          .as("cell"))
+
+    val shortList = vecs.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // multi-assignment dupes carry identical (code, lut) — any survivor
+      // scores the same, so the dedup is deterministic.
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        pqAdcScore(col("code"), col("lut"), PqM, PqBits, PqK).as("adc"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("arank") <= PqRerank)
+
+    // Exact re-rank of the short list only: re-join embeddings by id.
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qnorm"))
+    shortList
+      .join(e.select(col("vec_id"), col("embedding"), col("norm")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -13,7 +13,8 @@ class EntrySpec extends SparkSpec {
     // the only rows-only checks: approximate/hash-family ops and
     // iterative float training
     assert(noOracle == Set("q21_simhash_dedup", "q23_ann_lsh", "q30_ann_ivf",
-      "q34_approx_distinct", "q47_kmeans_cluster", "q50_semdedup"))
+      "q34_approx_distinct", "q47_kmeans_cluster", "q50_semdedup",
+      "q53_ann_ivf_pq"))
   }
 
   test("oracle column names match the Spark result columns") {

@@ -83,6 +83,16 @@ class PlanSpec extends SparkSpec {
       "candidates must come from the cell equi-join, never a cross product")
   }
 
+  test("q53: PQ candidates come from the cell equi-join; exact re-rank " +
+      "joins by id — no cross product") {
+    val plan = finalPlan(Similarity.q53AnnIvfPq(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the probe/query sides must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "ADC scoring must ride the cell equi-join, never a cross product")
+  }
+
   test("q40: prefix-filter candidates come from an equi-join — no cross product") {
     val plan = finalPlan(Dedup.q40NgramJaccard(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

@@ -198,4 +198,88 @@ class VectorSpec extends SparkSpec {
       assert(r.getLong(1) === 0L, "empty input: every vote ties -> all bits 0")
     }
   }
+
+  test("pq encode/lut/adc agree with an independent reference model") {
+    import graft.functions.GraftFunctions.{pqAdcScore, pqEncode, pqLut}
+    val m = 8; val bits = 3; val k = 1 << bits
+    // Train tiny codebooks on real unit vectors, then pin every stage of
+    // the expression pipeline against plain-Scala reference arithmetic.
+    val unit = Tables.embeddings(spark, sf).orderBy("vec_id").limit(64)
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    val books = graft.operators.Similarity.trainPqBooks(unit, m, k, iters = 5)
+    val booksSeq: Seq[Seq[Seq[Double]]] = books.map(_.map(_.toSeq).toSeq).toSeq
+    val dsub = 64 / m
+
+    def refEncode(v: Array[Double]): Long = {
+      var code = 0L
+      for (s <- 0 until m) {
+        val best = (0 until k).minBy { c =>
+          val d = (0 until dsub).map { j =>
+            val x = v(s * dsub + j) - books(s)(c)(j); x * x
+          }.sum
+          (d, c) // strict-min tie-break on lowest index, like the expression
+        }
+        code |= best.toLong << (bits * s)
+      }
+      code
+    }
+
+    val q = unit(0)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(unit.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i.toLong, v.toSeq) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .withColumn("code", pqEncode(col("v"), booksSeq, bits))
+      .withColumn("lut", pqLut(typedLit(q.toSeq), booksSeq))
+      .withColumn("adc", pqAdcScore(col("code"), col("lut"), m, bits, k))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val code = r.getLong(2)
+      assert(code === refEncode(unit(id.toInt)), s"encode mismatch at $id")
+      // ADC == sum over subspaces of dot(q_sub, codeword-of-code), in
+      // subspace order — the exact accumulation the expression performs.
+      var want = 0.0
+      for (s <- 0 until m) {
+        val c = ((code >>> (bits * s)) & (k - 1)).toInt
+        var d = 0.0
+        for (j <- 0 until dsub) d += q(s * dsub + j) * books(s)(c)(j)
+        want += d
+      }
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(want), s"adc mismatch at $id")
+    }
+  }
+
+  test("pq expressions: shape-mismatch and null inputs yield NULL") {
+    import graft.functions.GraftFunctions.{pqAdcScore, pqEncode, pqLut}
+    val books: Seq[Seq[Seq[Double]]] =
+      Seq.fill(2)(Seq.fill(4)(Seq.fill(2)(0.5))) // m=2, k=4, dsub=2 -> dim 4
+    val rows = Tables.embeddings(spark, sf).limit(1)
+      .select(
+        pqEncode(expr("CAST(array(1.0, 2.0) AS array<double>)"), books, 2)
+          .as("short"),
+        pqEncode(expr("CAST(array(1.0, NULL, 3.0, 4.0) AS array<double>)"),
+          books, 2).as("withnull"),
+        pqLut(expr("CAST(array(1.0, 2.0) AS array<double>)"), books).as("lutshort"),
+        pqAdcScore(lit(0L),
+          expr("CAST(array(1.0, 2.0) AS array<double>)"), 2, 2, 4).as("lutdrift"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0), "wrong input dim must yield NULL code")
+      assert(r.isNullAt(1), "null element must yield NULL code")
+      assert(r.isNullAt(2), "wrong input dim must yield NULL lut")
+      assert(r.isNullAt(3), "lut length != m*K must yield NULL score")
+    }
+  }
 }
