@@ -72,6 +72,7 @@ object SparkEntry {
     "q51_dup_ngram_stats"     -> (Dedup.q51DupNgramStats _),
     "q52_incremental_dedup"   -> (Dedup.q52IncrementalDedup _),
     "q53_ann_ivf_pq"          -> (Similarity.q53AnnIvfPq _),
+    "q54_substring_runs"      -> (Dedup.q54SubstringRuns _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -145,5 +146,6 @@ object SparkEntry {
     // (coarse k-means + per-subspace PQ codebooks); SimilaritySpec
     // asserts recall@10 vs the exact q22 (driver records a rows-only
     // check, like q23/q30).
+    "q54_substring_runs"      -> Dedup.q54Sql,
   )
 }

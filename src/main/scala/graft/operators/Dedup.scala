@@ -371,6 +371,154 @@ object Dedup {
        |ORDER BY d2.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q54 — cross-document exact-substring duplication stats (the signal
+  // behind suffix-array substring dedup, Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better": documents sharing a
+  // LONG VERBATIM TOKEN RUN with any other document). A suffix array is
+  // a single-machine structure; the distributed equivalent is windowed
+  // fingerprints: every length-L token window becomes a position-indexed
+  // 16-byte md5 key, a window is "shared" iff it occurs in >= 2 DISTINCT
+  // documents, and per-document run structure is recovered from the
+  // shared positions with two gaps-and-islands passes — (1) consecutive
+  // shared window positions -> maximal runs (max_dup_run, in TOKENS:
+  // run + L - 1); (2) the runs' token intervals [i0, i1+L-1], merged
+  // where overlapping, -> exact duplicated-token coverage. All counts
+  // exact; every shuffle carries (doc_id, position, md5) — window TEXT
+  // never leaves the executor that read it.
+  //
+  // vs q51: q51 counts per-doc-DISTINCT 4-gram document frequency (how
+  // much of the doc's vocabulary-of-grams is shared); this keeps
+  // POSITIONS, so it sees runs — the 50-token verbatim quote q51 smears
+  // into a ratio is exactly what max_dup_run reports.
+  //
+  // Scale shape: the heavy aggregation (count-distinct-docs per window)
+  // is two map-side-combinable shuffles of md5 keys; the island passes
+  // are per-document window functions over ONLY the shared positions (a
+  // small minority in a real corpus). At 100 TB the window length L
+  // trades index size for sensitivity exactly as in the paper.
+  // ---------------------------------------------------------------------
+  private val RunL = 8
+
+  def q54SubstringRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= RunL)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $RunL),
+           |  i -> struct(i AS i,
+           |              md5(array_join(slice(toks, i + 1, $RunL), ' ')) AS gh))"""
+          .stripMargin)).as("u"))
+      .select(col("doc_id"), col("u.i").as("i"), col("u.gh").as("gh"))
+    val nd = w.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
+    val flagged = w.join(nd, "gh").cache()
+
+    val perdoc = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+
+    // Pass 1: consecutive shared positions -> maximal runs.
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = flagged.filter(col("ndocs") > 1)
+      .select(col("doc_id"), col("i"))
+      .withColumn("grp", col("i") - row_number().over(wi))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("i0"), max(col("i")).as("i1"))
+    val mrun = runs.groupBy(col("doc_id"))
+      .agg(max(col("i1") - col("i0") + RunL).as("max_run"))
+
+    // Pass 2: merge overlapping token intervals [i0, i1+L-1] — two runs
+    // less than L windows apart cover overlapping tokens, so a plain sum
+    // would double-count. Standard running-max interval merge; interval
+    // starts are distinct per doc, so the order is total.
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"))
+    val iv = runs
+      .select(col("doc_id"), col("i0").as("s"), (col("i1") + RunL - 1).as("e"))
+      .withColumn("brk", when(col("s") > coalesce(
+          max(col("e")).over(ws.rowsBetween(Long.MinValue, -1)), lit(-1)), 1)
+        .otherwise(0))
+      .withColumn("mgrp", sum(col("brk")).over(ws))
+    val cov = iv.groupBy(col("doc_id"), col("mgrp"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("me") - col("ms") + 1).as("covered"))
+
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_tokens"))
+      .join(perdoc, Seq("doc_id"), "left")
+      .join(mrun, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("max_run"), lit(0)).cast("long").as("max_dup_run"),
+        when(coalesce(col("covered"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("covered").cast("double") / col("n_tokens"))
+          .as("dup_coverage"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle mirrors both island passes on the window STRINGS directly
+    * (the md5 keying is a shuffle-width optimization, invisible in the
+    * result). */
+  val q54Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.i AS i, u.g AS g FROM (
+       |    SELECT doc_id,
+       |           unnest([{'i': i, 'g': array_to_string(toks[i+1 : i+$RunL], ' ')}
+       |                   for i in range(0, len(toks) - $RunL + 1)]) AS u
+       |    FROM d WHERE len(toks) >= $RunL)),
+       |nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY g),
+       |fl AS (SELECT w.doc_id, w.i, nd.ndocs FROM w JOIN nd USING (g)),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_windows,
+       |         count(CASE WHEN ndocs > 1 THEN 1 END) AS n_shared
+       |  FROM fl GROUP BY doc_id),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |         i - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS grp
+       |  FROM fl WHERE ndocs > 1),
+       |runs AS (
+       |  SELECT doc_id, min(i) AS i0, max(i) AS i1 FROM isl GROUP BY doc_id, grp),
+       |mrun AS (SELECT doc_id, max(i1 - i0 + $RunL) AS max_run FROM runs GROUP BY doc_id),
+       |iv AS (
+       |  SELECT doc_id, i0 AS s, i1 + $RunL - 1 AS e,
+       |         CASE WHEN i0 > coalesce(max(i1 + $RunL - 1) OVER (
+       |                PARTITION BY doc_id ORDER BY i0
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM runs),
+       |mg AS (
+       |  SELECT doc_id, s, e,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS mgrp
+       |  FROM iv),
+       |cov AS (
+       |  SELECT doc_id, sum(me - ms + 1) AS covered
+       |  FROM (SELECT doc_id, mgrp, min(s) AS ms, max(e) AS me
+       |        FROM mg GROUP BY doc_id, mgrp)
+       |  GROUP BY doc_id)
+       |SELECT d2.doc_id,
+       |       CAST(len(regexp_split_to_array(trim(d2.text), ' +')) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+       |       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+       |       CAST(coalesce(m.max_run, 0) AS BIGINT) AS max_dup_run,
+       |       CASE WHEN coalesce(c.covered, 0) = 0 THEN 0.0
+       |            ELSE CAST(c.covered AS DOUBLE)
+       |                 / len(regexp_split_to_array(trim(d2.text), ' +'))
+       |       END AS dup_coverage
+       |FROM documents d2
+       |LEFT JOIN perdoc p ON d2.doc_id = p.doc_id
+       |LEFT JOIN mrun m ON d2.doc_id = m.doc_id
+       |LEFT JOIN cov c ON d2.doc_id = c.doc_id
+       |ORDER BY d2.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q52 — incremental corpus dedup: the admission gate of a CONTINUOUSLY
   // INGESTING pipeline. The corpus is split deterministically into an
   // EXISTING index side (doc_id % 5 != 0) and an INCOMING batch

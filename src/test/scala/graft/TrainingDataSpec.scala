@@ -242,4 +242,46 @@ class TrainingDataSpec extends SparkSpec {
     // the corpus must actually exercise the signal: some docs share grams
     assert(expected.values.count(_._2 > 0) > 0)
   }
+
+  test("q54 substring-run stats agree with an independent in-memory model") {
+    val L = 8
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split(" +").toSeq)
+    // (doc, position) -> window string; shared = in >= 2 distinct docs
+    val windows = docs.map { case (id, toks) =>
+      id -> (if (toks.length < L) Seq.empty[(Int, String)]
+             else toks.sliding(L).map(_.mkString(" ")).zipWithIndex
+               .map { case (g, i) => (i, g) }.toSeq)
+    }.toMap
+    val docsPerGram = windows.toSeq
+      .flatMap { case (id, ws) => ws.map { case (_, g) => (g, id) } }
+      .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = docs.map { case (id, toks) =>
+      val ws = windows(id)
+      val sharedPos = ws.collect { case (i, g) if docsPerGram(g) > 1 => i }.sorted
+      // maximal consecutive runs
+      val runs = sharedPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, i) if i == e + 1 => (s, i) :: rest
+        case (acc, i) => (i, i) :: acc
+      }.reverse
+      val maxRun = if (runs.isEmpty) 0L else runs.map { case (s, e) => e - s + L }.max.toLong
+      // merge overlapping token intervals [s, e+L-1]
+      val ivs = runs.map { case (s, e) => (s, e + L - 1) }.sortBy(_._1)
+      val covered = ivs.foldLeft(List.empty[(Int, Int)]) {
+        case ((ms, me) :: rest, (s, e)) if s <= me => (ms, math.max(me, e)) :: rest
+        case (acc, iv) => iv :: acc
+      }.map { case (s, e) => (e - s + 1).toLong }.sum
+      (id, (toks.length.toLong, ws.length.toLong, sharedPos.length.toLong, maxRun,
+        if (covered == 0) 0.0 else covered.toDouble / toks.length))
+    }.toMap
+    val got = Dedup.q54SubstringRuns(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+    // the planted near-dups must produce real runs and real coverage
+    assert(expected.values.exists(_._4 >= 2 * L),
+      "corpus should contain at least one long verbatim run")
+    assert(expected.values.forall(_._5 <= 1.0))
+  }
 }
