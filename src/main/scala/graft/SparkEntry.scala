@@ -73,6 +73,7 @@ object SparkEntry {
     "q52_incremental_dedup"   -> (Dedup.q52IncrementalDedup _),
     "q53_ann_ivf_pq"          -> (Similarity.q53AnnIvfPq _),
     "q54_substring_runs"      -> (Dedup.q54SubstringRuns _),
+    "q55_bigram_lm"           -> (TextAnalysis.q55BigramLm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +148,6 @@ object SparkEntry {
     // asserts recall@10 vs the exact q22 (driver records a rows-only
     // check, like q23/q30).
     "q54_substring_runs"      -> Dedup.q54Sql,
+    "q55_bigram_lm"           -> TextAnalysis.q55Sql,
   )
 }

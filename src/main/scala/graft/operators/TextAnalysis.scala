@@ -393,4 +393,104 @@ object TextAnalysis {
       |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t
       |            FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q55 — corpus-trained bigram language-model scoring with per-language
+  // quality buckets (the CCNet recipe, Wenzek et al. 2020: score every
+  // document under an n-gram LM, bucket into head/middle/tail per
+  // language; docs whose text the corpus LM finds surprising are the
+  // curation candidates). Model: add-k-smoothed bigram LM, k = 0.5 —
+  // p(w2|w1) = (c(w1 w2) + 0.5) / (c(w1) + 0.5 V) with unigram/bigram
+  // counts and vocabulary size V from the WHOLE corpus (train = score
+  // corpus, the self-scoring CCNet degenerate case; a deployment feeds a
+  // held-out LM count table through the same joins).
+  //
+  // ORACLE-EXACT FLOAT DISCIPLINE: per-bigram log-probs are computed in
+  // IEEE double (counts are exact integers, so numerator/denominator/
+  // division/ln are platform-reproducible), then CAST TO DECIMAL(18,6)
+  // — one rounding — and summed as DECIMALS, which is order-insensitive
+  // and therefore identical under any partitioning/AQE plan AND equal to
+  // DuckDB's decimal sum. The only doubles that cross the oracle hash
+  // are exact-decimal conversions and one IEEE division (sum/n).
+  //
+  // Scale shape: the LM "training" is two map-side-combinable count
+  // aggregations; scoring joins each bigram occurrence against the count
+  // tables by key (bigram tables are Zipf-small relative to the corpus;
+  // AQE broadcasts them when they fit). V is an O(1) driver scalar of
+  // the index-training class. The per-language ntile is the one
+  // deliberate single-reducer-per-language stage — at 100 TB a
+  // deployment replaces data-dependent exact quartiles with thresholds
+  // from approx quantiles (one tiny driver row per language), keeping
+  // every other stage unchanged.
+  // ---------------------------------------------------------------------
+  def q55BigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), " +").as("toks"))
+    val uni = d.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val v = uni.count() // vocabulary size: O(1) driver scalar
+    val bg = d.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i+1] AS w2))""".stripMargin)).as("u"))
+      .select(col("doc_id"), col("u.w1").as("w1"), col("u.w2").as("w2"))
+      .cache() // scored once for counts, once for scoring — one explode
+    val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val scored = bg
+      .join(bgc, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .select(col("doc_id"),
+        log((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * v))
+          .cast("decimal(18,6)").as("lp"))
+    val perdoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(perdoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("slp"), lit(0).cast("decimal(18,6)")).cast("double")
+          .as("sum_logprob"),
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(col("slp").cast("double") / col("n_bigrams"))
+          .as("avg_logprob"))
+      .withColumn("ppl_quartile", ntile(4).over(
+        Window.partitionBy(col("lang"))
+          .orderBy(desc_nulls_last("avg_logprob"), col("doc_id").asc)))
+      .orderBy("doc_id")
+  }
+
+  val q55Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), ' +') AS toks
+      |  FROM documents),
+      |uni AS (
+      |  SELECT t AS w, count(*) AS c1
+      |  FROM (SELECT unnest(toks) AS t FROM d) GROUP BY t),
+      |v AS (SELECT count(*) AS nv FROM uni),
+      |bg AS (
+      |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest([{'w1': toks[i+1], 'w2': toks[i+2]}
+      |                           for i in range(0, len(toks) - 1)]) AS u
+      |    FROM d WHERE len(toks) >= 2)),
+      |bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT bg.doc_id,
+      |         CAST(ln((bgc.c12 + 0.5) / (uni.c1 + 0.5 * v.nv)) AS DECIMAL(18,6)) AS lp
+      |  FROM bg JOIN bgc USING (w1, w2) JOIN uni ON bg.w1 = uni.w, v),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, lang,
+      |       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(coalesce(p.slp, 0) AS DOUBLE) AS sum_logprob,
+      |       CASE WHEN p.n_bigrams IS NULL THEN NULL
+      |            ELSE CAST(p.slp AS DOUBLE) / p.n_bigrams END AS avg_logprob,
+      |       ntile(4) OVER (PARTITION BY lang
+      |                      ORDER BY CASE WHEN p.n_bigrams IS NULL THEN NULL
+      |                               ELSE CAST(p.slp AS DOUBLE) / p.n_bigrams END
+      |                      DESC NULLS LAST, doc_id) AS ppl_quartile
+      |FROM documents d2 LEFT JOIN perdoc p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -64,4 +64,25 @@ class TextOpsSpec extends SparkSpec {
     // the UTF-16 code-unit fold would instead see 97, 0xD83D, 0xDE00
     assert(h !== ((97L * 31 + 0xD83DL) % 1000000007L * 31 + 0xDE00L) % 1000000007L)
   }
+
+  test("q55 bigram LM: per-language quartiles are balanced and monotone in avg_logprob") {
+    val rows = graft.operators.TextAnalysis.q55BigramLm(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(4), r.getInt(5)))
+    assert(rows.length === Tables.documents(spark, sf).count())
+    // every doc here has bigrams (median length ~50 tokens)
+    assert(rows.forall(_._2 >= 1))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.keySet === Set(1, 2, 3, 4), s"$lang must fill 4 quartiles")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang quartiles must be ntile-balanced")
+      // quartile order tracks avg logprob: every q1 doc scores >= every q4 doc
+      val q1min = rs.filter(_._4 == 1).map(_._3).min
+      val q4max = rs.filter(_._4 == 4).map(_._3).max
+      assert(q1min >= q4max, s"$lang: quartile 1 must dominate quartile 4")
+    }
+    // smoothed log-probs are strictly negative (nothing is certain)
+    assert(rows.forall(_._3 < 0.0))
+  }
 }
