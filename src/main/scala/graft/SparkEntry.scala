@@ -74,6 +74,7 @@ object SparkEntry {
     "q53_ann_ivf_pq"          -> (Similarity.q53AnnIvfPq _),
     "q54_substring_runs"      -> (Dedup.q54SubstringRuns _),
     "q55_bigram_lm"           -> (TextAnalysis.q55BigramLm _),
+    "q56_partition_pruning"   -> (Bucketing.q56PartitionPruning _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +150,6 @@ object SparkEntry {
     // check, like q23/q30).
     "q54_substring_runs"      -> Dedup.q54Sql,
     "q55_bigram_lm"           -> TextAnalysis.q55Sql,
+    "q56_partition_pruning"   -> Bucketing.q56Sql,
   )
 }

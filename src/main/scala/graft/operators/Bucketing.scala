@@ -51,6 +51,49 @@ object Bucketing {
     (li, ord)
   }
 
+  // ---------------------------------------------------------------------
+  // q56 — partition-pruned layout: the OTHER layout-level lever (q35 is
+  // bucketing-for-joins; this is partitioning-for-scans). Orders are
+  // written once under o_month=<m>/ directories (hive-style partition
+  // layout, one file per partition via repartition on the key); a query
+  // filtering on the partition column then never OPENS the other
+  // partitions — at 100 TB a two-month query reads 2/12 of the data and
+  // the pruning decision costs a directory listing, not a scan.
+  // PlanSpec asserts the filter lands in the scan's PartitionFilters
+  // (metadata pruning), not in a row-level Filter after it.
+  // ---------------------------------------------------------------------
+  /** Hive-style month-partitioned copy of orders (idempotent per sfDir). */
+  def ensurePartitionedOrders(spark: SparkSession, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Integer.toHexString(sfDir.hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned$tag"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Tables.orders(spark, sfDir)
+        .withColumn("o_month", month(col("o_orderdate")))
+        .repartition(col("o_month")) // one writer task per partition dir
+        .write.mode("overwrite").partitionBy("o_month").parquet(path)
+    path
+  }
+
+  def q56PartitionPruning(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(ensurePartitionedOrders(spark, sfDir))
+      .filter(col("o_month").isin(3, 4))
+      .groupBy(col("o_month"), col("o_orderpriority"))
+      .agg(Relational.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_month", "o_orderpriority")
+
+  /** Oracle recomputes the month from the raw table — the partition
+    * layout is physically different data placement, identical content. */
+  val q56Sql: String =
+    """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month, o_orderpriority,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS cnt
+      |FROM orders
+      |WHERE month(o_orderdate) IN (3, 4)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def q35BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val (li, ord) = ensureBucketedTables(spark, sfDir)
     val l = spark.table(li)

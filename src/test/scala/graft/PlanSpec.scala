@@ -106,6 +106,16 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q56: month filter prunes partitions at the source, not in a row filter") {
+    val plan = finalPlan(Bucketing.q56PartitionPruning(spark, sf))
+    val flat = plan.replaceAll("\\s+", " ")
+    assert(flat.matches(".*PartitionFilters: \\[[^\\]]*o_month[^\\]]*\\].*"),
+      "the o_month predicate must be a partition (metadata) filter on the scan")
+    // no row-level Filter node should re-test the partition column
+    assert(!flat.matches(".*\\bFilter \\[?[^\\]]*o_month.*"),
+      "partition pruning must fully absorb the o_month predicate")
+  }
+
   test("q35: bucketed join runs with no exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
