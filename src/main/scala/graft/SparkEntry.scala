@@ -75,6 +75,7 @@ object SparkEntry {
     "q54_substring_runs"      -> (Dedup.q54SubstringRuns _),
     "q55_bigram_lm"           -> (TextAnalysis.q55BigramLm _),
     "q56_partition_pruning"   -> (Bucketing.q56PartitionPruning _),
+    "q57_approx_quantiles"    -> (Relational.q57ApproxQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,5 +152,8 @@ object SparkEntry {
     "q54_substring_runs"      -> Dedup.q54Sql,
     "q55_bigram_lm"           -> TextAnalysis.q55Sql,
     "q56_partition_pruning"   -> Bucketing.q56Sql,
+    // q57_approx_quantiles: no oracle — GK sketch is approximate by
+    // design (and merge-order-sensitive); RelationalSpec bounds the
+    // rank error vs the exact percentile per group.
   )
 }

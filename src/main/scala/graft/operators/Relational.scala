@@ -374,6 +374,32 @@ object Relational {
       .orderBy("event_type")
 
   // ---------------------------------------------------------------------
+  // q57 — approximate quantiles by Greenwald-Khanna sketch
+  // (approx_percentile, accuracy 10000): the quantile member of the
+  // sketch family (q34 is cardinality/HLL++, q07 is the reference's own
+  // fixed-histogram percentile). Like HLL, the GK summary's size depends
+  // on accuracy, NOT on row count — partial summaries merge
+  // associatively, so shuffle volume per group is constant at any corpus
+  // size, where an exact percentile would shuffle (or skip-list) every
+  // value. Approximate by design (rank error <= n/accuracy) — no SQL
+  // oracle; RelationalSpec bounds the result against the exact
+  // percentile per group and the driver records a rows-only check.
+  // ---------------------------------------------------------------------
+  def q57ApproxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5D, 0.95D, 0.99D), 10000)")
+          .as("qs"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        col("qs").getItem(0).as("p50"),
+        col("qs").getItem(1).as("p95"),
+        col("qs").getItem(2).as("p99"),
+        col("cnt"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------------
   // q14 — analytic window functions: latest 3 events per user.
   // ---------------------------------------------------------------------
   def q14AnalyticWindow(spark: SparkSession, sfDir: String): DataFrame = {

@@ -14,7 +14,7 @@ class EntrySpec extends SparkSpec {
     // iterative float training
     assert(noOracle == Set("q21_simhash_dedup", "q23_ann_lsh", "q30_ann_ivf",
       "q34_approx_distinct", "q47_kmeans_cluster", "q50_semdedup",
-      "q53_ann_ivf_pq"))
+      "q53_ann_ivf_pq", "q57_approx_quantiles"))
   }
 
   test("oracle column names match the Spark result columns") {

@@ -100,4 +100,27 @@ class RelationalSpec extends SparkSpec {
     assert(df.groupBy("user_id").count().filter(col("count") > 3).count() === 0)
     assert(df.filter(col("rn") < 1 || col("rn") > 3).count() === 0)
   }
+
+  test("q57 approx quantiles: rank error bounded by the GK accuracy guarantee") {
+    // GK guarantee: the returned value's true rank is within n/accuracy
+    // of the requested rank. Verify by computing each returned value's
+    // exact rank per group.
+    val approx = Relational.q57ApproxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(1),
+        0.95 -> r.getDouble(2), 0.99 -> r.getDouble(3))).toMap
+    val values = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet == values.keySet)
+    approx.foreach { case (k, qs) =>
+      val vs = values(k); val n = vs.length
+      qs.foreach { case (p, v) =>
+        val rank = vs.count(_ <= v)
+        val want = p * n
+        assert(math.abs(rank - want) <= n / 10000.0 + 1,
+          s"$k p$p: value $v has rank $rank, expected ~$want of $n")
+      }
+    }
+  }
 }
