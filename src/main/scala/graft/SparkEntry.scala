@@ -76,6 +76,7 @@ object SparkEntry {
     "q55_bigram_lm"           -> (TextAnalysis.q55BigramLm _),
     "q56_partition_pruning"   -> (Bucketing.q56PartitionPruning _),
     "q57_approx_quantiles"    -> (Relational.q57ApproxQuantiles _),
+    "q58_stream_admission"    -> (graft.streaming.StreamParity.q58StreamAdmission _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,5 +156,8 @@ object SparkEntry {
     // q57_approx_quantiles: no oracle — GK sketch is approximate by
     // design (and merge-order-sensitive); RelationalSpec bounds the
     // rank error vs the exact percentile per group.
+    // q58 runs the q52 admission gate through the real streaming engine
+    // (foreachBatch + seen-hash state) — its oracle is q52's.
+    "q58_stream_admission"    -> Dedup.q52Sql,
   )
 }

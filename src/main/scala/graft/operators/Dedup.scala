@@ -547,53 +547,37 @@ object Dedup {
   // ---------------------------------------------------------------------
   private val IncomingMod = 5
 
-  /** Core over any (doc_id long, text string) frame — exposed so the
-    * spec can inject exact duplicates (the gate corpus has none). */
-  private[graft] def incrementalDedup(base: DataFrame): DataFrame = {
+  /** Near-dup layer, reusable by the batch gate (q52) and the streaming
+    * gate (q58): incoming doc_ids with trigram Jaccard >= θ against ANY
+    * existing doc. `base` must carry (doc_id, text, inc boolean). df is
+    * computed over the WHOLE base — any consistent global total order
+    * preserves prefix-filter exactness, so per-invocation df (what an
+    * incrementally-maintained persistent index would hold) changes
+    * nothing in the result set. */
+  private[graft] def nearIncomingHits(base: DataFrame): DataFrame = {
     val t = JaccardThreshold
-    val inc = pmod(col("doc_id"), lit(IncomingMod)) === 0
-
-    // Exact layer: content-hash equi-joins, 16-byte keys.
-    val hashed = base.select(col("doc_id"), inc.as("inc"),
-      md5(col("text")).as("ch"))
-    val existingH = hashed.filter(!col("inc"))
-      .select(col("ch")).distinct().withColumn("hit_corpus", lit(true))
-    val incoming = hashed.filter(col("inc"))
-    val firstInBatch = incoming.groupBy(col("ch"))
-      .agg(min(col("doc_id")).as("first_id"))
-    val exactFlags = incoming
-      .join(existingH, Seq("ch"), "left")
-      .join(firstInBatch, "ch")
-      .select(col("doc_id"),
-        coalesce(col("hit_corpus"), lit(false)).as("exact_corpus"),
-        (col("doc_id") > col("first_id")).as("exact_batch"))
-
-    // Near-dup layer: q40's rarest-first prefix filter, asymmetric.
-    // df is computed over the FULL corpus (both sides) — any global
-    // total order preserves exactness; full-corpus df is also what the
-    // persistent index would maintain incrementally.
     val docs0 = base
-      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .select(col("doc_id"), col("inc"), split(trim(col("text")), " +").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), col("inc"), expr(
         """array_distinct(transform(sequence(0, size(toks) - 3),
           |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"""
           .stripMargin).as("sh"))
       .cache()
-    val docs = docs0.select(col("doc_id"), col("sh"),
+    val docs = docs0.select(col("doc_id"), col("inc"), col("sh"),
       expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"),
       size(col("sh")).as("sz"))
     val exploded = docs
-      .select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), col("inc"), col("sz"), explode(col("hs")).as("h"))
     val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefixes = exploded.join(dfreq, "h")
-      .groupBy(col("doc_id"), col("sz"))
+      .groupBy(col("doc_id"), col("inc"), col("sz"))
       .agg(collect_list(struct(col("df"), col("h"))).as("dhs"))
-      .select(col("doc_id"), col("sz"), explode(expr(
+      .select(col("doc_id"), col("inc"), col("sz"), explode(expr(
         s"slice(array_sort(dhs), 1, sz - CAST(ceil($t * sz) AS INT) + 1).h"))
         .as("h"))
-    val li = prefixes.filter(pmod(col("doc_id"), lit(IncomingMod)) === 0).as("l")
-    val re = prefixes.filter(pmod(col("doc_id"), lit(IncomingMod)) =!= 0).as("r")
+    val li = prefixes.filter(col("inc")).as("l")
+    val re = prefixes.filter(!col("inc")).as("r")
     val cands = li.join(re,
         col("l.h") === col("r.h") &&
           greatest(col("l.sz"), col("r.sz")) * t <=
@@ -608,10 +592,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val nearDup = hashPass.join(a, "doc_a").join(b, "doc_b")
+    hashPass.join(a, "doc_a").join(b, "doc_b")
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
         / size(array_union(col("sh_a"), col("sh_b"))) >= t)
       .select(col("doc_a").as("doc_id")).distinct()
+  }
+
+  /** Core over any (doc_id long, text string) frame — exposed so the
+    * spec can inject exact duplicates (the gate corpus has none). */
+  private[graft] def incrementalDedup(base: DataFrame): DataFrame = {
+    val inc = pmod(col("doc_id"), lit(IncomingMod)) === 0
+    val marked = base.withColumn("inc", inc)
+
+    // Exact layer: content-hash equi-joins, 16-byte keys.
+    val hashed = marked.select(col("doc_id"), col("inc"),
+      md5(col("text")).as("ch"))
+    val existingH = hashed.filter(!col("inc"))
+      .select(col("ch")).distinct().withColumn("hit_corpus", lit(true))
+    val incoming = hashed.filter(col("inc"))
+    val firstInBatch = incoming.groupBy(col("ch"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val exactFlags = incoming
+      .join(existingH, Seq("ch"), "left")
+      .join(firstInBatch, "ch")
+      .select(col("doc_id"),
+        coalesce(col("hit_corpus"), lit(false)).as("exact_corpus"),
+        (col("doc_id") > col("first_id")).as("exact_batch"))
+
+    val nearDup = nearIncomingHits(marked)
       .withColumn("near_corpus", lit(true))
 
     exactFlags.join(nearDup, Seq("doc_id"), "left")

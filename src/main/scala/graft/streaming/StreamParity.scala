@@ -88,6 +88,105 @@ object StreamParity {
       .orderBy("window_start", "event_type")
   }
 
+  /** q58 — the q52 admission gate through the REAL streaming engine: a
+    * continuously-ingesting corpus admits documents batch by batch. The
+    * incoming slice (doc_id % 5 == 0, exactly q52's) is laid out as four
+    * id-range files with ascending modification times and streamed with
+    * maxFilesPerTrigger=1, so micro-batches replay ingest in id order;
+    * the existing corpus is the static index side. Per micro-batch
+    * (`foreachBatch` — the production pattern for join-shaped per-batch
+    * logic that streaming aggregation modes cannot express):
+    *
+    *   exact_corpus    — content-hash equi-join vs the static index
+    *   exact_batch     — min-id-first-wins vs a SEEN-HASH STATE TABLE
+    *                     the gate itself appends after every batch (the
+    *                     incremental index update; id-ordered replay
+    *                     makes first-seen == min-id, so the verdict set
+    *                     equals q52's whole-batch window)
+    *   near_dup_corpus — the SAME asymmetric prefix-filter join as q52
+    *                     (shared nearIncomingHits core), batch vs index
+    *
+    * Held to q52's own DuckDB oracle: four independently-computed
+    * micro-batches must reproduce the single-shot batch verdicts row for
+    * row — the strongest parity statement available for this operator.
+    * Scale notes: the seen-state table carries (16-byte hash, id); the
+    * per-batch near-dup join touches the index via the inverted-index
+    * equi-join only; nothing corpus-sized crosses the driver. */
+  def q58StreamAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0).cache()
+    val existingH = existing.select(md5(col("text")).as("ch")).distinct()
+      .withColumn("hit_corpus", lit(true)).cache()
+
+    // Ingest layout: four id-range files, mod-times ascending in range
+    // order, so the file source replays batches in id order.
+    val dir = Files.createTempDirectory("q58_incoming")
+    incoming.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    val parts = new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(t0 + i * 10000L)) }
+
+    val seenDir = Files.createTempDirectory("q58_seen").toString
+    val outDir  = Files.createTempDirectory("q58_verdicts").toString
+    val seenSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ch",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+
+    val query = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.cache()
+        val hashed = b.select(col("doc_id"), md5(col("text")).as("ch"))
+        val seen =
+          if (new java.io.File(seenDir).listFiles()
+              .exists(_.getName.endsWith(".parquet")))
+            s.read.parquet(seenDir)
+          else s.createDataFrame(
+            java.util.Collections.emptyList[Row](), seenSchema)
+        val firstIds = hashed.select(col("ch"), col("doc_id"))
+          .unionAll(seen.select(col("ch"), col("doc_id")))
+          .groupBy(col("ch")).agg(min(col("doc_id")).as("first_id"))
+        val exactFlags = hashed
+          .join(existingH, Seq("ch"), "left")
+          .join(firstIds, "ch")
+          .select(col("doc_id"),
+            coalesce(col("hit_corpus"), lit(false)).as("exact_corpus"),
+            (col("doc_id") > col("first_id")).as("exact_batch"))
+        val base = existing.withColumn("inc", lit(false))
+          .unionAll(b.withColumn("inc", lit(true)))
+        val near = Dedup.nearIncomingHits(base)
+          .withColumn("near_corpus", lit(true))
+        exactFlags.join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("exact_corpus"), "exact_corpus")
+              .when(col("exact_batch"), "exact_batch")
+              .when(coalesce(col("near_corpus"), lit(false)), "near_dup_corpus")
+              .otherwise("admitted").as("verdict"))
+          .write.mode("append").parquet(outDir)
+        // incremental index update: this batch's hashes become state
+        hashed.select(col("ch"), col("doc_id"))
+          .write.mode("append").parquet(seenDir)
+        b.unpersist()
+        ()
+      }
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** q49 — streaming exact dedup: the q15 md5-keyed dedup aggregation
     * run through the REAL streaming engine with state carried ACROSS
     * micro-batches. The documents table is re-laid-out as four files and

@@ -108,4 +108,15 @@ class ParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("q58 streaming admission gate equals batch q52 verdict for verdict") {
+    val streamed = StreamParity.q58StreamAdmission(spark, sf).collect().toSeq
+    val batch = graft.operators.Dedup.q52IncrementalDedup(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "four micro-batches + seen-state must reproduce the single-shot gate")
+    // the gate must actually exercise more than one batch (4 range files)
+    assert(streamed.map(_.getLong(0)).distinct.size == batch.size)
+  }
 }
