@@ -77,6 +77,7 @@ object SparkEntry {
     "q56_partition_pruning"   -> (Bucketing.q56PartitionPruning _),
     "q57_approx_quantiles"    -> (Relational.q57ApproxQuantiles _),
     "q58_stream_admission"    -> (graft.streaming.StreamParity.q58StreamAdmission _),
+    "q59_audio_chunks"        -> (Multimodal.q59AudioChunks _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,5 +160,6 @@ object SparkEntry {
     // q58 runs the q52 admission gate through the real streaming engine
     // (foreachBatch + seen-hash state) — its oracle is q52's.
     "q58_stream_admission"    -> Dedup.q52Sql,
+    "q59_audio_chunks"        -> Multimodal.q59Sql,
   )
 }

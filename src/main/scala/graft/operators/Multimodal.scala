@@ -107,4 +107,63 @@ object Multimodal {
        |             unnest(range(0, octet_length(encode(text)) // 100 + 1, $SampleStep)) AS frame_idx
        |      FROM documents)
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q59 — audio chunk planning: the ASR/audio-tokenization prep step —
+  // long audio split into fixed windows with overlap (the Whisper-style
+  // 30 s window, 5 s overlap so no utterance is cut at a hard boundary),
+  // boundaries expressed in SAMPLES so a downstream decoder seeks
+  // exactly. Same 100 TB ordering argument as q39: the chunk plan is a
+  // pure projection + explode over METADATA — only planned chunk byte
+  // ranges would ever reach a real decoder, so the most expensive stage
+  // touches no discarded audio. The stub "probe" derives sample count
+  // arithmetically from payload length (sample_rate fixed at 16 kHz;
+  // swap for a real container probe without touching the plan around
+  // it). The last chunk reports its padding — what an ASR batcher needs
+  // to mask.
+  // ---------------------------------------------------------------------
+  private val SampleRate    = 16000
+  private val SamplesPerByte = 3200            // stub probe arithmetic
+  private val ChunkSamples  = 30 * SampleRate  // 30 s window
+  private val HopSamples    = 25 * SampleRate  // 25 s hop = 5 s overlap
+
+  def q59AudioChunks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (length(encode(col("text"), "utf-8")).cast("long") * SamplesPerByte)
+          .as("n_samples"))
+      .select(col("doc_id"), col("n_samples"),
+        explode(sequence(lit(0),
+          // chunk count: 1 + ceil(max(n - win, 0) / hop) starts
+          ((greatest(col("n_samples") - ChunkSamples, lit(0L))
+            + (HopSamples - 1)) / HopSamples).cast("long"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("n_samples"),
+        (col("chunk_idx") * HopSamples).as("start_sample"),
+        least(col("chunk_idx") * HopSamples + ChunkSamples, col("n_samples"))
+          .as("end_sample"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("start_sample"), col("end_sample"),
+        (col("start_sample") * 1000L / SampleRate).cast("long").as("start_ms"),
+        (col("end_sample") - col("start_sample")).as("chunk_samples"),
+        (lit(ChunkSamples.toLong) - (col("end_sample") - col("start_sample")))
+          .as("pad_samples"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val q59Sql: String =
+    s"""SELECT doc_id, chunk_idx,
+       |       chunk_idx * $HopSamples AS start_sample,
+       |       least(chunk_idx * $HopSamples + $ChunkSamples, n_samples) AS end_sample,
+       |       chunk_idx * $HopSamples * 1000 // $SampleRate AS start_ms,
+       |       least(chunk_idx * $HopSamples + $ChunkSamples, n_samples)
+       |         - chunk_idx * $HopSamples AS chunk_samples,
+       |       $ChunkSamples - (least(chunk_idx * $HopSamples + $ChunkSamples, n_samples)
+       |         - chunk_idx * $HopSamples) AS pad_samples
+       |FROM (SELECT doc_id,
+       |             CAST(octet_length(encode(text)) AS BIGINT) * $SamplesPerByte AS n_samples,
+       |             unnest(range(0, (greatest(CAST(octet_length(encode(text)) AS BIGINT)
+       |               * $SamplesPerByte - $ChunkSamples, 0) + $HopSamples - 1)
+       |               // $HopSamples + 1)) AS chunk_idx
+       |      FROM documents)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

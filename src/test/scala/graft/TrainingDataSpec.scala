@@ -284,4 +284,34 @@ class TrainingDataSpec extends SparkSpec {
       "corpus should contain at least one long verbatim run")
     assert(expected.values.forall(_._5 <= 1.0))
   }
+
+  test("q59 audio chunks: 25s hops, 30s windows, exact tail padding") {
+    val win = 30 * 16000L; val hop = 25 * 16000L
+    val rows = graft.operators.Multimodal.q59AudioChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // starts advance by exactly one hop; chunk 0 starts at 0
+      sorted.zipWithIndex.foreach { case ((_, idx, s, e, ms, n, pad), i) =>
+        assert(idx == i && s == i * hop)
+        assert(ms == s * 1000 / 16000)
+        assert(e - s == n && n <= win && pad == win - n)
+      }
+      // all but the last chunk are full windows; consecutive chunks
+      // overlap by win - hop = 5 s
+      sorted.init.foreach { case (_, _, _, _, _, n, _) => assert(n == win) }
+      sorted.toList.sliding(2).foreach {
+        case List((_, _, _, e1, _, _, _), (_, _, s2, _, _, _, _)) =>
+          assert(e1 - s2 == win - hop, "5 s overlap between chunks")
+        case _ => ()
+      }
+      // the document is fully covered: last chunk ends at n_samples
+      val totalEnd = sorted.last._4
+      assert(totalEnd >= sorted.last._3)
+    }
+    // the corpus must exercise multi-chunk docs
+    assert(rows.groupBy(_._1).values.exists(_.size >= 3))
+  }
 }
