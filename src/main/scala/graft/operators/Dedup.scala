@@ -547,55 +547,98 @@ object Dedup {
   // ---------------------------------------------------------------------
   private val IncomingMod = 5
 
-  /** Near-dup layer, reusable by the batch gate (q52) and the streaming
-    * gate (q58): incoming doc_ids with trigram Jaccard >= θ against ANY
-    * existing doc. `base` must carry (doc_id, text, inc boolean). df is
-    * computed over the WHOLE base — any consistent global total order
-    * preserves prefix-filter exactness, so per-invocation df (what an
-    * incrementally-maintained persistent index would hold) changes
-    * nothing in the result set. */
-  private[graft] def nearIncomingHits(base: DataFrame): DataFrame = {
-    val t = JaccardThreshold
-    val docs0 = base
-      .select(col("doc_id"), col("inc"), split(trim(col("text")), " +").as("toks"))
+  /** (doc_id, sh, hs, sz) trigram-shingle projection shared by the
+    * near-dup layers: distinct trigram strings, their sorted xxhash64
+    * array (the SortedHashJaccard prefilter input), and the set size. */
+  private[graft] def shingleDocs(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("inc"), expr(
+      .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(0, size(toks) - 3),
           |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"""
           .stripMargin).as("sh"))
-      .cache()
-    val docs = docs0.select(col("doc_id"), col("inc"), col("sh"),
-      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"),
-      size(col("sh")).as("sz"))
-    val exploded = docs
-      .select(col("doc_id"), col("inc"), col("sz"), explode(col("hs")).as("h"))
-    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val prefixes = exploded.join(dfreq, "h")
-      .groupBy(col("doc_id"), col("inc"), col("sz"))
+      .select(col("doc_id"), col("sh"),
+        expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"),
+        size(col("sh")).as("sz"))
+
+  /** One (doc_id, sz, h) row per PREFIX shingle hash, prefixes taken
+    * rarest-first under the (df, h) total order supplied by `dfreq`.
+    * Shingles absent from dfreq order as df = 0 (rarest) — exactness
+    * only needs BOTH join sides to use the SAME total order, so a df
+    * table maintained over the index side alone is as valid as
+    * whole-corpus df. */
+  private[graft] def prefixRows(docs: DataFrame, dfreq: DataFrame): DataFrame = {
+    val t = JaccardThreshold
+    docs.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+      .join(dfreq, Seq("h"), "left")
+      .select(col("doc_id"), col("sz"), col("h"),
+        coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy(col("doc_id"), col("sz"))
       .agg(collect_list(struct(col("df"), col("h"))).as("dhs"))
-      .select(col("doc_id"), col("inc"), col("sz"), explode(expr(
+      .select(col("doc_id"), col("sz"), explode(expr(
         s"slice(array_sort(dhs), 1, sz - CAST(ceil($t * sz) AS INT) + 1).h"))
         .as("h"))
-    val li = prefixes.filter(col("inc")).as("l")
-    val re = prefixes.filter(!col("inc")).as("r")
-    val cands = li.join(re,
+  }
+
+  /** Prefix-collision candidates (la vs rb) verified in the two-stage
+    * q40 shape: sorted-hash merge prefilter, then exact string Jaccard.
+    * Returns distinct left-side doc_ids with a verified near-dup. */
+  private[graft] def verifiedNearIds(la: DataFrame, rb: DataFrame,
+      docsA: DataFrame, docsB: DataFrame): DataFrame = {
+    val t = JaccardThreshold
+    val cands = la.as("l").join(rb.as("r"),
         col("l.h") === col("r.h") &&
           greatest(col("l.sz"), col("r.sz")) * t <=
             least(col("l.sz"), col("r.sz")))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val ha = docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val hb = docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    val ha = docsA.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val hb = docsB.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     val hashPass = cands.join(ha, "doc_a").join(hb, "doc_b")
       .filter(graft.functions.GraftFunctions
         .sortedHashJaccard(col("hs_a"), col("hs_b")) >= t)
       .select(col("doc_a"), col("doc_b"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val a = docsA.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docsB.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     hashPass.join(a, "doc_a").join(b, "doc_b")
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
         / size(array_union(col("sh_a"), col("sh_b"))) >= t)
       .select(col("doc_a").as("doc_id")).distinct()
+  }
+
+  /** Near-dup layer of the batch gate (q52): incoming doc_ids with
+    * trigram Jaccard >= θ against ANY existing doc. `base` must carry
+    * (doc_id, text, inc boolean); df spans the whole base. */
+  private[graft] def nearIncomingHits(base: DataFrame): DataFrame = {
+    val docsIn = shingleDocs(base.filter(col("inc"))
+      .select(col("doc_id"), col("text"))).cache()
+    val docsEx = shingleDocs(base.filter(!col("inc"))
+      .select(col("doc_id"), col("text"))).cache()
+    val dfreq = docsIn.unionAll(docsEx)
+      .select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    verifiedNearIds(
+      prefixRows(docsIn, dfreq), prefixRows(docsEx, dfreq), docsIn, docsEx)
+  }
+
+  /** Persistent near-dup index over an EXISTING corpus, probed batch by
+    * batch (the q58 streaming-admission shape): shingles, df stats, and
+    * prefix rows are computed ONCE and cached — a probe touches only the
+    * incoming batch plus the inverted-index equi-join. df comes from the
+    * index side alone (see prefixRows: any consistent total order is
+    * exact), which is precisely the statistic a persistent index can
+    * actually maintain without seeing the future. */
+  private[graft] final class NearDupIndex(existing: DataFrame) {
+    val docsEx: DataFrame = shingleDocs(existing).cache()
+    val dfreq: DataFrame = docsEx.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df")).cache()
+    val prefixesEx: DataFrame = prefixRows(docsEx, dfreq).cache()
+
+    /** doc_ids of `incoming` with a verified near-dup in the index. */
+    def probe(incoming: DataFrame): DataFrame = {
+      val docsIn = shingleDocs(incoming)
+      verifiedNearIds(prefixRows(docsIn, dfreq), prefixesEx, docsIn, docsEx)
+    }
   }
 
   /** Core over any (doc_id long, text string) frame — exposed so the

@@ -103,8 +103,18 @@ object StreamParity {
     *                     incremental index update; id-ordered replay
     *                     makes first-seen == min-id, so the verdict set
     *                     equals q52's whole-batch window)
-    *   near_dup_corpus — the SAME asymmetric prefix-filter join as q52
-    *                     (shared nearIncomingHits core), batch vs index
+    *   near_dup_corpus — a probe of a PERSISTENT prefix-filter index
+    *                     (Dedup.NearDupIndex): existing-side shingles,
+    *                     df stats, and prefix rows are built and cached
+    *                     ONCE before the stream starts; each batch pays
+    *                     only its own shingling plus the inverted-index
+    *                     equi-join. The prefix order uses index-side df
+    *                     alone — the only statistic a persistent index
+    *                     can maintain without seeing the future — which
+    *                     is exact because prefix filtering needs a
+    *                     CONSISTENT total order, not any particular one
+    *                     (q52's whole-corpus df is a different, equally
+    *                     valid order; the verified result set is equal).
     *
     * Held to q52's own DuckDB oracle: four independently-computed
     * micro-batches must reproduce the single-shot batch verdicts row for
@@ -120,6 +130,10 @@ object StreamParity {
     val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0).cache()
     val existingH = existing.select(md5(col("text")).as("ch")).distinct()
       .withColumn("hit_corpus", lit(true)).cache()
+    // Build the persistent near-dup index ONCE; every micro-batch only
+    // probes it (shingles/df/prefixes of the 4/5 existing corpus are
+    // computed and cached here, not recomputed per batch).
+    val index = new Dedup.NearDupIndex(existing)
 
     // Ingest layout: four id-range files, mod-times ascending in range
     // order, so the file source replays batches in id order.
@@ -163,9 +177,7 @@ object StreamParity {
           .select(col("doc_id"),
             coalesce(col("hit_corpus"), lit(false)).as("exact_corpus"),
             (col("doc_id") > col("first_id")).as("exact_batch"))
-        val base = existing.withColumn("inc", lit(false))
-          .unionAll(b.withColumn("inc", lit(true)))
-        val near = Dedup.nearIncomingHits(base)
+        val near = index.probe(b)
           .withColumn("near_corpus", lit(true))
         exactFlags.join(near, Seq("doc_id"), "left")
           .select(col("doc_id"),
