@@ -78,6 +78,7 @@ object SparkEntry {
     "q57_approx_quantiles"    -> (Relational.q57ApproxQuantiles _),
     "q58_stream_admission"    -> (graft.streaming.StreamParity.q58StreamAdmission _),
     "q59_audio_chunks"        -> (Multimodal.q59AudioChunks _),
+    "q60_hard_negatives"      -> (Similarity.q60HardNegatives _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,5 +162,6 @@ object SparkEntry {
     // (foreachBatch + seen-hash state) — its oracle is q52's.
     "q58_stream_admission"    -> Dedup.q52Sql,
     "q59_audio_chunks"        -> Multimodal.q59Sql,
+    "q60_hard_negatives"      -> Similarity.q60Sql,
   )
 }

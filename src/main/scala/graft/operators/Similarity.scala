@@ -600,6 +600,60 @@ object Similarity {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q60 — hard-negative mining: for each anchor, the top-k most similar
+  // vectors with a DIFFERENT label (the contrastive-training data-prep
+  // step: the best negatives are the ones the model is most likely to
+  // confuse). Exact brute force over broadcast anchors — the oracle-
+  // checkable baseline, same honest-baseline role as q22; a production
+  // run swaps the candidate source for the q30/q53 IVF probe and keeps
+  // the label filter + ranking unchanged (the filter composes with ANY
+  // candidate generator because it only ever REMOVES candidates).
+  // Label exclusion happens in the join condition, before scoring —
+  // same-label pairs are never dotted.
+  // ---------------------------------------------------------------------
+  private val NegK       = 5
+  private val NumAnchors = 5
+
+  def q60HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sfDir))
+    val anchors = e.filter(col("vec_id") < NumAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("qe"), col("norm").as("qnorm"))
+    e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("negative_id"), col("label").as("negative_label"),
+        (dot(col("qe"), col("embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cosine").desc, col("negative_id"))))
+      .filter(col("rank") <= NegK)
+      .select(col("anchor_id"), col("anchor_label"), col("rank"),
+        col("negative_id"), col("negative_label"), col("cosine"))
+      .orderBy("anchor_id", "rank")
+  }
+
+  val q60Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+       |             emb AS qe, norm AS qnorm
+       |      FROM e WHERE vec_id < $NumAnchors),
+       |pairs AS (
+       |  SELECT a.anchor_id, a.anchor_label,
+       |         e.vec_id AS negative_id, e.label AS negative_label,
+       |         list_dot_product(a.qe, e.emb) / (a.qnorm * e.norm) AS cosine
+       |  FROM e, a WHERE e.label != a.anchor_label)
+       |SELECT anchor_id, anchor_label, rank, negative_id, negative_label, cosine
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |                               ORDER BY cosine DESC, negative_id) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $NegK
+       |ORDER BY anchor_id, rank""".stripMargin
+
   def q53AnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.GraftFunctions.{centroidScores, pqAdcScore, pqEncode, pqLut}
     val e = withNorm(Tables.embeddings(spark, sfDir)).cache()

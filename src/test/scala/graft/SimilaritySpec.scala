@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85)
   }
 
+  test("q60 hard negatives: k per anchor, never the anchor's own label") {
+    val df = Similarity.q60HardNegatives(spark, sf).cache()
+    val perAnchor = df.groupBy("anchor_id").count().collect()
+    assert(perAnchor.nonEmpty)
+    perAnchor.foreach(r => assert(r.getLong(1) == 5L))
+    assert(df.filter(col("anchor_label") === col("negative_label")).count() === 0)
+    // hard negatives must rank by similarity: rank 1 cosine >= rank k cosine
+    df.collect().groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getDouble(5))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q53 IVF-PQ ANN: top-10 per query, recall@10 vs exact") {
     val pq = Similarity.q53AnnIvfPq(spark, sf)
     val exact = Similarity.q22AnnBruteForce(spark, sf)
