@@ -79,6 +79,7 @@ object SparkEntry {
     "q58_stream_admission"    -> (graft.streaming.StreamParity.q58StreamAdmission _),
     "q59_audio_chunks"        -> (Multimodal.q59AudioChunks _),
     "q60_hard_negatives"      -> (Similarity.q60HardNegatives _),
+    "q61_heavy_hitters"       -> (TextAnalysis.q61HeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,5 +164,6 @@ object SparkEntry {
     "q58_stream_admission"    -> Dedup.q52Sql,
     "q59_audio_chunks"        -> Multimodal.q59Sql,
     "q60_hard_negatives"      -> Similarity.q60Sql,
+    "q61_heavy_hitters"       -> TextAnalysis.q61Sql,
   )
 }

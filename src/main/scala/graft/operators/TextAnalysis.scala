@@ -493,4 +493,47 @@ object TextAnalysis {
       |                      DESC NULLS LAST, doc_id) AS ppl_quartile
       |FROM documents d2 LEFT JOIN perdoc p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q61 — heavy-hitter tokens by Misra-Gries sketch + exact verification:
+  // tokens with corpus frequency > n/k, computed WITHOUT ever shuffling
+  // the full distinct-token table. Pass 1 runs the mergeable MG sketch
+  // (functions.MisraGries — O(partitions x k) shuffle, constant in
+  // corpus size); its output is a guaranteed SUPERSET of the true heavy
+  // hitters, so pass 2 re-counts only the candidates (broadcast
+  // semi-join) and filters by the exact threshold — the same
+  // sketch-then-verify shape as the dedup operators, and the reason the
+  // gate can be oracle-EXACT for a sketch-based query. At gate corpora
+  // the generator vocabulary is smaller than k, making the sketch
+  // trivially lossless here; FrequentItemsSpec exercises the lossy
+  // regime (k far below the vocabulary) and the superset guarantee
+  // directly. n is an O(1) driver scalar (q55's V class).
+  // ---------------------------------------------------------------------
+  private val HhK = 256
+
+  def q61HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val tokens = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+    val n = tokens.count()
+    val mg = udaf(new graft.functions.MisraGries(HhK), ExpressionEncoder[String]())
+    val cands = tokens.agg(mg(col("tok")).as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    tokens.join(broadcast(cands), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > lit(n.toDouble / HhK))
+      .orderBy("tok")
+  }
+
+  /** Oracle does the full exact group-by — tractable at oracle SFs;
+    * equality with the sketch-then-verify path IS the superset-guarantee
+    * statement. */
+  val q61Sql: String =
+    s"""WITH tk AS (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS tok
+       |  FROM documents)
+       |SELECT tok, count(*) AS freq FROM tk
+       |GROUP BY tok
+       |HAVING count(*) > (SELECT count(*) FROM tk) / $HhK.0
+       |ORDER BY tok""".stripMargin
 }
