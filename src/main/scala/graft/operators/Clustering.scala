@@ -189,10 +189,14 @@ object Clustering {
     val objectives = Seq.newBuilder[Double]
     var r = 0
     while (r < rounds) {
+      // Cached per round: the stats pass and the centroid-sum pass both
+      // read `assigned`, and without the cache each would recompute the
+      // K-centroid scoring scan (2x the round's dominant cost).
       val assigned = corpus.withColumn("best",
           array_max(centroidScores(col("unit"), lit(1.0), cents.map(_.toSeq).toSeq)))
         .select(col("vec_id"), col("unit"),
           col("best.c").as("cluster"), col("best.s").as("cos"))
+        .cache()
       // Objective + per-cluster counts in one pass (one tiny driver row
       // per cluster); sums via the posexplode partial-agg shape.
       val stats = assigned.groupBy(col("cluster"))
@@ -205,6 +209,7 @@ object Clustering {
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("col")).as("s"))
         .collect()
+      assigned.unpersist()
       val dim = cents(0).length
       val next = Array.tabulate(k)(c => cents(c).clone())
       val acc = Array.fill(k)(new Array[Double](dim))

@@ -100,6 +100,22 @@ class PlanSpec extends SparkSpec {
       "the inverted-index join must stay equi-keyed on the shingle hash")
   }
 
+  test("q54: substring-run stats stay equi-keyed — no cross product, pruned scan") {
+    val plan = finalPlan(Dedup.q54SubstringRuns(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "window-frequency joins must stay keyed on the md5 hash")
+    assert(plan.contains("ReadSchema") && !plan.contains("n_chars"),
+      "the scan must not read unreferenced document columns")
+  }
+
+  test("q55: LM scoring joins stay equi-keyed on the bigram — no cross product") {
+    val plan = finalPlan(TextAnalysis.q55BigramLm(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "count-table joins must stay keyed on (w1, w2) / w1")
+  }
+
   test("q20: MinHash candidate generation never materializes a cross product") {
     val plan = finalPlan(Dedup.q20MinHashDedup(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
