@@ -80,6 +80,7 @@ object SparkEntry {
     "q59_audio_chunks"        -> (Multimodal.q59AudioChunks _),
     "q60_hard_negatives"      -> (Similarity.q60HardNegatives _),
     "q61_heavy_hitters"       -> (TextAnalysis.q61HeavyHitters _),
+    "q62_gopher_filter"       -> (Curation.q62GopherFilter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -165,5 +166,6 @@ object SparkEntry {
     "q59_audio_chunks"        -> Multimodal.q59Sql,
     "q60_hard_negatives"      -> Similarity.q60Sql,
     "q61_heavy_hitters"       -> TextAnalysis.q61Sql,
+    "q62_gopher_filter"       -> Curation.q62Sql,
   )
 }

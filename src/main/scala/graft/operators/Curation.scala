@@ -284,6 +284,104 @@ object Curation {
       .orderBy("lang", "rank")
   }
 
+  // ---------------------------------------------------------------------
+  // q62 — Gopher-style rule-bundle quality filter (Rae et al. 2021,
+  // "Scaling Language Models", Table A1 — the computable subset): each
+  // document gets a keep/drop verdict plus the LIST OF RULES IT FAILED,
+  // because a curation pipeline tunes thresholds from the failure
+  // distribution, not from a bare boolean. Rules: word-count bounds,
+  // mean word length in [3,10], '#' and '...' symbol ratios, fraction
+  // of words with an alphabetic character, >= 2 distinct (English)
+  // stopwords — the paper's English-centric rule, kept as-is; non-en
+  // documents failing it is the expected behavior a per-language rule
+  // table would override — and within-doc duplicate-bigram fraction
+  // (the q38 repetition signal as a hard gate). Pure per-row projection
+  // — zero shuffles; the failed-rules array is built in fixed rule
+  // order in both engines, so the gate hash-matches exactly.
+  // ---------------------------------------------------------------------
+  def q62GopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        split(lower(trim(col("text"))), " +").as("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mean_wl", expr(
+        "CAST(aggregate(toks, 0, (a, t) -> a + length(t)) AS DOUBLE) / size(toks)"))
+      .withColumn("hash_ratio",
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
+          .cast("double") / col("n_words"))
+      .withColumn("ellipsis_ratio",
+        ((length(col("text")) - length(replace(col("text"), lit("..."), lit(""))))
+          / lit(3)).cast("double") / col("n_words"))
+      .withColumn("alpha_frac", expr(
+        "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS DOUBLE) / size(toks)"))
+      .withColumn("n_stop", size(array_intersect(array_distinct(col("toks")),
+        array(TextAnalysis.stopwords.map(lit): _*))))
+      .withColumn("dup_bigram_frac",
+        when(size(col("toks")) < 2, lit(1.0)).otherwise(expr(
+          """1.0D - CAST(size(array_distinct(transform(sequence(0, size(toks) - 2),
+            |  i -> concat(toks[i], ' ', toks[i+1])))) AS DOUBLE)
+            |  / greatest(size(toks) - 1, 1)""".stripMargin)))
+    d.select(col("doc_id"), col("n_words"),
+        filter(array(
+          when(col("n_words") < 50, lit("too_short")),
+          when(col("n_words") > 100000, lit("too_long")),
+          when(col("mean_wl") < 3 || col("mean_wl") > 10, lit("mean_word_len")),
+          when(col("hash_ratio") > 0.1, lit("hash_ratio")),
+          when(col("ellipsis_ratio") > 0.3, lit("ellipsis_ratio")),
+          when(col("alpha_frac") < 0.8, lit("alpha_frac")),
+          when(col("n_stop") < 2, lit("stopwords")),
+          when(col("dup_bigram_frac") > 0.2, lit("dup_bigrams"))),
+          x => x.isNotNull).as("failed"))
+      .withColumn("keep", size(col("failed")) === 0)
+      .orderBy("doc_id")
+  }
+
+  val q62Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS toks, text
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+      |         (a, b) -> a + b) AS DOUBLE) / len(toks) AS mean_wl,
+      |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+      |      / len(toks) AS hash_ratio,
+      |    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+      |      / len(toks) AS ellipsis_ratio,
+      |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+      |      / len(toks) AS alpha_frac,
+      |    len(list_intersect(list_distinct(toks),
+      |        ['the','a','and','of','in','to'])) AS n_stop,
+      |    CASE WHEN len(toks) < 2 THEN 1.0 ELSE
+      |      1.0 - CAST(len(list_distinct([toks[i] || ' ' || toks[i+1]
+      |                                    for i in range(1, len(toks))])) AS DOUBLE)
+      |          / greatest(len(toks) - 1, 1) END AS dup_bigram_frac
+      |  FROM d)
+      |SELECT doc_id, n_words,
+      |  list_filter([
+      |    CASE WHEN n_words < 50 THEN 'too_short' END,
+      |    CASE WHEN n_words > 100000 THEN 'too_long' END,
+      |    CASE WHEN mean_wl < 3 OR mean_wl > 10 THEN 'mean_word_len' END,
+      |    CASE WHEN hash_ratio > 0.1 THEN 'hash_ratio' END,
+      |    CASE WHEN ellipsis_ratio > 0.3 THEN 'ellipsis_ratio' END,
+      |    CASE WHEN alpha_frac < 0.8 THEN 'alpha_frac' END,
+      |    CASE WHEN n_stop < 2 THEN 'stopwords' END,
+      |    CASE WHEN dup_bigram_frac > 0.2 THEN 'dup_bigrams' END
+      |  ], x -> x IS NOT NULL) AS failed,
+      |  len(list_filter([
+      |    CASE WHEN n_words < 50 THEN 'x' END,
+      |    CASE WHEN n_words > 100000 THEN 'x' END,
+      |    CASE WHEN mean_wl < 3 OR mean_wl > 10 THEN 'x' END,
+      |    CASE WHEN hash_ratio > 0.1 THEN 'x' END,
+      |    CASE WHEN ellipsis_ratio > 0.3 THEN 'x' END,
+      |    CASE WHEN alpha_frac < 0.8 THEN 'x' END,
+      |    CASE WHEN n_stop < 2 THEN 'x' END,
+      |    CASE WHEN dup_bigram_frac > 0.2 THEN 'x' END
+      |  ], x -> x IS NOT NULL)) = 0 AS keep
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   val q45Sql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, lang,

@@ -66,7 +66,7 @@ object TextAnalysis {
   // q17 — quality scoring: stopword ratio, punctuation ratio, length
   // saturation, combined into one deterministic double score.
   // ---------------------------------------------------------------------
-  private val stopwords = Seq("the", "a", "and", "of", "in", "to")
+  private[graft] val stopwords = Seq("the", "a", "and", "of", "in", "to")
   /** `t = 'the' OR ...` lambda predicate — identical text works in Spark
     * `filter(toks, t -> ...)` and DuckDB `list_filter`; shared with the
     * q45 quality-quota curation so both score with the same stop set. */
