@@ -81,6 +81,7 @@ object SparkEntry {
     "q60_hard_negatives"      -> (Similarity.q60HardNegatives _),
     "q61_heavy_hitters"       -> (TextAnalysis.q61HeavyHitters _),
     "q62_gopher_filter"       -> (Curation.q62GopherFilter _),
+    "q63_cdc_merge"           -> (Relational.q63CdcMerge _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -167,5 +168,6 @@ object SparkEntry {
     "q60_hard_negatives"      -> Similarity.q60Sql,
     "q61_heavy_hitters"       -> TextAnalysis.q61Sql,
     "q62_gopher_filter"       -> Curation.q62Sql,
+    "q63_cdc_merge"           -> Relational.q63Sql,
   )
 }

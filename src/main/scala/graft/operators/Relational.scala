@@ -400,6 +400,67 @@ object Relational {
       .orderBy("event_type")
 
   // ---------------------------------------------------------------------
+  // q63 — CDC latest-wins merge (the MERGE/upsert compaction a
+  // table-format pipeline runs to fold a change feed into a base
+  // snapshot, expressed engine-agnostically): base = the orders table;
+  // change feed = a deterministic slice of it (o_orderkey % 7 == 0)
+  // re-emitted at version 1 with mutated status/priority (simulating
+  // later updates) plus every 11th key at version 1 with a DELETE
+  // marker. Latest version per key wins; deletes drop the key. The
+  // plan is ONE shuffle on the merge key (union + per-key max-version
+  // pick) — the exact shape MERGE compaction has at 100 TB, where the
+  // change feed is tiny relative to the base and AQE broadcast-joins
+  // nothing because both sides share the key partitioning. Output is
+  // the merged snapshot's per-status rollup (corpus-sized outputs
+  // don't hash well in a gate; the rollup pins every merged row's
+  // final state).
+  // ---------------------------------------------------------------------
+  def q63CdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(0).as("version"), lit(false).as("deleted"))
+    val updates = Tables.orders(spark, sfDir)
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"),
+        lit(1).as("version"),
+        (pmod(col("o_orderkey"), lit(11)) === 0).as("deleted"))
+    import org.apache.spark.sql.expressions.Window
+    val merged = base.unionAll(updates)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("version").desc)))
+      .filter(col("rn") === 1 && !col("deleted"))
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q63Sql: String =
+    """WITH feed AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         0 AS version, FALSE AS deleted
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 10.0,
+      |         1 AS version, o_orderkey % 11 = 0 AS deleted
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |                                 ORDER BY version DESC) AS rn
+      |    FROM feed)
+      |  WHERE rn = 1 AND NOT deleted)
+      |SELECT o_orderstatus,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM latest
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q14 — analytic window functions: latest 3 events per user.
   // ---------------------------------------------------------------------
   def q14AnalyticWindow(spark: SparkSession, sfDir: String): DataFrame = {

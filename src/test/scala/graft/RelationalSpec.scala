@@ -101,6 +101,20 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(col("rn") < 1 || col("rn") > 3).count() === 0)
   }
 
+  test("q63 CDC merge: updates win, deletes drop, untouched keys survive") {
+    val rows = Relational.q63CdcMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables.orders(spark, sf).select("o_orderkey").collect()
+      .map(_.getLong(0))
+    val updated = keys.count(k => k % 7 == 0 && k % 11 != 0)
+    val deleted = keys.count(k => k % 7 == 0 && k % 11 == 0)
+    assert(rows.getOrElse("U", 0L) === updated,
+      "every non-deleted update key must surface at its new status")
+    assert(rows.values.sum === keys.length - deleted,
+      "merged snapshot = base minus deletes")
+    assert(deleted > 0 && updated > 0, "the feed must exercise both paths")
+  }
+
   test("q57 approx quantiles: rank error bounded by the GK accuracy guarantee") {
     // GK guarantee: the returned value's true rank is within n/accuracy
     // of the requested rank. Verify by computing each returned value's
