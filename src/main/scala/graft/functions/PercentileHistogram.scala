@@ -225,6 +225,12 @@ object GraftFunctions {
   def rollingHash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 
+  /** All q62 token-level rule metrics in one fused loop (see
+    * [[TokenRuleStats]]): struct(n_words, sum_wlen, n_alpha, n_stop,
+    * n_distinct_bigrams). */
+  def tokenRuleStats(toks: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TokenRuleStats(ColumnBridge.expression(toks), stopwords))
+
   /** Pack a vector's m per-subspace PQ code indices into one long (see
     * [[PqEncode]]): the 8-byte index-side representation of a PQ scan. */
   def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]], bits: Int): Column =

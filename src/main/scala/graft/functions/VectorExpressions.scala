@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd dot product of two numeric arrays.
   *
@@ -670,6 +671,128 @@ object RollingHash {
       i += Character.charCount(cp)
     }
     h
+  }
+}
+
+/** All token-level metrics of the Gopher rule filter in ONE fused loop
+  * over the token array: word count, summed word length (chars), words
+  * containing an ASCII letter, DISTINCT stopwords present, and distinct
+  * bigram count. The q62 rule bundle previously derived these with
+  * eight separate higher-order-function columns — HOFs are
+  * CodegenFallback, so every metric re-walked the boxed token array
+  * interpreted (1.7 s over the sf0.1 corpus for a pure projection).
+  * Here each token is visited once inside whole-stage codegen.
+  *
+  * Exactness notes (the oracle compares these as integers): word length
+  * is numChars (Spark `length` / DuckDB `length` semantics); "contains
+  * a letter" scans UTF-8 bytes for 0x61–0x7A, exact for the `[a-z]`
+  * regex because multi-byte sequences never contain ASCII-range bytes;
+  * distinct bigrams dedup on the token PAIR, bijective with the
+  * concatenated "a b" string because whitespace-split tokens contain no
+  * spaces. Null array or element yields NULL (row drops, like every
+  * expression here).
+  */
+case class TokenRuleStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val stopArr: Array[UTF8String] =
+    stopwords.map(UTF8String.fromString).toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("sum_wlen", LongType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_distinct_bigrams", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_rule_stats expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenRuleStats.compute(input.asInstanceOf[ArrayData], stopArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopRef = ctx.addReferenceObj("stop", stopArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.TokenRuleStats.compute($v, $stopRef);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenRuleStats {
+
+  /** One definition of truth for interpreted eval AND codegen. */
+  def compute(toks: ArrayData,
+      stop: Array[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    var sumLen = 0L
+    var alpha = 0
+    val stopSeen = new Array[Boolean](stop.length)
+    val bigrams = new java.util.HashSet[Long]() // probe set; exact via list
+    val bigramList = new java.util.ArrayList[(UTF8String, UTF8String)]()
+    var prev: UTF8String = null
+    var distinctBigrams = 0
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      val t = toks.getUTF8String(i)
+      sumLen += t.numChars()
+      // ASCII a-z byte scan — exact for the [a-z] containment regex
+      val bytes = t.getBytes
+      var j = 0
+      var hasAlpha = false
+      while (j < bytes.length && !hasAlpha) {
+        val b = bytes(j)
+        if (b >= 0x61 && b <= 0x7A) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) alpha += 1
+      var s = 0
+      while (s < stop.length) {
+        if (!stopSeen(s) && t.equals(stop(s))) stopSeen(s) = true
+        s += 1
+      }
+      if (prev != null) {
+        // two-level dedup: a cheap 64-bit hash probe set, with an exact
+        // pair-equality scan only on probe collisions — the count is
+        // exact for ANY input, the hash only prunes the scan
+        val h = prev.hashCode().toLong << 32 | (t.hashCode().toLong & 0xFFFFFFFFL)
+        if (bigrams.add(h)) {
+          bigramList.add((prev.clone(), t.clone()))
+          distinctBigrams += 1
+        } else {
+          var found = false
+          var b = 0
+          while (b < bigramList.size && !found) {
+            val (p1, p2) = bigramList.get(b)
+            if (p1.equals(prev) && p2.equals(t)) found = true
+            b += 1
+          }
+          if (!found) {
+            bigramList.add((prev.clone(), t.clone()))
+            distinctBigrams += 1
+          }
+        }
+      }
+      prev = t
+      i += 1
+    }
+    var nStop = 0
+    var s = 0
+    while (s < stopSeen.length) { if (stopSeen(s)) nStop += 1; s += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n, sumLen, alpha, nStop, distinctBigrams)
   }
 }
 

@@ -300,27 +300,32 @@ object Curation {
   // order in both engines, so the gate hash-matches exactly.
   // ---------------------------------------------------------------------
   def q62GopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    // All token-level metrics come from ONE fused codegen pass over the
+    // token array (TokenRuleStats) — the HOF formulation walked the
+    // boxed array interpreted once per metric (8x; 1.7 s at sf0.1, now
+    // one codegen'd visit per token). The two text-level symbol ratios
+    // stay as builtin length/replace (already codegen'd).
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"),
         split(lower(trim(col("text"))), " +").as("toks"))
-      .withColumn("n_words", size(col("toks")).cast("long"))
-      .withColumn("mean_wl", expr(
-        "CAST(aggregate(toks, 0, (a, t) -> a + length(t)) AS DOUBLE) / size(toks)"))
+      .withColumn("st", graft.functions.GraftFunctions.tokenRuleStats(
+        col("toks"), TextAnalysis.stopwords))
+      .withColumn("n_words", col("st.n_words").cast("long"))
+      .withColumn("mean_wl",
+        col("st.sum_wlen").cast("double") / col("st.n_words"))
       .withColumn("hash_ratio",
         (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
           .cast("double") / col("n_words"))
       .withColumn("ellipsis_ratio",
         ((length(col("text")) - length(replace(col("text"), lit("..."), lit(""))))
           / lit(3)).cast("double") / col("n_words"))
-      .withColumn("alpha_frac", expr(
-        "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS DOUBLE) / size(toks)"))
-      .withColumn("n_stop", size(array_intersect(array_distinct(col("toks")),
-        array(TextAnalysis.stopwords.map(lit): _*))))
+      .withColumn("alpha_frac",
+        col("st.n_alpha").cast("double") / col("st.n_words"))
+      .withColumn("n_stop", col("st.n_stop"))
       .withColumn("dup_bigram_frac",
-        when(size(col("toks")) < 2, lit(1.0)).otherwise(expr(
-          """1.0D - CAST(size(array_distinct(transform(sequence(0, size(toks) - 2),
-            |  i -> concat(toks[i], ' ', toks[i+1])))) AS DOUBLE)
-            |  / greatest(size(toks) - 1, 1)""".stripMargin)))
+        when(col("st.n_words") < 2, lit(1.0)).otherwise(
+          lit(1.0) - col("st.n_distinct_bigrams").cast("double")
+            / greatest(col("st.n_words") - 1, lit(1))))
     d.select(col("doc_id"), col("n_words"),
         filter(array(
           when(col("n_words") < 50, lit("too_short")),

@@ -199,6 +199,37 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("tokenRuleStats equals the per-metric HOF formulation it replaced") {
+    import graft.functions.GraftFunctions.tokenRuleStats
+    val stop = graft.operators.TextAnalysis.stopwords
+    val stopPred = stop.map(w => s"t = '$w'").mkString(" OR ")
+    val rows = Tables.documents(spark, sf)
+      .select(split(lower(trim(col("text"))), " +").as("toks"))
+      .select(
+        tokenRuleStats(col("toks"), stop).as("st"),
+        size(col("toks")).as("n_words"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_wlen"),
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").as("n_alpha"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(stop.map(lit): _*))).as("n_stop_hof"),
+        expr(s"size(filter(array_distinct(toks), t -> $stopPred))").as("n_stop_pred"),
+        expr("""CASE WHEN size(toks) < 2 THEN 0 ELSE
+               |size(array_distinct(transform(sequence(0, size(toks) - 2),
+               |  i -> concat(toks[i], ' ', toks[i+1])))) END""".stripMargin)
+          .as("n_bigrams"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getInt(0) === r.getInt(1), "n_words")
+      assert(st.getLong(1) === r.getLong(2), "sum_wlen")
+      assert(st.getInt(2) === r.getInt(3), "n_alpha")
+      assert(st.getInt(3) === r.getInt(4), "n_stop vs intersect")
+      assert(st.getInt(3) === r.getInt(5), "n_stop vs predicate")
+      assert(st.getInt(4) === r.getInt(6), "n_distinct_bigrams")
+    }
+  }
+
   test("pq encode/lut/adc agree with an independent reference model") {
     import graft.functions.GraftFunctions.{pqAdcScore, pqEncode, pqLut}
     val m = 8; val bits = 3; val k = 1 << bits
