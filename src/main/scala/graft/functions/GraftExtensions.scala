@@ -91,6 +91,21 @@ object GraftExtensions {
         require(args.length == 1,
           s"graft_rolling_hash expects 1 argument, got ${args.length}")
         RollingHash(args(0))
+      }),
+    (FunctionIdentifier("graft_token_rule_stats"),
+      info("graft_token_rule_stats",
+        "graft_token_rule_stats(toks, stopwords) - one-pass token rule metrics: " +
+          "struct(n_words, sum_wlen, n_alpha, n_stop, n_distinct_bigrams); " +
+          "stopwords is a CONSTANT array<string>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_token_rule_stats expects 2 arguments, got ${args.length}")
+        require(args(1).foldable, "stopwords must be a constant array<string>")
+        val ad = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val stop = (0 until ad.numElements())
+          .map(i => ad.getUTF8String(i).toString)
+        TokenRuleStats(args(0), stop)
       }))
 
   /** Install on a live session: expressions into the function registry,

@@ -13,7 +13,8 @@ class GraftSqlSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.expressions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets",
-        "graft_sorted_hash_jaccard", "graft_simhash64", "graft_rolling_hash"))
+        "graft_sorted_hash_jaccard", "graft_simhash64", "graft_rolling_hash",
+        "graft_token_rule_stats"))
   }
 
   test("graft_sorted_hash_jaccard in SQL matches set Jaccard semantics") {
@@ -45,6 +46,24 @@ class GraftSqlSpec extends SparkSpec {
         expr("transform(split(trim(text), ' +'), t -> xxhash64(t))")).as("s"))
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
+  test("graft_token_rule_stats in SQL equals the Column API") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_trs_v")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |       graft_token_rule_stats(split(lower(trim(text)), ' +'),
+        |                              array('the','a','and','of','in','to')) AS st
+        |FROM docs_trs_v ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getStruct(1).toString)).toSeq
+    val viaCol = Tables.documents(spark, sf)
+      .select(col("doc_id"), GraftFunctions.tokenRuleStats(
+        split(lower(trim(col("text"))), " +"),
+        graft.operators.TextAnalysis.stopwords).as("st"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getStruct(1).toString)).toSeq
     assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
