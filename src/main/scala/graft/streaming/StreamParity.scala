@@ -179,15 +179,20 @@ object StreamParity {
             (col("doc_id") > col("first_id")).as("exact_batch"))
         val near = index.probe(b)
           .withColumn("near_corpus", lit(true))
+        // One file per batch on both sinks: these are tiny (batch-sized)
+        // frames, and writing them at session default parallelism costs
+        // 8+ tasks/files per micro-batch for ~25 rows — most of the
+        // query's run-to-run jitter came from those task swarms.
         exactFlags.join(near, Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("exact_corpus"), "exact_corpus")
               .when(col("exact_batch"), "exact_batch")
               .when(coalesce(col("near_corpus"), lit(false)), "near_dup_corpus")
               .otherwise("admitted").as("verdict"))
+          .coalesce(1)
           .write.mode("append").parquet(outDir)
         // incremental index update: this batch's hashes become state
-        hashed.select(col("ch"), col("doc_id"))
+        hashed.select(col("ch"), col("doc_id")).coalesce(1)
           .write.mode("append").parquet(seenDir)
         b.unpersist()
         ()
