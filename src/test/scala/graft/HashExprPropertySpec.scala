@@ -60,6 +60,50 @@ class HashExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: PQ encode/ADC round-trip matches the model on random geometry") {
+    // Random unit vectors + random (non-trained) codebooks: encoding must
+    // pick the L2-argmin codeword with lowest-index tie-break, and the
+    // ADC score must equal the sum of query-subvector dots against the
+    // chosen codewords — independent of any training quality.
+    val m = 4; val bits = 3; val k = 1 << bits; val dsub = 4; val dim = m * dsub
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val books: Array[Array[Array[Double]]] =
+      Array.fill(m, k)(Array.fill(dsub)(rnd.nextGaussian()))
+    val booksSeq = books.map(_.map(_.toSeq).toSeq).toSeq
+    val vs = Seq.fill(60)(vec())
+    val q = vec()
+
+    import graft.functions.GraftFunctions.{pqAdcScore, pqEncode, pqLut}
+    val rows = vs.map(_.toSeq).toDF("v")
+      .select(pqEncode(col("v"), booksSeq, bits).as("code"),
+        pqAdcScore(pqEncode(col("v"), booksSeq, bits),
+          pqLut(typedLit(q.toSeq), booksSeq), m, bits, k).as("adc"))
+      .collect()
+    rows.zip(vs).zipWithIndex.foreach { case ((r, v), ci) =>
+      var wantCode = 0L
+      var wantAdc = 0.0
+      for (s <- 0 until m) {
+        val best = (0 until k).minBy { c =>
+          ((0 until dsub).map { j =>
+            val x = v(s * dsub + j) - books(s)(c)(j); x * x
+          }.sum, c)
+        }
+        wantCode |= best.toLong << (bits * s)
+        var d = 0.0
+        for (j <- 0 until dsub) d += q(s * dsub + j) * books(s)(best)(j)
+        wantAdc += d
+      }
+      assert(r.getLong(0) === wantCode, s"case $ci code")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(wantAdc), s"case $ci adc")
+    }
+  }
+
   test("property: simhash Hamming distance tracks multiset overlap (sanity)") {
     // a document and a lightly-edited copy should have a far closer
     // signature than two unrelated documents — the property the q21
