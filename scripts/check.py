@@ -36,6 +36,19 @@ def main(sf_dir, out_dir):
             got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols = sorted(got_rel.columns)
+            # The driver's comparator sorts with pandas, which cannot hash
+            # array cells ("unhashable type: numpy.ndarray") — an
+            # oracle-backed output with a LIST column passes here but fails
+            # the driver gate. Reject it locally so the incompatibility is
+            # visible before the round runs.
+            arr_cols = [c for c, t in zip(got_rel.columns, got_rel.types)
+                        if str(t).endswith("[]") or "STRUCT" in str(t)
+                        or "MAP" in str(t)]
+            if arr_cols:
+                print(f"FAIL {name}: array/struct columns {arr_cols} are "
+                      "not driver-comparable — emit a joined/scalar form")
+                n_fail += 1
+                continue
             got = canon(con.sql(
                 f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall())
             exp_rel = con.sql(sql)

@@ -326,8 +326,13 @@ object Curation {
         when(col("st.n_words") < 2, lit(1.0)).otherwise(
           lit(1.0) - col("st.n_distinct_bigrams").cast("double")
             / greatest(col("st.n_words") - 1, lit(1))))
+    // `failed` is emitted as a canonical comma-joined STRING, not an
+    // array: rule order is fixed, so the join loses no information, and
+    // scalar columns stay comparable by any downstream tabular tool
+    // (array cells break pandas-style sorting). The array form is one
+    // split(',') away for consumers that want it.
     d.select(col("doc_id"), col("n_words"),
-        filter(array(
+        array_join(filter(array(
           when(col("n_words") < 50, lit("too_short")),
           when(col("n_words") > 100000, lit("too_long")),
           when(col("mean_wl") < 3 || col("mean_wl") > 10, lit("mean_word_len")),
@@ -336,8 +341,8 @@ object Curation {
           when(col("alpha_frac") < 0.8, lit("alpha_frac")),
           when(col("n_stop") < 2, lit("stopwords")),
           when(col("dup_bigram_frac") > 0.2, lit("dup_bigrams"))),
-          x => x.isNotNull).as("failed"))
-      .withColumn("keep", size(col("failed")) === 0)
+          x => x.isNotNull), ",").as("failed"))
+      .withColumn("keep", col("failed") === "")
       .orderBy("doc_id")
   }
 
@@ -364,7 +369,7 @@ object Curation {
       |          / greatest(len(toks) - 1, 1) END AS dup_bigram_frac
       |  FROM d)
       |SELECT doc_id, n_words,
-      |  list_filter([
+      |  array_to_string(list_filter([
       |    CASE WHEN n_words < 50 THEN 'too_short' END,
       |    CASE WHEN n_words > 100000 THEN 'too_long' END,
       |    CASE WHEN mean_wl < 3 OR mean_wl > 10 THEN 'mean_word_len' END,
@@ -373,7 +378,7 @@ object Curation {
       |    CASE WHEN alpha_frac < 0.8 THEN 'alpha_frac' END,
       |    CASE WHEN n_stop < 2 THEN 'stopwords' END,
       |    CASE WHEN dup_bigram_frac > 0.2 THEN 'dup_bigrams' END
-      |  ], x -> x IS NOT NULL) AS failed,
+      |  ], x -> x IS NOT NULL), ',') AS failed,
       |  len(list_filter([
       |    CASE WHEN n_words < 50 THEN 'x' END,
       |    CASE WHEN n_words > 100000 THEN 'x' END,
