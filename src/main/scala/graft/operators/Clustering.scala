@@ -189,36 +189,35 @@ object Clustering {
     val objectives = Seq.newBuilder[Double]
     var r = 0
     while (r < rounds) {
-      // Cached per round: the stats pass and the centroid-sum pass both
-      // read `assigned`, and without the cache each would recompute the
-      // K-centroid scoring scan (2x the round's dominant cost).
       val assigned = corpus.withColumn("best",
           array_max(centroidScores(col("unit"), lit(1.0), cents.map(_.toSeq).toSeq)))
         .select(col("vec_id"), col("unit"),
           col("best.c").as("cluster"), col("best.s").as("cos"))
-        .cache()
-      // Objective + per-cluster counts in one pass (one tiny driver row
-      // per cluster); sums via the posexplode partial-agg shape.
-      val stats = assigned.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cnt"), sum(col("cos")).as("sumcos"))
-        .collect().map(row => row.getInt(0) -> (row.getLong(1), row.getDouble(2)))
-        .toMap
-      objectives += stats.values.map(_._2).sum / n
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("unit")))
+      // ONE job per round: the per-(cluster, dim) sums, the per-cluster
+      // counts, and the objective all ride the same posexplode shuffle —
+      // counts/sum(cos) are dim-invariant, so the driver reads them off
+      // the pos=0 rows. (Fusing the former separate stats pass halves the
+      // round's job count and removes the cache the two passes shared.)
+      val rows = assigned
+        .select(col("cluster"), col("cos"), posexplode(col("unit")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col")).as("s"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"),
+          sum(col("cos")).as("sumcos"))
         .collect()
-      assigned.unpersist()
       val dim = cents(0).length
       val next = Array.tabulate(k)(c => cents(c).clone())
       val acc = Array.fill(k)(new Array[Double](dim))
-      sums.foreach { row =>
-        acc(row.getInt(0))(row.getInt(1)) = row.getDouble(2)
+      val counts = new Array[Long](k)
+      var obj = 0.0
+      rows.foreach { row =>
+        val c = row.getInt(0); val p = row.getInt(1)
+        acc(c)(p) = row.getDouble(2)
+        if (p == 0) { counts(c) = row.getLong(3); obj += row.getDouble(4) }
       }
+      objectives += obj / n
       var c = 0
       while (c < k) {
-        if (stats.contains(c) && stats(c)._1 > 0) {
+        if (counts(c) > 0) {
           val v = acc(c)
           val nrm = math.sqrt(v.map(x => x * x).sum)
           if (nrm > 0) next(c) = v.map(_ / nrm)
@@ -258,30 +257,62 @@ object Clustering {
   // admit NO subquadratic complete candidate filter, so near-dup
   // detection presupposes a margin corpus).
   //
-  // Scale shape: K grows linearly with the corpus
-  // (K = n / SemTargetClusterSize), holding EXPECTED cluster size
-  // constant, so the within-cluster pairwise verify is O(n * cluster)
-  // dots — linear in corpus size, the paper's own scaling argument
-  // (vs q26's LSH whose candidate count is corpus-density-driven).
-  // Candidates come from an equi-self-join on the cluster id (PlanSpec
-  // gates no-cross-product); a skewed cluster at 100 TB gets the same
-  // medicine as any skewed join key (salt, or size-cap + re-cluster).
+  // Scale shape — TWO-LEVEL assignment (the fix for the flat version's
+  // O(n*K) = O(n^2/64) argmax): the fine-cluster budget K still grows
+  // linearly with the corpus (K = n / SemTargetClusterSize, holding
+  // EXPECTED cluster size constant, the paper's own scaling argument),
+  // but no vector ever scores all K centroids:
+  //   level 1 — Kc = ceil(sqrt(K)) COARSE cells, trained on a bounded
+  //     driver-side sample with q30's IVF quantizer (trainCentroids).
+  //     The Kc x dim matrix is the ONLY centroid literal in the plan
+  //     (sqrt of the flat version's K x dim, which at K ~ 1e6 was a
+  //     driver/plan-size bottleneck).
+  //   level 2 — ~K/Kc SUB-centroids per cell, held as a DataFrame keyed
+  //     by cell (never a plan literal) and trained by distributed
+  //     Lloyd's where each round scores a vector against ONLY its own
+  //     cell's subs: an equi-join on cell, O(n * K/Kc) dots per round.
+  // Per-vector assignment work is Kc + K/Kc = O(sqrt(K)) instead of K,
+  // so total assignment is O(n^1.5 / 8) instead of O(n^2 / 64), and it
+  // is an equi-join + groupBy — the shape that scales out.
+  //
+  // Candidate pairs come from an equi-self-join on the fine cluster id
+  // (cell, sub) (PlanSpec gates no-cross-product). Near-tie vectors are
+  // multi-assigned to every cluster within SemAssignDelta of their best
+  // score (q30's cell-overlap trick, applied at assignment time): a
+  // planted pair sitting exactly on a centroid boundary still shares a
+  // cluster. Precision is unaffected — every pair is exact-verified.
+  // A skewed cluster at 100 TB gets the same medicine as any skewed
+  // join key (salt, or size-cap + re-cluster).
   //
   // Approximate BY DESIGN: a pair split across clusters is missed.
-  // ClusteringSpec measures recall vs brute force (floor 0.85) and
-  // asserts precision is exactly 1.0 (every emitted drop is
-  // exact-cosine-verified). No SQL oracle (k-means is iterative float
+  // ClusteringSpec measures recall vs brute force (floor 0.85), asserts
+  // precision is exactly 1.0 (every emitted drop is exact-cosine-
+  // verified), and pins the two-level shape (no vector scores the full
+  // sub-centroid set). No SQL oracle (k-means is iterative float
   // training) — driver records a rows-only check, like q23/q30/q47.
   // ---------------------------------------------------------------------
   private val SemDupCosine         = 0.8
   private val SemTargetClusterSize = 64
-  private val SemRounds            = 5
+  private val SemSubRounds         = 4
+  private val SemAssignDelta       = 0.05
 
-  def q50SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Intermediates of the two-level assignment, exposed for the spec's
+    * scored-centroid-count and recall assertions. `scored` is the final
+    * assignment's (vector, sub-centroid) scoring pairs — under flat
+    * assignment every vector would carry `totalSubs` rows there. */
+  private[graft] final case class SemParts(
+      n: Long, kCoarse: Int, totalSubs: Long,
+      scored: DataFrame,      // (vec_id, cell, sub_id, d)
+      memberships: DataFrame, // (vec_id, cluster) — multi-assigned
+      primary: DataFrame,     // (vec_id, cluster) — one row per vector
+      units: DataFrame)       // (vec_id, unit) — cached
+
+  private[graft] def semDedupParts(spark: SparkSession, sfDir: String): SemParts = {
     import graft.functions.GraftFunctions.dot
+    import org.apache.spark.sql.expressions.Window
     // Unit-normalize the planted corpus (emb is already array<double>);
     // norm lambda-bound once per row — see unitCorpus for why.
-    val unit = Similarity.dupCorpus(spark, sfDir)
+    val units = Similarity.dupCorpus(spark, sfDir)
       .select(col("vec_id"), expr(
         """transform(array(sqrt(aggregate(emb, CAST(0 AS DOUBLE),
           |    (a, x) -> a + x * x))),
@@ -289,28 +320,122 @@ object Clustering {
           |              ELSE transform(emb, x -> x / nrm)
           |         END)[0]""".stripMargin).as("unit"))
       .filter(col("unit").isNotNull)
-
-    val n = unit.count()
-    val k = math.max(8, (n / SemTargetClusterSize).toInt)
-    val (cents, _) = kmeansTrainOn(unit, k, SemRounds)
-
-    val assigned = unit
-      .withColumn("best",
-        array_max(centroidScores(col("unit"), lit(1.0), cents.map(_.toSeq).toSeq)))
-      .select(col("vec_id"), col("unit"), col("best.c").as("cluster"))
       .cache()
 
-    // Within-cluster candidate pairs; unit vectors make cosine = dot.
-    // l.vec_id > r.vec_id orients each pair once, with l the drop side.
-    val dropped = assigned.as("l")
-      .join(assigned.as("r"),
+    val n = units.count()
+    val k  = math.max(8, (n / SemTargetClusterSize).toInt) // fine budget
+    val kc = math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+    // Level 1: coarse quantizer = q30's index-training step — bounded
+    // driver-side sample, Kc cells (see Similarity.trainCentroids).
+    val sample: Array[Array[Double]] = units
+      .orderBy("vec_id").limit(math.max(2048, 32 * kc))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val coarse: Seq[Seq[Double]] =
+      Similarity.trainCentroids(sample, kc).map(_.toSeq).toSeq
+
+    // Coarse assignment: the only centroid literal in the plan (Kc x dim).
+    // Multi-assign within SemAssignDelta of the best cell; the primary
+    // (argmax) cell trains the subs, all assigned cells generate
+    // candidates.
+    val cellMulti = units
+      .withColumn("sc", centroidScores(col("unit"), lit(1.0), coarse))
+      .select(col("vec_id"), col("unit"),
+        expr("array_max(sc).c").as("cell0"),
+        explode(expr(
+          s"transform(filter(sc, x -> x.s >= array_max(sc).s - $SemAssignDelta), x -> x.c)"))
+          .as("cell"))
+      .withColumn("is_primary", col("cell") === col("cell0"))
+      .drop("cell0")
+      .cache()
+    val primaryRows = cellMulti.filter(col("is_primary"))
+      .select(col("vec_id"), col("cell"), col("unit"))
+
+    // Level 2 init: per cell, ksub = round(cellCount / target) evenly
+    // id-spaced members — fully distributed (two window passes), no
+    // driver-side centroid materialization at any point.
+    val wCell = Window.partitionBy("cell")
+    var subs = primaryRows
+      .withColumn("rn", row_number().over(wCell.orderBy("vec_id")))
+      .withColumn("cnt", count(lit(1)).over(wCell))
+      .withColumn("ksub", greatest(lit(1),
+        round(col("cnt") / SemTargetClusterSize).cast("int")))
+      .withColumn("stride", greatest(lit(1), (col("cnt") / col("ksub")).cast("int")))
+      .filter((col("rn") - 1) % col("stride") === 0 &&
+        (col("rn") - 1) / col("stride") < col("ksub"))
+      .select(col("cell"), ((col("rn") - 1) / col("stride")).cast("int").as("sub_id"),
+        col("unit").as("sc"))
+      .localCheckpoint(true) // K tiny rows; truncated per round like q46
+    val totalSubs = subs.count()
+
+    // Level 2 training: distributed Lloyd's, each vector scored against
+    // ONLY its primary cell's subs (equi-join on cell — co-located, so
+    // the argmax partial-agg collapses before the shuffle). Sub-centroid
+    // updates never touch the driver; empty subs keep their centroid.
+    for (_ <- 1 to SemSubRounds) {
+      val best = primaryRows.join(subs, "cell")
+        .select(col("vec_id"), col("cell"), col("sub_id"), col("unit"),
+          dot(col("unit"), col("sc")).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("d"), col("sub_id"), col("cell"), col("unit"))).as("b"))
+      val rebuilt = best
+        .select(col("b.cell").as("cell"), col("b.sub_id").as("sub_id"),
+          posexplode(col("b.unit")))
+        .groupBy(col("cell"), col("sub_id"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+        .groupBy(col("cell"), col("sub_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+          .as("v"))
+        .select(col("cell"), col("sub_id"), expr(
+          """transform(array(sqrt(aggregate(v, CAST(0 AS DOUBLE),
+            |    (a, x) -> a + x * x))),
+            |  nrm -> CASE WHEN nrm = 0D THEN NULL
+            |              ELSE transform(v, x -> x / nrm)
+            |         END)[0]""".stripMargin).as("nsc"))
+      subs = subs.join(rebuilt, Seq("cell", "sub_id"), "left")
+        .select(col("cell"), col("sub_id"),
+          coalesce(col("nsc"), col("sc")).as("sc"))
+        .localCheckpoint(true)
+    }
+
+    // Final assignment: every assigned coarse cell's subs (and only
+    // those) are scored — Kc + ~K/Kc dots per vector. Fine cluster id =
+    // (cell, sub) packed into one long.
+    val scored = cellMulti.join(subs, "cell")
+      .select(col("vec_id"), col("cell"), col("sub_id"),
+        dot(col("unit"), col("sc")).as("d"))
+    val wVec = Window.partitionBy("vec_id")
+    val ranked = scored
+      .withColumn("bd", max(col("d")).over(wVec))
+      .withColumn("rk", row_number().over(
+        wVec.orderBy(col("d").desc, col("cell"), col("sub_id"))))
+    val clusterId = (col("cell").cast("long") * lit(1L << 32) + col("sub_id"))
+      .as("cluster")
+    val memberships = ranked.filter(col("d") >= col("bd") - SemAssignDelta)
+      .select(col("vec_id"), clusterId)
+    val primary = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), clusterId)
+    SemParts(n, kc, totalSubs, scored, memberships, primary, units)
+  }
+
+  def q50SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    val p = semDedupParts(spark, sfDir)
+
+    // Within-cluster candidate pairs over the multi-assigned memberships;
+    // unit vectors make cosine = dot. l.vec_id > r.vec_id orients each
+    // pair once, with l the drop side; distinct folds multi-assignment
+    // duplicates before the verdict join.
+    val mu = p.memberships.join(p.units, "vec_id")
+    val dropped = mu.as("l")
+      .join(mu.as("r"),
         col("l.cluster") === col("r.cluster") &&
           col("l.vec_id") > col("r.vec_id"))
       .filter(dot(col("l.unit"), col("r.unit")) >= SemDupCosine)
       .select(col("l.vec_id").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
 
-    assigned.join(dropped, Seq("vec_id"), "left")
+    p.primary.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         (!coalesce(col("is_dropped"), lit(false))).as("is_kept"))
       .orderBy("vec_id")

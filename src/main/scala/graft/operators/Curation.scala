@@ -287,16 +287,18 @@ object Curation {
   // ---------------------------------------------------------------------
   // q62 — Gopher-style rule-bundle quality filter (Rae et al. 2021,
   // "Scaling Language Models", Table A1 — the computable subset): each
-  // document gets a keep/drop verdict plus the LIST OF RULES IT FAILED,
-  // because a curation pipeline tunes thresholds from the failure
-  // distribution, not from a bare boolean. Rules: word-count bounds,
+  // document gets a keep/drop verdict plus the rules it failed, emitted
+  // as a canonical comma-joined STRING in fixed rule order ('' = all
+  // rules pass; the array form is one split(',') away), because a
+  // curation pipeline tunes thresholds from the failure distribution,
+  // not from a bare boolean. Rules: word-count bounds,
   // mean word length in [3,10], '#' and '...' symbol ratios, fraction
   // of words with an alphabetic character, >= 2 distinct (English)
   // stopwords — the paper's English-centric rule, kept as-is; non-en
   // documents failing it is the expected behavior a per-language rule
   // table would override — and within-doc duplicate-bigram fraction
   // (the q38 repetition signal as a hard gate). Pure per-row projection
-  // — zero shuffles; the failed-rules array is built in fixed rule
+  // — zero shuffles; the failed-rules string is joined in fixed rule
   // order in both engines, so the gate hash-matches exactly.
   // ---------------------------------------------------------------------
   def q62GopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
@@ -368,28 +370,23 @@ object Curation {
       |                                    for i in range(1, len(toks))])) AS DOUBLE)
       |          / greatest(len(toks) - 1, 1) END AS dup_bigram_frac
       |  FROM d)
-      |SELECT doc_id, n_words,
-      |  array_to_string(list_filter([
-      |    CASE WHEN n_words < 50 THEN 'too_short' END,
-      |    CASE WHEN n_words > 100000 THEN 'too_long' END,
-      |    CASE WHEN mean_wl < 3 OR mean_wl > 10 THEN 'mean_word_len' END,
-      |    CASE WHEN hash_ratio > 0.1 THEN 'hash_ratio' END,
-      |    CASE WHEN ellipsis_ratio > 0.3 THEN 'ellipsis_ratio' END,
-      |    CASE WHEN alpha_frac < 0.8 THEN 'alpha_frac' END,
-      |    CASE WHEN n_stop < 2 THEN 'stopwords' END,
-      |    CASE WHEN dup_bigram_frac > 0.2 THEN 'dup_bigrams' END
-      |  ], x -> x IS NOT NULL), ',') AS failed,
-      |  len(list_filter([
-      |    CASE WHEN n_words < 50 THEN 'x' END,
-      |    CASE WHEN n_words > 100000 THEN 'x' END,
-      |    CASE WHEN mean_wl < 3 OR mean_wl > 10 THEN 'x' END,
-      |    CASE WHEN hash_ratio > 0.1 THEN 'x' END,
-      |    CASE WHEN ellipsis_ratio > 0.3 THEN 'x' END,
-      |    CASE WHEN alpha_frac < 0.8 THEN 'x' END,
-      |    CASE WHEN n_stop < 2 THEN 'x' END,
-      |    CASE WHEN dup_bigram_frac > 0.2 THEN 'x' END
-      |  ], x -> x IS NOT NULL)) = 0 AS keep
-      |FROM m
+      |SELECT doc_id, n_words, failed, failed = '' AS keep
+      |FROM (
+      |  SELECT doc_id, n_words,
+      |    -- COALESCE: array_to_string of an EMPTY list is '' on current
+      |    -- DuckDB but NULL on 1.x — pin the all-rules-pass value to ''
+      |    -- on both so the oracle is engine-version-independent.
+      |    COALESCE(array_to_string(list_filter([
+      |      CASE WHEN n_words < 50 THEN 'too_short' END,
+      |      CASE WHEN n_words > 100000 THEN 'too_long' END,
+      |      CASE WHEN mean_wl < 3 OR mean_wl > 10 THEN 'mean_word_len' END,
+      |      CASE WHEN hash_ratio > 0.1 THEN 'hash_ratio' END,
+      |      CASE WHEN ellipsis_ratio > 0.3 THEN 'ellipsis_ratio' END,
+      |      CASE WHEN alpha_frac < 0.8 THEN 'alpha_frac' END,
+      |      CASE WHEN n_stop < 2 THEN 'stopwords' END,
+      |      CASE WHEN dup_bigram_frac > 0.2 THEN 'dup_bigrams' END
+      |    ], x -> x IS NOT NULL), ','), '') AS failed
+      |  FROM m)
       |ORDER BY doc_id""".stripMargin
 
   val q45Sql: String =

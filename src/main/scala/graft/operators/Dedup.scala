@@ -639,6 +639,14 @@ object Dedup {
       val docsIn = shingleDocs(incoming)
       verifiedNearIds(prefixRows(docsIn, dfreq), prefixesEx, docsIn, docsEx)
     }
+
+    /** Release the cached index frames. Call when the probing stream
+      * stops — the index's lifetime is the stream's, not the session's. */
+    def close(): Unit = {
+      prefixesEx.unpersist()
+      dfreq.unpersist()
+      docsEx.unpersist()
+    }
   }
 
   /** Core over any (doc_id long, text string) frame — exposed so the

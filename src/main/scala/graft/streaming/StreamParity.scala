@@ -98,11 +98,25 @@ object StreamParity {
     * logic that streaming aggregation modes cannot express):
     *
     *   exact_corpus    — content-hash equi-join vs the static index
-    *   exact_batch     — min-id-first-wins vs a SEEN-HASH STATE TABLE
-    *                     the gate itself appends after every batch (the
-    *                     incremental index update; id-ordered replay
-    *                     makes first-seen == min-id, so the verdict set
-    *                     equals q52's whole-batch window)
+    *   exact_batch     — min-id-first-wins vs a COMPACTED SEEN-HASH
+    *                     SNAPSHOT: one (ch, first_id) row per distinct
+    *                     hash ever seen, REWRITTEN (not appended) each
+    *                     batch. A batch aggregates only its own rows
+    *                     (groupBy over the batch — O(batch)), folds them
+    *                     into the previous snapshot with a broadcast
+    *                     left join + least(), and writes the next
+    *                     snapshot in one pass — no per-batch
+    *                     re-aggregation of the full history (the
+    *                     earlier append-only layout re-ran
+    *                     groupBy(ch).min over every prior batch's files
+    *                     each trigger: O(history) shuffle per batch).
+    *                     The snapshot scan itself is one sequential
+    *                     pass; a production deployment replaces the
+    *                     rewrite with a keyed state store or a Delta
+    *                     MERGE keyed on ch — same join shape, indexed
+    *                     lookup. (id-ordered replay makes first-seen ==
+    *                     min-id, so the verdict set equals q52's
+    *                     whole-batch window)
     *   near_dup_corpus — a probe of a PERSISTENT prefix-filter index
     *                     (Dedup.NearDupIndex): existing-side shingles,
     *                     df stats, and prefix rows are built and cached
@@ -147,30 +161,35 @@ object StreamParity {
     parts.zipWithIndex.foreach { case (f, i) =>
       require(f.setLastModified(t0 + i * 10000L)) }
 
-    val seenDir = Files.createTempDirectory("q58_seen").toString
+    val seenRoot = Files.createTempDirectory("q58_seen").toString
     val outDir  = Files.createTempDirectory("q58_verdicts").toString
     val seenSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ch",
         org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.StructField("first_id",
         org.apache.spark.sql.types.LongType)))
+    // Path of the latest compacted snapshot (foreachBatch runs serially
+    // on the driver, so a plain var is the batch-to-batch handoff).
+    var prevSnap: Option[String] = None
 
     val query = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val b = batch.cache()
         val hashed = b.select(col("doc_id"), md5(col("text")).as("ch"))
-        val seen =
-          if (new java.io.File(seenDir).listFiles()
-              .exists(_.getName.endsWith(".parquet")))
-            s.read.parquet(seenDir)
-          else s.createDataFrame(
-            java.util.Collections.emptyList[Row](), seenSchema)
-        val firstIds = hashed.select(col("ch"), col("doc_id"))
-          .unionAll(seen.select(col("ch"), col("doc_id")))
-          .groupBy(col("ch")).agg(min(col("doc_id")).as("first_id"))
+        // The ONLY aggregation this batch runs is over its own rows.
+        val batchMins = hashed.groupBy(col("ch"))
+          .agg(min(col("doc_id")).as("bmin"))
+        val prev = prevSnap.map(p => s.read.parquet(p))
+          .getOrElse(s.createDataFrame(
+            java.util.Collections.emptyList[Row](), seenSchema))
+          .select(col("ch"), col("first_id").as("pmin"))
+        val firstIds = batchMins.join(prev, Seq("ch"), "left")
+          .select(col("ch"),
+            least(col("bmin"), coalesce(col("pmin"), col("bmin")))
+              .as("first_id"))
         val exactFlags = hashed
           .join(existingH, Seq("ch"), "left")
           .join(firstIds, "ch")
@@ -191,15 +210,29 @@ object StreamParity {
               .otherwise("admitted").as("verdict"))
           .coalesce(1)
           .write.mode("append").parquet(outDir)
-        // incremental index update: this batch's hashes become state
-        hashed.select(col("ch"), col("doc_id")).coalesce(1)
-          .write.mode("append").parquet(seenDir)
+        // Incremental state update: fold the batch minima into the
+        // snapshot (full outer on ch — USING-join coalesces the key) and
+        // rewrite it compacted. One sequential pass over the snapshot;
+        // the tiny batch side broadcasts.
+        val nextSnap = s"$seenRoot/v$batchId"
+        prev.join(batchMins, Seq("ch"), "full")
+          .select(col("ch"),
+            least(coalesce(col("pmin"), col("bmin")),
+              coalesce(col("bmin"), col("pmin"))).as("first_id"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(nextSnap)
+        prevSnap = Some(nextSnap)
         b.unpersist()
         ()
       }
       .start()
     try query.processAllAvailable()
     finally query.stop()
+    // The persistent index's caches belong to the stream's lifetime, not
+    // the session's — release them now that the stream has stopped.
+    index.close()
+    existingH.unpersist()
+    existing.unpersist()
 
     spark.read.parquet(outDir).orderBy("doc_id")
   }

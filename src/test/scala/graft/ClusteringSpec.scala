@@ -91,6 +91,31 @@ class ClusteringSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q50 semdedup: two-level assignment never scores the full sub-centroid set") {
+    val p = Clustering.semDedupParts(spark, sf)
+    assert(p.totalSubs > p.kCoarse,
+      "level 2 must refine level 1 (more subs than coarse cells)")
+    // Per-vector scored sub-centroids: flat assignment would put exactly
+    // totalSubs rows per vector into `scored`; two-level puts only the
+    // assigned cells' subs there.
+    val perVec = p.scored.groupBy("vec_id").agg(count(lit(1)).as("m")).cache()
+    val mx = perVec.agg(max(col("m"))).head().getLong(0)
+    val avg = p.scored.count().toDouble / p.n
+    info(f"scored subs per vector: avg $avg%.1f / max $mx (totalSubs ${p.totalSubs}, kCoarse ${p.kCoarse})")
+    // flat assignment scores totalSubs for EVERY vector; two-level keeps
+    // the average near totalSubs/kCoarse (a near-tie vector may still
+    // multi-assign to several cells — the tail, not the norm)
+    assert(avg <= 0.75 * p.totalSubs,
+      f"avg scored $avg%.1f not materially below flat ${p.totalSubs}")
+    val atFlat = perVec.filter(col("m") >= p.totalSubs).count()
+    assert(atFlat <= p.n / 20,
+      s"$atFlat of ${p.n} vectors scored the full sub set — flat assignment shape")
+    perVec.unpersist()
+    // every vector is assigned: primary is a partition of the corpus
+    assert(p.primary.count() === p.n)
+    assert(p.primary.select("vec_id").distinct().count() === p.n)
+  }
+
   test("q47 k-means: the spherical objective is non-decreasing over rounds") {
     val (_, objectives) = Clustering.kmeansTrain(spark, sf, k = 8, rounds = 4)
     assert(objectives.length === 4)
