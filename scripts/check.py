@@ -8,6 +8,7 @@ corresponding oracle SQL from oracle_sql.json in DuckDB against the sfDir
 parquet tables, sorts columns by name + rows, and compares values exactly.
 """
 import json
+import re
 import sys
 
 import duckdb
@@ -41,8 +42,10 @@ def main(sf_dir, out_dir):
             # oracle-backed output with a LIST column passes here but fails
             # the driver gate. Reject it locally so the incompatibility is
             # visible before the round runs.
+            # \[\d*\]$ also catches DuckDB fixed-size ARRAY types such as
+            # 'INTEGER[3]', which the bare-'[]' suffix check missed.
             arr_cols = [c for c, t in zip(got_rel.columns, got_rel.types)
-                        if str(t).endswith("[]") or "STRUCT" in str(t)
+                        if re.search(r"\[\d*\]$", str(t)) or "STRUCT" in str(t)
                         or "MAP" in str(t)]
             if arr_cols:
                 print(f"FAIL {name}: array/struct columns {arr_cols} are "

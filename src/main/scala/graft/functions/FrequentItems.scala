@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -21,46 +23,60 @@ import org.apache.spark.sql.expressions.Aggregator
   * sketch pass is O(partitions × k) — constant in corpus size, where an
   * exact groupBy shuffles the full distinct-token table.
   *
-  * The decrement-all path on a full-buffer miss is O(k); the classic
-  * constant-amortized variant keeps a global offset instead. At k ≤ a
-  * few hundred the simple form is already far from the hot-path cost.
+  * The buffer is a MUTABLE map updated in place (the PercentileHistogram
+  * pattern — Spark's typed-Aggregator path holds partial buffers as live
+  * objects and serializes only at partial-output boundaries, so reduce
+  * may mutate): the hit path is one hash probe with zero allocation, and
+  * the full-buffer-miss path decrements in place. That miss path is
+  * O(live counters) per absorbed token but amortized O(1) overall —
+  * every count unit it removes was added by exactly one earlier arrival,
+  * so total eviction work is bounded by the token count at ANY k (the
+  * previous immutable-Map buffer re-allocated the whole map there,
+  * making the constant k-proportional in allocation too).
   */
-class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Array[String]] {
+class MisraGries(k: Int)
+    extends Aggregator[String, mutable.HashMap[String, Long], Array[String]] {
   require(k >= 2, "need at least 2 counters")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+  override def reduce(b: mutable.HashMap[String, Long], x: String)
+      : mutable.HashMap[String, Long] = {
     b.get(x) match {
-      case Some(c) => b.updated(x, c + 1L)
-      case None if b.size < k - 1 => b.updated(x, 1L)
+      case Some(c)                => b(x) = c + 1L
+      case None if b.size < k - 1 => b(x) = 1L
       case None =>
-        // decrement every counter; drop zeros (the new item is "absorbed")
-        b.iterator.map { case (t, c) => (t, c - 1L) }
-          .filter(_._2 > 0L).toMap
+        // decrement every counter in place; drop zeros (the new item is
+        // "absorbed") — amortized O(1), see the class doc
+        b.mapValuesInPlace((_, c) => c - 1L)
+        b.filterInPlace((_, c) => c > 0L)
     }
+    b
+  }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val combined = b.foldLeft(a) { case (m, (t, c)) =>
-      m.updated(t, m.getOrElse(t, 0L) + c)
-    }
-    if (combined.size <= k - 1) combined
-    else {
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (t, c) => a(t) = a.getOrElse(t, 0L) + c }
+    if (a.size > k - 1) {
       // subtract the k-th largest counter from all, drop non-positive
-      val kth = combined.values.toArray.sortBy(-_).apply(k - 1)
-      combined.iterator.map { case (t, c) => (t, c - kth) }
-        .filter(_._2 > 0L).toMap
+      val counts = a.values.toArray
+      java.util.Arrays.sort(counts)
+      val kth = counts(counts.length - k)
+      a.mapValuesInPlace((_, c) => c - kth)
+      a.filterInPlace((_, c) => c > 0L)
     }
+    a
   }
 
   /** Candidate keys only (sorted for determinism of the downstream
     * explode); estimated counts are deliberately not exposed — the gate
     * re-counts candidates exactly, so estimates would only invite use. */
-  override def finish(b: Map[String, Long]): Array[String] =
+  override def finish(b: mutable.HashMap[String, Long]): Array[String] =
     b.keys.toArray.sorted
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[mutable.HashMap[String, Long]]()
   override def outputEncoder: Encoder[Array[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
 }

@@ -101,7 +101,9 @@ object GraftExtensions {
         require(args.length == 2,
           s"graft_token_rule_stats expects 2 arguments, got ${args.length}")
         require(args(1).foldable, "stopwords must be a constant array<string>")
-        val ad = args(1).eval()
+        val evaled = args(1).eval()
+        require(evaled != null, "stopwords must not be null")
+        val ad = evaled
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val stop = (0 until ad.numElements())
           .map(i => ad.getUTF8String(i).toString)

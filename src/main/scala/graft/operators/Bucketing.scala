@@ -21,6 +21,17 @@ object Bucketing {
 
   private val BucketCount = 8
 
+  /** Content fingerprint of a source table path (mtime + length over its
+    * files): layout-copy caches keyed on it invalidate when the source
+    * data is regenerated in place, not only when the path changes. */
+  private def sourceFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val files = if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
+    val h = files.foldLeft(17L)((acc, x) =>
+      acc * 31 + x.lastModified() * 31 + x.length())
+    java.lang.Long.toHexString(h)
+  }
+
   /** Write `df` as a bucketed+sorted external table (idempotent). */
   def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
       path: String, key: String): Unit = {
@@ -34,10 +45,13 @@ object Bucketing {
   /** Bucketed twins of lineitem/orders for this sfDir; returns the two
     * table names. Reuses existing tables within a session. */
   def ensureBucketedTables(spark: SparkSession, sfDir: String): (String, String) = {
-    // Tag includes a hash of the raw path: distinct sfDirs that sanitize
-    // identically must not share cached tables.
+    // Tag includes a hash of the raw path (distinct sfDirs that sanitize
+    // identically must not share cached tables) plus a source-content
+    // fingerprint (regenerated data must not hit a stale copy).
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + Integer.toHexString(sfDir.hashCode)
+      "_" + Integer.toHexString(sfDir.hashCode) +
+      "_" + sourceFingerprint(s"$sfDir/lineitem.parquet") +
+      sourceFingerprint(s"$sfDir/orders.parquet")
     val (li, ord) = (s"graft_li_b$tag", s"graft_ord_b$tag")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$tag"
     if (!spark.catalog.tableExists(li))
@@ -62,10 +76,13 @@ object Bucketing {
   // PlanSpec asserts the filter lands in the scan's PartitionFilters
   // (metadata pruning), not in a row-level Filter after it.
   // ---------------------------------------------------------------------
-  /** Hive-style month-partitioned copy of orders (idempotent per sfDir). */
+  /** Hive-style month-partitioned copy of orders (idempotent per source
+    * CONTENT: the tag carries a data fingerprint, so a regenerated
+    * orders table gets a fresh copy instead of a stale `_SUCCESS` hit). */
   def ensurePartitionedOrders(spark: SparkSession, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + Integer.toHexString(sfDir.hashCode)
+      "_" + Integer.toHexString(sfDir.hashCode) +
+      "_" + sourceFingerprint(s"$sfDir/orders.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned$tag"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       Tables.orders(spark, sfDir)

@@ -119,6 +119,31 @@ class CurationSpec extends SparkSpec {
       col("redacted_md5") === col("norm_md5")).count() === 0)
   }
 
+  test("q62 gopher filter: failed is a scalar comma-joined string in fixed rule order") {
+    import org.apache.spark.sql.types.StringType
+    val out = Curation.q62GopherFilter(spark, sf).cache()
+    // Contract pinned here because the driver's comparator cannot hash
+    // array cells: a refactor back to array<string> would pass the rest
+    // of the suite and only fail at driver time.
+    assert(out.schema("failed").dataType === StringType,
+      "failed must stay a scalar string — array cells break the driver comparator")
+    // '' <=> keep, never null
+    assert(out.filter(col("failed").isNull).count() === 0)
+    assert(out.filter(col("keep") =!= (col("failed") === "")).count() === 0)
+    assert(out.filter(col("keep")).count() > 0)
+    // rule names appear in the fixed declaration order within each value
+    val ruleOrder = Seq("too_short", "too_long", "mean_word_len", "hash_ratio",
+      "ellipsis_ratio", "alpha_frac", "stopwords", "dup_bigrams")
+    val idx = ruleOrder.zipWithIndex.toMap
+    out.filter(col("failed") =!= "").select("failed").collect().foreach { r =>
+      val rules = r.getString(0).split(',').toSeq
+      assert(rules.forall(idx.contains), s"unknown rule in '${r.getString(0)}'")
+      assert(rules.map(idx) === rules.map(idx).sorted,
+        s"rules out of canonical order: '${r.getString(0)}'")
+    }
+    out.unpersist()
+  }
+
   test("q45 quality curation: exactly ceil(n/5) docs survive per language, best first") {
     import spark.implicits._
     val perLang = Tables.documents(spark, sf)
