@@ -5,9 +5,40 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR with
   * full materialization (noop sink — nothing is pruned away by a count),
   * plus the flagship sliding-window aggregation through the real streaming
-  * engine, reported as rows/s. Prints exactly ONE JSON line.
+  * engine, reported as rows/s.
+  *
+  * Output protocol: the driver captures only the LAST 2000 characters of
+  * stdout (which also include sbt's `[success] Total time` epilogue), so
+  * the driver-consumed JSON must be the FINAL printed line and must stay
+  * well under that window. Everything else (the per-run spread) is printed
+  * as its own earlier line. Round 7 broke this by appending the spread map
+  * to the final line, pushing the queries map out of the window — hence
+  * the [[driverLine]] budget check below, exercised by BenchLineSpec.
   */
 object Bench {
+  /** Hard budget for the final stdout line. The driver tail window is 2000
+    * chars and must also hold sbt's epilogue (~70 chars) plus any straggler
+    * WARN lines; 1850 leaves that margin. */
+  val DriverLineBudget = 1850
+
+  /** Build the single driver-consumed JSON line. %.2f per query keeps the
+    * line ~1.6k chars at the current 65-entry surface; the require makes
+    * any future key addition that would silently re-break driver parsing
+    * fail loudly here (and in the unit test) instead.
+    */
+  def driverLine(total: Double, queries: Seq[(String, Double)], sf: String,
+                 streamRowsPerSec: Double, cpus: String): String = {
+    val qs = queries.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }
+      .mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sf","stream_rows_per_sec":$streamRowsPerSec%.0f,"cpus":$cpus}"""
+    require(line.length <= DriverLineBudget,
+      s"driver line is ${line.length} chars > budget $DriverLineBudget: " +
+        "trim keys/precision or move data to an earlier line, or the " +
+        "driver's 2000-char tail capture will truncate the queries map")
+    line
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,15 +147,18 @@ object Bench {
     val streamRowsPerSec = nEvents / tIngest
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
-    val qs = (results ++ Seq(
-        "q25_stream_parity" -> tParity, "stream_ingest" -> tIngest))
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // Spread (both raw run times per query) goes on its OWN earlier line:
+    // it is diagnostic data for humans/BASELINE.md, not driver-consumed,
+    // and must never ride the final line (see DriverLineBudget).
     val spread = runs
       .map { case (k, (t1, t2)) => "\"" + k + f"\":[$t1%.3f,$t2%.3f]" }
       .mkString("{", ",", "}")
+    println(s"""{"metric":"spread","spread":$spread}""")
+
     val total = results.map(_._2).filter(_ > 0).sum + tParity + tIngest
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","stream_rows_per_sec":$streamRowsPerSec%.0f,"cpus":$cpus}""")
+    println(driverLine(total,
+      results ++ Seq("q25_stream_parity" -> tParity, "stream_ingest" -> tIngest),
+      sfDir, streamRowsPerSec, cpus))
     spark.stop()
   }
 }

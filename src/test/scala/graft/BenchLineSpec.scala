@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the bench→driver output channel: the driver captures only the
+  * last 2000 chars of stdout, so the final JSON line must stay under
+  * [[Bench.DriverLineBudget]] for the FULL query surface — including
+  * worst-case (wide) formatted times — or per-query perf data silently
+  * disappears from the driver board (this happened in round 7 when the
+  * spread map rode the final line).
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def fullSurface: Seq[(String, Double)] =
+    (SparkEntry.queries.keys.filterNot(_ == "q25_stream_batch_parity").toSeq.sorted
+      :+ "q25_stream_parity" :+ "stream_ingest").map(_ -> 999.99)
+
+  test("driver line fits the tail-capture budget at the full query surface") {
+    // 999.99 s per query is wider than any plausible real time, so a pass
+    // here means any real bench line is shorter still.
+    val line = Bench.driverLine(9999.99, fullSurface,
+      "/root/testdata/sf0.1", 999999.0, "32")
+    assert(line.length <= Bench.DriverLineBudget)
+    assert(line.startsWith("{\"metric\":\"total\""))
+    assert(line.endsWith("}"))
+    // The queries map must actually be on the line (that's what r07 lost).
+    assert(line.contains("\"queries\":{"))
+    assert(line.contains("\"q01_sliding_window_agg\":"))
+  }
+
+  test("driver line is valid single-line JSON shape") {
+    val line = Bench.driverLine(1.23, Seq("q01" -> 0.5, "q02" -> -1.0),
+      "/root/testdata/sf0.01", 48730.0, "32")
+    assert(!line.contains("\n"))
+    assert(line.contains("\"q02\":-1.00"), "failed queries stay visible as -1")
+  }
+
+  test("an over-budget line fails loudly instead of silently truncating") {
+    val bloated = (1 to 200).map(i => s"q${i}_some_long_query_name_padding" -> 1.0)
+    val e = intercept[IllegalArgumentException] {
+      Bench.driverLine(1.0, bloated, "/root/testdata/sf0.1", 1.0, "32")
+    }
+    assert(e.getMessage.contains("budget"))
+  }
+
+  test("budget leaves headroom for sbt epilogue inside the 2000-char window") {
+    assert(Bench.DriverLineBudget <= 2000 - 100)
+  }
+}
