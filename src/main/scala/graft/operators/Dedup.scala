@@ -400,15 +400,23 @@ object Dedup {
   private val RunL = 8
 
   def q54SubstringRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    // w is the dominant cost of the whole operator (explode of every
+    // L-token window + md5 per window) and has TWO consumers — the df
+    // aggregate `nd` and the probe side of `flagged` — so it must be
+    // cached or the corpus is tokenized+hashed twice (a 3x driver-bench
+    // regression when it wasn't). gh is unhex'd to 16-byte binary: md5's
+    // 128 bits are kept for collision-safety at 100 TB, but as hex text
+    // the shuffle rows were ~2x wider than the key warrants.
     val w = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
       .filter(size(col("toks")) >= RunL)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(toks) - $RunL),
            |  i -> struct(i AS i,
-           |              md5(array_join(slice(toks, i + 1, $RunL), ' ')) AS gh))"""
+           |              unhex(md5(array_join(slice(toks, i + 1, $RunL), ' '))) AS gh))"""
           .stripMargin)).as("u"))
       .select(col("doc_id"), col("u.i").as("i"), col("u.gh").as("gh"))
+      .cache()
     val nd = w.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
     val flagged = w.join(nd, "gh").cache()

@@ -430,6 +430,9 @@ object TextAnalysis {
         split(lower(trim(col("text"))), " +").as("toks"))
     val uni = d.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .cache() // TWO consumers — the v=count() action below AND the
+               // scoring join — without the cache the full corpus
+               // explode+groupBy runs twice (2x driver-bench regression)
     val v = uni.count() // vocabulary size: O(1) driver scalar
     val bg = d.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
