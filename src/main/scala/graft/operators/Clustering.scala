@@ -305,7 +305,15 @@ object Clustering {
       scored: DataFrame,      // (vec_id, cell, sub_id, d)
       memberships: DataFrame, // (vec_id, cluster) — multi-assigned
       primary: DataFrame,     // (vec_id, cluster) — one row per vector
-      units: DataFrame)       // (vec_id, unit) — cached
+      units: DataFrame,       // (vec_id, unit) — cached
+      cellMulti: DataFrame) { // (vec_id, unit, cell, is_primary) — cached
+    /** Drop the two cached frames this build pinned. Without this,
+      * repeated q50 calls accumulate cached corpora for the session
+      * (cellMulti is otherwise method-local and unreleasable by callers).
+      * q50SemDedup calls it after materializing its result; sweeps/specs
+      * that consume the parts directly call it when done. */
+    def release(): Unit = { units.unpersist(); cellMulti.unpersist() }
+  }
 
   private[graft] def semDedupParts(spark: SparkSession, sfDir: String): SemParts = {
     import graft.functions.GraftFunctions.dot
@@ -327,9 +335,10 @@ object Clustering {
     val kc = math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
 
     // Level 1: coarse quantizer = q30's index-training step — bounded
-    // driver-side sample, Kc cells (see Similarity.trainCentroids).
+    // driver-side sample, Kc cells, under the same absolute ceiling as
+    // every other training collect (Similarity.TrainSampleCap).
     val sample: Array[Array[Double]] = units
-      .orderBy("vec_id").limit(math.max(2048, 32 * kc))
+      .orderBy("vec_id").limit(Similarity.trainSampleSize(kc, floor = 2048))
       .collect().map(_.getSeq[Double](1).toArray)
     val coarse: Seq[Seq[Double]] =
       Similarity.trainCentroids(sample, kc).map(_.toSeq).toSeq
@@ -415,10 +424,14 @@ object Clustering {
       .select(col("vec_id"), clusterId)
     val primary = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), clusterId)
-    SemParts(n, kc, totalSubs, scored, memberships, primary, units)
+    SemParts(n, kc, totalSubs, scored, memberships, primary, units, cellMulti)
   }
 
-  def q50SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Lazy q50 pipeline + its build parts. PlanSpec gates the join shape
+    * on THIS pre-checkpoint plan (q50SemDedup truncates lineage when it
+    * materializes); callers must release() the parts when done. */
+  private[graft] def q50SemDedupLazy(
+      spark: SparkSession, sfDir: String): (DataFrame, SemParts) = {
     import graft.functions.GraftFunctions.dot
     val p = semDedupParts(spark, sfDir)
 
@@ -435,9 +448,19 @@ object Clustering {
       .select(col("l.vec_id").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
 
-    p.primary.join(dropped, Seq("vec_id"), "left")
+    (p.primary.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         (!coalesce(col("is_dropped"), lit(false))).as("is_kept"))
-      .orderBy("vec_id")
+      .orderBy("vec_id"), p)
+  }
+
+  def q50SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // Materialize the (n-row) verdict eagerly so the build's cached
+    // frames can be released HERE instead of leaking until session end —
+    // same truncation pattern as the subs/q46 checkpoints above.
+    val (df, p) = q50SemDedupLazy(spark, sfDir)
+    val out = df.localCheckpoint(true)
+    p.release()
+    out
   }
 }

@@ -291,6 +291,19 @@ object Similarity {
   private val MinCells      = 24
   private val ProbeFrac     = 0.20 // nprobe = max(6, ceil(K/5))
   private val SamplePerCell = 32   // training sample = max(4096, 32K), bounded
+
+  /** Absolute ceiling on any driver-side training collect(), Faiss-style:
+    * without it the sample grows as O(sqrt(n) * dim) — ~10^6 vectors
+    * (~0.5 GB at dim 128) at 10^9 corpus rows. 256k vectors caps driver
+    * memory at ~128 MB (dim 128 doubles) regardless of corpus size; k-means
+    * quality needs points-per-centroid, and 256k keeps >= 8 points/cell up
+    * to K = 32k cells (n = 10^9) — the Faiss default regime. IvfSweep's
+    * capped rows confirm the recall floor holds with a BINDING cap. */
+  private[graft] val TrainSampleCap = 256 * 1024
+
+  /** Bounded, capped training-sample size for a K-cell quantizer. */
+  private[graft] def trainSampleSize(k: Int, floor: Int = 4096): Int =
+    math.min(TrainSampleCap, math.max(floor, SamplePerCell * k))
   private val LloydIters    = 15
   /** Multi-assignment width: a vector is indexed in every cell whose
     * centroid cosine is within this of its best cell (cell-overlap /
@@ -371,7 +384,8 @@ object Similarity {
   /** IVF candidate set — separated so the config sweep and the
     * scored-fraction assertion can count candidates without ranking. */
   private[graft] def ivfCandidates(spark: SparkSession, sfDir: String,
-      probeFrac: Double = ProbeFrac, delta: Double = AssignDelta): DataFrame = {
+      probeFrac: Double = ProbeFrac, delta: Double = AssignDelta,
+      sampleCap: Int = TrainSampleCap): DataFrame = {
     // One scan of the corpus serves cell assignment and the probe side
     // (same multi-consumer shape as q23's cache).
     val e = withNorm(Tables.embeddings(spark, sfDir)).cache()
@@ -381,11 +395,13 @@ object Similarity {
     val k = math.max(MinCells, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nprobe = math.max(6, math.ceil(k * probeFrac).toInt)
 
-    // Index build: train the coarse quantizer on a bounded sample
-    // (driver-side by design — this is index training, not the data path).
+    // Index build: train the coarse quantizer on a bounded, absolutely
+    // capped sample (driver-side by design — this is index training, not
+    // the data path; see TrainSampleCap for the no-unbounded-collect rule).
     val sample: Array[Array[Double]] = e
       .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(math.max(4096, SamplePerCell * k))
+      .orderBy(col("vec_id"))
+      .limit(math.min(sampleCap, trainSampleSize(k)))
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val cents: Seq[Seq[Double]] = trainCentroids(sample, k).map(_.toSeq).toSeq
@@ -661,10 +677,11 @@ object Similarity {
     val kc = math.max(MinCells, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nprobe = math.max(6, math.ceil(kc * ProbeFrac).toInt)
 
-    // One bounded sample trains BOTH quantizers (see q30's sampling note).
+    // One bounded, capped sample trains BOTH quantizers (see q30's
+    // sampling note and TrainSampleCap).
     val sample: Array[Array[Double]] = e
       .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(math.max(4096, SamplePerCell * kc))
+      .orderBy(col("vec_id")).limit(trainSampleSize(kc))
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     def unit(v: Array[Double]): Array[Double] = {

@@ -18,9 +18,16 @@ object IvfSweep {
       val exact = Similarity.q22AnnBruteForce(spark, sf)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       println(s"=== $sf  n=$n  k=${math.max(24, math.ceil(math.sqrt(n.toDouble)).toInt)} ===")
-      for ((pf, d) <- Seq((0.20, 0.15), (0.20, 0.12), (0.22, 0.12),
-          (0.25, 0.12), (0.18, 0.15), (0.20, 0.18))) {
-        val cands = Similarity.ivfCandidates(spark, sf, pf, d)
+      // The Int.MaxValue rows use the natural (uncapped-at-this-SF)
+      // sample; the 2048 rows force a BINDING training-sample cap (below
+      // the 4096 floor) to confirm the recall floor survives capping —
+      // the evidence behind Similarity.TrainSampleCap.
+      for ((pf, d, cap) <- Seq(
+          (0.20, 0.15, Int.MaxValue), (0.20, 0.12, Int.MaxValue),
+          (0.22, 0.12, Int.MaxValue), (0.25, 0.12, Int.MaxValue),
+          (0.18, 0.15, Int.MaxValue), (0.20, 0.18, Int.MaxValue),
+          (0.20, 0.15, 2048), (0.20, 0.12, 2048))) {
+        val cands = Similarity.ivfCandidates(spark, sf, pf, d, cap)
         val nCands = cands.count()
         val frac = nCands.toDouble / (n * 5)
         val approx = cands
@@ -33,7 +40,8 @@ object IvfSweep {
           .filter(col("rank") <= 10)
           .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
         val recall = (exact & approx).size.toDouble / exact.size
-        println(f"probeFrac=$pf%.2f delta=$d%.2f  recall@10=$recall%.3f  frac=$frac%.3f")
+        val capTag = if (cap == Int.MaxValue) "natural" else s"cap=$cap"
+        println(f"probeFrac=$pf%.2f delta=$d%.2f [$capTag]  recall@10=$recall%.3f  frac=$frac%.3f")
         spark.sharedState.cacheManager.clearCache()
       }
     }

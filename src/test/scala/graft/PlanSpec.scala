@@ -68,7 +68,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q50: semdedup candidates come from the cluster equi-join — no cross product") {
-    val plan = finalPlan(Clustering.q50SemDedup(spark, sf))
+    // the LAZY pipeline: q50SemDedup itself localCheckpoints (truncating
+    // the plan to a scan), so the join shape is only visible here
+    val (df, p) = Clustering.q50SemDedupLazy(spark, sf)
+    val plan = finalPlan(df)
+    p.release()
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "within-cluster pairing must be an equi-join on the cluster id")
