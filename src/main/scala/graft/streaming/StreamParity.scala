@@ -161,16 +161,23 @@ object StreamParity {
     parts.zipWithIndex.foreach { case (f, i) =>
       require(f.setLastModified(t0 + i * 10000L)) }
 
-    val seenRoot = Files.createTempDirectory("q58_seen").toString
-    val outDir  = Files.createTempDirectory("q58_verdicts").toString
+    val ioRoot = Files.createTempDirectory("q58_io").toString
     val seenSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ch",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("first_id",
         org.apache.spark.sql.types.LongType)))
     // Path of the latest compacted snapshot (foreachBatch runs serially
-    // on the driver, so a plain var is the batch-to-batch handoff).
+    // on the driver, so a plain var is the batch-to-batch handoff), plus
+    // the verdict dirs written so far (read back after the stream stops).
     var prevSnap: Option[String] = None
+    val verdictDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def deleteTree(p: String): Unit = {
+      val root = Paths.get(p)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+    }
 
     val query = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
@@ -198,30 +205,45 @@ object StreamParity {
             (col("doc_id") > col("first_id")).as("exact_batch"))
         val near = index.probe(b)
           .withColumn("near_corpus", lit(true))
-        // One file per batch on both sinks: these are tiny (batch-sized)
-        // frames, and writing them at session default parallelism costs
-        // 8+ tasks/files per micro-batch for ~25 rows — most of the
-        // query's run-to-run jitter came from those task swarms.
-        exactFlags.join(near, Seq("doc_id"), "left")
+        val verdicts = exactFlags.join(near, Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("exact_corpus"), "exact_corpus")
               .when(col("exact_batch"), "exact_batch")
               .when(coalesce(col("near_corpus"), lit(false)), "near_dup_corpus")
               .otherwise("admitted").as("verdict"))
-          .coalesce(1)
-          .write.mode("append").parquet(outDir)
         // Incremental state update: fold the batch minima into the
-        // snapshot (full outer on ch — USING-join coalesces the key) and
-        // rewrite it compacted. One sequential pass over the snapshot;
+        // snapshot (full outer on ch — USING-join coalesces the key),
+        // rewritten compacted. One sequential pass over the snapshot;
         // the tiny batch side broadcasts.
-        val nextSnap = s"$seenRoot/v$batchId"
-        prev.join(batchMins, Seq("ch"), "full")
+        val nextRows = prev.join(batchMins, Seq("ch"), "full")
           .select(col("ch"),
             least(coalesce(col("pmin"), col("bmin")),
               coalesce(col("bmin"), col("pmin"))).as("first_id"))
+        // ONE output job per trigger: verdicts and the rewritten snapshot
+        // union into a single kind-partitioned write (the per-trigger job
+        // count — not task width — is the measured cost floor of this
+        // operator locally; two separate writes paid two job+commit
+        // rounds for two tiny frames). coalesce(1): one file per kind —
+        // these frames are batch/seen-sized, and default-parallelism
+        // writes cost 8+ tasks/files per micro-batch for ~25 rows.
+        val stamp = s"$ioRoot/b$batchId"
+        verdicts
+          .select(lit("v").as("kind"), col("doc_id"), col("verdict"),
+            lit(null).cast("string").as("ch"),
+            lit(null).cast("long").as("first_id"))
+          .unionByName(nextRows
+            .select(lit("s").as("kind"), lit(null).cast("long").as("doc_id"),
+              lit(null).cast("string").as("verdict"),
+              col("ch"), col("first_id")))
           .coalesce(1)
-          .write.mode("overwrite").parquet(nextSnap)
-        prevSnap = Some(nextSnap)
+          .write.mode("overwrite").partitionBy("kind").parquet(stamp)
+        verdictDirs += s"$stamp/kind=v"
+        // The previous snapshot is fully folded into this one — delete it
+        // so seen-state temp usage stays O(distinct hashes), not
+        // O(batches x distinct hashes) over a long stream.
+        val oldSnap = prevSnap
+        prevSnap = Some(s"$stamp/kind=s")
+        oldSnap.foreach(deleteTree)
         b.unpersist()
         ()
       }
@@ -234,7 +256,13 @@ object StreamParity {
     existingH.unpersist()
     existing.unpersist()
 
-    spark.read.parquet(outDir).orderBy("doc_id")
+    // A batch with no admissible rows writes no kind=v subdir — read only
+    // the ones that exist (never the case with this 4-file layout, but an
+    // empty trailing trigger must not fail the read).
+    val existingDirs = verdictDirs.filter(d => new java.io.File(d).isDirectory)
+    spark.read.parquet(existingDirs.toSeq: _*)
+      .select(col("doc_id"), col("verdict"))
+      .orderBy("doc_id")
   }
 
   /** q49 — streaming exact dedup: the q15 md5-keyed dedup aggregation
