@@ -21,14 +21,25 @@ object Bucketing {
 
   private val BucketCount = 8
 
-  /** Content fingerprint of a source table path (mtime + length over its
-    * files): layout-copy caches keyed on it invalidate when the source
-    * data is regenerated in place, not only when the path changes. */
+  /** Content fingerprint of a source table path (name + mtime + length
+    * over its files, recursively — hive-partitioned sources keep their
+    * data in subdirectories): layout-copy caches keyed on it invalidate
+    * when the source data is regenerated in place, not only when the
+    * path changes. Folding names in means a same-size regeneration that
+    * renames files still misses the stale copy even within mtime
+    * granularity. */
   private def sourceFingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    val files = if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
-    val h = files.foldLeft(17L)((acc, x) =>
-      acc * 31 + x.lastModified() * 31 + x.length())
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        // listFiles() returns null for an unreadable directory or a
+        // concurrent delete — fingerprint the dir entry itself then.
+        Option(f.listFiles()) match {
+          case Some(kids) => kids.sortBy(_.getName).toSeq.flatMap(walk)
+          case None       => Seq(f)
+        }
+      else Seq(f)
+    val h = walk(new java.io.File(path)).foldLeft(17L)((acc, x) =>
+      ((acc * 31 + x.getName.hashCode) * 31 + x.lastModified()) * 31 + x.length())
     java.lang.Long.toHexString(h)
   }
 
