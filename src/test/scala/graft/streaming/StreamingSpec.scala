@@ -575,6 +575,100 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  // -------------------------------------------------------------------
+  // S4/K2 semantics — the three OffsetRange modes resolved end-to-end
+  // against a file-backed log (MockKafkaBroker): facade case class →
+  // option JSON → broker-side seek → record batch. The mock implements
+  // Kafka's documented resolution rules, so these tests pin what the
+  // emitted options MEAN, not just their string shape.
+  // -------------------------------------------------------------------
+  private def mkLog(records: (Int, Long, Long, String, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("mock_kafka").toString
+    MockKafkaBroker.append(spark, dir, "t", records)
+    dir
+  }
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+    df.select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+
+  test("Direct offset range replays exactly [begin, end) per partition") {
+    // two partitions, offsets 10..14 and 20..22; ts = offset * 1000
+    val log = mkLog(
+      (0, 10, 10000, "k", "a"), (0, 11, 11000, "k", "b"),
+      (0, 12, 12000, "k", "c"), (0, 13, 13000, "k", "d"),
+      (0, 14, 14000, "k", "e"),
+      (1, 20, 20000, "k", "x"), (1, 21, 21000, "k", "y"),
+      (1, 22, 22000, "k", "z"))
+    val opts = Kafka.sourceOptions("mock:9092", "t",
+      Kafka.Direct(Map(0 -> 11L, 1 -> 21L), Some(Map(0 -> 13L, 1 -> 23L))))
+    val batch = MockKafkaBroker.resolve(spark, log, opts)
+    assert(ids(batch) === Set((0, 11L), (0, 12L), (1, 21L), (1, 22L)))
+    // -2/-1 sentinels: earliest start, log-end end — the whole log
+    val all = MockKafkaBroker.resolve(spark, log, Kafka.sourceOptions(
+      "mock:9092", "t", Kafka.Direct(Map(0 -> -2L, 1 -> -2L),
+        Some(Map(0 -> -1L, 1 -> -1L)))))
+    assert(all.count() === 8)
+    // batch carries the kafka source column shape
+    assert(Set("key", "value", "topic", "partition", "offset", "timestamp")
+      .subsetOf(all.columns.toSet))
+  }
+
+  test("Timestamp offset range seeks offsetsForTimes semantics") {
+    val log = mkLog(
+      (0, 10, 10000, "k", "a"), (0, 11, 11000, "k", "b"),
+      (0, 12, 12000, "k", "c"), (0, 13, 13000, "k", "d"),
+      (1, 20, 20000, "k", "x"), (1, 21, 21000, "k", "y"))
+    // start at the earliest record with ts >= the requested ms (11500 →
+    // offset 12); bounded end the same way, exclusive (13000 → offset 13)
+    val batch = MockKafkaBroker.resolve(spark, log, Kafka.sourceOptions(
+      "mock:9092", "t", Kafka.Timestamp(Map(0 -> 11500L, 1 -> 20500L),
+        Some(Map(0 -> 13000L, 1 -> 99999L)))))
+    assert(ids(batch) === Set((0, 12L), (1, 21L)))
+    // a start timestamp past every record = log end → empty partition
+    val none = MockKafkaBroker.resolve(spark, log, Kafka.sourceOptions(
+      "mock:9092", "t", Kafka.Timestamp(Map(0 -> 99999L, 1 -> 99999L), None)))
+    assert(none.count() === 0)
+  }
+
+  test("FromCheckpoint resumes from committed offsets across restarts") {
+    val log = mkLog(
+      (0, 0, 1000, "k", "a"), (0, 1, 2000, "k", "b"), (1, 0, 1000, "k", "x"))
+    val opts = Kafka.sourceOptions("mock:9092", "t",
+      Kafka.FromCheckpoint("earliest"))
+    // cold start: no committed state, startingOffsets=earliest → all 3
+    val b1 = MockKafkaBroker.resolve(spark, log, opts)
+    assert(b1.count() === 3)
+    val ckpt = MockKafkaBroker.commit(b1)
+    // new records arrive; a resumed read sees ONLY them (committed beats
+    // the cold startingOffsets) — OffsetRange::None's restore contract
+    MockKafkaBroker.append(spark, log, "t",
+      Seq((0, 2, 3000, "k", "c"), (1, 1, 2000, "k", "y")))
+    val b2 = MockKafkaBroker.resolve(spark, log, opts, ckpt)
+    assert(ids(b2) === Set((0, 2L), (1, 1L)))
+    // cold=latest with no checkpoint: nothing (log-end start)
+    val b3 = MockKafkaBroker.resolve(spark, log, Kafka.sourceOptions(
+      "mock:9092", "t", Kafka.FromCheckpoint("latest")))
+    assert(b3.count() === 0)
+  }
+
+  test("multi-topic bounded replay resolves each topic's own range") {
+    val dir = java.nio.file.Files.createTempDirectory("mock_kafka").toString
+    MockKafkaBroker.append(spark, dir, "topic-0",
+      Seq((0, 121, 1000, "k", "a"), (0, 122, 2000, "k", "b"),
+        (0, 137, 3000, "k", "c")))
+    MockKafkaBroker.append(spark, dir, "topic-1",
+      Seq((0, 71, 1000, "k", "x"), (0, 83, 2000, "k", "y"),
+        (0, 84, 3000, "k", "z")))
+    val opts = Kafka.sourceOptionsMulti("mock:9092",
+      Map("topic-0" -> Map(0 -> 121L), "topic-1" -> Map(0 -> 71L)),
+      Some(Map("topic-0" -> Map(0 -> 137L), "topic-1" -> Map(0 -> 84L))))
+    val batch = MockKafkaBroker.resolve(spark, dir, opts)
+    val got = batch.select("topic", "offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("topic-0", 121L), ("topic-0", 122L),
+      ("topic-1", 71L), ("topic-1", 83L)))
+  }
 }
 
 object StreamingSpec {
