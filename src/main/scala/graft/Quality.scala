@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Dedup, Relational, Similarity}
+
+/** Quality-floor report for the eight no-oracle queries (approximate or
+  * iterative by design — q21/q23/q30/q34/q47/q50/q53/q57): measures the
+  * same recall/error/monotonicity numbers the spec floors assert, and
+  * writes them as ONE JSON file so the round artifact (QUALITY_r{N}.json,
+  * committed next to CORRECTNESS_r{N}.json) shows measured values, not
+  * just `no_oracle`.
+  *
+  * Run per round: `sbt "runMain graft.Quality /root/testdata/sf0.01 QUALITY_r8.json"`
+  * (any SF dir works; floors are SF-invariant by design).
+  */
+object Quality {
+
+  private def topkSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** (metric -> value) per no-oracle query; every floor mirrors its spec. */
+  def measure(spark: SparkSession, sfDir: String): Seq[(String, Seq[(String, Double)])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[(String, Double)])]
+    def done(name: String, m: (String, Double)*): Unit = {
+      out += name -> m.toSeq
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    // q21 — SimHash near-dup: structural guarantees are exact (ordering,
+    // hamming cutoff); quality = how much of the MinHash+verify dup set
+    // (q20, itself oracle-checked vs brute-force J>=0.8) it re-finds.
+    val simPairs = Dedup.q21SimHashDedup(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhPairs = Dedup.q20MinHashDedup(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    done("q21_simhash_dedup",
+      "pairs" -> simPairs.size.toDouble,
+      "minhash_overlap_recall" ->
+        (if (mhPairs.isEmpty) 1.0
+         else (simPairs & mhPairs).size.toDouble / mhPairs.size))
+
+    // Exact ANN baseline for the three approximate ANN queries.
+    val exact = topkSet(Similarity.q22AnnBruteForce(spark, sfDir))
+
+    val lsh = topkSet(Similarity.q23AnnLsh(spark, sfDir))
+    done("q23_ann_lsh",
+      "recall_at_10" -> (exact & lsh).size.toDouble / exact.size,
+      "floor" -> 0.85)
+
+    val ivf = topkSet(Similarity.q30AnnIvf(spark, sfDir))
+    done("q30_ann_ivf",
+      "recall_at_10" -> (exact & ivf).size.toDouble / exact.size,
+      "floor" -> 0.85)
+
+    val pq = topkSet(Similarity.q53AnnIvfPq(spark, sfDir))
+    done("q53_ann_ivf_pq",
+      "recall_at_10" -> (exact & pq).size.toDouble / exact.size,
+      "floor" -> 0.85)
+
+    // q34 — HLL++ distinct counts: max relative error vs exact.
+    val approxD = Relational.q34ApproxDistinct(spark, sfDir)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactD = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    done("q34_approx_distinct",
+      "max_rel_error" -> exactD.map { case (k, e) =>
+        math.abs(approxD.getOrElse(k, 0L) - e).toDouble / e }.max,
+      "floor" -> 0.05)
+
+    // q47 — k-means: spherical objective must be non-decreasing and must
+    // move off its init (the spec's monotonicity contract).
+    val (_, objectives) = Clustering.kmeansTrain(spark, sfDir, k = 8, rounds = 4)
+    done("q47_kmeans_cluster",
+      "objective_final" -> objectives.last,
+      "monotonic_violations" -> objectives.sliding(2).count {
+        case Seq(a, b) => b < a - 1e-9
+        case _         => false
+      }.toDouble,
+      "objective_gain" -> (objectives.last - objectives.head))
+
+    // q50 — SemDeDup: precision/recall of the drop set vs the brute-force
+    // cosine>=0.8 closure over the planted corpus.
+    val corpus = Similarity.dupCorpus(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val expectedDrop = (for {
+      i <- corpus.indices; j <- 0 until i
+      if cos(corpus(i)._2, corpus(j)._2) >= 0.8
+    } yield corpus(i)._1).toSet
+    val gotDrop = Clustering.q50SemDedup(spark, sfDir)
+      .filter(!col("is_kept")).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    done("q50_semdedup",
+      "recall" -> (if (expectedDrop.isEmpty) 1.0
+                   else (gotDrop & expectedDrop).size.toDouble / expectedDrop.size),
+      "precision" -> (if (gotDrop.isEmpty) 1.0
+                      else (gotDrop & expectedDrop).size.toDouble / gotDrop.size),
+      "floor" -> 0.85)
+
+    // q57 — GK approximate quantiles: worst rank error as a fraction of n
+    // (guarantee: <= 1/accuracy = 1e-4, plus integer-rank slack).
+    val approxQ = Relational.q57ApproxQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(1),
+        0.95 -> r.getDouble(2), 0.99 -> r.getDouble(3))).toMap
+    val values = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    done("q57_approx_quantiles",
+      "max_rank_error_frac" -> approxQ.map { case (k, qs) =>
+        val vs = values(k); val n = vs.length
+        qs.map { case (p, v) =>
+          math.max(0.0, math.abs(vs.count(_ <= v) - p * n) - 1) / n }.max
+      }.max,
+      "floor" -> 1e-4)
+
+    out.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outPath = if (args.length > 1) args(1) else "quality.json"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = measure(spark, sfDir)
+    val json = metrics.map { case (q, ms) =>
+      ms.map { case (k, v) => f""""$k":$v%.6f""" }
+        .mkString(s""""$q":{""", ",", "}")
+    }.mkString(s"""{"sf":"$sfDir","queries":{""", ",", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

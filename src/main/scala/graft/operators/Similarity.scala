@@ -222,7 +222,10 @@ object Similarity {
   // regime where plain 8x4 LSH recalled only 0.64. Swept over
   // (tables, bits, probes) at both 500-row embedding draws:
   //   (8,4,1)  recall 0.64 / 0.52   frac 0.41   (the old config)
-  //   (8,6,7)  recall 0.98 / 0.84   frac 0.59   <- production
+  //   (8,6,7)  recall 0.98 / 0.84   frac 0.59
+  //   (8,6,10) recall 1.00 / 0.92   frac 0.73   <- production (also 1.00
+  //            at the 2000-row draw; the /0.84 mid-draw was the recall
+  //            low-point that motivated 7 -> 10)
   //   (12,8,17) recall 0.94 / 0.78  frac 0.55
   //   (8,10,11) recall 0.40 / 0.30  frac 0.10
   // The scored fraction is set by the corpus's neighbor spectrum, not by
@@ -236,7 +239,7 @@ object Similarity {
   // ---------------------------------------------------------------------
   private val Tables_ = 8
   private val BitsPerTable = 6
-  private val NumProbes = 7 // base + all Hamming-1 flips, |dot|-ordered
+  private val NumProbes = 10 // base + Hamming-1 flips, |dot|-ordered
   private val Dim = 64
 
   /** Fixed hyperplanes (seeded Gaussian — deterministic across runs). */
@@ -327,7 +330,11 @@ object Similarity {
     * collapses to ~6 * multiAssign / K — shrinking as K = sqrt(n) grows
     * with the corpus. probeFrac is the knob a deployment turns down to
     * match its neighbor distances, exactly like q23's probes. */
-  private val AssignDelta = 0.15
+  // 0.18 picked from IvfSweep across all three SFs (0.90/0.86/0.94
+  // recall@10 vs 0.90/0.82/0.90 at 0.15): the mid-SF corpus was the
+  // recall low-point and delta is the active knob at small K (nprobe is
+  // floored at 6). The capped-sample sweep rows hold the same recall.
+  private val AssignDelta = 0.18
 
   /** Spherical k-means (Lloyd) over a bounded, deterministic sample,
     * entirely driver-side: 4096 x 64 doubles is index *training*, not the

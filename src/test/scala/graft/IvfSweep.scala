@@ -13,20 +13,21 @@ object IvfSweep {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     import spark.implicits._
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val n = Tables.embeddings(spark, sf).count()
       val exact = Similarity.q22AnnBruteForce(spark, sf)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       println(s"=== $sf  n=$n  k=${math.max(24, math.ceil(math.sqrt(n.toDouble)).toInt)} ===")
       // The Int.MaxValue rows use the natural (uncapped-at-this-SF)
-      // sample; the 2048 rows force a BINDING training-sample cap (below
-      // the 4096 floor) to confirm the recall floor survives capping —
-      // the evidence behind Similarity.TrainSampleCap.
+      // sample; the 512 rows force a BINDING training-sample cap (well
+      // below every corpus here) to confirm the recall floor survives
+      // capping — the evidence behind Similarity.TrainSampleCap.
       for ((pf, d, cap) <- Seq(
-          (0.20, 0.15, Int.MaxValue), (0.20, 0.12, Int.MaxValue),
-          (0.22, 0.12, Int.MaxValue), (0.25, 0.12, Int.MaxValue),
-          (0.18, 0.15, Int.MaxValue), (0.20, 0.18, Int.MaxValue),
-          (0.20, 0.15, 2048), (0.20, 0.12, 2048))) {
+          (0.20, 0.15, Int.MaxValue), (0.20, 0.18, Int.MaxValue),
+          (0.25, 0.18, Int.MaxValue), (0.20, 0.20, Int.MaxValue),
+          (0.25, 0.20, Int.MaxValue), (0.30, 0.22, Int.MaxValue),
+          (0.20, 0.18, 512), (0.25, 0.20, 512))) {
         val cands = Similarity.ivfCandidates(spark, sf, pf, d, cap)
         val nCands = cands.count()
         val frac = nCands.toDouble / (n * 5)

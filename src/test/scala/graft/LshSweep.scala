@@ -12,7 +12,8 @@ object LshSweep {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     import spark.implicits._
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val n = Tables.embeddings(spark, sf).count()
       val exact = Similarity.q22AnnBruteForce(spark, sf)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -75,9 +75,9 @@ class SimilaritySpec extends SparkSpec {
       "candidates stay a strict subset") {
     // The larger SF is where the corpus-derived K (max(24, sqrt(n)))
     // actually departs from MinCells: n=2000 -> K=45, nprobe=9. Floors
-    // from the IvfSweep frontier (0.90 recall / 0.48 fraction measured;
-    // deterministic sample + seeded k-means, so these are regression
-    // margins, not flake allowances).
+    // from the IvfSweep frontier (0.94 recall / 0.58 fraction measured
+    // at delta=0.18; deterministic sample + seeded k-means, so these are
+    // regression margins, not flake allowances).
     val big = "/root/testdata/sf0.1"
     val exact = Similarity.q22AnnBruteForce(spark, big)
       .select("query_id", "neighbor_id").collect()
@@ -93,7 +93,7 @@ class SimilaritySpec extends SparkSpec {
     val scored = Similarity.ivfCandidates(spark, big).count()
     val frac = scored.toDouble / (n * 5)
     info(f"scored candidate fraction = $frac%.3f")
-    assert(frac < 0.55, "the probed index must stay a strict corpus subset")
+    assert(frac < 0.65, "the probed index must stay a strict corpus subset")
 
     // q53 rides the same cells: its recall is bounded by the IVF
     // candidate recall above, minus whatever the PQ short-list drops.
