@@ -21,14 +21,18 @@ object Bench {
     * WARN lines; 1850 leaves that margin. */
   val DriverLineBudget = 1850
 
-  /** Build the single driver-consumed JSON line. %.2f per query keeps the
-    * line ~1.6k chars at the current 65-entry surface; the require makes
-    * any future key addition that would silently re-break driver parsing
-    * fail loudly here (and in the unit test) instead.
+  /** Build the single driver-consumed JSON line. Query keys are
+    * SHORTENED to their qNN prefix ("q01_sliding_window_agg" -> "q01"):
+    * the full-name map grew past the tail window at the 65-query surface
+    * (the spread line, printed earlier, keeps full names, and the qNN ->
+    * name mapping is fixed in SparkEntry/COVERAGE.md). The require makes
+    * any future growth that would silently re-break driver parsing fail
+    * loudly here (and in the unit test) instead.
     */
   def driverLine(total: Double, queries: Seq[(String, Double)], sf: String,
                  streamRowsPerSec: Double, cpus: String): String = {
-    val qs = queries.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }
+    val qs = queries
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"""":$v%.2f""" }
       .mkString("{", ",", "}")
     val line =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sf","stream_rows_per_sec":$streamRowsPerSec%.0f,"cpus":$cpus}"""

@@ -82,6 +82,8 @@ object SparkEntry {
     "q61_heavy_hitters"       -> (TextAnalysis.q61HeavyHitters _),
     "q62_gopher_filter"       -> (Curation.q62GopherFilter _),
     "q63_cdc_merge"           -> (Relational.q63CdcMerge _),
+    "q64_source_overlap"      -> (Curation.q64SourceOverlap _),
+    "q65_diversity_stats"     -> (Similarity.q65DiversityStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -169,5 +171,7 @@ object SparkEntry {
     "q61_heavy_hitters"       -> TextAnalysis.q61Sql,
     "q62_gopher_filter"       -> Curation.q62Sql,
     "q63_cdc_merge"           -> Relational.q63Sql,
+    "q64_source_overlap"      -> Curation.q64Sql,
+    "q65_diversity_stats"     -> Similarity.q65Sql,
   )
 }

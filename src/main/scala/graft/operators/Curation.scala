@@ -407,4 +407,83 @@ object Curation {
        |FROM ranked
        |WHERE rank <= (n_lang + 4) // 5
        |ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q64 — cross-source contamination matrix: for every unordered pair of
+  // sources, how many distinct word 4-grams they share, as an overlap
+  // coefficient |A ∩ B| / min(|A|, |B|). This is the corpus-level audit a
+  // curation pipeline runs BEFORE mixing sources (q42) — two "independent"
+  // crawls with high overlap double-weight the same content, and a source
+  // that overlaps an eval-derived source is a decontamination (q41) leak.
+  //
+  // Scale shape: grams leave the executor only as md5 hashes (16 bytes);
+  // the per-source gram sets are distinct'd BEFORE the self-join (map-side
+  // combine on (source, gh)), so the join input is set-sized, not
+  // occurrence-sized. Each gh matches at most S sources, so the self-join
+  // fans out to <= S(S-1)/2 rows per shared gram — bounded by the source
+  // count (a constant ~10-100), never by the corpus. The matrix agg output
+  // is S^2 rows; the source-size side is an S-row aggregate joined
+  // broadcast. One content shuffle total (on gh).
+  // ---------------------------------------------------------------------
+  def q64SourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"), toks.as("toks"))
+      .select(col("source"),
+        explode(expr(
+          s"""CASE WHEN size(toks) >= $DeconN
+             |     THEN array_distinct(transform(sequence(0, size(toks) - $DeconN),
+             |            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
+             |     ELSE array() END""".stripMargin)).as("g"))
+      .select(col("source"), md5(col("g")).as("gh"))
+      .distinct()
+      // three consumers (sizes + both self-join sides): cache the
+      // set-sized frame once rather than re-running the explode+distinct
+      // shuffle per consumer (Bench/Verify clear the cache per query)
+      .cache()
+    val sizes = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = grams.toDF("src_a", "gh")
+      .join(grams.toDF("src_b", "gh"), "gh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    // All-pairs frame (S^2 rows — driver-trivial at any corpus size) so
+    // zero-overlap pairs appear explicitly in the audit.
+    val a = sizes.select(col("source").as("src_a"), col("n_grams").as("grams_a"))
+    val b = sizes.select(col("source").as("src_b"), col("n_grams").as("grams_b"))
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        (coalesce(col("shared_grams"), lit(0L)).cast("double")
+          / least(col("grams_a"), col("grams_b")).cast("double")).as("overlap"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q64Sql: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT source,
+       |         md5(gram) AS gh
+       |  FROM (
+       |    SELECT source,
+       |           unnest(list_distinct(CASE WHEN len(toks) >= $DeconN
+       |             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       |                   for i in range(1, len(toks) - ${DeconN - 2})]
+       |             ELSE [] END)) AS gram
+       |    FROM (SELECT source, regexp_split_to_array(trim(text), ' +') AS toks
+       |          FROM documents))),
+       |sizes AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+       |shared AS (
+       |  SELECT ga.source AS src_a, gb.source AS src_b, COUNT(*) AS shared_grams
+       |  FROM g ga JOIN g gb USING (gh)
+       |  WHERE ga.source < gb.source
+       |  GROUP BY ga.source, gb.source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |       a.n_grams AS grams_a, b.n_grams AS grams_b,
+       |       COALESCE(shared.shared_grams, 0) AS shared_grams,
+       |       CAST(COALESCE(shared.shared_grams, 0) AS DOUBLE)
+       |         / CAST(LEAST(a.n_grams, b.n_grams) AS DOUBLE) AS overlap
+       |FROM sizes a JOIN sizes b ON a.source < b.source
+       |LEFT JOIN shared ON shared.src_a = a.source AND shared.src_b = b.source
+       |ORDER BY src_a, src_b""".stripMargin
 }

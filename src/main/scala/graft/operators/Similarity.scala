@@ -524,6 +524,87 @@ object Similarity {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q65 — per-label embedding diversity: mean pairwise cosine within each
+  // label. The collapse/redundancy audit of a curated embedding corpus —
+  // a label whose mean pairwise cosine drifts toward 1 is a collapsed
+  // (near-duplicate) class; near 0 it is diverse. The naive computation
+  // is O(n^2) pairs per label; this uses the sum-of-vectors identity
+  //   sum_{i != j} v_i . v_j  =  |sum_i v_i|^2  -  sum_i |v_i|^2
+  // over unit-normalized vectors — O(n . dim) in ONE pass: per-dim
+  // component sums (a (label, dim)-keyed agg, map-side combinable),
+  // squared and rolled up per label. No pair ever materializes, at any
+  // corpus size; the shuffle carries |labels| x dim decimal rows.
+  //
+  // ORACLE-EXACT FLOAT DISCIPLINE (q55's recipe): normalized components
+  // are computed in IEEE double (the norm is q22's per-row sequential
+  // fold), then CAST TO DECIMAL(18,6) — one rounding — so every
+  // cross-row sum is a decimal sum: order-insensitive under any
+  // partitioning/AQE plan and equal to DuckDB's. Per-dim sums are
+  // re-capped to DECIMAL(16,6) (exact: |s_d| <= n) before squaring so
+  // the product (32,12) stays inside DECIMAL(38) exactly in both
+  // engines; the identity then runs entirely in decimals and converts
+  // to double once at the end.
+  // ---------------------------------------------------------------------
+  def q65DiversityStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = withNorm(Tables.embeddings(spark, sfDir))
+      .select(col("label"), col("vec_id"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(CAST(x AS DOUBLE) / norm AS DECIMAL(18,6)))")))
+      .toDF("label", "vec_id", "pos", "c")
+      .cache() // two aggregation consumers below (Bench/Verify clear it)
+    val dimSums = comps.groupBy(col("label"), col("pos"))
+      .agg(sum(col("c")).as("s0"))
+      .select(col("label"), expr("CAST(s0 AS DECIMAL(16,6))").as("s"))
+    val vecSq = dimSums.groupBy(col("label"))
+      .agg(sum(expr("s * s")).as("sum_vec_sq"))
+    val normSq = comps.groupBy(col("label"))
+      .agg(sum(expr("c * c")).as("sum_norm_sq"),
+        countDistinct(col("vec_id")).as("n_vecs"))
+    // Both sums arrive as DECIMAL(38,12); subtracting those directly
+    // needs precision 39, which Catalyst resolves by ROUNDING the result
+    // to scale 11 (allowPrecisionLoss) — a 1e-11-level error DuckDB does
+    // not make. Cast both down to DECIMAL(30,12) first (exact: the sums
+    // are bounded by 64*n^2 << 1e18), so the subtraction fits in (31,12)
+    // and stays exact in both engines.
+    vecSq.join(normSq, "label")
+      .select(col("label"), col("n_vecs"),
+        when(col("n_vecs") > 1,
+          (col("sum_vec_sq").cast("decimal(30,12)")
+            - col("sum_norm_sq").cast("decimal(30,12)")).cast("double")
+            / (col("n_vecs") * (col("n_vecs") - lit(1L))).cast("double"))
+          .otherwise(lit(0.0)).as("mean_pairwise_cosine"))
+      .orderBy("label")
+  }
+
+  val q65Sql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, vec_id, u.pos AS pos,
+      |         CAST(u.x / norm AS DECIMAL(18,6)) AS c
+      |  FROM (SELECT label, vec_id, norm,
+      |          unnest([{'pos': i, 'x': emb[i]} for i in range(1, len(emb) + 1)]) AS u
+      |        FROM e)),
+      |dimsums AS (
+      |  SELECT label, CAST(SUM(c) AS DECIMAL(16,6)) AS s
+      |  FROM c GROUP BY label, pos),
+      |vecsq AS (SELECT label, SUM(s * s) AS sum_vec_sq FROM dimsums GROUP BY label),
+      |normsq AS (
+      |  SELECT label, SUM(c * c) AS sum_norm_sq,
+      |         COUNT(DISTINCT vec_id) AS n_vecs
+      |  FROM c GROUP BY label)
+      |SELECT vecsq.label, n_vecs,
+      |       CASE WHEN n_vecs > 1
+      |            THEN CAST(CAST(sum_vec_sq AS DECIMAL(30,12))
+      |                      - CAST(sum_norm_sq AS DECIMAL(30,12)) AS DOUBLE)
+      |                 / CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
+      |            ELSE 0.0 END AS mean_pairwise_cosine
+      |FROM vecsq JOIN normsq USING (label)
+      |ORDER BY label""".stripMargin
+
   def q23AnnLsh(spark: SparkSession, sfDir: String): DataFrame =
     lshCandidates(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"),

@@ -25,7 +25,11 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.endsWith("}"))
     // The queries map must actually be on the line (that's what r07 lost).
     assert(line.contains("\"queries\":{"))
-    assert(line.contains("\"q01_sliding_window_agg\":"))
+    assert(line.contains("\"q01\":"))
+    // key shortening must not collide (qNN prefixes are unique by naming
+    // convention; this guards a future q65_a/q65_b mistake)
+    val shortKeys = fullSurface.map(_._1.takeWhile(_ != '_'))
+    assert(shortKeys.distinct.size == shortKeys.size)
   }
 
   test("driver line is valid single-line JSON shape") {

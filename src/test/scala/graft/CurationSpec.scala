@@ -167,4 +167,35 @@ class CurationSpec extends SparkSpec {
         }
       }
   }
+
+  test("q64 source overlap: full matrix, brute-force parity on the small SF") {
+    import spark.implicits._
+    val df = Curation.q64SourceOverlap(spark, sf).cache()
+    val sources = Tables.documents(spark, sf)
+      .select("source").distinct().as[String].collect().toSet
+    val s = sources.size
+    // one row per unordered source pair, zero-overlap pairs included
+    assert(df.count() === s.toLong * (s - 1) / 2)
+    assert(df.filter(col("src_a") >= col("src_b")).count() === 0)
+    assert(df.filter(col("overlap") < 0 || col("overlap") > 1).count() === 0)
+    assert(df.filter(col("shared_grams") >
+      least(col("grams_a"), col("grams_b"))).count() === 0)
+
+    // brute force: distinct 4-gram sets per source
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val gramsBySrc = docs.groupBy(_._1).view.mapValues(_.flatMap { case (_, t) =>
+      val toks = t.trim.split(" +")
+      if (toks.length < 4) Seq.empty else toks.sliding(4).map(_.mkString(" ")).toSeq
+    }.toSet).toMap
+    val got = df.select("src_a", "src_b", "grams_a", "grams_b", "shared_grams")
+      .as[(String, String, Long, Long, Long)].collect()
+    got.foreach { case (a, b, ga, gb, sh) =>
+      assert(ga === gramsBySrc(a).size.toLong, s"grams_a for $a")
+      assert(gb === gramsBySrc(b).size.toLong, s"grams_b for $b")
+      assert(sh === (gramsBySrc(a) & gramsBySrc(b)).size.toLong, s"shared $a-$b")
+    }
+    // the generator plants cross-source near-dups: some pair must overlap
+    assert(got.exists(_._5 > 0))
+  }
 }

@@ -160,4 +160,42 @@ class SimilaritySpec extends SparkSpec {
     val b = graft.operators.Relational.q06BroadcastEnrich(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("q65 diversity: sum-identity equals the brute-force pairwise mean") {
+    import spark.implicits._
+    val got = Similarity.q65DiversityStats(spark, sf)
+      .as[(Int, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    got.foreach { case (_, _, m) => assert(m >= -1.0 - 1e-6 && m <= 1.0 + 1e-6) }
+
+    // brute force in full double precision: the identity path rounds each
+    // normalized component once to 1e-6, so per-pair dot error is bounded
+    // by ~2*dim*5e-7 — well inside 1e-3.
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(x => unit(x._2))).toMap
+    got.foreach { case (label, nVecs, mean) =>
+      val vs = byLabel(label)
+      assert(nVecs === vs.length.toLong)
+      if (vs.length > 1) {
+        var s = 0.0
+        for (i <- vs.indices; j <- vs.indices if i != j)
+          s += vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum
+        val exp = s / (vs.length.toLong * (vs.length - 1))
+        assert(math.abs(mean - exp) < 1e-3, s"label $label: $mean vs $exp")
+      }
+    }
+  }
+
+  test("q65 diversity is invariant under repartitioning (decimal sums)") {
+    val a = Similarity.q65DiversityStats(spark, sf).collect().toSeq
+    val b = Similarity.q65DiversityStats(
+      spark, sf).repartition(7).orderBy("label").collect().toSeq
+    assert(a === b)
+  }
 }
