@@ -202,4 +202,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"))
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
+
+  test("q64: the gram self-join is equi-keyed; the only non-equi join is " +
+      "the S x S sizes frame") {
+    // toString of an AQE plan carries BOTH the final and the initial
+    // plan; count join nodes only in the final section
+    val plan = finalPlan(graft.operators.Curation.q64SourceOverlap(spark, sf))
+      .split("== Initial Plan ==").head
+    // the corpus-sized frame (per-source gram sets) must meet itself on
+    // the gh equi-key, never as a cross product; the one deliberate
+    // cartesian is between two source-count-sized AGGREGATES (the
+    // all-pairs matrix frame), which AQE resolves as a tiny BNLJ
+    val nonEqui = "CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size
+    assert(nonEqui <= 1, s"expected at most the sizes-matrix join, got $nonEqui")
+    assert(plan.contains("Exchange hashpartitioning"),
+      "gram sets must co-locate by hash before the self-join")
+  }
+
+  test("q65: diversity is two aggregations — no join of corpus-sized " +
+      "frames, partial aggregation before every shuffle") {
+    val plan = finalPlan(Similarity.q65DiversityStats(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "the identity must never materialize pairs")
+    assert(plan.contains("partial_sum"),
+      "per-dim and per-label sums must combine map-side")
+  }
 }
