@@ -84,6 +84,7 @@ object SparkEntry {
     "q63_cdc_merge"           -> (Relational.q63CdcMerge _),
     "q64_source_overlap"      -> (Curation.q64SourceOverlap _),
     "q65_diversity_stats"     -> (Similarity.q65DiversityStats _),
+    "q66_stream_heavy_hitters" -> (graft.streaming.StreamParity.q66StreamHeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,5 +174,9 @@ object SparkEntry {
     "q63_cdc_merge"           -> Relational.q63Sql,
     "q64_source_overlap"      -> Curation.q64Sql,
     "q65_diversity_stats"     -> Similarity.q65Sql,
+    // q66 runs the q61 sketch-then-verify gate through the real streaming
+    // engine (per-trigger MG sketches folded by the mergeable-summaries
+    // rule) — its oracle is q61's.
+    "q66_stream_heavy_hitters" -> TextAnalysis.q61Sql,
   )
 }

@@ -80,3 +80,27 @@ class MisraGries(k: Int)
   override def outputEncoder: Encoder[Array[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
 }
+
+/** The same sketch finishing to its (token -> residual count) MAP instead
+  * of candidate keys: a consumer that merges sketches ACROSS aggregation
+  * calls — the streaming heavy-hitters gate merges one sketch per
+  * micro-batch (StreamParity q66) — needs the counters, since the
+  * mergeable-summaries rule operates on them. The guarantee is unchanged:
+  * the map is a k-bounded summary whose keys form the candidate superset.
+  * All sketch logic delegates to [[MisraGries]]. */
+class MisraGriesSketch(k: Int)
+    extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
+  private val mg = new MisraGries(k)
+  override def zero: mutable.HashMap[String, Long] = mg.zero
+  override def reduce(b: mutable.HashMap[String, Long], x: String)
+      : mutable.HashMap[String, Long] = mg.reduce(b, x)
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    mg.merge(a, b)
+  override def finish(b: mutable.HashMap[String, Long]): Map[String, Long] =
+    b.toMap
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    mg.bufferEncoder
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}

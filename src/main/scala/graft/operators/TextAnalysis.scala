@@ -512,7 +512,7 @@ object TextAnalysis {
   // regime (k far below the vocabulary) and the superset guarantee
   // directly. n is an O(1) driver scalar (q55's V class).
   // ---------------------------------------------------------------------
-  private val HhK = 256
+  private[graft] val HhK = 256 // shared with the streaming gate (q66)
 
   def q61HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder

@@ -300,4 +300,72 @@ object StreamParity {
 
     spark.table(table).orderBy("keep_id")
   }
+
+  /** q66 — heavy hitters over a CONTINUOUSLY INGESTING corpus: q61's
+    * Misra-Gries sketch-then-verify gate through the streaming engine.
+    * The documents table is replayed as four micro-batches
+    * (maxFilesPerTrigger=1). Per trigger (`foreachBatch`), ONE
+    * distributed job computes the batch's k-counter MG sketch (partial
+    * per partition, merged by the mergeable-summaries rule) plus the
+    * batch token count; the driver folds the k-sized batch sketch into a
+    * k-bounded running sketch with the SAME merge rule ([[
+    * graft.functions.MisraGries.merge]] — Agarwal et al., PODS 2012:
+    * add counters, subtract the k-th largest, drop non-positives). The
+    * superset guarantee survives this because the per-partition merges
+    * and the cross-batch folds form one merge tree over the whole
+    * stream: any token with true frequency > n/k retains a positive
+    * counter at the root. After end-of-stream, one exact counting pass
+    * over just the candidates (broadcast semi-join, exactly q61's)
+    * turns the superset into the exact answer — held to q61's DuckDB
+    * oracle.
+    *
+    * Scale notes: per-trigger shuffle is O(partitions x k) counters —
+    * constant in batch size; driver state is ONE k-counter map (~k
+    * tokens), not per-key streaming state (a keyed-state formulation
+    * would hold every distinct token — the sketch is the point); the
+    * final verify pass reads the corpus once. The reference has no
+    * sketch operator — this extends its windowed-reduce family
+    * (`rlink/src/api/function.rs` ReduceFunction) with the mergeable-
+    * summary shape that unbounded-vocabulary streams need. */
+  def q66StreamHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import graft.operators.TextAnalysis.HhK
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val schema = docs.schema
+    val dir = Files.createTempDirectory("q66_docs")
+    docs.repartition(4).write.mode("overwrite").parquet(dir.toString)
+
+    val mgSketch = udaf(new graft.functions.MisraGriesSketch(HhK),
+      ExpressionEncoder[String]())
+    val merger = new graft.functions.MisraGries(HhK)
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    var nTokens = 0L
+
+    val toks = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+    val query = toks.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val row = batch.agg(mgSketch(col("tok")).as("sketch"),
+          count(lit(1)).as("n")).head()
+        val batchSketch = scala.collection.mutable.HashMap(
+          row.getMap[String, Long](0).toSeq: _*)
+        nTokens += row.getLong(1)
+        merger.merge(running, batchSketch)
+        ()
+      }.start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    // exact verification of the k-bounded candidate set (q61's gate)
+    import spark.implicits._
+    val cands = running.keys.toSeq.sorted.toDF("tok")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+      .join(broadcast(cands), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > lit(nTokens.toDouble / HhK))
+      .orderBy("tok")
+  }
 }

@@ -41,4 +41,31 @@ class FrequentItemsSpec extends SparkSpec {
     assert(got === exact)
     assert(got.nonEmpty)
   }
+
+  test("cross-batch sketch folding keeps the superset guarantee (lossy regime)") {
+    import scala.collection.mutable
+    // q66's shape, modeled directly: the Zipf stream is split into 4
+    // "micro-batches", each sketched independently (with internal merges),
+    // then folded into one running sketch by the same merge rule.
+    val k = 8
+    val rows = new scala.util.Random(42).shuffle(
+      (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"tok_$i")).toVector)
+    val mg = new MisraGries(k)
+    val running = mutable.HashMap.empty[String, Long]
+    rows.grouped(rows.size / 4 + 1).foreach { batch =>
+      // each batch sketched as two merged halves (partial-aggregate shape)
+      val halves = batch.grouped(batch.size / 2 + 1).map { half =>
+        half.foldLeft(mg.zero)((b, x) => mg.reduce(b, x))
+      }.toSeq
+      val batchSketch = halves.reduce(mg.merge)
+      mg.merge(running, batchSketch)
+    }
+    assert(running.size <= k - 1)
+    val n = rows.size
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val trueHH = exact.filter { case (_, c) => c > n.toDouble / k }.keySet
+    assert(trueHH.nonEmpty)
+    assert(trueHH.subsetOf(running.keySet),
+      s"fold across batches lost ${trueHH -- running.keySet}")
+  }
 }

@@ -119,4 +119,13 @@ class ParitySpec extends SparkSpec {
     // the gate must actually exercise more than one batch (4 range files)
     assert(streamed.map(_.getLong(0)).distinct.size == batch.size)
   }
+
+  test("q66 streaming heavy hitters equals batch q61 (sketches folded across micro-batches)") {
+    val streamed = StreamParity.q66StreamHeavyHitters(spark, sf).collect().toSeq
+    val batch = graft.operators.TextAnalysis.q61HeavyHitters(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "per-trigger MG sketches + the mergeable-summaries fold must reproduce the single-shot gate")
+  }
 }
