@@ -85,6 +85,7 @@ object SparkEntry {
     "q64_source_overlap"      -> (Curation.q64SourceOverlap _),
     "q65_diversity_stats"     -> (Similarity.q65DiversityStats _),
     "q66_stream_heavy_hitters" -> (graft.streaming.StreamParity.q66StreamHeavyHitters _),
+    "q67_upsample_mix"        -> (Curation.q67UpsampleMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,5 +179,6 @@ object SparkEntry {
     // engine (per-trigger MG sketches folded by the mergeable-summaries
     // rule) — its oracle is q61's.
     "q66_stream_heavy_hitters" -> TextAnalysis.q61Sql,
+    "q67_upsample_mix"        -> Curation.q67Sql,
   )
 }

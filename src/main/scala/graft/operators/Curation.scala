@@ -409,6 +409,58 @@ object Curation {
        |ORDER BY lang, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q67 — epoch-weighted mixture materialization: the step after q42's
+  // rate decision — each stratum (language) carries a REPEAT weight
+  // (percent; < 100 downsamples, > 100 upsamples, e.g. 250 = "2.5
+  // epochs"), and every document materializes floor(w) copies plus one
+  // more iff its content-hash bucket falls under frac(w) — the
+  // deterministic fractional-epoch rule an LLM mixture applies when a
+  // source is scheduled for a non-integer number of passes. Bucket uses
+  // md5 chars 25-32, decorrelated from q36's split (1-8), q42's mix
+  // (9-16) and q43's shard (17-20), so all four compose independently.
+  //
+  // Scale shape: pure projection + explode — zero shuffles before the
+  // deterministic output sort; output size is the upsampled corpus by
+  // construction. Integer arithmetic only, so the oracle matches
+  // bit-for-bit.
+  // ---------------------------------------------------------------------
+  private val EpochWeights: Seq[(String, Int)] =
+    Seq("en" -> 80, "de" -> 150, "fr" -> 150, "es" -> 150, "zh" -> 250)
+
+  def q67UpsampleMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = EpochWeights.foldRight(lit(100)) { case ((l, p), els) =>
+      when(col("lang") === l, lit(p)).otherwise(els)
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("text")), 25, 8), 16, 10).cast("long") % 100)
+          .as("bucket"),
+        w.as("w"))
+      .withColumn("n_copies",
+        expr("CAST(w div 100 AS BIGINT)")
+          + when(col("bucket") < col("w") % 100, 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "CASE WHEN n_copies > 0 THEN sequence(1L, n_copies) ELSE array() END"))
+          .as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  val q67Sql: String = {
+    val cases = EpochWeights.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_idx
+       |FROM (
+       |  SELECT doc_id, lang,
+       |         w // 100 + CASE WHEN bucket < w % 100 THEN 1 ELSE 0 END AS n_copies
+       |  FROM (SELECT doc_id, lang,
+       |               CAST(('0x' || substr(md5(text), 25, 8))::BIGINT AS BIGINT) % 100 AS bucket,
+       |               CASE $cases ELSE 100 END AS w
+       |        FROM documents))
+       |ORDER BY doc_id, copy_idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q64 — cross-source contamination matrix: for every unordered pair of
   // sources, how many distinct word 4-grams they share, as an overlap
   // coefficient |A ∩ B| / min(|A|, |B|). This is the corpus-level audit a

@@ -168,6 +168,41 @@ class CurationSpec extends SparkSpec {
       }
   }
 
+  test("q67 upsample mix: copies track the epoch weight; fractional part is hash-deterministic") {
+    import spark.implicits._
+    val df = Curation.q67UpsampleMix(spark, sf).cache()
+    val weights = Map("en" -> 80, "de" -> 150, "fr" -> 150, "es" -> 150, "zh" -> 250)
+    val perDoc = df.groupBy("doc_id", "lang").count()
+      .as[(Long, String, Long)].collect()
+    perDoc.foreach { case (id, lang, n) =>
+      val w = weights(lang)
+      assert(n == w / 100 || n == w / 100 + 1,
+        s"doc $id ($lang): $n copies for weight $w")
+    }
+    // copy_idx is dense 1..n per doc
+    val maxIdx = df.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("copy_idx").as("m"))
+      .filter(col("n") =!= col("m")).count()
+    assert(maxIdx === 0)
+    // realized epoch factor approaches the weight per language
+    val docsPerLang = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    df.groupBy("lang").count().as[(String, Long)].collect().foreach {
+      case (lang, total) =>
+        val realized = total.toDouble / docsPerLang(lang)
+        assert(math.abs(realized - weights(lang) / 100.0) < 0.25,
+          s"$lang realized $realized vs ${weights(lang) / 100.0}")
+    }
+    // weight < 1 must actually drop documents (en at 0.8 epochs)
+    val enDocs = df.filter(col("lang") === "en")
+      .select("doc_id").distinct().count()
+    assert(enDocs < docsPerLang("en"))
+    // determinism under repartitioning
+    val b = Curation.q67UpsampleMix(spark, sf)
+      .repartition(5).orderBy("doc_id", "copy_idx").collect().toSeq
+    assert(df.collect().toSeq === b)
+  }
+
   test("q64 source overlap: full matrix, brute-force parity on the small SF") {
     import spark.implicits._
     val df = Curation.q64SourceOverlap(spark, sf).cache()
