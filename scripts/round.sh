@@ -11,7 +11,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-ROUND="${1:?usage: scripts/round.sh <round> [sfDir]}"
+ROUND="$(printf '%02d' "${1:?usage: scripts/round.sh <round> [sfDir]}")"
 SF_DIR="${2:-/root/testdata/sf0.01}"
 OUT="$(mktemp -d /tmp/graft_verify.XXXXXX)"
 
@@ -19,5 +19,5 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt "runMain graft.Verify $SF_DIR $OUT"
 python3 scripts/check.py "$SF_DIR" "$OUT"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
-  sbt "runMain graft.Quality $SF_DIR QUALITY_r0${ROUND}.json"
-echo "round $ROUND: correctness gate + QUALITY_r0${ROUND}.json refreshed"
+  sbt "runMain graft.Quality $SF_DIR QUALITY_r${ROUND}.json"
+echo "round $ROUND: correctness gate + QUALITY_r${ROUND}.json refreshed"

@@ -21,14 +21,17 @@ object Bucketing {
 
   private val BucketCount = 8
 
-  /** Content fingerprint of a source table path (name + mtime + length
-    * over its files, recursively — hive-partitioned sources keep their
-    * data in subdirectories): layout-copy caches keyed on it invalidate
-    * when the source data is regenerated in place, not only when the
-    * path changes. Folding names in means a same-size regeneration that
-    * renames files still misses the stale copy even within mtime
-    * granularity. */
+  /** Content fingerprint of a source table path (root-relative path +
+    * mtime + length over its files, recursively — hive-partitioned
+    * sources keep their data in subdirectories): layout-copy caches
+    * keyed on it invalidate when the source data is regenerated in
+    * place, not only when the path changes. Hashing the RELATIVE path
+    * (not the basename) means renaming or swapping partition
+    * directories — which leaves every leaf file's name/mtime/length
+    * untouched — still changes the fingerprint. */
   private def sourceFingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    val rootPrefix = root.getAbsolutePath
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         // listFiles() returns null for an unreadable directory or a
@@ -38,8 +41,9 @@ object Bucketing {
           case None       => Seq(f)
         }
       else Seq(f)
-    val h = walk(new java.io.File(path)).foldLeft(17L)((acc, x) =>
-      ((acc * 31 + x.getName.hashCode) * 31 + x.lastModified()) * 31 + x.length())
+    val h = walk(root).foldLeft(17L)((acc, x) =>
+      ((acc * 31 + x.getAbsolutePath.stripPrefix(rootPrefix).hashCode) * 31
+        + x.lastModified()) * 31 + x.length())
     java.lang.Long.toHexString(h)
   }
 

@@ -486,7 +486,9 @@ object Curation {
              |     THEN array_distinct(transform(sequence(0, size(toks) - $DeconN),
              |            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
              |     ELSE array() END""".stripMargin)).as("g"))
-      .select(col("source"), md5(col("g")).as("gh"))
+      // unhex: shuffle/join on the 16-byte binary hash, not its 32-char
+      // hex spelling (the q54 width fix; gh is join-internal)
+      .select(col("source"), unhex(md5(col("g"))).as("gh"))
       .distinct()
       // three consumers (sizes + both self-join sides): cache the
       // set-sized frame once rather than re-running the explode+distinct

@@ -225,7 +225,9 @@ object Similarity {
   //   (8,6,7)  recall 0.98 / 0.84   frac 0.59
   //   (8,6,10) recall 1.00 / 0.92   frac 0.73   <- production (also 1.00
   //            at the 2000-row draw; the /0.84 mid-draw was the recall
-  //            low-point that motivated 7 -> 10)
+  //            low-point that motivated 7 -> 10; probes 8-10 are the
+  //            best-ranked Hamming-2 pair flips — 6 bits give only 7
+  //            base+single-flip probes)
   //   (12,8,17) recall 0.94 / 0.78  frac 0.55
   //   (8,10,11) recall 0.40 / 0.30  frac 0.10
   // The scored fraction is set by the corpus's neighbor spectrum, not by
@@ -239,7 +241,8 @@ object Similarity {
   // ---------------------------------------------------------------------
   private val Tables_ = 8
   private val BitsPerTable = 6
-  private val NumProbes = 10 // base + Hamming-1 flips, |dot|-ordered
+  private val NumProbes = 10 // base + all 6 Hamming-1 flips + top-3
+                             // Hamming-2 pair flips, |dot|-ordered
   private val Dim = 64
 
   /** Fixed hyperplanes (seeded Gaussian — deterministic across runs). */
@@ -564,14 +567,17 @@ object Similarity {
     // Both sums arrive as DECIMAL(38,12); subtracting those directly
     // needs precision 39, which Catalyst resolves by ROUNDING the result
     // to scale 11 (allowPrecisionLoss) — a 1e-11-level error DuckDB does
-    // not make. Cast both down to DECIMAL(30,12) first (exact: the sums
-    // are bounded by 64*n^2 << 1e18), so the subtraction fits in (31,12)
-    // and stays exact in both engines.
+    // not make. Cast both down to DECIMAL(36,12) first, so the
+    // subtraction fits in (37,12) and stays exact in both engines. The
+    // cast itself is exact to 1e24: sum_vec_sq <= dim * n^2 per label,
+    // so labels up to n ~ 1.2e11 vectors fit — beyond any single-label
+    // corpus this design targets (a DECIMAL(30,12) here would already
+    // overflow-to-NULL at n ~ 1.2e8, inside the 100 TB regime).
     vecSq.join(normSq, "label")
       .select(col("label"), col("n_vecs"),
         when(col("n_vecs") > 1,
-          (col("sum_vec_sq").cast("decimal(30,12)")
-            - col("sum_norm_sq").cast("decimal(30,12)")).cast("double")
+          (col("sum_vec_sq").cast("decimal(36,12)")
+            - col("sum_norm_sq").cast("decimal(36,12)")).cast("double")
             / (col("n_vecs") * (col("n_vecs") - lit(1L))).cast("double"))
           .otherwise(lit(0.0)).as("mean_pairwise_cosine"))
       .orderBy("label")
@@ -598,8 +604,8 @@ object Similarity {
       |  FROM c GROUP BY label)
       |SELECT vecsq.label, n_vecs,
       |       CASE WHEN n_vecs > 1
-      |            THEN CAST(CAST(sum_vec_sq AS DECIMAL(30,12))
-      |                      - CAST(sum_norm_sq AS DECIMAL(30,12)) AS DOUBLE)
+      |            THEN CAST(CAST(sum_vec_sq AS DECIMAL(36,12))
+      |                      - CAST(sum_norm_sq AS DECIMAL(36,12)) AS DOUBLE)
       |                 / CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
       |            ELSE 0.0 END AS mean_pairwise_cosine
       |FROM vecsq JOIN normsq USING (label)

@@ -242,8 +242,18 @@ object StreamParity {
         // so seen-state temp usage stays O(distinct hashes), not
         // O(batches x distinct hashes) over a long stream.
         val oldSnap = prevSnap
-        prevSnap = Some(s"$stamp/kind=s")
-        oldSnap.foreach(deleteTree)
+        // An all-empty batch over empty prior state writes no kind=s
+        // subdir (dynamic partitioning emits nothing for zero rows) —
+        // only advance the pointer to a directory that exists, else the
+        // next trigger's snapshot read throws PATH_NOT_FOUND. (When the
+        // new dir is missing, prev state was necessarily empty too — the
+        // full join preserves every prior row — so retaining oldSnap is
+        // a no-op defensive choice, not a state fork.)
+        val newSnap = s"$stamp/kind=s"
+        if (new java.io.File(newSnap).isDirectory) {
+          prevSnap = Some(newSnap)
+          oldSnap.foreach(deleteTree)
+        }
         b.unpersist()
         ()
       }
