@@ -86,6 +86,12 @@ object SparkEntry {
     "q65_diversity_stats"     -> (Similarity.q65DiversityStats _),
     "q66_stream_heavy_hitters" -> (graft.streaming.StreamParity.q66StreamHeavyHitters _),
     "q67_upsample_mix"        -> (Curation.q67UpsampleMix _),
+    "q68_block_dedup"         -> (Dedup.q68BlockDedup _),
+    "q69_knn_classify"        -> (Similarity.q69KnnClassify _),
+    "q70_vocab_stats"         -> (TextAnalysis.q70VocabStats _),
+    "q71_stream_sessions"     -> (graft.streaming.StreamParity.q71StreamSessions _),
+    "q72_unigram_drift"       -> (TextAnalysis.q72UnigramDrift _),
+    "q73_chunk_plan"          -> (Curation.q73ChunkPlan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -180,5 +186,14 @@ object SparkEntry {
     // rule) — its oracle is q61's.
     "q66_stream_heavy_hitters" -> TextAnalysis.q61Sql,
     "q67_upsample_mix"        -> Curation.q67Sql,
+    "q68_block_dedup"         -> Dedup.q68Sql,
+    "q69_knn_classify"        -> Similarity.q69Sql,
+    "q70_vocab_stats"         -> TextAnalysis.q70Sql,
+    // q71 runs the q08 session aggregation through the real streaming
+    // engine (merging session state across micro-batches) — its oracle
+    // is the batch q08's.
+    "q71_stream_sessions"     -> Relational.q08Sql,
+    "q72_unigram_drift"       -> TextAnalysis.q72Sql,
+    "q73_chunk_plan"          -> Curation.q73Sql,
   )
 }

@@ -540,4 +540,62 @@ object Curation {
        |FROM sizes a JOIN sizes b ON a.source < b.source
        |LEFT JOIN shared ON shared.src_a = a.source AND shared.src_b = b.source
        |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q73 — retrieval context chunking: overlapping fixed-size token
+  // windows per document (size ChunkC, stride ChunkS < ChunkC), the
+  // standard RAG-index preparation. Differs from q43 (packing ACROSS
+  // documents into training contexts) and q59 (the same sliding plan on
+  // audio samples): chunks here never cross a document, overlap by
+  // design (ChunkC - ChunkS tokens of context continuity), and each
+  // carries its provenance span + a content fingerprint so a downstream
+  // index can dedup shared chunks (composes with q68/q15).
+  //
+  // Chunk count per doc: 1 if len <= ChunkC, else
+  // ceil((len - ChunkC)/ChunkS) + 1 — the last window is the only one
+  // allowed to be short, and every token lands in >= 1 chunk. Pure
+  // projection + explode: zero shuffles, embarrassingly parallel at any
+  // corpus size (the ORDER BY is presentation-only).
+  // ---------------------------------------------------------------------
+  private[graft] val ChunkC = 64 // tokens per chunk
+  private[graft] val ChunkS = 48 // stride (overlap = 16)
+
+  def q73ChunkPlan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, IF(size(toks) <= $ChunkC, 0,
+           |    cast(ceil((size(toks) - $ChunkC) / $ChunkS.0) as int))),
+           |  ci -> struct(
+           |    ci * $ChunkS AS tok_start,
+           |    least(ci * $ChunkS + $ChunkC, size(toks)) AS tok_end,
+           |    md5(array_join(slice(toks, ci * $ChunkS + 1,
+           |      least($ChunkC, size(toks) - ci * $ChunkS)), ' ')) AS chunk_fp))"""
+          .stripMargin)).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        col("c.tok_start").as("tok_start"), col("c.tok_end").as("tok_end"),
+        col("c.chunk_fp").as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val q73Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, len(toks) AS n_tokens, u.chunk_idx, u.tok_start,
+       |         u.tok_end, u.chunk_fp FROM (
+       |    SELECT doc_id, toks,
+       |           unnest([{'chunk_idx': ci,
+       |                    'tok_start': ci * $ChunkS,
+       |                    'tok_end': least(ci * $ChunkS + $ChunkC, len(toks)),
+       |                    'chunk_fp': md5(array_to_string(
+       |                      toks[ci*$ChunkS+1 : least(ci*$ChunkS+$ChunkC, len(toks))], ' '))}
+       |                   for ci in range(0,
+       |                     CASE WHEN len(toks) <= $ChunkC THEN 1
+       |                          ELSE CAST(ceil((len(toks) - $ChunkC)/$ChunkS.0) AS INT) + 1
+       |                     END)]) AS u
+       |    FROM d))
+       |SELECT doc_id, n_tokens, chunk_idx, tok_start, tok_end, chunk_fp
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 }

@@ -748,4 +748,80 @@ object Dedup {
       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q68 — block-level (paragraph) exact dedup with document reassembly:
+  // the C4/RefinedWeb line-dedup recipe. Each document is cut into
+  // consecutive BlockB-token blocks ("paragraphs" — this corpus has no
+  // newlines, so block boundaries are positional); a block is kept only
+  // at its corpus-wide FIRST occurrence (min (doc_id, block_idx)) and
+  // every later copy is dropped; the surviving blocks are re-stitched in
+  // position order into the scrubbed document. Unlike q15 (whole-doc) or
+  // q54 (overlapping windows — a REPORT of duplication), this is the
+  // MUTATING sub-document dedup: the output is a new, shorter corpus.
+  //
+  // Scale shape: the dedup key is the 16-byte md5 of the block — the
+  // first-occurrence window shuffles (hash, doc_id, bidx), never text;
+  // the reassembly groupBy shuffles only SURVIVING blocks, keyed on
+  // doc_id. Per-doc block counts are bounded (docs/BlockB blocks), so
+  // the collect_list is document-sized — the same bound any
+  // text-rewriting operator carries. Two shuffles total; the window
+  // min is a partial-aggregable first-wins (no skew: block-hash keys
+  // are uniform).
+  // ---------------------------------------------------------------------
+  private[graft] val BlockB = 8 // tokens per dedup block
+
+  def q68BlockDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // One row per (doc, block): bidx, block text, 16-byte block hash.
+    val blocks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / $BlockB.0) as int) - 1),
+           |  b -> array_join(slice(toks, b * $BlockB + 1, $BlockB), ' '))"""
+          .stripMargin)).as(Seq("bidx", "block")))
+      .withColumn("bh", unhex(md5(col("block"))))
+    // First occurrence wins, corpus-wide.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bh"))
+      .orderBy(col("doc_id"), col("bidx"))
+    val kept = blocks
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("bidx"), col("block")))),
+          s => s.getField("block")), " ")).as("kept_fp"))
+    val nb = blocks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"))
+    nb.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, u.bidx, u.block FROM (
+       |    SELECT doc_id,
+       |           unnest([{'bidx': bi, 'block': array_to_string(
+       |                      toks[bi*$BlockB+1 : least((bi+1)*$BlockB, len(toks))], ' ')}
+       |                   for bi in range(0, CAST(ceil(len(toks)/$BlockB.0) AS INT))]) AS u
+       |    FROM d)),
+       |k AS (
+       |  SELECT doc_id, bidx, block,
+       |         row_number() OVER (PARTITION BY md5(block)
+       |                            ORDER BY doc_id, bidx) AS rk
+       |  FROM b),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         md5(string_agg(block, ' ' ORDER BY bidx)) AS kept_fp
+       |  FROM k WHERE rk = 1 GROUP BY doc_id),
+       |nb AS (SELECT doc_id, count(*) AS n_blocks FROM b GROUP BY doc_id)
+       |SELECT nb.doc_id, nb.n_blocks,
+       |       coalesce(kept.n_kept, 0) AS n_kept, kept.kept_fp
+       |FROM nb LEFT JOIN kept USING (doc_id)
+       |ORDER BY nb.doc_id""".stripMargin
 }

@@ -835,4 +835,79 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  // ---------------------------------------------------------------------
+  // q69 — k-NN label classification (leave-one-out majority vote): the
+  // standard embedding-space quality-classifier shape (fastText/kNN
+  // quality gates, label-propagation audits). For every anchor vector
+  // (vec_id % KnnAnchorMod == 0) the k=TopK exact-cosine nearest OTHER
+  // vectors vote with their labels; the majority label (ties: larger
+  // vote count, then smaller label) is the prediction, scored against
+  // the anchor's own label.
+  //
+  // Exact brute force over a broadcast ANCHOR side — the corpus is
+  // scanned once, like q22; at production scale the candidate stage
+  // swaps to any of the ANN indexes (q23/q30/q53 — same
+  // score-then-window shape, the vote agg is unchanged). Determinism:
+  // cosine via the sequential-fold DotProduct (bit-equal to DuckDB),
+  // ranking tie-broken on neighbor id, votes tie-broken on
+  // (count desc, label asc) — a total order end to end.
+  // ---------------------------------------------------------------------
+  private[graft] val KnnAnchorMod = 5
+
+  def q69KnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sfDir))
+    val a = e.filter(col("vec_id") % KnnAnchorMod === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("true_label"),
+        col("embedding").as("ae"), col("norm").as("anorm"))
+    val votes = e.join(broadcast(a), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("true_label"),
+        col("label").as("nlabel"), col("vec_id").as("nid"),
+        (dot(col("ae"), col("embedding")) / (col("anorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rank") <= TopK)
+      .groupBy(col("anchor_id"), col("true_label"), col("nlabel"))
+      .agg(count(lit(1)).as("v"))
+    votes
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("v").desc, col("nlabel"))))
+      .filter(col("pr") === 1)
+      .select(col("anchor_id"), col("true_label"),
+        col("nlabel").as("pred_label"), col("v").as("votes"),
+        when(col("nlabel") === col("true_label"), 1).otherwise(0).as("correct"))
+      .orderBy("anchor_id")
+  }
+
+  val q69Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS true_label,
+       |             emb AS ae, norm AS anorm
+       |      FROM e WHERE vec_id % $KnnAnchorMod = 0),
+       |pairs AS (
+       |  SELECT a.anchor_id, a.true_label, e.label AS nlabel, e.vec_id AS nid,
+       |         list_dot_product(a.ae, e.emb) / (a.anorm * e.norm) AS cosine
+       |  FROM e, a WHERE e.vec_id != a.anchor_id),
+       |top AS (
+       |  SELECT anchor_id, true_label, nlabel FROM (
+       |    SELECT anchor_id, true_label, nlabel,
+       |           ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |                              ORDER BY cosine DESC, nid) AS rank
+       |    FROM pairs)
+       |  WHERE rank <= $TopK),
+       |votes AS (
+       |  SELECT anchor_id, true_label, nlabel, count(*) AS v
+       |  FROM top GROUP BY anchor_id, true_label, nlabel)
+       |SELECT anchor_id, true_label, nlabel AS pred_label, v AS votes,
+       |       CASE WHEN nlabel = true_label THEN 1 ELSE 0 END AS correct
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |                                   ORDER BY v DESC, nlabel) AS pr
+       |      FROM votes)
+       |WHERE pr = 1
+       |ORDER BY anchor_id""".stripMargin
 }

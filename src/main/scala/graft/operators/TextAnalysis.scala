@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -539,4 +540,124 @@ object TextAnalysis {
        |GROUP BY tok
        |HAVING count(*) > (SELECT count(*) FROM tk) / $HhK.0
        |ORDER BY tok""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q70 — per-language vocabulary statistics (Zipf/Heaps-style corpus
+  // profile): token count, vocabulary size, hapax-legomena count,
+  // type-token ratio, head-mass (share of the top-TopMass most frequent
+  // tokens) and the modal token itself. The standard pre-training corpus
+  // health check — a collapsing scrape shows up as a falling TTR and a
+  // head-mass racing to 1 long before any downstream eval does.
+  //
+  // Scale shape: one (lang, token) shuffle to count, then a per-language
+  // rank over the VOCABULARY-sized table (vocab << corpus; for a real
+  // 100 TB web corpus vocab is ~1e8 rows — a per-language sort of that is
+  // executor-trivial). Nothing document-sized survives the first agg.
+  // All-integer until the two final double divisions — order-insensitive,
+  // hence oracle-hashable.
+  // ---------------------------------------------------------------------
+  private[graft] val TopMass = 5 // head size for the mass fraction
+
+  def q70VocabStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), " +")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val ranked = tc.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("c").desc, col("w"))))
+    ranked.groupBy(col("lang"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        max(when(col("rk") === 1, col("w"))).as("top_token"),
+        sum(when(col("rk") <= TopMass, col("c")).otherwise(0L)).as("head"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+        col("top_token"),
+        (col("vocab").cast("double") / col("n_tokens")).as("ttr"),
+        (col("head").cast("double") / col("n_tokens")).as("head_mass"))
+      .orderBy("lang")
+  }
+
+  val q70Sql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS w
+       |  FROM documents),
+       |tc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w),
+       |ranked AS (
+       |  SELECT lang, w, c,
+       |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+       |  FROM tc)
+       |SELECT lang,
+       |       CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       CAST(count(*) AS BIGINT) AS vocab,
+       |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |       max(CASE WHEN rk = 1 THEN w END) AS top_token,
+       |       CAST(count(*) AS DOUBLE) / sum(c) AS ttr,
+       |       CAST(sum(CASE WHEN rk <= $TopMass THEN c ELSE 0 END) AS DOUBLE)
+       |         / sum(c) AS head_mass
+       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q72 — per-source distribution drift: KL(P_source || P_corpus) over
+  // the unigram distribution, the standard contamination/drift monitor
+  // when a pipeline ingests many scrapes (a source whose token
+  // distribution diverges from the pool gets human eyes before it gets
+  // mixed). KL = sum_w p_w ln(p_w/q_w) with p = c_sw/n_s, q = c_w/N.
+  //
+  // Float discipline (q55's recipe): the ln argument is a ratio of EXACT
+  // integers evaluated in double with one fixed expression shape —
+  // (c_sw·N)/(n_s·c_w), products < 2^53 at any conceivable source size —
+  // so Spark and DuckDB compute bit-identical doubles; each ln is then
+  // cast to DECIMAL(18,6) and the per-source sum runs in decimal
+  // (order-insensitive under any partitioning), multiplied by the exact
+  // integer c_sw. Only the final /n_s returns to double.
+  //
+  // Scale shape: one (source, token) shuffle; c_w re-aggregates from the
+  // (source, token) counts (vocab-sized input, never the corpus); the
+  // join back to per-source terms is vocab-sized on both sides. N is a
+  // 1-row cross join, not a collect.
+  // ---------------------------------------------------------------------
+  def q72UnigramDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), " +")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      .cache() // three consumers: gc, ns, and the term join
+    val gc = sc.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = sc.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val tot = gc.agg(sum(col("c_w")).as("n"))
+
+    sc.join(gc, "w").join(ns, "source").crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        (col("c_sw") *
+          log((col("c_sw").cast("double") * col("n")) /
+              (col("n_s").cast("double") * col("c_w")))
+            .cast(DecimalType(18, 6))).as("term"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        (col("s").cast("double") / col("n_s")).as("kl_vs_corpus"))
+      .orderBy("source")
+  }
+
+  val q72Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS w
+      |  FROM documents),
+      |sc AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),
+      |gc AS (SELECT w, sum(c_sw) AS c_w FROM sc GROUP BY w),
+      |ns AS (SELECT source, sum(c_sw) AS n_s FROM sc GROUP BY source),
+      |tot AS (SELECT sum(c_w) AS n FROM gc),
+      |terms AS (
+      |  SELECT sc.source, sc.c_sw,
+      |         CAST(ln((CAST(sc.c_sw AS DOUBLE) * n) / (CAST(ns.n_s AS DOUBLE) * c_w))
+      |              AS DECIMAL(18,6)) AS lr
+      |  FROM sc JOIN gc USING (w) JOIN ns USING (source), tot)
+      |SELECT t.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+      |       CAST(sum(t.c_sw * t.lr) AS DOUBLE) / ns.n_s AS kl_vs_corpus
+      |FROM terms t JOIN ns ON t.source = ns.source
+      |GROUP BY t.source, ns.n_s
+      |ORDER BY t.source""".stripMargin
 }

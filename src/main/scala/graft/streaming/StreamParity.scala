@@ -275,6 +275,86 @@ object StreamParity {
       .orderBy("doc_id")
   }
 
+  /** q71 — SESSION windows through the REAL streaming engine: the q08
+    * per-user session aggregation (gap 300 s) streamed as four
+    * time-range micro-batches, held to the batch q08's DuckDB oracle.
+    *
+    * This is the stateful shape q25's sliding windows cannot reach:
+    * session state MERGES across triggers — a user's session open at the
+    * end of batch N absorbs batch N+1's events (and two separate
+    * fragments fuse) inside Spark's merging-session state store, the
+    * engine equivalent of the reference's window-assigner + keyed state
+    * pair for dynamic windows. The events table is re-laid-out as four
+    * contiguous time ranges (repartitionByRange on ts, mod-times
+    * ascending), so replay is time-ordered and nothing is late against
+    * the 1 s watermark: range boundaries guarantee batch N+1's min ts >
+    * batch N's max ts. The q25 sentinel-file trick (+1 h, user_id -1)
+    * closes every real session at end of stream.
+    *
+    * Scale notes: state per user is one (start, end, aggregates) entry
+    * per OPEN session, evicted at watermark + gap; the shuffle is keyed
+    * on user_id (uniform here; a production hot-key user would ride the
+    * same salting q31 demonstrates). Output is append-mode — emitted
+    * once, on session close, exactly the reference's
+    * trigger-on-watermark semantics. */
+  def q71StreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = raw.schema
+    val maxTsNanos = raw.agg(max("ts")).head().getLong(0)
+
+    // Four contiguous time-range files, replayed oldest-first.
+    val dir = Files.createTempDirectory("q71_sessions")
+    raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    val parts = new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(t0 + i * 10000L)) }
+
+    // Sentinel: one event 1 h past the last real one, for a user id that
+    // cannot occur (-1) — closes all open sessions once its batch commits.
+    val sentinelVals = schema.fields.map { f =>
+      f.name match {
+        case "ts"      => maxTsNanos + 3600L * 1000 * 1000 * 1000
+        case "user_id" => -1L
+        case "value"   => 0.0
+        case _         => null
+      }
+    }
+    val sentinelDir = Files.createTempDirectory("q71_sentinel")
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+    val sentinelTarget = dir.resolve("zz_sentinel.parquet")
+    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => Files.copy(p, sentinelTarget))
+    require(sentinelTarget.toFile.setLastModified(t0 + parts.length * 10000L))
+
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("ts"), col("user_id"), col("value"))
+      .withWatermark("ts", "1 second")
+      .groupBy(session_window(col("ts"), "300 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sum_value"))
+
+    val table = s"q71_sessions_${runId.incrementAndGet()}"
+    val query = agg.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(table)
+      .filter(col("user_id") =!= -1L)
+      .select(
+        col("session_window.start").cast("long").as("session_start"),
+        col("user_id"), col("cnt"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** q49 — streaming exact dedup: the q15 md5-keyed dedup aggregation
     * run through the REAL streaming engine with state carried ACROSS
     * micro-batches. The documents table is re-laid-out as four files and

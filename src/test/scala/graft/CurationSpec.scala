@@ -233,4 +233,36 @@ class CurationSpec extends SparkSpec {
     // the generator plants cross-source near-dups: some pair must overlap
     assert(got.exists(_._5 > 0))
   }
+
+  test("q73 chunk plan: count formula, stride, tail, and coverage invariants") {
+    val C = Curation.ChunkC; val S = Curation.ChunkS
+    val nTokens = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" +").length).toMap
+    val rows = Curation.q73ChunkPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, cs0) =>
+      val n = nTokens(id)
+      val cs = cs0.sortBy(_._3)
+      val expectedCount =
+        if (n <= C) 1 else math.ceil((n - C).toDouble / S).toInt + 1
+      assert(cs.length == expectedCount, s"doc $id chunk count")
+      cs.zipWithIndex.foreach { case ((_, nt, idx, s, e), i) =>
+        assert(nt == n && idx == i)
+        assert(s == i * S, s"doc $id chunk $i start")
+        assert(e == math.min(i * S + C, n), s"doc $id chunk $i end")
+        assert(e > s, s"doc $id chunk $i non-empty")
+      }
+      // tail covers the document end; interior chunks overlap by C - S
+      assert(cs.last._5 == n, s"doc $id tail coverage")
+      cs.sliding(2).foreach {
+        case Array((_, _, _, _, e1), (_, _, _, s2, _)) =>
+          assert(e1 - s2 == C - S, s"doc $id overlap")
+        case _ => ()
+      }
+    }
+    // the corpus must exercise multi-chunk docs
+    assert(rows.groupBy(_._1).values.exists(_.size >= 2))
+  }
 }

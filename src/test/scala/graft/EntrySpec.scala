@@ -26,7 +26,8 @@ class EntrySpec extends SparkSpec {
     // tables at DataFrame-construction time — their column parity is
     // enforced by the oracle gate itself; keep this guard constant-cost.
     val eager = Set("q25_stream_batch_parity", "q35_bucketed_join",
-      "q49_stream_dedup", "q58_stream_admission", "q66_stream_heavy_hitters")
+      "q49_stream_dedup", "q58_stream_admission", "q66_stream_heavy_hitters",
+      "q71_stream_sessions")
     (SparkEntry.oracleSql -- eager).foreach { case (name, sql) =>
       val cols = SparkEntry.queries(name)(spark, sf).columns
       cols.foreach { c =>

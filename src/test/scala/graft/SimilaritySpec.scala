@@ -198,4 +198,36 @@ class SimilaritySpec extends SparkSpec {
       spark, sf).repartition(7).orderBy("label").collect().toSeq
     assert(a === b)
   }
+
+  test("q69 knn classification agrees with an in-memory brute-force model") {
+    // sequential-fold doubles exactly like the DotProduct expression, so
+    // ranking ties resolve identically — the model is bit-for-bit.
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val norms = vecs.map(v => v._1 -> math.sqrt(dotd(v._3, v._3))).toMap
+    val anchors = vecs.filter(_._1 % Similarity.KnnAnchorMod == 0)
+    val expected = anchors.map { case (aid, albl, ae) =>
+      val top = vecs.filter(_._1 != aid)
+        .map { case (nid, nlbl, ne) =>
+          (dotd(ae, ne) / (norms(aid) * norms(nid)), nid, nlbl) }
+        .sortBy { case (cos, nid, _) => (-cos, nid) }
+        .take(10)
+      val (pred, v) = top.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (lbl, c) => (-c, lbl) }.head
+      (aid, (albl, pred, v.toLong, if (pred == albl) 1 else 0))
+    }.toMap
+    val got = Similarity.q69KnnClassify(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // majority vote over 10 neighbors: winner always has >= 2 votes
+    assert(got.values.forall(_._3 >= 2))
+  }
 }

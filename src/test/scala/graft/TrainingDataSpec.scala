@@ -318,4 +318,90 @@ class TrainingDataSpec extends SparkSpec {
     // the corpus must exercise multi-chunk docs
     assert(rows.groupBy(_._1).values.exists(_.size >= 3))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q68 block dedup agrees with an independent in-memory model") {
+    val B = Dedup.BlockB
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split(" +").toSeq)
+      .sortBy(_._1)
+    val blocks = docs.flatMap { case (id, toks) =>
+      toks.grouped(B).zipWithIndex.map { case (b, i) => (id, i, b.mkString(" ")) }
+    }
+    // first occurrence wins, scanning in (doc_id, bidx) order
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val kept = blocks.filter(t => seen.add(t._3)) // already (doc, bidx)-ordered
+    val keptByDoc = kept.groupBy(_._1)
+    val expected = docs.map { case (id, toks) =>
+      val nb = ((toks.length + B - 1) / B).toLong
+      val k = keptByDoc.getOrElse(id, Array.empty[(Long, Int, String)])
+      val fp = if (k.isEmpty) null
+               else md5hex(k.sortBy(_._2).map(_._3).mkString(" "))
+      (id, (nb, k.length.toLong, fp))
+    }.toMap
+    val got = Dedup.q68BlockDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === expected)
+    // the corpus must actually exercise removal AND reassembly identity:
+    // docs with nothing removed must fingerprint to their own text
+    assert(expected.values.exists(v => v._2 < v._1),
+      "corpus should contain duplicate blocks")
+    val intact = docs.toMap.map { case (id, toks) => id -> toks.mkString(" ") }
+    expected.foreach { case (id, (nb, nk, fp)) =>
+      if (nb == nk) assert(fp == md5hex(intact(id)),
+        s"doc $id untouched by dedup must reassemble to itself")
+    }
+  }
+
+  test("q70 vocab stats agree with an independent in-memory model") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).toLowerCase.trim.split(" +").toSeq)
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toSeq
+      val n = counts.map(_._2.toLong).sum
+      val ranked = counts.sortBy { case (w, c) => (-c, w) }
+      (lang, (n, counts.size.toLong, counts.count(_._2 == 1).toLong,
+        ranked.head._1,
+        counts.size.toDouble / n,
+        ranked.take(TextAnalysis.TopMass).map(_._2.toLong).sum.toDouble / n))
+    }
+    val got = TextAnalysis.q70VocabStats(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.values.forall(v => v._5 > 0 && v._6 <= 1.0))
+  }
+
+  test("q72 unigram drift agrees with a decimal-exact in-memory model and is >= 0") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).toLowerCase.trim.split(" +").toSeq)
+    val sc = docs.flatMap { case (s, ts) => ts.map(s -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap // (source,w) -> c_sw
+    val cw = sc.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ns = sc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n = cw.values.sum
+    val expected = sc.groupBy(_._1._1).map { case (src, m) =>
+      val s = m.map { case ((_, w), cSw) =>
+        // exactly the operator's float discipline: one double ln of an
+        // exact-integer ratio, rounded to DECIMAL(18,6), scaled by c_sw
+        val lr = BigDecimal(math.log((cSw.toDouble * n) / (ns(src).toDouble * cw(w))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        lr * BigDecimal(cSw)
+      }.sum
+      src -> (ns(src), s.toDouble / ns(src))
+    }
+    val got = TextAnalysis.q72UnigramDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expected)
+    // Gibbs: KL >= 0 up to the 1e-6/term decimal rounding
+    assert(got.values.forall(_._2 > -1e-4))
+    assert(got.values.exists(_._2 > 0), "sources must show measurable drift")
+  }
 }

@@ -13,6 +13,20 @@ class ParitySpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("q71 streaming session windows equal batch q08 (merging state across triggers)") {
+    val streamed = StreamParity.q71StreamSessions(spark, sf).collect().toSeq
+    val batch = graft.operators.Relational.q08SessionWindow(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "4 time-range micro-batches + merging session state must reproduce the batch sessions")
+    // the corpus must exercise the dynamic-window shape: users with
+    // several distinct sessions (not one giant or all-singleton windows)
+    val perUser = batch.groupBy(_.getLong(1)).view.mapValues(_.size)
+    assert(perUser.values.exists(_ >= 2))
+    assert(batch.exists(_.getLong(2) >= 2), "some session aggregates >1 event")
+  }
+
   /** Bounded replay across MULTIPLE micro-batches: events split into 4
     * time-range files consumed one per trigger (the reference's
     * offset-ordered bounded replay), watermark advancing between batches
