@@ -228,4 +228,53 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"),
       "per-dim and per-label sums must combine map-side")
   }
+
+  test("q68: block dedup joins stay equi-keyed — no cross product; the " +
+      "block-count agg combines map-side") {
+    val plan = finalPlan(Dedup.q68BlockDedup(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "first-occurrence window and reassembly must stay hash-keyed")
+    assert(plan.contains("partial_count"),
+      "per-doc block counts must combine map-side")
+  }
+
+  test("q69: anchors broadcast against one corpus scan (q22's BNLJ shape); " +
+      "the vote is a hash aggregation") {
+    val plan = finalPlan(Similarity.q69KnnClassify(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the anchor side must broadcast — the corpus is scanned, not shuffled")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q70: vocab stats aggregate partially before the (lang, token) " +
+      "shuffle; no joins at all") {
+    val plan = finalPlan(TextAnalysis.q70VocabStats(spark, sf))
+    assert(plan.contains("partial_count"),
+      "token counts must combine map-side")
+    assert(!plan.contains("Join"), "a profile query must not join")
+  }
+
+  test("q72: drift joins stay equi-keyed on token/source; the only " +
+      "non-equi join is the 1-row total broadcast") {
+    val plan = finalPlan(TextAnalysis.q72UnigramDrift(spark, sf))
+      .split("== Initial Plan ==").head
+    val nonEqui = "CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size
+    assert(nonEqui <= 1, s"expected at most the 1-row N broadcast, got $nonEqui")
+    assert(plan.contains("InMemoryTableScan"),
+      "the (source, token) counts must be cached across their three consumers")
+  }
+
+  test("q73: chunk plan is a pure projection — no hash shuffle, pruned scan") {
+    val plan = finalPlan(graft.operators.Curation.q73ChunkPlan(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle — only the presentation sort may exchange")
+    assert(!plan.contains("BatchEvalPython"))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      "unused columns must be pruned from the scan")
+  }
 }
