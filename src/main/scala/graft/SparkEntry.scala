@@ -92,6 +92,8 @@ object SparkEntry {
     "q71_stream_sessions"     -> (graft.streaming.StreamParity.q71StreamSessions _),
     "q72_unigram_drift"       -> (TextAnalysis.q72UnigramDrift _),
     "q73_chunk_plan"          -> (Curation.q73ChunkPlan _),
+    "q74_dim_stats"           -> (Similarity.q74DimStats _),
+    "q75_gap_fill"            -> (Relational.q75GapFill _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,5 +197,7 @@ object SparkEntry {
     "q71_stream_sessions"     -> Relational.q08Sql,
     "q72_unigram_drift"       -> TextAnalysis.q72Sql,
     "q73_chunk_plan"          -> Curation.q73Sql,
+    "q74_dim_stats"           -> Similarity.q74Sql,
+    "q75_gap_fill"            -> Relational.q75Sql,
   )
 }

@@ -481,4 +481,60 @@ object Relational {
       |  FROM events)
       |WHERE rn <= 3
       |ORDER BY user_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q75 — dense timeline materialization (gap fill): hourly per-type
+  // event aggregates over the FULL [min, max] hour grid, empty cells
+  // zero-filled. The standard downstream-of-windowed-agg step for
+  // dashboards, anomaly detectors, and any consumer that treats a
+  // missing bucket as zero rather than absent (the reference's windowed
+  // aggregations only ever emit non-empty windows — this materializes
+  // the complement).
+  //
+  // Scale shape: events shuffle ONCE into the (hour, type) aggregate,
+  // which is AT MOST grid-sized (span/3600 × |types| rows — metadata,
+  // not data) and therefore broadcasts as the right side of the
+  // zero-fill left join; the grid itself generates from a 1-row bounds
+  // aggregate — no second corpus shuffle, no driver loop. Hour
+  // arithmetic stays in epoch-second integers end to end.
+  // ---------------------------------------------------------------------
+  def q75GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select((floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("ws"),
+        col("event_type"), col("value"))
+    val agg = ev.groupBy(col("ws"), col("event_type").as("et"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+    val bounds = ev.agg(min(col("ws")).as("lo"), max(col("ws")).as("hi"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("window_start"))
+      .crossJoin(broadcast(types))
+    grid.join(broadcast(agg),
+        grid("window_start") === agg("ws") && grid("event_type") === agg("et"),
+        "left")
+      .select(col("window_start"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val q75Sql: String =
+    """WITH w AS (
+      |  SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+      |         event_type, value
+      |  FROM events),
+      |agg AS (
+      |  SELECT ws, event_type AS et, count(*) AS cnt,
+      |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |  FROM w GROUP BY ws, event_type),
+      |b AS (SELECT min(ws) AS lo, max(ws) AS hi FROM w),
+      |grid AS (
+      |  SELECT g.ws, t.et
+      |  FROM (SELECT unnest(generate_series(lo, hi, 3600)) AS ws FROM b) g,
+      |       (SELECT DISTINCT event_type AS et FROM events) t)
+      |SELECT grid.ws AS window_start, grid.et AS event_type,
+      |       coalesce(agg.cnt, 0) AS cnt,
+      |       coalesce(agg.sum_value, 0.0) AS sum_value
+      |FROM grid LEFT JOIN agg ON grid.ws = agg.ws AND grid.et = agg.et
+      |ORDER BY window_start, event_type""".stripMargin
 }

@@ -881,6 +881,70 @@ object Similarity {
       .orderBy("anchor_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q74 — per-dimension embedding statistics: the feature-normalization
+  // pass (mean/std/min/max per vector dimension) every embedding-space
+  // pipeline runs before standardization, whitening, or quantizer
+  // training (q48/q53's scale decisions start here). Decimal-summed
+  // moments (values to 1e-12, squares to 1e-16) make both sums
+  // order-insensitive — bit-stable under any partitioning AND
+  // oracle-hashable; the mean/stddev arithmetic returns to double only
+  // after the exact sums, in one fixed expression shape mirrored by the
+  // SQL.
+  //
+  // Scale shape: posexplode fans n vectors to n·dim rows, but partial
+  // aggregation folds each partition to `dim` rows before the shuffle —
+  // the exchange carries O(partitions × dim) moment tuples, constant in
+  // corpus size (the same shape as q65's diversity sums).
+  // ---------------------------------------------------------------------
+  def q74DimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // Float-discipline note (hard-won): casting the DOUBLE product x*x to
+    // a decimal is engine-divergent near rounding boundaries (Spark
+    // quantizes the shortest string repr HALF_UP, DuckDB the exact binary
+    // value), and a sum whose UNSCALED value exceeds 2^53 is mangled by
+    // DuckDB's decimal->double conversion. So: quantize x ONCE at scale 9
+    // (a generic float can never sit on a 1e-9 half-boundary — that needs
+    // <= 10 fractional binary digits), square the DECIMAL exactly
+    // (scale-18 multiply, no rounding at all), and step the wide sum down
+    // to scale 12 before the final double cast keeps it under 2^53. The
+    // step-down must be an explicit round(_, 12) in the SQL: DuckDB's
+    // decimal->decimal CAST truncates where Spark's rounds HALF_UP.
+    val comp = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"),
+        col("xf").cast("double").cast(DecimalType(12, 9)).as("xq"))
+    comp.groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xq")).cast("double").as("s1"),
+        sum(col("xq") * col("xq")).cast(DecimalType(38, 12)).cast("double").as("s2"),
+        min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .select(col("dim"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("n") * (col("s1") / col("n")) * (col("s1") / col("n")))
+          / (col("n") - 1)).as("stddev"),
+        col("vmin"), col("vmax"))
+      .orderBy("dim")
+  }
+
+  val q74Sql: String =
+    """WITH comp AS (
+      |  SELECT u.d AS dim, u.x AS x, CAST(u.x AS DECIMAL(12,9)) AS xq FROM (
+      |    SELECT unnest([{'d': i - 1, 'x': emb[i]}
+      |                   for i in range(1, len(emb) + 1)]) AS u
+      |    FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings))),
+      |agg AS (
+      |  SELECT dim, count(*) AS n,
+      |         CAST(sum(xq) AS DOUBLE) AS s1,
+      |         CAST(CAST(round(sum(xq * xq), 12) AS DECIMAL(38,12)) AS DOUBLE) AS s2,
+      |         min(x) AS vmin, max(x) AS vmax
+      |  FROM comp GROUP BY dim)
+      |SELECT dim, n, s1 / n AS mean,
+      |       sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS stddev,
+      |       vmin, vmax
+      |FROM agg ORDER BY dim""".stripMargin
+
   val q69Sql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
