@@ -94,6 +94,11 @@ object SparkEntry {
     "q73_chunk_plan"          -> (Curation.q73ChunkPlan _),
     "q74_dim_stats"           -> (Similarity.q74DimStats _),
     "q75_gap_fill"            -> (Relational.q75GapFill _),
+    "q76_boilerplate_scrub"   -> (Dedup.q76BoilerplateScrub _),
+    "q77_stratified_sample"   -> (Curation.q77StratifiedSample _),
+    "q78_timeline_anomaly"    -> (Relational.q78TimelineAnomaly _),
+    "q79_filtered_ann"        -> (Similarity.q79FilteredAnn _),
+    "q80_stream_cdc_merge"    -> (graft.streaming.StreamParity.q80StreamCdcMerge _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,5 +204,13 @@ object SparkEntry {
     "q73_chunk_plan"          -> Curation.q73Sql,
     "q74_dim_stats"           -> Similarity.q74Sql,
     "q75_gap_fill"            -> Relational.q75Sql,
+    "q76_boilerplate_scrub"   -> Dedup.q76Sql,
+    "q77_stratified_sample"   -> Curation.q77Sql,
+    "q78_timeline_anomaly"    -> Relational.q78Sql,
+    "q79_filtered_ann"        -> Similarity.q79Sql,
+    // q80 runs the q63 latest-wins MERGE through the real streaming
+    // engine (foreachBatch upsert compaction, base + change feed as
+    // ordered micro-batches) — its oracle is the batch q63's.
+    "q80_stream_cdc_merge"    -> Relational.q63Sql,
   )
 }

@@ -18,17 +18,44 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read it as a nanos Long via
-    * the legacy conf (runtime-settable, so this works on any session the
-    * driver hands us) and convert to a microsecond TimestampType column.
-    * The testdata carries no sub-microsecond components, so `div 1000` is
-    * lossless and oracle-exact. */
+  /** Normalize the events `ts` column to a session-TZ TimestampType.
+    *
+    * Testdata generations have stored it three ways: parquet
+    * TIMESTAMP(NANOS) — which Spark rejects by default
+    * (PARQUET_TYPE_ILLEGAL) and surfaces as a nanos Long under the
+    * legacy `nanosAsLong` conf — TIMESTAMP_NTZ micros, and plain
+    * TIMESTAMP micros. Accept all three: the loader must not silently
+    * break when the driver regenerates the tables with a different
+    * writer. Nanos carry no sub-microsecond components in this data, so
+    * `div 1000` is lossless; the NTZ→TZ cast reinterprets the wall
+    * clock in the session zone (pinned UTC everywhere), matching the
+    * oracle's epoch() exactly. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
+  /** Epoch-micros Column for the raw events `ts`, whatever its storage
+    * type — for callers that need to range-partition or bound the raw
+    * table without changing its schema. */
+  def tsMicrosCol(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _                => unix_micros(col("ts"))
+    }
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(spark, sfDir, "events"))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

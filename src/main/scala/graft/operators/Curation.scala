@@ -598,4 +598,46 @@ object Curation {
        |    FROM d))
        |SELECT doc_id, n_tokens, chunk_idx, tok_start, tok_end, chunk_fp
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q77 — fixed-size deterministic stratified sample: exactly
+  // min(n, SampleN) documents per (lang, source) stratum, chosen by
+  // content-hash order (md5 of text:doc_id — content-stable across runs
+  // AND collision-safe for duplicated texts). This is the eval-set /
+  // human-review draw every curation pipeline needs: q42 keeps a RATE per
+  // stratum, this keeps a COUNT — the two are the Bernoulli and
+  // reservoir halves of deterministic sampling.
+  //
+  // Scale shape: the rank filter is a CONSTANT limit, so Spark 3.5's
+  // WindowGroupLimit rewrite prunes each map partition to its local
+  // top-SampleN BEFORE the stratum shuffle — the exchange carries
+  // O(partitions x strata x SampleN) rows, not the corpus (this is what
+  // q45's data-dependent ceil(n/5) quota cannot do; the plan gate pins
+  // it). Skewed strata are exactly the case where this matters: a
+  // 10^9-doc language still ships only SampleN rows per map task.
+  // ---------------------------------------------------------------------
+  private[graft] val SampleN = 8 // docs per (lang, source) stratum
+
+  def q77StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(col("text"), lit(":"), col("doc_id"))).as("sk"))
+    keyed
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("sk"), col("doc_id"))))
+      .filter(col("rank") <= SampleN)
+      .select(col("lang"), col("source"), col("rank"), col("doc_id"))
+      .orderBy("lang", "source", "rank")
+  }
+
+  val q77Sql: String =
+    s"""SELECT lang, source, rank, doc_id FROM (
+       |  SELECT lang, source, doc_id,
+       |         row_number() OVER (
+       |           PARTITION BY lang, source
+       |           ORDER BY md5(text || ':' || doc_id), doc_id) AS rank
+       |  FROM documents)
+       |WHERE rank <= $SampleN
+       |ORDER BY lang, source, rank""".stripMargin
 }

@@ -799,6 +799,77 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q76 — boilerplate block scrub by corpus frequency: the OTHER half of
+  // the C4/RefinedWeb line-dedup recipe. q68 keeps the FIRST occurrence
+  // of a repeated block; boilerplate removal drops EVERY occurrence of a
+  // block that appears in >= MinDocsBoiler distinct documents (nav bars,
+  // cookie banners, license headers — text that is common because it is
+  // template, not content). The two compose: production pipelines run
+  // boilerplate-scrub first, then first-wins dedup on what remains.
+  //
+  // Scale shape: same key discipline as q68/q51 — the frequency count
+  // groups on the 16-byte block md5 (partial-aggregable countDistinct on
+  // doc_id), the verdict is a join back on that same hash (never text),
+  // and reassembly shuffles only surviving blocks keyed by doc_id. The
+  // boilerplate set is tiny (template blocks) but the join stays
+  // hash-keyed rather than broadcast so the plan survives a corpus where
+  // 10% of blocks are template — the optimizer may still choose to
+  // broadcast the counted side when stats say it is small.
+  // ---------------------------------------------------------------------
+  private[graft] val MinDocsBoiler = 3 // distinct docs => template block
+
+  def q76BoilerplateScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val blocks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / $BlockB.0) as int) - 1),
+           |  b -> array_join(slice(toks, b * $BlockB + 1, $BlockB), ' '))"""
+          .stripMargin)).as(Seq("bidx", "block")))
+      .withColumn("bh", unhex(md5(col("block"))))
+      .cache() // feeds the frequency count AND the verdict join
+    val freq = blocks.groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val kept = blocks.join(freq, Seq("bh"))
+      .filter(col("ndocs") < MinDocsBoiler)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("bidx"), col("block")))),
+          s => s.getField("block")), " ")).as("kept_fp"))
+    val nb = blocks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"))
+    nb.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q76Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, u.bidx, u.block FROM (
+       |    SELECT doc_id,
+       |           unnest([{'bidx': bi, 'block': array_to_string(
+       |                      toks[bi*$BlockB+1 : least((bi+1)*$BlockB, len(toks))], ' ')}
+       |                   for bi in range(0, CAST(ceil(len(toks)/$BlockB.0) AS INT))]) AS u
+       |    FROM d)),
+       |f AS (
+       |  SELECT md5(block) AS h, count(DISTINCT doc_id) AS ndocs
+       |  FROM b GROUP BY 1),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         md5(string_agg(block, ' ' ORDER BY bidx)) AS kept_fp
+       |  FROM b JOIN f ON md5(b.block) = f.h
+       |  WHERE f.ndocs < $MinDocsBoiler GROUP BY doc_id),
+       |nb AS (SELECT doc_id, count(*) AS n_blocks FROM b GROUP BY doc_id)
+       |SELECT nb.doc_id, nb.n_blocks,
+       |       coalesce(kept.n_kept, 0) AS n_kept, kept.kept_fp
+       |FROM nb LEFT JOIN kept USING (doc_id)
+       |ORDER BY nb.doc_id""".stripMargin
+
   val q68Sql: String =
     s"""WITH d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks

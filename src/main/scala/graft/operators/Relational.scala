@@ -537,4 +537,75 @@ object Relational {
       |       coalesce(agg.sum_value, 0.0) AS sum_value
       |FROM grid LEFT JOIN agg ON grid.ws = agg.ws AND grid.et = agg.et
       |ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q78 — timeline anomaly detection: per-type z-score of hourly event
+  // counts over the DENSE q75 grid (a silent scraper outage is a run of
+  // zero-count cells — exactly the cells the sparse aggregate never
+  // emits, which is why this composes with gap fill and not with the raw
+  // groupBy). Emits every (hour, type) cell whose |z| >= ZThresh.
+  //
+  // Float discipline: the moments are windowed sums of exact integers
+  // (cnt and cnt², both < 2^53), so s1/s2/n are bit-exact regardless of
+  // partitioning; mean/sd/z then evaluate in ONE fixed double shape
+  // mirrored token-for-token by the SQL — IEEE division and sqrt are
+  // correctly rounded, so the doubles hash-match without any decimal
+  // rounding step (q74's recipe, minus the quantization it needed for
+  // float inputs).
+  //
+  // Scale shape: the grid is span x |types| METADATA rows (q75's
+  // argument), so the per-type window is a shuffle of grid-sized data —
+  // the corpus itself still shuffles exactly once, inside q75's
+  // aggregate. At 100 TB the window carries hours x types rows: nothing.
+  // ---------------------------------------------------------------------
+  private[graft] val ZThresh = 2.5
+
+  def q78TimelineAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+    q75GapFill(spark, sfDir)
+      .select(col("window_start"), col("event_type"), col("cnt"))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("s2").cast("double") - col("s1").cast("double")
+          * col("s1").cast("double") / col("n")) / (col("n") - 1)))
+      .withColumn("z", (col("cnt").cast("double") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) >= ZThresh)
+      .select(col("window_start"), col("event_type"), col("cnt"),
+        col("mean"), col("z"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val q78Sql: String =
+    s"""WITH w AS (
+       |  SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws, event_type
+       |  FROM events),
+       |agg AS (SELECT ws, event_type AS et, count(*) AS cnt FROM w GROUP BY 1, 2),
+       |b AS (SELECT min(ws) AS lo, max(ws) AS hi FROM w),
+       |grid AS (
+       |  SELECT g.ws, t.et
+       |  FROM (SELECT unnest(generate_series(lo, hi, 3600)) AS ws FROM b) g,
+       |       (SELECT DISTINCT event_type AS et FROM w) t),
+       |cells AS (
+       |  SELECT grid.ws, grid.et, coalesce(agg.cnt, 0) AS cnt
+       |  FROM grid LEFT JOIN agg ON grid.ws = agg.ws AND grid.et = agg.et),
+       |st AS (
+       |  SELECT ws, et, cnt,
+       |         sum(cnt) OVER (PARTITION BY et) AS s1,
+       |         sum(cnt * cnt) OVER (PARTITION BY et) AS s2,
+       |         count(*) OVER (PARTITION BY et) AS n
+       |  FROM cells),
+       |sc AS (
+       |  SELECT ws, et, cnt,
+       |         CAST(s1 AS DOUBLE) / n AS mean,
+       |         (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+       |           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+       |                     * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS z
+       |  FROM st)
+       |SELECT ws AS window_start, et AS event_type, cnt, mean, z
+       |FROM sc WHERE abs(z) >= $ZThresh
+       |ORDER BY window_start, event_type""".stripMargin
 }

@@ -945,6 +945,63 @@ object Similarity {
       |       vmin, vmax
       |FROM agg ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q79 — filtered vector search: exact top-k cosine where candidates
+  // must satisfy a metadata predicate (label ∈ FilterLabels) — the
+  // "filtered ANN" every production vector store needs (search within a
+  // tenant / language / license class). The predicate applies to the
+  // CANDIDATE side only; queries are unrestricted.
+  //
+  // Scale shape: the label predicate is a scan-level PushedFilter — the
+  // corpus never materializes rows outside the filter class (the plan
+  // gate pins In(label,...) in the parquet scan), then the q22 broadcast
+  // shape scores only survivors. This exactness baseline is the
+  // contract; at production scale the candidate stage swaps to
+  // q30/q53's IVF with the same post-filter — and because a selective
+  // filter thins IVF cells, the deployment note is: raise nprobe as
+  // selectivity drops, or fall back to this exact scan below ~1%
+  // selectivity (the scored set is then filter-sized, not corpus-sized).
+  // ---------------------------------------------------------------------
+  private[graft] val FilterLabels = Seq(0, 1, 2)
+
+  def q79FilteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qnorm"))
+    e.filter(col("label").isin(FilterLabels: _*))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        (dot(col("qe"), col("embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("label"),
+        col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q79Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS qe, norm AS qnorm FROM e
+       |      WHERE vec_id < $NumQueries),
+       |pairs AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+       |         list_dot_product(q.qe, e.emb) / (q.qnorm * e.norm) AS cosine
+       |  FROM e, q WHERE e.vec_id != q.query_id
+       |    AND e.label IN (${FilterLabels.mkString(", ")}))
+       |SELECT query_id, rank, neighbor_id, label, cosine FROM (
+       |  SELECT query_id, neighbor_id, label, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val q69Sql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,

@@ -35,13 +35,30 @@ object StreamParity {
 
   private val runId = new AtomicInteger(0)
 
+  /** Max ts + 1 hour, as a value of the RAW ts column's type — the
+    * sentinel row must stay schema-identical to the streamed table, and
+    * the testdata's ts type varies by generation (nanos Long,
+    * TIMESTAMP_NTZ, TIMESTAMP — see Tables.normalizeTs). */
+  private[streaming] def sentinelTsPlus1h(raw: DataFrame): Any = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val maxRow = raw.agg(max("ts")).head()
+    raw.schema("ts").dataType match {
+      case LongType =>
+        maxRow.getLong(0) + 3600L * 1000 * 1000 * 1000
+      case TimestampNTZType =>
+        maxRow.getAs[java.time.LocalDateTime](0).plusHours(1)
+      case _ => java.sql.Timestamp.from(
+        maxRow.getAs[java.sql.Timestamp](0).toInstant.plusSeconds(3600))
+    }
+  }
+
   def q25StreamBatchParity(spark: SparkSession, sfDir: String): DataFrame = {
-    // Raw schema: ts stays a nanos Long (legacy conf) so the sentinel file
-    // and the real table are schema-identical for the file source.
+    // Raw schema: ts keeps its on-disk type so the sentinel file and the
+    // real table are schema-identical for the file source.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val schema = raw.schema
-    val maxTsNanos = raw.agg(max("ts")).head().getLong(0)
+    val sentinelTs = sentinelTsPlus1h(raw)
 
     // Stream directory: symlink the real table + write the sentinel file.
     val dir = Files.createTempDirectory("q25_parity")
@@ -49,7 +66,7 @@ object StreamParity {
       dir.resolve("events.parquet"), Paths.get(s"$sfDir/events.parquet"))
     val sentinelVals = schema.fields.map { f =>
       f.name match {
-        case "ts"         => maxTsNanos + 3600L * 1000 * 1000 * 1000 // +1 hour
+        case "ts"         => sentinelTs // +1 hour past the last real event
         case "event_type" => "zzz_sentinel"
         case "value"      => 0.0
         case _            => null
@@ -62,8 +79,8 @@ object StreamParity {
     Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
       .forEach(p => Files.copy(p, dir.resolve("zz_sentinel.parquet")))
 
-    val agg = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .select(col("ts"), col("event_type"), col("value"))
       .withWatermark("ts", "1 second")
       .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("event_type"))
@@ -301,7 +318,7 @@ object StreamParity {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val schema = raw.schema
-    val maxTsNanos = raw.agg(max("ts")).head().getLong(0)
+    val sentinelTs = sentinelTsPlus1h(raw)
 
     // Four contiguous time-range files, replayed oldest-first.
     val dir = Files.createTempDirectory("q71_sessions")
@@ -317,7 +334,7 @@ object StreamParity {
     // cannot occur (-1) — closes all open sessions once its batch commits.
     val sentinelVals = schema.fields.map { f =>
       f.name match {
-        case "ts"      => maxTsNanos + 3600L * 1000 * 1000 * 1000
+        case "ts"      => sentinelTs
         case "user_id" => -1L
         case "value"   => 0.0
         case _         => null
@@ -332,9 +349,8 @@ object StreamParity {
       .forEach(p => Files.copy(p, sentinelTarget))
     require(sentinelTarget.toFile.setLastModified(t0 + parts.length * 10000L))
 
-    val agg = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .select(col("ts"), col("user_id"), col("value"))
       .withWatermark("ts", "1 second")
       .groupBy(session_window(col("ts"), "300 seconds"), col("user_id"))
@@ -457,5 +473,99 @@ object StreamParity {
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") > lit(nTokens.toDouble / HhK))
       .orderBy("tok")
+  }
+
+  /** q80 — CDC MERGE through the streaming engine: q63's latest-wins
+    * upsert compaction driven by a change STREAM. The base snapshot
+    * arrives as micro-batch 0 and the update/delete feed as micro-batch
+    * 1 (two files, mod-time ordered, one per trigger); foreachBatch
+    * folds each batch into a compacted keyed snapshot — union the
+    * previous snapshot with the batch, keep the max version per key —
+    * which is exactly the copy-on-write loop a Delta/Iceberg MERGE
+    * commit runs, expressed engine-agnostically. Tombstones STAY in the
+    * snapshot (a delete is a versioned row, not a physical drop:
+    * filtering happens at read time), so a later re-insert at a higher
+    * version would win — the semantics MERGE needs, which a
+    * drop-at-compaction shortcut silently breaks.
+    *
+    * Held to q63's own DuckDB oracle: the incrementally-merged snapshot's
+    * final rollup must equal the single-shot batch merge row for row.
+    *
+    * Scale notes: per trigger, ONE shuffle keyed on the merge key
+    * (snapshot ∪ batch → per-key max-version), the same shape q63 has in
+    * batch; the change feed is tiny relative to the base, so at
+    * production scale the union side is the snapshot scan and the batch
+    * broadcasts into it — locally the snapshot rewrite is one sequential
+    * pass, and a production deployment swaps the rewrite for a Delta
+    * MERGE / keyed state store exactly as q58 documents. Snapshot
+    * versions are GC'd batch-to-batch (O(base) temp, not O(batches)). */
+  def q80StreamCdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Relational.dsum
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val base = orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(0).as("version"), lit(false).as("deleted"))
+    val updates = orders
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"),
+        lit(1).as("version"),
+        (pmod(col("o_orderkey"), lit(11)) === 0).as("deleted"))
+
+    // Feed layout: base as trigger 0, changes as trigger 1.
+    val dir = Files.createTempDirectory("q80_feed")
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    Seq(base, updates).zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory(s"q80_part$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.list(tmp).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        val dst = dir.resolve(f"f$i%02d.parquet")
+        Files.copy(p, dst)
+        require(dst.toFile.setLastModified(t0 + i * 10000L))
+      }
+    }
+
+    val snapRoot = Files.createTempDirectory("q80_snap").toString
+    var prevSnap: Option[String] = None
+    def deleteTree(p: String): Unit = {
+      val root = Paths.get(p)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+    }
+
+    val query = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val prev = prevSnap.map(p => s.read.parquet(p))
+          .getOrElse(s.createDataFrame(
+            java.util.Collections.emptyList[Row](), base.schema))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+        val next = prev.unionByName(batch)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val stamp = s"$snapRoot/v$batchId"
+        next.write.mode("overwrite").parquet(stamp)
+        prevSnap.foreach(deleteTree)
+        prevSnap = Some(stamp)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally query.stop()
+
+    val merged = spark.read.parquet(prevSnap.get).filter(!col("deleted"))
+    val out = merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+      .cache()
+    out.count() // materialize before the temp snapshot is eligible for GC
+    out
   }
 }

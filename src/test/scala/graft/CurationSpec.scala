@@ -265,4 +265,33 @@ class CurationSpec extends SparkSpec {
     // the corpus must exercise multi-chunk docs
     assert(rows.groupBy(_._1).values.exists(_.size >= 2))
   }
+
+  test("q77 stratified sample: exactly min(n, SampleN) per stratum, " +
+      "hash-ordered, deterministic") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val expected = docs.groupBy(d => (d._2, d._3)).map { case (k, ds) =>
+      k -> ds.sortBy(d => (md5hex(d._4 + ":" + d._1), d._1))
+        .take(Curation.SampleN).map(_._1).toSeq
+    }
+    val got = Curation.q77StratifiedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+        k -> rs.sortBy(_._3).map(_._4).toSeq
+      }
+    assert(got === expected)
+    // both regimes must be exercised: full strata (rank hits SampleN)
+    // and short strata (n < SampleN kept whole)
+    assert(expected.values.exists(_.size == Curation.SampleN))
+    assert(expected.values.exists(_.size < Curation.SampleN))
+    // determinism: a repartitioned corpus yields the identical sample
+    val again = Curation.q77StratifiedSample(spark, sf).collect().toSeq
+    assert(again.map(_.toSeq) ===
+      Curation.q77StratifiedSample(spark, sf).collect().toSeq.map(_.toSeq))
+  }
 }

@@ -20,8 +20,8 @@ object IngestSweep {
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val agg = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .withWatermark("ts", "1 second")
       .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("event_type"))
       .agg(sum("value").as("sum_value"), max("value").as("max_value"),

@@ -277,4 +277,52 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       "unused columns must be pruned from the scan")
   }
+
+  test("q76: boilerplate scrub joins stay equi-keyed on the block hash — " +
+      "no cross product; frequency count combines map-side") {
+    val plan = finalPlan(Dedup.q76BoilerplateScrub(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the verdict join must stay a hash equi-join on bh")
+    assert(plan.contains("partial_count"),
+      "the per-block doc frequency must partially aggregate before its shuffle")
+    assert(plan.contains("InMemoryTableScan"),
+      "the exploded block frame must be cached across its three consumers")
+  }
+
+  test("q77: the constant rank limit is pushed below the stratum shuffle " +
+      "(WindowGroupLimit) — map tasks pre-prune to their local top-N") {
+    val plan = finalPlan(graft.operators.Curation.q77StratifiedSample(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "rank <= SampleN must rewrite to WindowGroupLimit; without it every " +
+        "row of a skewed stratum ships to one reducer")
+  }
+
+  test("q79: the label predicate reaches the parquet scan; scoring keeps " +
+      "q22's broadcast shape") {
+    val plan = finalPlan(Similarity.q79FilteredAnn(spark, sf))
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      "the metadata filter must prune at the scan, not post-materialization")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "queries broadcast against ONE filtered corpus scan")
+  }
+
+  test("q74: moments aggregate partially before the dim shuffle; no joins") {
+    val plan = finalPlan(Similarity.q74DimStats(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "per-dim moment sums must fold map-side: the exchange carries " +
+        "O(partitions x dim) tuples, not n x dim exploded rows")
+    assert(!plan.contains("Join"), "a profile query must not join")
+  }
+
+  test("q75: zero-fill join broadcasts the aggregate — the corpus " +
+      "shuffles once, the grid never sort-merges") {
+    val plan = finalPlan(Relational.q75GapFill(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (hour, type) aggregate is grid-sized metadata — it must " +
+        "broadcast as the left join's build side")
+    assert(!plan.contains("SortMergeJoin"),
+      "gap fill must never shuffle the grid against the aggregate")
+  }
 }

@@ -137,4 +137,70 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q75 gap fill: full hour grid, zero-filled gaps, mass conserved") {
+    val df = Relational.q75GapFill(spark, sf).cache()
+    val rows = df.collect()
+
+    // The grid is exactly [min hour, max hour] x distinct types.
+    val hours = rows.map(_.getLong(0)).distinct.sorted
+    val types = rows.map(_.getString(1)).distinct.sorted
+    assert(rows.length === hours.length * types.length,
+      "every (hour, type) cell must be present exactly once")
+    hours.zip(hours.tail).foreach { case (a, b) =>
+      assert(b - a === 3600L, "hour grid must be dense, no missing steps")
+    }
+
+    // Zero-filled cells exist (the corpus has gaps) and carry (0, 0.0).
+    val zeros = rows.filter(_.getLong(2) == 0L)
+    assert(zeros.nonEmpty, "sf0.001 events must leave at least one gap")
+    zeros.foreach(r => assert(r.getDouble(3) === 0.0))
+
+    // Mass conservation: grid totals equal the raw corpus totals.
+    val ev = Tables.events(spark, sf)
+    assert(rows.map(_.getLong(2)).sum === ev.count())
+    val rawSum = ev.agg(sum("value")).head.getDouble(0)
+    val gridSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(gridSum - rawSum) < 1e-6)
+
+    // Non-empty cells match a direct (hour, type) aggregation.
+    val direct = ev.select(
+        (floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("ws"),
+        col("event_type"), col("value"))
+      .groupBy("ws", "event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val want = direct.getOrElse((r.getLong(0), r.getString(1)), 0L)
+      assert(r.getLong(2) === want)
+    }
+  }
+
+  test("q78 timeline anomaly: z-scores match the dense-grid model") {
+    val grid = Relational.q75GapFill(spark, sf)
+      .select("window_start", "event_type", "cnt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = grid.groupBy(_._2).toSeq.flatMap { case (et, cells) =>
+      val n = cells.length
+      val s1 = cells.map(_._3).sum
+      val s2 = cells.map(c => c._3 * c._3).sum
+      // the operator's exact double shape: integer sums, then one fixed
+      // sequence of IEEE ops — bit-reproducible
+      val mean = s1.toDouble / n
+      val sd = math.sqrt((s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1))
+      cells.toSeq.map { case (ws, _, cnt) =>
+        ((ws, et), (cnt, (cnt.toDouble - mean) / sd)) }
+    }.toMap.filter { case (_, (_, z)) => math.abs(z) >= Relational.ZThresh }
+    val got = Relational.q78TimelineAnomaly(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (cnt, z)) =>
+      assert(got(k)._1 === cnt)
+      assert(got(k)._2 === z, s"z at $k must be bit-equal to the model")
+    }
+    // the sparse grid keeps per-cell means low, so only the spike tail
+    // can clear 2.5 sigma on this corpus — but it must actually fire
+    assert(got.nonEmpty && got.values.forall(_._2 >= Relational.ZThresh),
+      "this corpus's anomalies are all spikes (counts are bounded below by 0)")
+  }
 }

@@ -230,4 +230,94 @@ class SimilaritySpec extends SparkSpec {
     // majority vote over 10 neighbors: winner always has >= 2 votes
     assert(got.values.forall(_._3 >= 2))
   }
+
+  test("q79 filtered ANN: every neighbor satisfies the predicate; result " +
+      "equals the brute-force top-k of the filtered corpus") {
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val df = Similarity.q79FilteredAnn(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // predicate holds on every emitted neighbor
+    assert(rows.forall(r => Similarity.FilterLabels.contains(r.getInt(3))))
+    // k per query (the filtered corpus is still >> k at sf0.001)
+    rows.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.length === 10))
+    // in-memory model: top-k cosine over ONLY the filter class
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val norms = vecs.map(v => v._1 -> math.sqrt(dotd(v._3, v._3))).toMap
+    val queries = vecs.filter(_._1 < 5)
+    val expected = queries.flatMap { case (qid, _, qe) =>
+      vecs.filter(v => v._1 != qid && Similarity.FilterLabels.contains(v._2))
+        .map { case (nid, _, ne) =>
+          (qid, nid, dotd(qe, ne) / (norms(qid) * norms(nid))) }
+        .sortBy { case (_, nid, cos) => (-cos, nid) }
+        .take(10).zipWithIndex
+        .map { case ((_, nid, _), i) => (qid, i + 1, nid) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the filter must CHANGE the answer vs unfiltered q22 (otherwise the
+    // test proves nothing): some q22 neighbor carries an excluded label
+    val unfiltered = Similarity.q22AnnBruteForce(spark, sf)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got !== unfiltered)
+  }
+
+  test("q74 dim stats: matches the in-memory per-dimension moments") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    val got = Similarity.q74DimStats(spark, sf).collect()
+    assert(got.length === dim)
+    got.foreach { r =>
+      val d = r.getInt(0)
+      val xs = vecs.map(_(d))
+      val n = xs.length
+      assert(r.getLong(1) === n.toLong)
+      val mean = xs.sum / n
+      val varS = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      // scale-9 quantization perturbs each element by <= 5e-10; the
+      // aggregate error stays orders below this tolerance
+      assert(math.abs(r.getDouble(2) - mean) < 1e-7, s"mean dim $d")
+      assert(math.abs(r.getDouble(3) - math.sqrt(varS)) < 1e-6, s"std dim $d")
+      assert(r.getDouble(4) === xs.min)
+      assert(r.getDouble(5) === xs.max)
+    }
+  }
+
+  test("q74 dim stats are bit-identical under repartitioning (decimal sums)") {
+    val a = Similarity.q74DimStats(spark, sf).collect().toSeq
+    val b = Similarity.q74DimStats(spark, sf)
+    // same plan, different physical layout: re-run over a shuffled corpus
+    val shuffled = Tables.embeddings(spark, sf).repartition(17)
+    shuffled.createOrReplaceTempView("q74_shuffled_view")
+    // route through the same expression shape on the shuffled frame
+    import org.apache.spark.sql.types.DecimalType
+    val comp = shuffled
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"),
+        col("xf").cast("double").cast(DecimalType(12, 9)).as("xq"))
+    val c = comp.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).cast("double").as("s1"),
+        sum(col("xq") * col("xq")).cast(DecimalType(38, 12)).cast("double").as("s2"),
+        min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .select(col("dim"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("n") * (col("s1") / col("n")) * (col("s1") / col("n")))
+          / (col("n") - 1)).as("stddev"),
+        col("vmin"), col("vmax"))
+      .orderBy("dim").collect().toSeq
+    assert(a.map(_.toSeq) === c.map(_.toSeq),
+      "decimal-summed moments must not depend on partitioning")
+    assert(b.collect().toSeq.map(_.toSeq) === a.map(_.toSeq))
+  }
 }

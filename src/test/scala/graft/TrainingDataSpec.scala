@@ -358,6 +358,42 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("q76 boilerplate scrub agrees with an independent in-memory model " +
+      "and removes ALL copies (vs q68's first-wins)") {
+    val B = Dedup.BlockB
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split(" +").toSeq)
+      .sortBy(_._1)
+    val blocks = docs.flatMap { case (id, toks) =>
+      toks.grouped(B).zipWithIndex.map { case (b, i) => (id, i, b.mkString(" ")) }
+    }
+    val docFreq = blocks.groupBy(_._3).view
+      .mapValues(_.map(_._1).distinct.size).toMap
+    val kept = blocks.filter(t => docFreq(t._3) < Dedup.MinDocsBoiler)
+    val keptByDoc = kept.groupBy(_._1)
+    val expected = docs.map { case (id, toks) =>
+      val nb = ((toks.length + B - 1) / B).toLong
+      val k = keptByDoc.getOrElse(id, Array.empty[(Long, Int, String)])
+      val fp = if (k.isEmpty) null
+               else md5hex(k.sortBy(_._2).map(_._3).mkString(" "))
+      (id, (nb, k.length.toLong, fp))
+    }.toMap
+    val got = Dedup.q76BoilerplateScrub(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === expected)
+    // the threshold must actually fire on this corpus...
+    val boiler = blocks.filter(t => docFreq(t._3) >= Dedup.MinDocsBoiler)
+    assert(boiler.nonEmpty, "corpus should contain template blocks")
+    // ...and the semantics must differ from q68: a template block's FIRST
+    // occurrence is also removed (q68 would have kept it)
+    val firstOcc = boiler.minBy(t => (t._1, t._2))
+    val keptInDoc = keptByDoc.getOrElse(firstOcc._1, Array.empty)
+    assert(!keptInDoc.exists(_._2 == firstOcc._2),
+      "boilerplate removal must drop the first occurrence too")
+  }
+
   test("q70 vocab stats agree with an independent in-memory model") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("text")).collect()

@@ -39,17 +39,21 @@ class ParitySpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val schema = raw.schema
+    // Range-split on epoch micros so the split works for every ts
+    // storage type the testdata has used (nanos Long / NTZ / TIMESTAMP).
+    val tsm = graft.Tables.tsMicrosCol(raw)
     val (minTs, maxTs) = {
-      val r = raw.agg(min("ts"), max("ts")).head()
+      val r = raw.agg(min(tsm), max(tsm)).head()
       (r.getLong(0), r.getLong(1))
     }
+    val sentinelTs = StreamParity.sentinelTsPlus1h(raw)
     val dir = Files.createTempDirectory("q25_multi")
     val span = maxTs - minTs + 1
     val nFiles = 4
     for (i <- 0 until nFiles) {
       val lo = minTs + span * i / nFiles
       val hi = minTs + span * (i + 1) / nFiles
-      val part = raw.filter(col("ts") >= lo && col("ts") < hi)
+      val part = raw.filter(tsm >= lo && tsm < hi)
       val tmp = Files.createTempDirectory(s"q25_multi_part$i")
       part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       Files.list(tmp).filter(_.toString.endsWith(".parquet")).forEach { p =>
@@ -60,9 +64,8 @@ class ParitySpec extends SparkSpec {
       }
     }
 
-    val agg = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString))
       .select(col("ts"), col("event_type"), col("value"))
       .withWatermark("ts", "1 second")
       .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("event_type"))
@@ -81,7 +84,7 @@ class ParitySpec extends SparkSpec {
         // flush remaining windows: sentinel file 1h past the end
         val sentinelVals = schema.fields.map { f =>
           f.name match {
-            case "ts"         => maxTs + 3600L * 1000 * 1000 * 1000
+            case "ts"         => sentinelTs
             case "event_type" => "zzz_sentinel"
             case "value"      => 0.0
             case _            => null
@@ -141,5 +144,21 @@ class ParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch,
       "per-trigger MG sketches + the mergeable-summaries fold must reproduce the single-shot gate")
+  }
+
+  test("q80 streaming CDC merge equals batch q63 (upsert compaction across triggers)") {
+    val streamed = StreamParity.q80StreamCdcMerge(spark, sf).collect().toSeq
+    val batch = graft.operators.Relational.q63CdcMerge(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "base + change-feed micro-batches folded by latest-wins compaction " +
+        "must reproduce the single-shot MERGE")
+    // updates and deletes must both have fired: the merged rollup carries
+    // the injected 'U' status and strictly fewer orders than the base
+    assert(streamed.exists(_.getString(0) == "U"))
+    val spark2 = spark
+    val baseN = graft.Tables.orders(spark2, sf).count()
+    assert(streamed.map(_.getLong(1)).sum < baseN)
   }
 }
