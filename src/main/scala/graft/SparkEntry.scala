@@ -99,6 +99,7 @@ object SparkEntry {
     "q78_timeline_anomaly"    -> (Relational.q78TimelineAnomaly _),
     "q79_filtered_ann"        -> (Similarity.q79FilteredAnn _),
     "q80_stream_cdc_merge"    -> (graft.streaming.StreamParity.q80StreamCdcMerge _),
+    "q81_stream_anomaly"      -> (graft.streaming.StreamParity.q81StreamAnomaly _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -212,5 +213,8 @@ object SparkEntry {
     // engine (foreachBatch upsert compaction, base + change feed as
     // ordered micro-batches) — its oracle is the batch q63's.
     "q80_stream_cdc_merge"    -> Relational.q63Sql,
+    // q81 maintains the q78 anomaly monitor incrementally (per-trigger
+    // count folds into a grid-sized snapshot) — its oracle is q78's.
+    "q81_stream_anomaly"      -> Relational.q78Sql,
   )
 }

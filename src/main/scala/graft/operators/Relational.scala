@@ -491,21 +491,25 @@ object Relational {
   // aggregations only ever emit non-empty windows — this materializes
   // the complement).
   //
-  // Scale shape: events shuffle ONCE into the (hour, type) aggregate,
-  // which is AT MOST grid-sized (span/3600 × |types| rows — metadata,
-  // not data) and therefore broadcasts as the right side of the
-  // zero-fill left join; the grid itself generates from a 1-row bounds
-  // aggregate — no second corpus shuffle, no driver loop. Hour
-  // arithmetic stays in epoch-second integers end to end.
+  // Scale shape: events scan ONCE and shuffle ONCE, into the (hour,
+  // type) aggregate — which is AT MOST grid-sized (span/3600 × |types|
+  // rows — metadata, not data), so it is CACHED and every other input
+  // the plan needs derives from it: the [lo, hi] bounds and the type
+  // set are aggregates OF the aggregate (grid-sized scans, no second
+  // corpus pass — deriving them from the raw table would triple-scan
+  // the corpus for values the aggregate already contains). The
+  // aggregate then broadcasts as the right side of the zero-fill left
+  // join. Hour arithmetic stays in epoch-second integers end to end.
   // ---------------------------------------------------------------------
-  def q75GapFill(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  private def gapFillGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = Tables.events(spark, sfDir)
       .select((floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("ws"),
         col("event_type"), col("value"))
-    val agg = ev.groupBy(col("ws"), col("event_type").as("et"))
+      .groupBy(col("ws"), col("event_type").as("et"))
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
-    val bounds = ev.agg(min(col("ws")).as("lo"), max(col("ws")).as("hi"))
-    val types = ev.select(col("event_type")).distinct()
+      .cache() // grid-sized; feeds bounds, types, and the zero-fill join
+    val bounds = agg.agg(min(col("ws")).as("lo"), max(col("ws")).as("hi"))
+    val types = agg.select(col("et").as("event_type")).distinct()
     val grid = bounds
       .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("window_start"))
       .crossJoin(broadcast(types))
@@ -515,8 +519,10 @@ object Relational {
       .select(col("window_start"), col("event_type"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
-      .orderBy("window_start", "event_type")
   }
+
+  def q75GapFill(spark: SparkSession, sfDir: String): DataFrame =
+    gapFillGrid(spark, sfDir).orderBy("window_start", "event_type")
 
   val q75Sql: String =
     """WITH w AS (
@@ -563,7 +569,7 @@ object Relational {
   def q78TimelineAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type"))
-    q75GapFill(spark, sfDir)
+    gapFillGrid(spark, sfDir) // unsorted: the window brings its own order
       .select(col("window_start"), col("event_type"), col("cnt"))
       .withColumn("s1", sum(col("cnt")).over(w))
       .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))

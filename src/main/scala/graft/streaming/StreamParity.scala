@@ -475,6 +475,115 @@ object StreamParity {
       .orderBy("tok")
   }
 
+  /** q81 — the timeline-anomaly monitor through the streaming engine:
+    * q78's per-type z-score over the dense hour grid, maintained
+    * INCREMENTALLY. Events replay as four contiguous time-range
+    * micro-batches; foreachBatch aggregates ONLY its own rows to
+    * (hour, type) counts and folds them into a running grid-sized
+    * snapshot by addition — counts are the simplest mergeable summary,
+    * so this is q66's fold pattern with exact state instead of a
+    * sketch, and the state is grid-sized (hours × types), never
+    * event-sized. At end of stream the dense grid materializes from the
+    * final snapshot (gap fill = the same generate-and-left-join shape
+    * as batch q75) and the z-scores compute in q78's exact double
+    * shape — held to q78's own DuckDB oracle.
+    *
+    * This is the live-dashboard maintenance loop: per trigger it costs
+    * O(batch) aggregation + a grid-sized fold; the anomaly pass runs on
+    * demand over metadata-sized state. Snapshot versions are GC'd
+    * batch-to-batch. */
+  def q81StreamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Relational
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = Files.createTempDirectory("q81_events")
+    raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    val parts = new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(t0 + i * 10000L)) }
+
+    val snapRoot = Files.createTempDirectory("q81_snap").toString
+    var prevSnap: Option[String] = None
+    def deleteTree(p: String): Unit = {
+      val root = Paths.get(p)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+    }
+    val snapSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ws",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("et",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+
+    val query = graft.Tables.normalizeTs(spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // The ONLY aggregation is over the batch's own rows.
+        val bAgg = batch.select(
+            (floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("ws"),
+            col("event_type").as("et"))
+          .groupBy(col("ws"), col("et")).agg(count(lit(1)).as("cnt"))
+        val prev = prevSnap.map(p => s.read.parquet(p))
+          .getOrElse(s.createDataFrame(
+            java.util.Collections.emptyList[Row](), snapSchema))
+        // Mergeable fold: counts add. Full outer on the grid key, both
+        // sides grid-sized.
+        val next = prev.select(col("ws"), col("et"), col("cnt").as("pc"))
+          .join(bAgg.select(col("ws"), col("et"), col("cnt").as("bc")),
+            Seq("ws", "et"), "full")
+          .select(col("ws"), col("et"),
+            (coalesce(col("pc"), lit(0L)) + coalesce(col("bc"), lit(0L)))
+              .as("cnt"))
+        val stamp = s"$snapRoot/v$batchId"
+        next.write.mode("overwrite").parquet(stamp)
+        prevSnap.foreach(deleteTree)
+        prevSnap = Some(stamp)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally query.stop()
+
+    // Dense grid + z from the final grid-sized snapshot (q75's shape,
+    // then q78's exact double sequence — same expression tokens).
+    val agg = spark.read.parquet(prevSnap.get).cache()
+    val bounds = agg.agg(min(col("ws")).as("lo"), max(col("ws")).as("hi"))
+    val types = agg.select(col("et").as("event_type")).distinct()
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("window_start"))
+      .crossJoin(broadcast(types))
+    val cells = grid.join(broadcast(agg),
+        grid("window_start") === agg("ws") && grid("event_type") === agg("et"),
+        "left")
+      .select(col("window_start"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val out = cells
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("s2").cast("double") - col("s1").cast("double")
+          * col("s1").cast("double") / col("n")) / (col("n") - 1)))
+      .withColumn("z", (col("cnt").cast("double") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) >= Relational.ZThresh)
+      .select(col("window_start"), col("event_type"), col("cnt"),
+        col("mean"), col("z"))
+      .orderBy("window_start", "event_type")
+      .cache()
+    out.count() // materialize before the temp snapshot is eligible for GC
+    out
+  }
+
   /** q80 — CDC MERGE through the streaming engine: q63's latest-wins
     * upsert compaction driven by a change STREAM. The base snapshot
     * arrives as micro-batch 0 and the update/delete feed as micro-batch

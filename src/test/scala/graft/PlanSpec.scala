@@ -324,5 +324,9 @@ class PlanSpec extends SparkSpec {
         "broadcast as the left join's build side")
     assert(!plan.contains("SortMergeJoin"),
       "gap fill must never shuffle the grid against the aggregate")
+    assert(plan.contains("InMemoryTableScan"),
+      "bounds/types/zero-fill must all read the CACHED grid-sized " +
+        "aggregate — deriving any of them from the raw table would " +
+        "re-scan the corpus")
   }
 }

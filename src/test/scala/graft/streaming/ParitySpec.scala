@@ -146,6 +146,16 @@ class ParitySpec extends SparkSpec {
       "per-trigger MG sketches + the mergeable-summaries fold must reproduce the single-shot gate")
   }
 
+  test("q81 incremental anomaly monitor equals batch q78 (count folds across triggers)") {
+    val streamed = StreamParity.q81StreamAnomaly(spark, sf).collect().toSeq
+    val batch = graft.operators.Relational.q78TimelineAnomaly(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "four per-trigger count folds + the end-of-stream dense-grid z pass " +
+        "must reproduce the single-shot anomaly set bit-for-bit")
+  }
+
   test("q80 streaming CDC merge equals batch q63 (upsert compaction across triggers)") {
     val streamed = StreamParity.q80StreamCdcMerge(spark, sf).collect().toSeq
     val batch = graft.operators.Relational.q63CdcMerge(spark, sf)
