@@ -100,6 +100,7 @@ object SparkEntry {
     "q79_filtered_ann"        -> (Similarity.q79FilteredAnn _),
     "q80_stream_cdc_merge"    -> (graft.streaming.StreamParity.q80StreamCdcMerge _),
     "q81_stream_anomaly"      -> (graft.streaming.StreamParity.q81StreamAnomaly _),
+    "q82_stream_interval_join" -> (graft.streaming.StreamParity.q82StreamIntervalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -216,5 +217,6 @@ object SparkEntry {
     // q81 maintains the q78 anomaly monitor incrementally (per-trigger
     // count folds into a grid-sized snapshot) — its oracle is q78's.
     "q81_stream_anomaly"      -> Relational.q78Sql,
+    "q82_stream_interval_join" -> graft.streaming.StreamParity.q82Sql,
   )
 }

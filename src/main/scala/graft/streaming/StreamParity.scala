@@ -584,6 +584,83 @@ object StreamParity {
     out
   }
 
+  /** q82 — stream-stream interval join: click→purchase attribution
+    * (every click by the same user in the 24 h window before a
+    * purchase) through TWO live file streams — the one major Structured
+    * Streaming state shape the parity family had not yet exercised.
+    * Purchases and clicks replay as separate sources, each as four
+    * time-range micro-batches; the inner join carries an event-time
+    * range condition, so each side's rows are retained in join state
+    * only until the OTHER side's watermark passes their eviction bound
+    * (click state lives 24 h of event time, purchase state ~0) — the
+    * reference's connect/CoProcess correlation with the state-retention
+    * contract made declarative. Emission is eager (inner join), so no
+    * end-of-stream sentinel is needed; the global watermark is the min
+    * across sources, and both sides replay time-ordered, so nothing is
+    * ever evicted early.
+    *
+    * Held to a direct DuckDB oracle (the equivalent batch interval
+    * join). Scale notes: join state is bounded by watermark delay ×
+    * ingest rate per side — the exact knob the reference's CoProcess
+    * user must hand-manage with keyed state + timers; skewed users ride
+    * the same salting story as q31. */
+  def q82StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+
+    def sideDir(etype: String): String = {
+      val d = Files.createTempDirectory(s"q82_$etype")
+      raw.filter(col("event_type") === etype)
+        .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(d.toString)
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      val parts = new java.io.File(d.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+      d.toString
+    }
+    val (purchDir, clickDir) = (sideDir("purchase"), sideDir("click"))
+
+    def side(dir: String, prefix: String): DataFrame =
+      graft.Tables.normalizeTs(spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("ts").as(s"${prefix}_ts"), col("user_id").as(s"${prefix}_user"))
+        .withWatermark(s"${prefix}_ts", "1 second")
+
+    val joined = side(purchDir, "p").join(side(clickDir, "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 86400 SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+
+    val table = s"q82_attrib_${runId.incrementAndGet()}"
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(table)
+      .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+        col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .cast("long").as("lag_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val q82Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |       p.user_id, p.tsu - c.tsu AS lag_us
+      |FROM p JOIN c
+      |  ON p.user_id = c.user_id
+      | AND c.tsu >= p.tsu - 86400000000
+      | AND c.tsu <= p.tsu
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** q80 — CDC MERGE through the streaming engine: q63's latest-wins
     * upsert compaction driven by a change STREAM. The base snapshot
     * arrives as micro-batch 0 and the update/delete feed as micro-batch

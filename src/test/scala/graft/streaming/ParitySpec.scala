@@ -156,6 +156,38 @@ class ParitySpec extends SparkSpec {
         "must reproduce the single-shot anomaly set bit-for-bit")
   }
 
+  test("q82 stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamParity.q82StreamIntervalJoin(spark, sf).collect().toSeq
+    // batch model: same join, no streaming machinery
+    val e = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+    val batch = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 86400 SECONDS") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+        col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .cast("long").as("lag_us"))
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "two file streams + watermarked interval-join state must reproduce " +
+        "the batch attribution join")
+    // the window must bind: every lag within [0, 24 h], and some purchase
+    // attributes MULTIPLE clicks (the state-retention case)
+    assert(streamed.forall { r =>
+      val lag = r.getLong(3); lag >= 0 && lag <= 86400L * 1000 * 1000 })
+    assert(streamed.groupBy(_.getLong(0)).values.exists(_.size >= 2))
+  }
+
   test("q80 streaming CDC merge equals batch q63 (upsert compaction across triggers)") {
     val streamed = StreamParity.q80StreamCdcMerge(spark, sf).collect().toSeq
     val batch = graft.operators.Relational.q63CdcMerge(spark, sf)
