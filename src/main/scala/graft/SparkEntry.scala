@@ -101,6 +101,7 @@ object SparkEntry {
     "q80_stream_cdc_merge"    -> (graft.streaming.StreamParity.q80StreamCdcMerge _),
     "q81_stream_anomaly"      -> (graft.streaming.StreamParity.q81StreamAnomaly _),
     "q82_stream_interval_join" -> (graft.streaming.StreamParity.q82StreamIntervalJoin _),
+    "q83_stream_left_join"    -> (graft.streaming.StreamParity.q83StreamLeftJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -218,5 +219,6 @@ object SparkEntry {
     // count folds into a grid-sized snapshot) — its oracle is q78's.
     "q81_stream_anomaly"      -> Relational.q78Sql,
     "q82_stream_interval_join" -> graft.streaming.StreamParity.q82Sql,
+    "q83_stream_left_join"    -> graft.streaming.StreamParity.q83Sql,
   )
 }

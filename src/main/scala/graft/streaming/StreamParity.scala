@@ -661,6 +661,110 @@ object StreamParity {
       | AND c.tsu <= p.tsu
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** q83 — stream-stream LEFT OUTER interval join: q82's attribution
+    * with the unmatched side kept — purchases with NO same-user click
+    * in the prior 24 h emit with a null click. This exercises the
+    * semantics inner joins never touch: a null-extended row may only
+    * emit once the click-side watermark has passed the purchase's whole
+    * candidate window (before that, a matching click could still
+    * arrive), so unmatched output is WATERMARK-DRIVEN, not eager. The
+    * end-of-stream problem returns exactly as in q25: the last real
+    * purchases' windows never close on their own, so the q25 sentinel
+    * trick (one click file 25 h past the end, impossible user −1)
+    * pushes the click watermark past every real window and the engine's
+    * final no-data batch flushes the tail of unmatched purchases.
+    *
+    * Held to a direct DuckDB LEFT JOIN oracle. Same state bounds as
+    * q82; the null-extended tail costs one sentinel row of state. */
+  def q83StreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val sentinelTs = sentinelTsPlus1h(raw) // +1 h > any real click gap
+
+    def sideDir(etype: String, sentinel: Boolean): String = {
+      val d = Files.createTempDirectory(s"q83_$etype")
+      raw.filter(col("event_type") === etype)
+        .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(d.toString)
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      val parts = new java.io.File(d.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+      if (sentinel) {
+        // One impossible-user click far past the end: closes every real
+        // purchase's 24 h candidate window (q25's MAX_WATERMARK replay).
+        val sentinelVals = raw.schema.fields.map { f =>
+          f.name match {
+            case "ts"         => sentinelTs
+            case "user_id"    => -1L
+            case "event_type" => etype
+            case "value"      => 0.0
+            case _            => null
+          }
+        }
+        val tmp = Files.createTempDirectory(s"q83_${etype}_sent")
+        spark.createDataFrame(
+            java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)),
+            raw.schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val dst = Paths.get(d.toString).resolve("zz_sentinel.parquet")
+        Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .forEach(p => Files.copy(p, dst))
+        require(dst.toFile.setLastModified(t0 + parts.length * 10000L))
+      }
+      d.toString
+    }
+    // BOTH sides need the sentinel: the global watermark is the MIN
+    // across sources, so without a purchase-side sentinel the last real
+    // purchases sit below the global watermark forever and their
+    // unmatched rows never flush (the purchase sentinel itself emits as
+    // an unmatched user −1 row — dropped by the output guard).
+    val purchDir = sideDir("purchase", sentinel = true)
+    val clickDir = sideDir("click", sentinel = true)
+
+    def side(dir: String, prefix: String): DataFrame =
+      graft.Tables.normalizeTs(spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("ts").as(s"${prefix}_ts"), col("user_id").as(s"${prefix}_user"))
+        .withWatermark(s"${prefix}_ts", "1 second")
+
+    val joined = side(purchDir, "p").join(side(clickDir, "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 86400 SECONDS") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+
+    val table = s"q83_attrib_${runId.incrementAndGet()}"
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(table)
+      .filter(col("p_user") =!= -1L) // drop nothing real; guard only
+      .select(col("p_id").as("purchase_id"),
+        col("c_id").as("click_id"), // null when unattributed
+        col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .cast("long").as("lag_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val q83Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |       p.user_id, p.tsu - c.tsu AS lag_us
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id
+      | AND c.tsu >= p.tsu - 86400000000
+      | AND c.tsu <= p.tsu
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** q80 — CDC MERGE through the streaming engine: q63's latest-wins
     * upsert compaction driven by a change STREAM. The base snapshot
     * arrives as micro-batch 0 and the update/delete feed as micro-batch

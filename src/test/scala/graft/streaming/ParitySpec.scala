@@ -188,6 +188,41 @@ class ParitySpec extends SparkSpec {
     assert(streamed.groupBy(_.getLong(0)).values.exists(_.size >= 2))
   }
 
+  test("q83 stream-stream LEFT join equals batch: unmatched purchases " +
+      "flush on the watermark, not eagerly") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamParity.q83StreamLeftJoin(spark, sf).collect().toSeq
+    val e = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+    val batch = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 86400 SECONDS") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+      .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+        col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .cast("long").as("lag_us"))
+      .collect().toSeq
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    assert(streamed.nonEmpty)
+    assert(streamed.map(key).sorted === batch.map(key).sorted,
+      "left-outer streamed attribution must equal the batch left join")
+    // the outer semantics must actually fire: unattributed purchases
+    // exist AND matched ones too; every purchase appears at least once
+    val unmatched = streamed.filter(_.isNullAt(1))
+    assert(unmatched.nonEmpty && unmatched.size < streamed.size)
+    val purchases = p.count()
+    assert(streamed.map(_.getLong(0)).distinct.size.toLong === purchases)
+  }
+
   test("q80 streaming CDC merge equals batch q63 (upsert compaction across triggers)") {
     val streamed = StreamParity.q80StreamCdcMerge(spark, sf).collect().toSeq
     val batch = graft.operators.Relational.q63CdcMerge(spark, sf)
