@@ -102,6 +102,11 @@ object SparkEntry {
     "q81_stream_anomaly"      -> (graft.streaming.StreamParity.q81StreamAnomaly _),
     "q82_stream_interval_join" -> (graft.streaming.StreamParity.q82StreamIntervalJoin _),
     "q83_stream_left_join"    -> (graft.streaming.StreamParity.q83StreamLeftJoin _),
+    "q84_bloom_semijoin"      -> (RuntimeFilters.q84BloomSemiJoin _),
+    "q85_cube_summary"        -> (Relational.q85CubeSummary _),
+    "q86_cluster_canonical"   -> (Clustering.q86ClusterCanonical _),
+    "q87_cross_split_neardup" -> (Dedup.q87CrossSplitNearDup _),
+    "q88_length_buckets"      -> (Curation.q88LengthBuckets _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,5 +225,10 @@ object SparkEntry {
     "q81_stream_anomaly"      -> Relational.q78Sql,
     "q82_stream_interval_join" -> graft.streaming.StreamParity.q82Sql,
     "q83_stream_left_join"    -> graft.streaming.StreamParity.q83Sql,
+    "q84_bloom_semijoin"      -> RuntimeFilters.q84Sql,
+    "q85_cube_summary"        -> Relational.q85Sql,
+    "q86_cluster_canonical"   -> Clustering.q86Sql,
+    "q87_cross_split_neardup" -> Dedup.q87Sql,
+    "q88_length_buckets"      -> Curation.q88Sql,
   )
 }

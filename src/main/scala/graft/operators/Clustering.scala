@@ -463,4 +463,83 @@ object Clustering {
     p.release()
     out
   }
+
+  // ---------------------------------------------------------------------
+  // q86 — cluster-canonical dedup: the pipeline step AFTER grouping
+  // near-dups into components (q46): each component keeps exactly ONE
+  // representative — the longest document (ties: lowest doc_id), the
+  // usual "keep the most complete copy" policy — and the output maps
+  // every document to its kept representative. This is the op that turns
+  // a near-dup PAIR list into an actual deduplicated corpus.
+  //
+  // Scale shape: q46's component labels are one row per edge-touched doc
+  // (tiny vs the corpus); the representative choice is a per-component
+  // window over that small frame joined back to doc metadata (n_chars —
+  // never text). Singleton docs never enter the window: they are their
+  // own representative by construction (left join + coalesce), so the
+  // window cost is O(near-dup docs), not O(corpus).
+  // ---------------------------------------------------------------------
+  def q86ClusterCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val meta = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    // Only docs in a real (size >= 2) component need representative
+    // election; q46 labels every doc, so restrict to non-singletons.
+    val comp = q46DedupComponents(spark, sfDir)
+      .select(col("doc_id"), col("component"))
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    val multi = comp.join(sizes.filter(col("cluster_size") > 1), "component")
+
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val reps = multi.join(meta, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("rep_id"))
+
+    comp.join(reps, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"),
+        (coalesce(col("rep_id"), col("doc_id")) === col("doc_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: q46's recursive-CTE closure + per-component arg-max. */
+  val q86Sql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 for i in range(1, len(toks) - 1)]
+      |           ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |        FROM documents)),
+      |e0 AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |r AS (
+      |  SELECT u AS node, v AS reach FROM e
+      |  UNION
+      |  SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),
+      |comp AS (SELECT node, LEAST(node, MIN(reach)) AS component
+      |         FROM r GROUP BY node),
+      |lab AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+      |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+      |reps AS (
+      |  SELECT component, doc_id AS rep_id
+      |  FROM (SELECT lab.component, lab.doc_id,
+      |               ROW_NUMBER() OVER (PARTITION BY lab.component
+      |                                  ORDER BY d.n_chars DESC, lab.doc_id ASC) AS rn,
+      |               COUNT(*) OVER (PARTITION BY lab.component) AS csize
+      |        FROM lab JOIN documents d ON lab.doc_id = d.doc_id)
+      |  WHERE rn = 1 AND csize > 1)
+      |SELECT lab.doc_id,
+      |       COALESCE(reps.rep_id, lab.doc_id) AS rep_id,
+      |       COALESCE(reps.rep_id, lab.doc_id) = lab.doc_id AS is_kept
+      |FROM lab LEFT JOIN reps ON lab.component = reps.component
+      |ORDER BY lab.doc_id""".stripMargin
 }

@@ -640,4 +640,50 @@ object Curation {
        |  FROM documents)
        |WHERE rank <= $SampleN
        |ORDER BY lang, source, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q88 — equal-frequency length bucketing: assign every document to one
+  // of 10 token-length deciles and summarize each bucket. This is the
+  // batching step that minimizes padding waste when packing sequences of
+  // similar length together (dynamic batching by length bucket); the
+  // per-bucket stats ARE the padding-efficiency report (max_toks -
+  // avg_toks = wasted tokens/doc if padded to the bucket max).
+  //
+  // Scale note: ntile needs a total order. A single global sort is the
+  // textbook plan and what Catalyst emits (range-partitioned exchange,
+  // NOT a single-task window: the ORDER BY-without-PARTITION BY window
+  // collapses to one task only for row_number-style unbounded frames
+  // when the optimizer cannot split; ntile over a range-sorted exchange
+  // still funnels through one window task — so at 100 TB the right
+  // deployment is per-shard deciles or quantile-sketch cutpoints, e.g.
+  // q57's approx_percentile, then a broadcast bucket lookup; the exact
+  // ntile here doubles as that sketch path's oracle). Ties broken by
+  // doc_id for cross-engine determinism.
+  // ---------------------------------------------------------------------
+  private val LenBuckets = 10
+
+  def q88LengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("tok_cnt").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(toks).as("tok_cnt"))
+      .withColumn("bucket", ntile(LenBuckets).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("tok_cnt")).as("min_toks"),
+        max(col("tok_cnt")).as("max_toks"),
+        sum(col("tok_cnt")).as("sum_toks"))
+      .orderBy("bucket")
+  }
+
+  val q88Sql: String =
+    s"""SELECT bucket, COUNT(*) AS n_docs,
+       |       MIN(tok_cnt) AS min_toks, MAX(tok_cnt) AS max_toks,
+       |       SUM(tok_cnt) AS sum_toks
+       |FROM (SELECT doc_id, tok_cnt,
+       |             ntile($LenBuckets) OVER (ORDER BY tok_cnt, doc_id) AS bucket
+       |      FROM (SELECT doc_id,
+       |                   len(regexp_split_to_array(trim(text), ' +')) AS tok_cnt
+       |            FROM documents))
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
 }

@@ -895,4 +895,90 @@ object Dedup {
        |       coalesce(kept.n_kept, 0) AS n_kept, kept.kept_fp
        |FROM nb LEFT JOIN kept USING (doc_id)
        |ORDER BY nb.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q87 — FUZZY decontamination: train-split documents that are
+  // NEAR-duplicates (trigram-shingle Jaccard >= 0.8) of any eval-split
+  // document. q41's exact n-gram overlap catches verbatim leakage; this
+  // catches lightly-edited copies of eval material inside the training
+  // split — the standard companion check in LLM data pipelines. Splits
+  // are q36's deterministic content-hash buckets: train (< 90) vs the
+  // whole held-out 10% (validation + test, >= 90).
+  //
+  // Scale shape — ASYMMETRIC banded LSH, the same S-curve as q20 but
+  // train-vs-eval instead of self-join: both sides project to
+  // (doc_id, band, bandhash) rows of three longs; the bucket equi-join's
+  // build side is the held-out split (~10% of the corpus), so the shuffle is
+  // bounded by the small side and candidate volume by the S-curve
+  // (b=16, r=2: J>=0.8 caught with p ~= 1-1e-7 — the exact-verify output
+  // equals the brute-force oracle). Documents are re-read only to verify
+  // the rare candidates, keyed by id.
+  // ---------------------------------------------------------------------
+  def q87CrossSplitNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), bucket, split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("bucket"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""".stripMargin)
+        .as("sh"))
+      .cache()
+
+    val bands = docs
+      .select(col("doc_id"), col("bucket"),
+        expr("transform(sh, s -> xxhash64(s))").as("hs"))
+      .select(col("doc_id"), col("bucket"),
+        expr(s"""transform(sequence(0, ${NumHashes - 1}),
+                 |  i -> array_min(transform(hs, h -> xxhash64(h, i))))""".stripMargin)
+          .as("sig"))
+      .select(col("doc_id"), col("bucket"),
+        explode(expr(
+          s"""transform(sequence(0, ${Bands - 1}),
+             |  b -> struct(b AS band, xxhash64(sig[2*b], sig[2*b+1], b) AS bh))""".stripMargin))
+          .as("e"))
+      .select(col("doc_id"), col("bucket"),
+        col("e.band").as("band"), col("e.bh").as("bh"))
+      .cache()
+
+    val train = bands.filter(col("bucket") < 90)
+      .select(col("doc_id").as("doc_train"), col("band"), col("bh"))
+    val eval_ = bands.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("doc_eval"), col("band"), col("bh"))
+    val cands = train.join(eval_, Seq("band", "bh"))
+      .select(col("doc_train"), col("doc_eval")).distinct()
+
+    val a = docs.filter(col("bucket") < 90)
+      .select(col("doc_id").as("doc_train"), col("sh").as("sh_a"))
+    val b = docs.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("doc_eval"), col("sh").as("sh_b"))
+    cands.join(a, "doc_train").join(b, "doc_eval")
+      .select(col("doc_train"), col("doc_eval"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= Threshold)
+      .orderBy("doc_train", "doc_eval")
+  }
+
+  /** Brute-force train-x-eval Jaccard — exact because the LSH miss
+    * probability at J >= 0.8 is ~1e-7 (same argument as q20). */
+  val q87Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT AS BIGINT) % 100 AS bucket,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 for i in range(1, len(toks) - 1)]
+      |           ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), ' +') AS toks
+      |        FROM documents)
+      |  WHERE len(regexp_split_to_array(trim(text), ' +')) >= 3)
+      |SELECT a.doc_id AS doc_train, b.doc_id AS doc_eval,
+      |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM t a JOIN t b ON a.bucket < 90 AND b.bucket >= 90
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |ORDER BY doc_train, doc_eval""".stripMargin
 }

@@ -614,4 +614,36 @@ object Relational {
        |SELECT ws AS window_start, et AS event_type, cnt, mean, z
        |FROM sc WHERE abs(z) >= $ZThresh
        |ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q85 — CUBE (multi-dimensional grouping sets): the one-pass OLAP
+  // summary over (event_type × hour-of-day) including both marginals and
+  // the grand total. Catalyst plans CUBE as a single Expand + one hash
+  // aggregate: each input row is replicated once per grouping set
+  // (4 here) BEFORE partial aggregation, so the shuffle still carries
+  // only partial aggregate states — at 100 TB this is 4 map-side-combined
+  // aggregates for the price of one scan, vs 4 separate queries (4 scans)
+  // or a driver-side rollup loop. NULL grouping cells are disambiguated
+  // from genuine NULLs via sentinel labels, which also keeps the oracle
+  // hash comparison deterministic.
+  // ---------------------------------------------------------------------
+  def q85CubeSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
+      .cube(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("etype"),
+        coalesce(col("hr"), lit(-1)).cast("int").as("hr"),
+        col("cnt"), col("sum_value"))
+      .orderBy("etype", "hr")
+
+  val q85Sql: String =
+    """SELECT COALESCE(event_type, '(all)') AS etype,
+      |       CAST(COALESCE(hr, -1) AS INT) AS hr,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hr, value FROM events)
+      |GROUP BY CUBE(event_type, hr)
+      |ORDER BY etype, hr""".stripMargin
 }

@@ -127,4 +127,27 @@ class ClusteringSpec extends SparkSpec {
     // training must actually move the centroids off their init
     assert(objectives.last > objectives.head)
   }
+  test("q86 cluster-canonical: one representative per component, the longest doc") {
+    val comp = Clustering.q46DedupComponents(spark, sf)
+      .select(col("doc_id"), col("component"))
+    val rep = Clustering.q86ClusterCanonical(spark, sf)
+    val j = rep.join(comp, "doc_id")
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")), "doc_id")
+      .cache()
+    // docs share a rep exactly when they share a q46 component
+    assert(j.groupBy("component").agg(countDistinct("rep_id").as("k"))
+      .filter(col("k") =!= 1).count() === 0)
+    // the rep is a member of its own component and is kept
+    val reps = j.filter(col("doc_id") === col("rep_id"))
+    assert(reps.filter(!col("is_kept")).count() === 0)
+    // the rep maximizes n_chars within the component (ties -> lowest id)
+    val best = j.groupBy("component").agg(max("n_chars").as("mx"))
+    val repLen = reps.select(col("component"), col("n_chars"))
+    assert(repLen.join(best, "component").filter(col("n_chars") =!= col("mx"))
+      .count() === 0)
+    // non-reps are not kept; kept count equals component count
+    assert(j.filter(col("is_kept")).count() ===
+      comp.select("component").distinct().count())
+    j.unpersist()
+  }
 }

@@ -294,4 +294,18 @@ class CurationSpec extends SparkSpec {
     assert(again.map(_.toSeq) ===
       Curation.q77StratifiedSample(spark, sf).collect().toSeq.map(_.toSeq))
   }
+  test("q88 length buckets: 10 equal-frequency buckets with ordered boundaries") {
+    val rows = Curation.q88LengthBuckets(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    // equal frequency: ntile spreads n rows as evenly as possible
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1)
+    assert(counts.sum === Tables.documents(spark, sf).count())
+    // non-overlapping, ordered bucket ranges
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hiA), (_, _, loB, _)) => assert(hiA <= loB)
+      case _ =>
+    }
+  }
 }

@@ -203,4 +203,26 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.forall(_._2 >= Relational.ZThresh),
       "this corpus's anomalies are all spikes (counts are bounded below by 0)")
   }
+  test("q85 cube: marginals and grand total are consistent with the cells") {
+    val rows = Relational.q85CubeSummary(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val cells = rows.filter { case ((e, h), _) => e != "(all)" && h != -1 }
+    // grand total equals the sum of the finest cells
+    val (gn, gs) = rows(("(all)", -1))
+    assert(gn === cells.values.map(_._1).sum)
+    assert(math.abs(gs - cells.values.map(_._2).sum) < 1e-6 * math.abs(gs))
+    // each event_type marginal equals the sum of its hour cells
+    rows.keys.collect { case (e, -1) if e != "(all)" => e }.foreach { e =>
+      val (n, s) = rows((e, -1))
+      val sub = cells.filter(_._1._1 == e).values
+      assert(n === sub.map(_._1).sum, s"count marginal for $e")
+      assert(math.abs(s - sub.map(_._2).sum) < 1e-6 * math.abs(s).max(1.0))
+    }
+    // and symmetrically for each hour marginal
+    rows.keys.collect { case ("(all)", h) if h != -1 => h }.foreach { h =>
+      val (n, _) = rows(("(all)", h))
+      assert(n === cells.filter(_._1._2 == h).values.map(_._1).sum)
+    }
+  }
 }

@@ -440,4 +440,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.values.forall(_._2 > -1e-4))
     assert(got.values.exists(_._2 > 0), "sources must show measurable drift")
   }
+  test("q87 cross-split near-dups are exactly q20's pairs that straddle the split") {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val bucket = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    val split = Tables.documents(spark, sf).select(col("doc_id"), bucket)
+    val all = Dedup.q20MinHashDedup(spark, sf)
+      .join(split.select(col("doc_id").as("doc_a"), col("bucket").as("ba")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("bucket").as("bb")), "doc_b")
+    // q20 emits doc_a < doc_b; a cross-split pair can sit either way round
+    val expected = all.filter(col("ba") < 90 && col("bb") >= 90)
+      .select(col("doc_a").as("t"), col("doc_b").as("e"), col("jaccard"))
+      .unionAll(all.filter(col("bb") < 90 && col("ba") >= 90)
+        .select(col("doc_b").as("t"), col("doc_a").as("e"), col("jaccard")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.q87CrossSplitNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "this corpus plants cross-split near-dup pairs")
+  }
 }
