@@ -107,6 +107,11 @@ object SparkEntry {
     "q86_cluster_canonical"   -> (Clustering.q86ClusterCanonical _),
     "q87_cross_split_neardup" -> (Dedup.q87CrossSplitNearDup _),
     "q88_length_buckets"      -> (Curation.q88LengthBuckets _),
+    "q89_pivot"               -> (Relational.q89Pivot _),
+    "q90_unpivot"             -> (Relational.q90Unpivot _),
+    "q91_json_extract"        -> (Relational.q91JsonExtract _),
+    "q92_funnel_lag"          -> (Relational.q92FunnelLag _),
+    "q93_typed_sessions"      -> (TypedOps.q93TypedSessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -230,5 +235,10 @@ object SparkEntry {
     "q86_cluster_canonical"   -> Clustering.q86Sql,
     "q87_cross_split_neardup" -> Dedup.q87Sql,
     "q88_length_buckets"      -> Curation.q88Sql,
+    "q89_pivot"               -> Relational.q89Sql,
+    "q90_unpivot"             -> Relational.q90Sql,
+    "q91_json_extract"        -> Relational.q91Sql,
+    "q92_funnel_lag"          -> Relational.q92Sql,
+    "q93_typed_sessions"      -> TypedOps.q93Sql,
   )
 }

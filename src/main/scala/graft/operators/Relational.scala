@@ -646,4 +646,157 @@ object Relational {
       |FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hr, value FROM events)
       |GROUP BY CUBE(event_type, hr)
       |ORDER BY etype, hr""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q89 — PIVOT: hour-of-day × event_type count matrix as wide columns,
+  // the standard report/export shape. The pivot column list is given
+  // EXPLICITLY (the 5 reference event types): with an explicit list
+  // Catalyst compiles pivot to a single-pass conditional aggregation
+  // (one scan, one shuffle of partial states, no distinct-values
+  // pre-query and no driver round-trip) — exactly the plan the SUM(CASE)
+  // oracle describes, and the only pivot form that is sane at 100 TB
+  // (auto-discovery pivot first runs a distinct over the pivot column).
+  // ---------------------------------------------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q89Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    // n_ prefix keeps the output clear of SQL reserved words ("view").
+    val renamed = EventTypes.foldLeft(
+      Tables.events(spark, sfDir)
+        .select(hour(col("ts")).as("hr"), col("event_type"))
+        .groupBy(col("hr"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, EventTypes)) { (df, t) => df.withColumnRenamed(t, s"n_$t") }
+    renamed.orderBy("hr")
+  }
+
+  val q89Sql: String =
+    """SELECT EXTRACT(hour FROM ts)::INT AS hr,
+      |       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+      |       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+      |       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+      |       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+      |       COUNT(*) FILTER (event_type = 'view')     AS n_view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY hr""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q90 — UNPIVOT (melt): wide metric columns to long (metric, value)
+  // rows, then per-metric profiling — the first step of any column-stats
+  // / data-quality sweep over a wide table. Catalyst plans unpivot as an
+  // Expand (each row replicated once per metric column) feeding ONE
+  // partial aggregate: per-metric stats for the price of one scan, and
+  // the shuffle carries 4 aggregate-state rows per partition, not the
+  // exploded data.
+  // ---------------------------------------------------------------------
+  def q90Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .unpivot(
+        Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        dsum(col("value")).as("sum_v"))
+      .orderBy("metric")
+
+  val q90Sql: String =
+    """SELECT metric, COUNT(*) AS cnt, MIN(value) AS min_v, MAX(value) AS max_v,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+      |FROM (
+      |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |GROUP BY metric
+      |ORDER BY metric""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q91 — semi-structured JSON extraction: pull a typed field out of the
+  // events `props` JSON payload and aggregate on it. `get_json_object`
+  // is a codegen'd path evaluation per row — no UDF, no schema
+  // inference job; for fixed schemas `from_json` gives a typed struct
+  // (same engine path). At 100 TB the point is that extraction happens
+  // INSIDE the scan stage projection: only the extracted long survives
+  // to the shuffle, never the JSON text.
+  // ---------------------------------------------------------------------
+  def q91JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("distinct_k"))
+      .orderBy("event_type")
+
+  val q91Sql: String =
+    """SELECT event_type,
+      |       COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       COUNT(DISTINCT k) AS distinct_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q92 — click→purchase conversion funnel via analytic frames: for each
+  // click, the time to the SAME user's next purchase (a min over the
+  // ROWS-following frame of a per-user event-time window), rolled up to
+  // per-user conversion stats with q82's 24 h attribution bound. The
+  // batch twin of the q82 stream-stream interval join, expressed as ONE
+  // window pass: a single shuffle on user_id, no self-join, no row
+  // explosion — at 100 TB this is the cheapest funnel shape when events
+  // are (or can be) clustered by user.
+  // Gaps are integer epoch-microsecond differences (exact, so the
+  // per-user sums are order-insensitive and oracle-hashable).
+  // ---------------------------------------------------------------------
+  private val FunnelWindowUs = 24L * 3600 * 1000000
+
+  def q92FunnelLag(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val clicks = ev
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        (col("next_purchase_us") - col("ts_us")).as("gap_us"))
+    clicks.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        count(when(col("gap_us") <= FunnelWindowUs, 1)).as("n_converted"),
+        sum(when(col("gap_us") <= FunnelWindowUs, col("gap_us"))).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+
+  val q92Sql: String =
+    s"""SELECT user_id, COUNT(*) AS n_clicks,
+       |       COUNT(*) FILTER (gap_us <= $FunnelWindowUs) AS n_converted,
+       |       CAST(SUM(gap_us) FILTER (gap_us <= $FunnelWindowUs) AS BIGINT)
+       |         AS sum_gap_us
+       |FROM (
+       |  SELECT user_id, event_type,
+       |         MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
+       |           PARTITION BY user_id ORDER BY ts_us, event_id
+       |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |           - ts_us AS gap_us
+       |  FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+       |        FROM events))
+       |WHERE event_type = 'click'
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
 }

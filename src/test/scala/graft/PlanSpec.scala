@@ -329,4 +329,59 @@ class PlanSpec extends SparkSpec {
         "aggregate — deriving any of them from the raw table would " +
         "re-scan the corpus")
   }
+  test("q84: bloom probe filter evaluates in the scan stage, no broadcast of the probe") {
+    val plan = finalPlan(graft.operators.RuntimeFilters.q84BloomSemiJoin(spark, sf))
+    // the pre-filter predicate sits in the plan as might_contain over the
+    // literal sketch — before the semi join, not after
+    assert(plan.contains("might_contain"),
+      "bloom pre-filter must appear in the physical plan")
+    assert(plan.contains("LeftSemi"), "exact verification is a left-semi join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q85: cube is one Expand feeding one partial aggregate — a single scan") {
+    val plan = finalPlan(Relational.q85CubeSummary(spark, sf))
+    assert(plan.contains("Expand"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"))
+    // AQE prints Final + Initial sections; count scans in the final one
+    assert(plan.split("== Initial Plan ==")(0)
+      .linesIterator.count(_.contains("Scan parquet")) === 1,
+      "4 grouping sets must not mean 4 scans")
+  }
+
+  test("q89: explicit-list pivot compiles to one scan + conditional aggregation (no distinct pre-pass)") {
+    val plan = finalPlan(Relational.q89Pivot(spark, sf))
+    assert(plan.split("== Initial Plan ==")(0)
+      .linesIterator.count(_.contains("Scan parquet")) === 1)
+    assert(!plan.contains("Expand"), "explicit pivot values need no expand/distinct discovery")
+    assert(plan.contains("partial_count"))
+  }
+
+  test("q90: unpivot is Expand + one partial aggregate over a single scan") {
+    val plan = finalPlan(Relational.q90Unpivot(spark, sf))
+    assert(plan.contains("Expand"))
+    assert(plan.split("== Initial Plan ==")(0)
+      .linesIterator.count(_.contains("Scan parquet")) === 1)
+    assert(plan.contains("partial_min") || plan.contains("partial_count"))
+  }
+
+  test("q91: only extracted fields reach the aggregate — JSON text pruned after the scan projection") {
+    val plan = finalPlan(Relational.q91JsonExtract(spark, sf))
+    // the scan must read props (it is the extraction input)...
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props"))
+    // ...but no exchange row carries the raw JSON: the shuffle schema is
+    // the aggregate state over (event_type, k). get_json_object appears
+    // only below the first aggregate.
+    val exchangeIdx = plan.indexOf("Exchange")
+    val extractIdx = plan.indexOf("get_json_object")
+    assert(extractIdx > exchangeIdx && exchangeIdx > 0,
+      "extraction must happen scan-side (below the exchange in the plan tree)")
+  }
+
+  test("q92: funnel is one shuffle on user_id — window and aggregate share it, no self-join") {
+    val plan = finalPlan(Relational.q92FunnelLag(spark, sf))
+    assert(!plan.contains("Join"), "analytic-frame funnel must not self-join")
+    assert(plan.contains("Window"))
+  }
 }

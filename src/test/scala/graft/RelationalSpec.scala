@@ -225,4 +225,92 @@ class RelationalSpec extends SparkSpec {
       assert(n === cells.filter(_._1._2 == h).values.map(_._1).sum)
     }
   }
+
+  test("q89 pivot cells equal the direct (hr, type) group counts; rows sum to hour totals") {
+    val ev = Tables.events(spark, sf)
+      .select(hour(col("ts")).as("hr"), col("event_type"))
+    val direct = ev.groupBy("hr", "event_type").count().collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    val hourTotals = ev.groupBy("hr").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val rows = Relational.q89Pivot(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet === hourTotals.keySet)
+    rows.foreach { r =>
+      val hr = r.getInt(0)
+      val cells = types.zipWithIndex.map { case (t, i) => t -> r.getLong(i + 1) }
+      cells.foreach { case (t, n) => assert(n === direct.getOrElse((hr, t), 0L),
+        s"cell ($hr, $t)") }
+      assert(cells.map(_._2).sum === hourTotals(hr), s"row total at hr=$hr")
+    }
+  }
+
+  test("q90 unpivot: every metric profiled over every row, stats match direct aggs") {
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    val rows = Relational.q90Unpivot(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.keySet === Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    rows.foreach { case (m, (cnt, mn, mx, sm)) =>
+      assert(cnt === n, s"metric $m must cover all rows")
+      val d = li.agg(min(col(m)), max(col(m)),
+        Relational.dsum(col(m))).head()
+      assert(mn === d.getDouble(0) && mx === d.getDouble(1) && sm === d.getDouble(2),
+        s"stats for $m")
+    }
+  }
+
+  test("q91 json extraction: k parses for every event and stays in the generator range") {
+    val rows = Relational.q91JsonExtract(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === nEvents, "props.k must parse on every row")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(3) <= 99, s"k range for ${r.getString(0)}")
+      assert(r.getLong(5) <= 100, "distinct k bounded by the generator domain")
+    }
+  }
+
+  test("q92 funnel agrees with an in-memory model of next-purchase gaps") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val windowUs = 24L * 3600 * 1000000
+    val expected = evs.groupBy(_._1).flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._3))
+      val gaps = ordered.zipWithIndex.collect { case ((_, "click", _, ts), i) =>
+        ordered.drop(i + 1).collectFirst { case (_, "purchase", _, pts) => pts - ts }
+      }
+      if (gaps.isEmpty) None
+      else {
+        val conv = gaps.flatten.filter(_ <= windowUs)
+        Some(uid -> ((gaps.length.toLong, conv.length.toLong,
+          if (conv.isEmpty) None else Some(conv.sum))))
+      }
+    }
+    val got = Relational.q92FunnelLag(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    assert(got === expected)
+    // both regimes must occur on this corpus: converted and unconverted clicks
+    assert(got.values.exists(_._2 > 0) && got.values.exists(v => v._1 > v._2))
+  }
+  test("q93 typed sessions align with q08 session windows (same gap, same sessions)") {
+    val q08 = Relational.q08SessionWindow(spark, sf).collect()
+      .map(r => ((r.getLong(1), r.getLong(0)), r.getLong(2))).toMap
+    val q93 = graft.operators.TypedOps.q93TypedSessions(spark, sf).collect()
+      .map(r => ((r.getLong(0), Math.floorDiv(r.getLong(1), 1000000L)), r.getLong(2)))
+      .toMap
+    assert(q93.keySet === q08.keySet, "session identity (user, start-second)")
+    q93.foreach { case (k, n) => assert(n === q08(k), s"n_events at $k") }
+    // the typed features must be internally consistent
+    val rows = graft.operators.TypedOps.q93TypedSessions(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getLong(2); val trans = r.getLong(3)
+      assert(trans <= n - 1, "transitions bounded by adjacent pairs")
+      if (n == 1) assert(r.isNullAt(4), "singleton sessions have no gap")
+      else assert(r.getLong(4) <= 300L * 1000000, "gaps within a session stay under the gap bound")
+    }
+  }
 }
