@@ -112,6 +112,7 @@ object SparkEntry {
     "q91_json_extract"        -> (Relational.q91JsonExtract _),
     "q92_funnel_lag"          -> (Relational.q92FunnelLag _),
     "q93_typed_sessions"      -> (TypedOps.q93TypedSessions _),
+    "q94_stream_funnel"       -> (graft.streaming.StreamParity.q94StreamFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,5 +241,8 @@ object SparkEntry {
     "q91_json_extract"        -> Relational.q91Sql,
     "q92_funnel_lag"          -> Relational.q92Sql,
     "q93_typed_sessions"      -> TypedOps.q93Sql,
+    // q94 runs the q92 funnel through the real streaming engine
+    // (flatMapGroupsWithState + event-time timeout) — oracle is q92's.
+    "q94_stream_funnel"       -> Relational.q92Sql,
   )
 }

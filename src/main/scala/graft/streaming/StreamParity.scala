@@ -858,4 +858,147 @@ object StreamParity {
     out.count() // materialize before the temp snapshot is eligible for GC
     out
   }
+
+  /** Per-event input to the q94 funnel state machine. `ts` carries the
+    * watermark tag (event-time timeouts require the watermarked column to
+    * survive projection into the typed stream); the math uses the exact
+    * `ts_us` micros. */
+  case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                      event_id: Long, etype: String)
+
+  /** Keyed state: unresolved clicks + running conversion aggregates.
+    * `pending` holds only clicks younger than the 24 h attribution window
+    * relative to the newest event seen — older clicks can never convert
+    * (their first subsequent purchase would exceed the window), so they
+    * are evicted eagerly and the state is bounded by 24 h of one user's
+    * clicks, the same bound the q82 stream-stream join's click-side state
+    * carries. */
+  case class FunnelState(
+      pending: List[Long], nClicks: Long, nConv: Long, sumGap: Long,
+      maxTsUs: Long)
+
+  case class FunnelOut(
+      user_id: Long, n_clicks: Long, n_converted: Long,
+      sum_gap_us: Option[Long])
+
+  /** q94 — the q92 conversion funnel run through the REAL streaming
+    * engine as an arbitrary-stateful operator: `flatMapGroupsWithState`
+    * with an EVENT-TIME TIMEOUT — the reference's KeyedStateFlatMap with
+    * reduce-side expiration (§2 E9/T6), exercised here with hand-managed
+    * state rather than a built-in aggregate. Events replay as four
+    * contiguous time-range micro-batches (q71's layout), so per-user
+    * arrival order is event-time order; each trigger folds its rows into
+    * the per-user state machine (clicks pend; the first subsequent
+    * purchase resolves ALL pending clicks — within 24 h counts as a
+    * conversion). No row is emitted while a user may still receive
+    * events: each group arms an event-time timeout just past its newest
+    * event; the q25 sentinel (+1 h) drives the watermark past every
+    * timeout at end of stream, and the fired timeouts emit each user's
+    * final row exactly once (the reference MAX_WATERMARK flush, here for
+    * arbitrary keyed state instead of windows).
+    *
+    * Held to q92's oracle: streamed == batch, hash-exact.
+    *
+    * Scale notes: state per user is the running aggregate + pending
+    * clicks bounded to the 24 h window (eagerly evicted); the shuffle is
+    * keyed on user_id. Timeout-driven emission means the sink sees one
+    * row per user, not per trigger. */
+  def q94StreamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = raw.schema
+    val sentinelTs = sentinelTsPlus1h(raw)
+
+    val dir = Files.createTempDirectory("q94_funnel")
+    raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    val parts = new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(t0 + i * 10000L)) }
+
+    val sentinelVals = schema.fields.map { f =>
+      f.name match {
+        case "ts"         => sentinelTs
+        case "user_id"    => -1L
+        case "event_id"   => -1L
+        case "event_type" => "zzz_sentinel"
+        case "value"      => 0.0
+        case _            => null
+      }
+    }
+    val sentinelDir = Files.createTempDirectory("q94_sentinel")
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+    val sentinelTarget = dir.resolve("zz_sentinel.parquet")
+    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => Files.copy(p, sentinelTarget))
+    require(sentinelTarget.toFile.setLastModified(t0 + parts.length * 10000L))
+
+    val windowUs = 24L * 3600 * 1000000
+
+    val ev = graft.Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type").as("etype"))
+      .as[FunnelEv]
+
+    val out = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // end of stream for this user: emit the final row once
+            val s = state.get
+            state.remove()
+            if (s.nClicks > 0)
+              Iterator.single(FunnelOut(uid, s.nClicks, s.nConv,
+                if (s.nConv > 0) Some(s.sumGap) else None))
+            else Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(
+              FunnelState(Nil, 0L, 0L, 0L, Long.MinValue))
+            // within-trigger order; cross-trigger order comes from the
+            // time-range replay (same (ts, event_id) order as the oracle)
+            rows.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              e.etype match {
+                case "click" =>
+                  s = s.copy(pending = e.ts_us :: s.pending,
+                    nClicks = s.nClicks + 1)
+                case "purchase" =>
+                  // first purchase after each pending click resolves it
+                  val conv = s.pending.filter(c => e.ts_us - c <= windowUs)
+                  s = s.copy(pending = Nil,
+                    nConv = s.nConv + conv.length,
+                    sumGap = s.sumGap + conv.map(e.ts_us - _).sum)
+                case _ => ()
+              }
+              if (e.ts_us > s.maxTsUs) s = s.copy(maxTsUs = e.ts_us)
+              // evict clicks that can no longer convert within 24 h
+              s = s.copy(pending =
+                s.pending.filter(c => s.maxTsUs - c <= windowUs))
+            }
+            state.update(s)
+            // fire once the watermark passes this user's newest event
+            state.setTimeoutTimestamp(s.maxTsUs / 1000 + 1)
+            Iterator.empty
+          }
+      }
+
+    val table = s"q94_funnel_${runId.incrementAndGet()}"
+    val query = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(table)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id")
+  }
 }

@@ -238,4 +238,16 @@ class ParitySpec extends SparkSpec {
     val baseN = graft.Tables.orders(spark2, sf).count()
     assert(streamed.map(_.getLong(1)).sum < baseN)
   }
+  test("q94 streaming funnel (flatMapGroupsWithState + event-time timeout) equals batch q92") {
+    val streamed = StreamParity.q94StreamFunnel(spark, sf).collect().toSeq
+    val batch = graft.operators.Relational.q92FunnelLag(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "timeout-flushed per-user state must reproduce the batch analytic funnel")
+    // timeout emission is exactly-once per user
+    assert(streamed.map(_.getLong(0)).distinct.size === streamed.size)
+    // both regimes fire on this corpus: converted and unconverted clicks
+    assert(streamed.exists(_.getLong(2) > 0))
+    assert(streamed.exists(r => r.getLong(1) > r.getLong(2)))
+  }
 }
