@@ -113,6 +113,8 @@ object SparkEntry {
     "q92_funnel_lag"          -> (Relational.q92FunnelLag _),
     "q93_typed_sessions"      -> (TypedOps.q93TypedSessions _),
     "q94_stream_funnel"       -> (graft.streaming.StreamParity.q94StreamFunnel _),
+    "q95_contiguous_ids"      -> (Curation.q95ContiguousIds _),
+    "q96_scd2"                -> (Relational.q96Scd2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -244,5 +246,7 @@ object SparkEntry {
     // q94 runs the q92 funnel through the real streaming engine
     // (flatMapGroupsWithState + event-time timeout) — oracle is q92's.
     "q94_stream_funnel"       -> Relational.q92Sql,
+    "q95_contiguous_ids"      -> Curation.q95Sql,
+    "q96_scd2"                -> Relational.q96Sql,
   )
 }

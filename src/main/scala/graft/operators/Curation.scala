@@ -686,4 +686,60 @@ object Curation {
        |            FROM documents))
        |GROUP BY bucket
        |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q95 — contiguous sample-index assignment: give every document a
+  // dense 0..n-1 id in doc_id order (the "sample index" a trainer's
+  // dataloader addresses shards by). The naive SQL is
+  // row_number() OVER (ORDER BY doc_id) — an ORDER BY-without-PARTITION
+  // window that Catalyst executes as a SINGLE task holding the whole
+  // corpus (WindowExec warns "No Partition Defined"); at 100 TB that is
+  // the plan that never finishes. This operator is the scalable
+  // two-pass prefix-sum shape instead:
+  //
+  //   pass 1: range-partition by doc_id, count rows per partition
+  //           (aggregate-sized result to the driver: P longs);
+  //   pass 2: broadcast the per-partition prefix offsets; each partition
+  //           assigns offset + local index over its sorted rows.
+  //
+  // Determinism: repartitionByRange samples its bounds with seeds
+  // derived from the (deterministic) input partition indices, so both
+  // passes see identical partitioning; rows are sorted by doc_id within
+  // each partition, so offset + local rank == global rank, exactly the
+  // oracle's row_number. The per-partition loop is a mapPartitions —
+  // the one pattern where imperative iteration is the *scale-correct*
+  // choice, not a shortcut (no shuffle beyond the range exchange, no
+  // single-task stage, no driver data path).
+  // ---------------------------------------------------------------------
+  private val IdParts = 8
+
+  def q95ContiguousIds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .repartitionByRange(IdParts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+
+    // pass 1: partition histogram (P rows to the driver)
+    val counts = docs.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = pid -> acc; acc += n; o
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: offset + local index per partition
+    docs.as[Long].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val off = bc.value.getOrElse(pid, 0L)
+      var i = 0L
+      it.map { d => val r = (d, off + i); i += 1; r }
+    }.toDF("doc_id", "seq_id").orderBy("doc_id")
+  }
+
+  val q95Sql: String =
+    """SELECT doc_id,
+      |       ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS seq_id
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 }

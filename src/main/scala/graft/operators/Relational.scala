@@ -799,4 +799,51 @@ object Relational {
        |WHERE event_type = 'click'
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q96 — SCD Type-2 history build: turn q63's CDC version feed into
+  // validity intervals — each key's version v is valid until the next
+  // version arrives (valid_to = lead(version), NULL while current), and
+  // a delete tombstone closes the record without a successor. This is
+  // the standard warehouse "history table" materialization the latest-
+  // wins MERGE (q63) throws away.
+  //
+  // Scale shape: one shuffle on the business key; lead() runs inside the
+  // per-key window partition (bounded by a key's version count, never
+  // the table). Output is row-per-version — history tables are append-
+  // shaped by design, so no aggregate hides the interval rows.
+  // ---------------------------------------------------------------------
+  def q96Scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        lit(0).as("version"), lit(false).as("deleted"))
+    val updates = Tables.orders(spark, sfDir)
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        lit(1).as("version"),
+        (pmod(col("o_orderkey"), lit(11)) === 0).as("deleted"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version").asc)
+    base.unionAll(updates)
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .select(col("o_orderkey"), col("version"), col("o_orderstatus"),
+        col("valid_to"),
+        (col("valid_to").isNull && !col("deleted")).as("is_current"))
+      .orderBy("o_orderkey", "version")
+  }
+
+  val q96Sql: String =
+    """WITH feed AS (
+      |  SELECT o_orderkey, o_orderstatus, 0 AS version, FALSE AS deleted
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', 1, o_orderkey % 11 = 0
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderkey, version, o_orderstatus,
+      |       LEAD(version) OVER (PARTITION BY o_orderkey
+      |                           ORDER BY version) AS valid_to,
+      |       (LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+      |          IS NULL AND NOT deleted) AS is_current
+      |FROM feed
+      |ORDER BY o_orderkey, version""".stripMargin
 }

@@ -308,4 +308,18 @@ class CurationSpec extends SparkSpec {
       case _ =>
     }
   }
+  test("q95 contiguous ids: dense 0..n-1 in doc_id order, no single-task window") {
+    val rows = Curation.q95ContiguousIds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length
+    assert(rows.map(_._2).toSeq === (0L until n))
+    // doc_id order == seq order
+    assert(rows.sortBy(_._1).map(_._2).toSeq === (0L until n))
+    // the scalable shape: the physical plan must contain NO WindowExec
+    // (row_number-without-partition would be a single-task stage)
+    val df = Curation.q95ContiguousIds(spark, sf)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "prefix-sum id assignment must not plan a global window")
+  }
 }

@@ -313,4 +313,26 @@ class RelationalSpec extends SparkSpec {
       else assert(r.getLong(4) <= 300L * 1000000, "gaps within a session stay under the gap bound")
     }
   }
+  test("q96 SCD2: interval chains are well-formed and is_current is exact") {
+    val rows = Relational.q96Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getBoolean(4)))
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.head._2 === 0, s"key $k must start at version 0")
+      // each non-last version's valid_to == the next version
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === Some(b._2), s"chain at key $k")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty, s"last version of $k is open-ended")
+      // exactly one current row for live keys, none for deleted ones
+      val deletedLast = k % 7 == 0 && k % 11 == 0
+      assert(vs.count(_._5) === (if (deletedLast) 0 else 1), s"is_current at $k")
+    }
+    // updated keys carry two versions, untouched keys one
+    assert(byKey.filter(_._1 % 7 == 0).forall(_._2.length == 2))
+    assert(byKey.filterNot(_._1 % 7 == 0).forall(_._2.length == 1))
+  }
 }
