@@ -702,13 +702,19 @@ object Curation {
   //   pass 2: broadcast the per-partition prefix offsets; each partition
   //           assigns offset + local index over its sorted rows.
   //
-  // Determinism: repartitionByRange samples its bounds with seeds
-  // derived from the (deterministic) input partition indices, so both
-  // passes see identical partitioning; rows are sorted by doc_id within
-  // each partition, so offset + local rank == global rank, exactly the
-  // oracle's row_number. The per-partition loop is a mapPartitions —
-  // the one pattern where imperative iteration is the *scale-correct*
-  // choice, not a shortcut (no shuffle beyond the range exchange, no
+  // Correctness hinges on BOTH passes seeing the SAME partition
+  // boundaries. repartitionByRange samples its bounds per job with a
+  // seed derived from the materialized RDD's id — two separate actions
+  // re-sample and can split differently (observed at sf0.1: boundaries
+  // shifted by a few rows between the count pass and the assignment
+  // pass, corrupting every downstream offset). The layout is therefore
+  // FROZEN by caching the range-partitioned frame: the first pass
+  // materializes the blocks, the second reads the identical cached
+  // partitions. Rows are sorted by doc_id within each frozen partition,
+  // so offset + local rank == global rank, exactly the oracle's
+  // row_number. The per-partition loop is a mapPartitions — the one
+  // pattern where imperative iteration is the *scale-correct* choice,
+  // not a shortcut (no shuffle beyond the range exchange, no
   // single-task stage, no driver data path).
   // ---------------------------------------------------------------------
   private val IdParts = 8
@@ -718,8 +724,10 @@ object Curation {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
       .repartitionByRange(IdParts, col("doc_id"))
       .sortWithinPartitions("doc_id")
+      .cache() // freeze the sampled range boundaries across both passes
 
-    // pass 1: partition histogram (P rows to the driver)
+    // pass 1: partition histogram (P rows to the driver); materializes
+    // the cache, pinning the layout pass 2 will read
     val counts = docs.groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -728,13 +736,16 @@ object Curation {
     }.toMap
     val bc = spark.sparkContext.broadcast(offsets)
 
-    // pass 2: offset + local index per partition
-    docs.as[Long].mapPartitions { it =>
+    // pass 2: offset + local index per cached partition
+    val out = docs.as[Long].mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val off = bc.value.getOrElse(pid, 0L)
       var i = 0L
       it.map { d => val r = (d, off + i); i += 1; r }
     }.toDF("doc_id", "seq_id").orderBy("doc_id")
+      .localCheckpoint(true) // materialize before releasing the layout
+    docs.unpersist()
+    out
   }
 
   val q95Sql: String =
