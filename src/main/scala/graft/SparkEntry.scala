@@ -115,6 +115,10 @@ object SparkEntry {
     "q94_stream_funnel"       -> (graft.streaming.StreamParity.q94StreamFunnel _),
     "q95_contiguous_ids"      -> (Curation.q95ContiguousIds _),
     "q96_scd2"                -> (Relational.q96Scd2 _),
+    "q97_fuzzy_vocab_join"    -> (Dedup.q97FuzzyVocabJoin _),
+    "q98_star_flagship"       -> (Relational.q98StarFlagship _),
+    "q99_temperature_mix"     -> (Curation.q99TemperatureMix _),
+    "q100_table_stats"        -> (Profiling.q100TableStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -248,5 +252,9 @@ object SparkEntry {
     "q94_stream_funnel"       -> Relational.q92Sql,
     "q95_contiguous_ids"      -> Curation.q95Sql,
     "q96_scd2"                -> Relational.q96Sql,
+    "q97_fuzzy_vocab_join"    -> Dedup.q97Sql,
+    "q98_star_flagship"       -> Relational.q98Sql,
+    "q99_temperature_mix"     -> Curation.q99Sql,
+    "q100_table_stats"        -> Profiling.q100Sql,
   )
 }

@@ -753,4 +753,54 @@ object Curation {
       |       ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS seq_id
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q99 — temperature-scaled language mixture (the multilingual
+  // rebalancing rule from XLM-R / mBERT: sample language l with
+  // p_l ∝ (n_l / N)^alpha, alpha < 1 upsamples low-resource languages).
+  // Output: per-language corpus count, normalized mixture weight, and
+  // the expected document budget at a fixed total sample size.
+  //
+  // Scale shape: ONE partial-aggregable count over the corpus; the
+  // power/normalize arithmetic runs on the aggregate (|langs| rows —
+  // hundreds at web scale). The two "totals" the normalization needs
+  // (N and Z = sum of powered shares) are aggregate-of-aggregate:
+  // broadcast-joined 1-row frames, never a second corpus pass.
+  //
+  // Float discipline: pow() is <=1-ulp (not correctly-rounded) in both
+  // JVM and C libm, so the emitted weight is rounded to 6 dp and the
+  // expected count derives from the ROUNDED weight — bit-stable across
+  // engines (same trick as q55's decimal sums).
+  // ---------------------------------------------------------------------
+  private[graft] val MixAlpha  = 0.3
+  private[graft] val MixBudget = 100000L
+
+  def q99TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    val powered = counts.crossJoin(broadcast(total))
+      .withColumn("praw", pow(col("n_docs").cast("double") / col("total"),
+        lit(MixAlpha)))
+    val z = powered.agg(sum(col("praw")).as("zsum"))
+    powered.crossJoin(broadcast(z))
+      .withColumn("p_mix", round(col("praw") / col("zsum"), 6))
+      .withColumn("expected_docs",
+        floor(col("p_mix") * lit(MixBudget) + lit(0.5)).cast("long"))
+      .select(col("lang"), col("n_docs"), col("p_mix"), col("expected_docs"))
+      .orderBy("lang")
+  }
+
+  val q99Sql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |t AS (SELECT SUM(n_docs) AS total FROM c),
+       |p AS (SELECT lang, n_docs,
+       |             pow(n_docs * 1.0 / total, $MixAlpha) AS praw
+       |      FROM c, t),
+       |z AS (SELECT SUM(praw) AS zsum FROM p)
+       |SELECT lang, n_docs, ROUND(praw / zsum, 6) AS p_mix,
+       |       CAST(FLOOR(ROUND(praw / zsum, 6) * $MixBudget + 0.5) AS BIGINT)
+       |         AS expected_docs
+       |FROM p, z
+       |ORDER BY lang""".stripMargin
 }

@@ -981,4 +981,87 @@ object Dedup {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
       |ORDER BY doc_train, doc_eval""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q97 — spelling-variant detection over a value vocabulary: all pairs
+  // of distinct part names within Levenshtein distance <= 2, with each
+  // side's part count (the normalization decision — which variant is the
+  // canonical spelling — keys off frequency). The record-linkage /
+  // entity-resolution primitive, and the value-cleanup step a curation
+  // pipeline runs over categorical columns before grouping on them.
+  //
+  // Blocking: the naive plan is a vocab x vocab cross join with a
+  // levenshtein predicate — O(V^2) comparisons, the plan that never
+  // finishes once the vocabulary is real (100 TB of text -> 10^7-10^8
+  // distinct values). This uses the FastSS deletion neighborhood
+  // (Bocek et al., "Fast Similarity Search in Large Dictionaries", 2007):
+  // if ed(a, b) <= d then deleting the <= d edited positions from each
+  // string yields a COMMON variant, so generating every <= 2-deletion
+  // variant per name and equi-joining on the variant's hash is a
+  // COMPLETE candidate generator for d = 2 — no false negatives, exact
+  // levenshtein verify on the (rare) candidates. Cost shape:
+  //  - variants are a pure per-row projection (higher-order functions,
+  //    no UDF): O(len^2) ~ tens of variants per vocab entry;
+  //  - the only shuffles are the vocab aggregate (vocab-sized) and the
+  //    variant equi-join keyed on an md5 prefix (16 bytes + name);
+  //  - verification is levenshtein on candidate pairs only.
+  // The vocabulary aggregate itself partial-aggregates map-side, so the
+  // corpus-sized input shuffles only its distinct values.
+  // ---------------------------------------------------------------------
+  private[graft] val FuzzyMaxDist = 2
+
+  def q97FuzzyVocabJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // vocab: distinct names + frequency (partial agg; vocab-sized).
+    val vocab = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    // <=2-deletion neighborhood as one projection. d1 enumerates every
+    // 1-deletion variant; d2 applies d1 again and flattens. The name
+    // itself (0 deletions) is included so ed<=2 pairs of unequal length
+    // still meet (e.g. pure-insertion edits: a's 0-del variant equals
+    // b's 2-del variant).
+    val d1 = expr(
+      """transform(sequence(1, length(p_name)),
+        |  i -> concat(substring(p_name, 1, i - 1),
+        |              substring(p_name, i + 1, length(p_name))))""".stripMargin)
+    val variants = vocab
+      .withColumn("d1", d1)
+      .withColumn("vs", array_distinct(concat(
+        array(col("p_name")), col("d1"),
+        flatten(expr(
+          """transform(d1, v -> transform(sequence(1, length(v)),
+            |  j -> concat(substring(v, 1, j - 1),
+            |              substring(v, j + 1, length(v)))))""".stripMargin)))))
+      .select(col("p_name"), col("n_parts"),
+        explode(col("vs")).as("variant"))
+      .select(col("p_name"), col("n_parts"),
+        unhex(md5(col("variant"))).as("vh"))
+      .distinct()
+    // Candidate pairs: same deletion variant, ordered to dedup the
+    // symmetric join; exact verify with the threshold-capped
+    // levenshtein (stops the DP early once the cap is exceeded).
+    val a = variants.select(col("p_name").as("name_a"),
+      col("n_parts").as("n_a"), col("vh"))
+    val b = variants.select(col("p_name").as("name_b"),
+      col("n_parts").as("n_b"), col("vh"))
+    a.join(b, Seq("vh"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b", "n_a", "n_b").distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), FuzzyMaxDist)
+          .cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= FuzzyMaxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val q97Sql: String =
+    s"""WITH v AS (
+       |  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       |       a.n_parts AS n_a, b.n_parts AS n_b
+       |FROM v a JOIN v b ON a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |ORDER BY name_a, name_b""".stripMargin
 }

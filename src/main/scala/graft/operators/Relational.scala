@@ -846,4 +846,65 @@ object Relational {
       |          IS NULL AND NOT deleted) AS is_current
       |FROM feed
       |ORDER BY o_orderkey, version""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q98 — star-schema flagship: TPC-H Q5-shaped 5-table join (fact
+  // lineitem against the orders/customer/nation/region dimension chain),
+  // revenue per nation for one region and one order-date year.
+  //
+  // This is the canonical "does the engine pick the right plan" query.
+  // The shape that survives 100 TB:
+  //  - the region/nation/customer chain is reduced FIRST (region filter
+  //    prunes nation keys before customer ever joins), so the fact table
+  //    joins against an already-filtered dimension side;
+  //  - the date predicate on orders is pushed to the parquet scan
+  //    (PushedFilters), so the fact-side shuffle carries only the
+  //    filtered year;
+  //  - region⋈nation⋈customer are broadcast-sized here and AQE turns
+  //    them into BroadcastHashJoins; the ONLY big shuffle is
+  //    lineitem⋈orders on orderkey. At cluster scale customer may stop
+  //    being broadcastable — the join stays hash-keyed on c_custkey and
+  //    the plan degrades gracefully to one extra shuffle, not a replan.
+  //  - revenue sums decimal-exactly (dsum) so the result is
+  //    order-insensitive and oracle-comparable bit-for-bit.
+  // ---------------------------------------------------------------------
+  def q98StarFlagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, sfDir)
+    val nat  = Tables.nation(spark, sfDir)
+    val reg  = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    // Dimension chain first: region -> nation -> customer, each step
+    // shrinking the key set the fact side must match.
+    val dims = cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    ord.join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+      .join(li, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q98Sql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                     AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
 }

@@ -322,4 +322,24 @@ class CurationSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Window"),
       "prefix-sum id assignment must not plan a global window")
   }
+
+  test("q99 temperature mix: weights normalize, budget is met, tails upsample") {
+    val rows = Curation.q99TemperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val n = rows.map(_._2).sum.toDouble
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "mixture sums to 1")
+    assert(math.abs(rows.map(_._4).sum - Curation.MixBudget) <=
+      rows.length, "expected docs meet the budget up to rounding")
+    // alpha < 1 flattens the distribution: every language below uniform
+    // share gains weight, every language above loses it
+    rows.foreach { case (lang, nl, p, _) =>
+      val raw = nl / n
+      if (raw < 1.0 / rows.length) assert(p > raw, s"$lang should upsample")
+      if (raw > 1.0 / rows.length) assert(p < raw, s"$lang should downsample")
+    }
+    // ordering of languages by count is preserved by the mixture
+    val byCount = rows.sortBy(_._2).map(_._1).toSeq
+    val byP     = rows.sortBy(_._3).map(_._1).toSeq
+    assert(byCount === byP, "temperature scaling is monotone in count")
+  }
 }

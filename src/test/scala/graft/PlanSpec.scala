@@ -384,4 +384,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "analytic-frame funnel must not self-join")
     assert(plan.contains("Window"))
   }
+
+  test("q97: fuzzy vocab join is an equi-join on deletion variants — never a cross product") {
+    val plan = finalPlan(Dedup.q97FuzzyVocabJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "vocab x vocab with a levenshtein predicate is the plan that never finishes")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q98: dimension chain broadcasts; the date filter reaches the orders scan") {
+    val plan = finalPlan(Relational.q98StarFlagship(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "region/nation/customer must broadcast against the fact side")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date predicate must be pushed to the parquet scan")
+  }
+
+  test("q100: all column stats evaluate in one scan via Expand") {
+    val plan = finalPlan(graft.operators.Profiling.q100TableStats(spark, sf))
+    assert(plan.split("== Initial Plan ==")(0)
+      .linesIterator.count(_.contains("Scan parquet")) === 1,
+      "the profiler must not scan the table once per column")
+    assert(plan.contains("Expand"),
+      "multi-column exact NDV compiles to a single Expand")
+    assert(plan.contains("partial_"), "stats aggregate partially map-side")
+  }
 }

@@ -335,4 +335,18 @@ class RelationalSpec extends SparkSpec {
     assert(byKey.filter(_._1 % 7 == 0).forall(_._2.length == 2))
     assert(byKey.filterNot(_._1 % 7 == 0).forall(_._2.length == 1))
   }
+
+  test("q98 star flagship equals the SQL-on-views reference answer") {
+    Seq("lineitem", "orders", "customer", "nation", "region").foreach { t =>
+      Tables.load(spark, sf, t).createOrReplaceTempView(t)
+    }
+    val viaSql = spark.sql(Relational.q98Sql).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val got = Relational.q98StarFlagship(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === viaSql)
+    assert(got.nonEmpty, "the 1996/ASIA slice is non-empty at every SF")
+    // every ASIA nation present in customer data should appear
+    assert(got.forall(_._3 > 0))
+  }
 }

@@ -459,4 +459,56 @@ class TrainingDataSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty, "this corpus plants cross-split near-dup pairs")
   }
+
+  private def editDistance(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("q97 fuzzy vocab join equals brute-force levenshtein over the vocabulary") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val vocab = Tables.part(spark, sf)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val names = vocab.keys.toSeq.sorted
+    val expected = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      d = editDistance(names(i), names(j)) if d <= Dedup.FuzzyMaxDist
+    } yield (names(i), names(j), d.toLong, vocab(names(i)), vocab(names(j)))).toSet
+    val got = Dedup.q97FuzzyVocabJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected,
+      "deletion-neighborhood blocking must be a complete candidate generator")
+    assert(got.nonEmpty, "the part vocabulary contains near-spellings")
+  }
+
+  test("q100 column stats match direct per-column aggregates") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max, min}
+    val li = Tables.lineitem(spark, sf)
+    val got = graft.operators.Profiling.q100TableStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val nRows = li.count()
+    graft.operators.Profiling.StatCols.foreach { c =>
+      val d = li.agg(countDistinct(col(c)), min(col(c)).cast("double"),
+        max(col(c)).cast("double")).collect()(0)
+      val (n, nulls, ndv, mn, mx) = got(c)
+      assert(n === nRows, s"$c n_rows")
+      assert(nulls === li.filter(col(c).isNull).count(), s"$c nulls")
+      assert(ndv === d.getLong(0), s"$c ndv")
+      assert(mn === d.getDouble(1), s"$c min")
+      assert(mx === d.getDouble(2), s"$c max")
+    }
+  }
 }
