@@ -119,6 +119,8 @@ object SparkEntry {
     "q98_star_flagship"       -> (Relational.q98StarFlagship _),
     "q99_temperature_mix"     -> (Curation.q99TemperatureMix _),
     "q100_table_stats"        -> (Profiling.q100TableStats _),
+    "q101_zorder_layout"      -> (Bucketing.q101ZorderLayout _),
+    "q102_decay_features"     -> (Relational.q102DecayFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,5 +258,7 @@ object SparkEntry {
     "q98_star_flagship"       -> Relational.q98Sql,
     "q99_temperature_mix"     -> Curation.q99Sql,
     "q100_table_stats"        -> Profiling.q100Sql,
+    "q101_zorder_layout"      -> Bucketing.q101Sql,
+    "q102_decay_features"     -> Relational.q102Sql,
   )
 }

@@ -140,4 +140,82 @@ object Bucketing {
   }
 
   val q35Sql: String = Relational.q09Sql
+
+  // ---------------------------------------------------------------------
+  // q101 — Z-order (Morton-curve) layout: the multi-column data-skipping
+  // layout (Delta OPTIMIZE ZORDER BY, Iceberg sort orders). Bucketing/
+  // range-partitioning cluster ONE key; a 100 TB table queried by BOTH
+  // l_orderkey and l_partkey ranges needs min/max file statistics that
+  // are tight on BOTH — interleaving the bits of the two (min-max
+  // scaled) keys gives a 1-D sort key whose contiguous ranges are
+  // axis-aligned-ish rectangles in the 2-D key space.
+  //
+  // The operator computes the Morton key as a pure projection and
+  // reports per-z-cell locality: each of the 16 top-level z-cells must
+  // cover ~1/4 of EACH dimension's range (vs a 1-D sort where every
+  // cell spans the full secondary-key range — the spec asserts exactly
+  // this locality bound). A writer would `repartitionByRange(zval)`
+  // then write; the cell report is the oracle-checkable core.
+  //
+  // Scale notes:
+  //  - dimension min/max are ONE partial aggregate, broadcast back as a
+  //    1-row frame (never a second scan barrier);
+  //  - bucketing + bit interleave are integer-exact codegen projections
+  //    (20 shift/mask terms — no UDF, no floats, bit-identical in any
+  //    engine);
+  //  - per-cell stats partial-aggregate map-side; output is 16 rows.
+  // ---------------------------------------------------------------------
+  private val ZBits = 10 // 10 bits per dimension -> 20-bit Morton key
+
+  /** Morton-interleave two ZBits-bucketed BIGINT columns: a's bits land
+    * at odd positions, b's at even. */
+  private def morton(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Seq.tabulate(ZBits) { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+
+  def q101ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val bounds = li.agg(
+      min(col("ok")).as("okmin"), max(col("ok")).as("okmax"),
+      min(col("pk")).as("pkmin"), max(col("pk")).as("pkmax"))
+    // `div` is Spark's integral division — bit-exact vs DuckDB's `//`
+    // (the `/` operator would detour through doubles).
+    def bucket(c: String, lo: String, hi: String) =
+      expr(s"($c - $lo) * ${1L << ZBits} div ($hi - $lo + 1)")
+    li.crossJoin(broadcast(bounds))
+      .withColumn("zval", morton(
+        bucket("ok", "okmin", "okmax"),
+        bucket("pk", "pkmin", "pkmax")))
+      .withColumn("zcell", shiftright(col("zval"), 2 * ZBits - 4)) // top 4 bits
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ok")).as("min_ok"), max(col("ok")).as("max_ok"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"))
+      .orderBy("zcell")
+  }
+
+  val q101Sql: String = {
+    val aTerms = (0 until ZBits).map(i =>
+      s"((ba >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+    val bTerms = (0 until ZBits).map(i =>
+      s"((bb >> $i) & 1) * ${1L << (2 * i)}").mkString(" + ")
+    s"""WITH r AS (SELECT MIN(l_orderkey) AS okmin, MAX(l_orderkey) AS okmax,
+       |                  MIN(l_partkey) AS pkmin, MAX(l_partkey) AS pkmax
+       |           FROM lineitem),
+       |z AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+       |             (l_orderkey - okmin) * ${1L << ZBits} // (okmax - okmin + 1) AS ba,
+       |             (l_partkey - pkmin) * ${1L << ZBits} // (pkmax - pkmin + 1) AS bb
+       |      FROM lineitem, r)
+       |SELECT ($aTerms + $bTerms) >> ${2 * ZBits - 4} AS zcell,
+       |       COUNT(*) AS n_rows,
+       |       MIN(ok) AS min_ok, MAX(ok) AS max_ok,
+       |       MIN(pk) AS min_pk, MAX(pk) AS max_pk
+       |FROM z
+       |GROUP BY 1
+       |ORDER BY zcell""".stripMargin
+  }
 }

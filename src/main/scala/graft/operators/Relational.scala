@@ -892,6 +892,87 @@ object Relational {
       .orderBy("n_name")
   }
 
+  // ---------------------------------------------------------------------
+  // q102 — time-decayed per-user features: the feature-store primitive
+  // ("activity score with a 1-hour half-life") behind recency-weighted
+  // training labels and freshness-aware sampling. Each event's weight
+  // halves per elapsed half-life relative to the USER'S OWN most recent
+  // event, so the feature is translation-invariant (re-running tomorrow
+  // on unchanged data gives identical values — no wall-clock leakage).
+  //
+  // Float discipline — this is the operator where naive exp() breaks
+  // cross-engine parity: libm exp/pow are <=1-ulp, not correctly
+  // rounded, and a sum of such weights is order-dependent. Instead the
+  // decay is STEPPED — k = floor(age / half-life) whole half-lives,
+  // clamped at 12 — and computed ENTIRELY in exact arithmetic:
+  //  - each row carries the INTEGER weight 2^(12-k) (a shift — never a
+  //    sub-1 double, whose decimal image is where engines disagree);
+  //  - value * 2^m is an exact IEEE multiply (power-of-two scaling
+  //    changes only the exponent), so the decimal cast sees the same
+  //    dyadic number both engines computed bit-identically;
+  //  - sums run in DECIMAL (order-insensitive; the decimal cast at
+  //    scale 6 can tie-break only for values with exactly 7 fraction
+  //    bits — none exist in this data, the same dyadic-tie assumption
+  //    every dsum(25,6) oracle already makes);
+  //  - the final /4096 (2^-12) division is exact in doubles.
+  // Result: bit-identical decayed features under ANY partitioning and
+  // in both engines, with NO transcendental in the plan.
+  //
+  // Scale: one scan; the per-user max-ts and the weighted sums fold
+  // into a SINGLE aggregate over one shuffle on user_id — max(ts) is
+  // computed as an aggregate alongside the sums by expressing the age
+  // against the max via a self-agg... which SQL cannot do in one pass;
+  // the standard shape is window-max then aggregate, sharing ONE
+  // user_id exchange (window and groupBy use the same partitioning, so
+  // Catalyst plans exactly one shuffle — asserted in PlanSpec).
+  // ---------------------------------------------------------------------
+  private[graft] val HalfLifeSec = 3600L
+  private[graft] val MaxHalfLives = 12L
+
+  def q102DecayFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("sec"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val k = least(floor((max(col("sec")).over(byUser) - col("sec"))
+      / lit(HalfLifeSec)).cast("long"), lit(MaxHalfLives))
+    val inv = math.pow(2.0, -MaxHalfLives.toDouble) // 2^-12, exact
+    ev.withColumn("k", k)
+      // integer weight 2^(12-k); the float weight is (iw / 4096)
+      .withColumn("iw", expr(
+        s"shiftleft(1L, cast($MaxHalfLives - k AS int))"))
+      .groupBy(col("user_id"))
+      .agg(
+        (sum((col("value") * col("iw")).cast(DecimalType(30, 6)))
+          .cast("double") * lit(inv)).as("decayed_value"),
+        (sum(col("iw")).cast("double") * lit(inv)).as("decayed_count"),
+        count(lit(1)).as("n_events"),
+        max(col("sec")).as("last_sec"))
+      .orderBy("user_id")
+  }
+
+  val q102Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+       |         LEAST((MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+       |                    OVER (PARTITION BY user_id)
+       |                 - CAST(FLOOR(epoch(ts)) AS BIGINT)) // $HalfLifeSec,
+       |               $MaxHalfLives) AS k
+       |  FROM events),
+       |w AS (SELECT user_id, value, sec,
+       |             (1::BIGINT << ($MaxHalfLives - k)) AS iw FROM e)
+       |SELECT user_id,
+       |       CAST(SUM(CAST(value * iw AS DECIMAL(30,6))) AS DOUBLE)
+       |         / ${1L << MaxHalfLives.toInt} AS decayed_value,
+       |       CAST(SUM(iw) AS DOUBLE)
+       |         / ${1L << MaxHalfLives.toInt} AS decayed_count,
+       |       COUNT(*) AS n_events,
+       |       MAX(sec) AS last_sec
+       |FROM w
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   val q98Sql: String =
     """SELECT n_name,
       |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

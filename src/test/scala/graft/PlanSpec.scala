@@ -402,6 +402,32 @@ class PlanSpec extends SparkSpec {
       "order-date predicate must be pushed to the parquet scan")
   }
 
+  test("q101: every z-cell is a rectangle covering ~1/4 of EACH dimension") {
+    val rows = Bucketing.q101ZorderLayout(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 < 16))
+    val okRange = (rows.map(_._3).max - rows.map(_._2).min + 1).toDouble
+    val pkRange = (rows.map(_._5).max - rows.map(_._4).min + 1).toDouble
+    rows.foreach { case (cell, okMin, okMax, pkMin, pkMax) =>
+      // top-4-bit z-cells tile the key space 4x4: each cell's span in
+      // EITHER dimension is <= range/4 (+1 bucket of boundary slack).
+      // A 1-D sort key would give span == full range on the second dim.
+      assert((okMax - okMin + 1) <= okRange / 4 + okRange / 256 + 1,
+        s"cell $cell orderkey span too wide")
+      assert((pkMax - pkMin + 1) <= pkRange / 4 + pkRange / 256 + 1,
+        s"cell $cell partkey span too wide")
+    }
+  }
+
+  test("q102: window-max and the aggregate share ONE user_id exchange") {
+    val plan = finalPlan(Relational.q102DecayFeatures(spark, sf))
+    val exchanges = plan.split("== Initial Plan ==")(0).linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges === 1,
+      "decay features must not shuffle twice on the same key")
+    assert(!plan.toLowerCase.contains("exp("), "no transcendental in the plan")
+  }
+
   test("q100: all column stats evaluate in one scan via Expand") {
     val plan = finalPlan(graft.operators.Profiling.q100TableStats(spark, sf))
     assert(plan.split("== Initial Plan ==")(0)

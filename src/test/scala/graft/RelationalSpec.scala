@@ -349,4 +349,36 @@ class RelationalSpec extends SparkSpec {
     // every ASIA nation present in customer data should appear
     assert(got.forall(_._3 > 0))
   }
+
+  test("q102 decay features match a hand-computed per-user reference") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val tmax = rows.map(_._3).max
+      val ws = rows.map { case (_, v, s) =>
+        val k = math.min((tmax - s) / Relational.HalfLifeSec,
+          Relational.MaxHalfLives)
+        val w = 1.0 / (1L << k)
+        (v * w, w)
+      }
+      // reference sums in BigDecimal to stay order-free like the operator
+      val dv = ws.map(x => BigDecimal(x._1 * (1L << Relational.MaxHalfLives))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        .toDouble / (1L << Relational.MaxHalfLives)
+      u -> (dv, ws.map(_._2).sum, rows.length.toLong, tmax)
+    }
+    val got = Relational.q102DecayFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (u, (dv, dc, n, last)) =>
+      val (gdv, gdc, gn, glast) = got(u)
+      assert(gn === n && glast === last, s"counts/last at $u")
+      assert(math.abs(gdc - dc) < 1e-9, s"decayed_count at $u")
+      assert(math.abs(gdv - dv) < 1e-9, s"decayed_value at $u")
+      // the newest event always contributes weight 1; nothing exceeds n
+      assert(gdc >= 1.0 && gdc <= n.toDouble, s"weight bounds at $u")
+    }
+  }
 }
