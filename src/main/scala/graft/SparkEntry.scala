@@ -121,6 +121,9 @@ object SparkEntry {
     "q100_table_stats"        -> (Profiling.q100TableStats _),
     "q101_zorder_layout"      -> (Bucketing.q101ZorderLayout _),
     "q102_decay_features"     -> (Relational.q102DecayFeatures _),
+    "q103_skyline"            -> (Relational.q103Skyline _),
+    "q104_regr_trend"         -> (Relational.q104RegrTrend _),
+    "q105_observe_quality"    -> (Observability.q105ObserveQuality _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -260,5 +263,8 @@ object SparkEntry {
     "q100_table_stats"        -> Profiling.q100Sql,
     "q101_zorder_layout"      -> Bucketing.q101Sql,
     "q102_decay_features"     -> Relational.q102Sql,
+    "q103_skyline"            -> Relational.q103Sql,
+    "q104_regr_trend"         -> Relational.q104Sql,
+    "q105_observe_quality"    -> Observability.q105Sql,
   )
 }

@@ -973,6 +973,130 @@ object Relational {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q103 — skyline / Pareto frontier: parts not dominated on
+  // (p_retailprice, p_size) — no other part is <= on both and < on at
+  // least one. The multi-objective shortlist primitive (cheapest-and-
+  // smallest tradeoff curve).
+  //
+  // The naive plan is a NOT EXISTS self-join — O(n^2) comparisons with
+  // an inequality predicate, i.e. a cross product (that IS the DuckDB
+  // oracle, which is exactly why the operator must not be built that
+  // way). The 2-D skyline decomposes into sort + prefix-min instead:
+  //   1. per-price min size (one partial-aggregable groupBy —
+  //      |distinct prices| rows out of n);
+  //   2. a price-ordered strict-prefix running min of those min sizes:
+  //      a price level is on the frontier iff its min size is strictly
+  //      below every cheaper level's (<= from a cheaper price
+  //      dominates);
+  //   3. equi-join the (frontier price, its min size) pairs back to
+  //      the base rows — ties on both dims are all kept (no strict
+  //      dominator exists among equals).
+  // The global-order window in step 2 runs over the PRICE-LEVEL
+  // aggregate, never the base rows: cardinality |prices| << n. If even
+  // that outgrows one task, the q95 range-partitioned prefix-scan
+  // pattern composes (partition by price range, per-partition min,
+  // broadcast prefix mins) — same two-pass shape, documented there.
+  // ---------------------------------------------------------------------
+  def q103Skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val levels = p.groupBy(col("p_retailprice"))
+      .agg(min(col("p_size")).as("msize"))
+    val prefix = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_retailprice"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = levels
+      .withColumn("prevMin", min(col("msize")).over(prefix))
+      .filter(col("prevMin").isNull || col("msize") < col("prevMin"))
+      .select(col("p_retailprice").as("f_price"), col("msize").as("f_size"))
+    p.join(frontier,
+        p("p_retailprice") === col("f_price") && p("p_size") === col("f_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+      .orderBy("p_partkey")
+  }
+
+  val q103Sql: String =
+    """SELECT p_partkey, p_name, p_retailprice, p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q104 — grouped linear-regression trend: per event type, the OLS
+  // slope/intercept/R^2 of value over event time. The drift-detection
+  // primitive ("is this metric trending?") behind data-quality monitors
+  // and training-curriculum scheduling.
+  //
+  // NOT regr_slope()/regr_r2(): those aggregate in floating point, so
+  // the result depends on partition merge order — unacceptable for an
+  // engine whose aggregates must be bit-stable under re-partitioning
+  // (and they hash-mismatch any cross-engine oracle). Instead the five
+  // sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated
+  // EXACTLY — x is integer seconds (exact in BIGINT/DECIMAL), the
+  // y-products are single correctly-rounded IEEE multiplies summed in
+  // DECIMAL — and the closed-form arithmetic then runs in a FIXED
+  // expression order on identical inputs, so every engine lands on the
+  // identical double. One partial-aggregable pass, one shuffle of 5
+  // numbers per group. Slope is reported per HOUR (x3600) to keep the
+  // magnitude readable; a final 6-dp round guards the one remaining
+  // engine-specific step (wide-DECIMAL -> double conversion).
+  // ---------------------------------------------------------------------
+  def q104RegrTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("x"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0)))
+        .cast("double").as("sxx"),
+      sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sy"),
+      sum((col("value") * col("value")).cast(DecimalType(30, 9)))
+        .cast("double").as("syy"),
+      sum((col("x").cast("double") * col("value")).cast(DecimalType(32, 6)))
+        .cast("double").as("sxy"))
+    stats
+      .withColumn("den",  col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("num",  col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_events"),
+        round(col("num") / col("den") * lit(3600.0), 6).as("slope_per_hour"),
+        round((col("sy") - col("num") / col("den") * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(col("num") * col("num") / (col("den") * col("deny")), 6)
+          .as("r2"))
+      .orderBy("event_type")
+  }
+
+  val q104Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS x
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type,
+      |         CAST(COUNT(*) AS DOUBLE) AS n,
+      |         CAST(SUM(x) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(value * value AS DECIMAL(30,9))) AS DOUBLE) AS syy,
+      |         CAST(SUM(CAST(CAST(x AS DOUBLE) * value AS DECIMAL(32,6))) AS DOUBLE) AS sxy
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type,
+      |       CAST(n AS BIGINT) AS n_events,
+      |       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600.0, 6)
+      |         AS slope_per_hour,
+      |       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+      |         AS intercept,
+      |       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+
   val q98Sql: String =
     """SELECT n_name,
       |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

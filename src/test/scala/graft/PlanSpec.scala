@@ -428,6 +428,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("exp("), "no transcendental in the plan")
   }
 
+  test("q103: skyline never cross-joins — prefix-min window runs over the price-level aggregate") {
+    val plan = finalPlan(Relational.q103Skyline(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the NOT EXISTS formulation (O(n^2)) must never be the physical plan")
+    // the Window must consume the aggregated levels, not base rows:
+    // HashAggregate appears below (after, in tree print) the Window
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "prefix-min runs over per-price aggregates")
+  }
+
+  test("q104: trend statistics aggregate partially in one pass — no window, no join") {
+    val plan = finalPlan(Relational.q104RegrTrend(spark, sf))
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+    assert(plan.contains("partial_"))
+  }
+
   test("q100: all column stats evaluate in one scan via Expand") {
     val plan = finalPlan(graft.operators.Profiling.q100TableStats(spark, sf))
     assert(plan.split("== Initial Plan ==")(0)

@@ -381,4 +381,57 @@ class RelationalSpec extends SparkSpec {
       assert(gdc >= 1.0 && gdc <= n.toDouble, s"weight bounds at $u")
     }
   }
+
+  test("q103 skyline equals brute-force dominance over all parts") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expected = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, pr2, sz2) =>
+        pr2 <= pr && sz2 <= sz && (pr2 < pr || sz2 < sz)
+      }
+    }.map(_._1).toSet
+    val got = Relational.q103Skyline(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q104 trend stats match a driver-side exact recomputation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_timestamp(col("ts")).as("x"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val got = Relational.q104RegrTrend(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val n = rows.length.toDouble
+      val sx = rows.map(_._3.toDouble).sum
+      val sxx = rows.map(r => BigDecimal(r._3) * BigDecimal(r._3)).sum.toDouble
+      val sy = rows.map(_._2).sum
+      val sxy = rows.map(r => r._3.toDouble * r._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val (gn, gslope, gint, gr2) = got(t)
+      assert(gn === rows.length.toLong)
+      assert(math.abs(gslope - slope * 3600.0) < 1e-4, s"slope at $t")
+      assert(math.abs(gint - (sy - slope * sx) / n) < 1e-3, s"intercept at $t")
+      assert(gr2 >= 0.0 && gr2 <= 1.0 + 1e-9, s"r2 in range at $t")
+    }
+  }
+
+  test("q105 observed metrics equal the result rows — one scan, zero extra pass") {
+    val res = graft.operators.Observability.q105ObserveQuality(spark, sf)
+    val rows = res.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val metrics = res.queryExecution.observedMetrics("graft_quality")
+    val names = graft.operators.Observability.rules.map(_._1)
+    names.foreach { rule =>
+      assert(metrics.getAs[Long](rule) === rows(rule)._1,
+        s"observe counter for $rule must equal the aggregated result")
+    }
+    assert(metrics.getAs[Long]("n_rows") === rows(names.head)._2)
+    // at least one rule fires on this corpus, none flags every row
+    assert(rows.values.exists(_._1 > 0))
+    assert(rows.values.forall(v => v._1 < v._2))
+  }
 }
