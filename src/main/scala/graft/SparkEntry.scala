@@ -124,6 +124,10 @@ object SparkEntry {
     "q103_skyline"            -> (Relational.q103Skyline _),
     "q104_regr_trend"         -> (Relational.q104RegrTrend _),
     "q105_observe_quality"    -> (Observability.q105ObserveQuality _),
+    "q106_stream_observe"     -> (graft.streaming.StreamParity.q106StreamObserveQuality _),
+    "q107_grouped_topk"       -> (Relational.q107GroupedTopK _),
+    "q108_equal_freq_bins"    -> (Relational.q108EqualFreqBins _),
+    "q109_skew_profile"       -> (Profiling.q109SkewProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -266,5 +270,11 @@ object SparkEntry {
     "q103_skyline"            -> Relational.q103Sql,
     "q104_regr_trend"         -> Relational.q104Sql,
     "q105_observe_quality"    -> Observability.q105Sql,
+    // q106 replays the q105 gate through the streaming engine; its
+    // complete-mode counters must equal the batch oracle exactly.
+    "q106_stream_observe"     -> Observability.q105Sql,
+    "q107_grouped_topk"       -> Relational.q107Sql,
+    "q108_equal_freq_bins"    -> Relational.q108Sql,
+    "q109_skew_profile"       -> Profiling.q109Sql,
   )
 }

@@ -73,4 +73,48 @@ object Profiling {
        |       CAST(MAX($c) AS DOUBLE) AS max_val
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ---------------------------------------------------------------------
+  // q109 — join/partition-key skew profiler: for each candidate key
+  // column of lineitem, the statistics that decide a shuffle strategy
+  // at 100 TB — distinct-key count, the heaviest key's absolute and
+  // relative weight, and the mean rows-per-key. A key whose max_share
+  // dwarfs 1/ndv is the key you salt (q31) or let AQE skew-split;
+  // a near-uniform key can hash-partition plainly. This is the operator
+  // that turns "the job is stuck on one task" into a measurement.
+  //
+  // Shape: per key column, ONE partial-aggregable count per key value
+  // (shuffle carries |keys| partial counts), then a second aggregate of
+  // that |keys|-sized frame down to one profile row; the per-column
+  // profiles union into the report. All arithmetic is exact (counts;
+  // shares rounded from one deterministic double division).
+  // ---------------------------------------------------------------------
+  private[graft] val SkewCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+
+  def q109SkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    SkewCols.map { c =>
+      li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_rows"))
+        .select(
+          lit(c).as("key_col"), col("n_distinct"), col("n_rows"),
+          col("max_rows"),
+          round(col("max_rows").cast("double") / col("n_rows"), 9)
+            .as("max_share"),
+          round(col("n_rows").cast("double") / col("n_distinct"), 6)
+            .as("mean_rows_per_key"))
+    }.reduce(_.unionAll(_)).orderBy("key_col")
+  }
+
+  val q109Sql: String = SkewCols.map { c =>
+    s"""SELECT '$c' AS key_col, COUNT(*) AS n_distinct,
+       |       SUM(cnt) AS n_rows, MAX(cnt) AS max_rows,
+       |       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 9) AS max_share,
+       |       ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6)
+       |         AS mean_rows_per_key
+       |FROM (SELECT $c, COUNT(*) AS cnt FROM lineitem GROUP BY $c)""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
 }

@@ -1097,6 +1097,81 @@ object Relational {
       |FROM s
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q107 — grouped top-k: the top 3 users by total value WITHIN each
+  // event type (leaderboards, per-segment winners). Unlike global top-k
+  // (q10's TakeOrderedAndProject), per-group top-k is aggregate →
+  // rank-window → filter: both the aggregate and the window partition
+  // by the group key, so Catalyst reuses ONE exchange for both (same
+  // single-shuffle discipline as q102; the rank window is
+  // partition-parallel — never a global sort). Ties break on user_id
+  // for determinism.
+  // ---------------------------------------------------------------------
+  private[graft] val TopKPerGroup = 3
+
+  def q107GroupedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val sums = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("total_value").desc, col("user_id").asc)
+    sums.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopKPerGroup)
+      .orderBy("event_type", "rank")
+  }
+
+  val q107Sql: String =
+    s"""SELECT event_type, user_id, total_value, n_events, rank FROM (
+       |  SELECT event_type, user_id, total_value, n_events,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type
+       |                            ORDER BY total_value DESC, user_id)
+       |           AS rank
+       |  FROM (SELECT event_type, user_id,
+       |               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+       |                 AS total_value,
+       |               COUNT(*) AS n_events
+       |        FROM events GROUP BY event_type, user_id))
+       |WHERE rank <= $TopKPerGroup
+       |ORDER BY event_type, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q108 — equal-frequency binning (decile calibration): per event
+  // type, split values into 10 equal-count bins and report each bin's
+  // range and exact mean. The calibration-curve / feature-binning
+  // primitive (score -> decile rank features; monotonic-calibration
+  // audits). ntile partitions BY GROUP, so the window is
+  // partition-parallel; the per-bin aggregate then reuses the same
+  // (event_type)-rooted shuffle. Means are decimal-exact (davg).
+  // ---------------------------------------------------------------------
+  private[graft] val CalibBins = 10
+
+  def q108EqualFreqBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("bin", ntile(CalibBins).over(w))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        davg(col("value")).as("mean_value"))
+      .orderBy("event_type", "bin")
+  }
+
+  val q108Sql: String =
+    s"""SELECT event_type, bin, COUNT(*) AS n,
+       |       MIN(value) AS lo, MAX(value) AS hi,
+       |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+       |            / COUNT(value) AS DOUBLE) AS mean_value
+       |FROM (SELECT event_type, value,
+       |             ntile($CalibBins) OVER (PARTITION BY event_type
+       |                                     ORDER BY value, event_id) AS bin
+       |      FROM events)
+       |GROUP BY event_type, bin
+       |ORDER BY event_type, bin""".stripMargin
+
   val q98Sql: String =
     """SELECT n_name,
       |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

@@ -1001,4 +1001,82 @@ object StreamParity {
       .filter(col("user_id") =!= -1L)
       .orderBy("user_id")
   }
+
+  /** Per-batch observed quality metrics captured by q106's listener,
+    * exposed for the spec: query name -> folded counters. */
+  private[graft] val observedFold =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+
+  /** q106 — the q105 data-quality gate over a CONTINUOUSLY INGESTING
+    * stream. Two independent mechanisms compute the same counters and
+    * must agree:
+    *  1. the streaming AGGREGATION (complete-mode rule counts — the
+    *     oracle-checked result, equal to batch q105 / its DuckDB SQL);
+    *  2. the `observe` node riding the stream: per-micro-batch counter
+    *     deltas surfaced on each progress event (Spark's engine-native
+    *     metrics side channel — the analog of the reference's operator
+    *     metric registry published per task,
+    *     `rlink/src/metrics/metric.rs:74-108`), folded across batches
+    *     by a [[org.apache.spark.sql.streaming.StreamingQueryListener]].
+    * The spec asserts 1 == 2 == batch: metric truth does not depend on
+    * which channel reports it. Scale: observe adds per-row predicate
+    * evaluation only (no state, no shuffle); the aggregation state is
+    * |rules| rows.
+    */
+  def q106StreamObserveQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Observability
+    val ev = graft.Tables.events(spark, sfDir)
+    val schema = ev.schema
+    val dir = Files.createTempDirectory("q106_events")
+    ev.repartition(4).write.mode("overwrite").parquet(dir.toString)
+
+    val aggs = Observability.rules.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(name)
+    } :+ count(lit(1)).as("n_rows")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .observe("graft_quality_stream", aggs.head, aggs.tail: _*)
+
+    val result = stream.select(
+        explode(array(Observability.rules.map { case (name, pred) =>
+          struct(lit(name).as("rule"), when(pred, 1L).otherwise(0L).as("bad"))
+        }: _*)).as("r"))
+      .groupBy(col("r.rule").as("rule"))
+      .agg(sum(col("r.bad")).as("n_bad"), count(lit(1)).as("n_rows"))
+      .withColumn("bad_frac",
+        round(col("n_bad").cast("double") / col("n_rows"), 9))
+
+    val table = s"q106_quality_${runId.incrementAndGet()}"
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("graft_quality_stream")
+        if (m != null) {
+          val delta = m.schema.fieldNames
+            .map(f => f -> m.getAs[Long](f)).toMap
+          observedFold.merge(table, delta,
+            (a, b) => a.map { case (k, v) => k -> (v + b.getOrElse(k, 0L)) })
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    val query = result.writeStream.outputMode("complete")
+      .format("memory").queryName(table).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    // progress events arrive on an async bus: poll until the listener
+    // has folded every processed row (bounded — the events were all
+    // committed before processAllAvailable returned)
+    val out = spark.table(table).orderBy("rule")
+    val nExpected = out.select(max(col("n_rows"))).collect()(0).getLong(0)
+    val deadline = System.currentTimeMillis + 10000
+    while (System.currentTimeMillis < deadline &&
+        observedFold.getOrDefault(table, Map.empty)
+          .getOrElse("n_rows", -1L) != nExpected)
+      Thread.sleep(50)
+    spark.streams.removeListener(listener)
+    out
+  }
 }

@@ -447,6 +447,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"))
   }
 
+  test("q107: per-group rank reuses the aggregate's exchange — one shuffle total") {
+    val plan = finalPlan(Relational.q107GroupedTopK(spark, sf))
+    val body = plan.split("== Initial Plan ==")(0)
+    // window partitions by a prefix of the aggregate key, so the only
+    // exchanges are the agg's own and (possibly) its re-key for the
+    // window — never a global sort
+    assert(!body.contains("Exchange SinglePartition") ||
+      body.contains("TakeOrdered") || !body.contains("Sort global"),
+      "grouped top-k must not plan a global sort")
+    assert(plan.contains("partial_"), "the per-user sums aggregate map-side")
+  }
+
+  test("q109: skew profile shuffles only per-key partial counts") {
+    val plan = finalPlan(graft.operators.Profiling.q109SkewProfile(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "key counting must combine map-side — the shuffle carries keys, not rows")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q100: all column stats evaluate in one scan via Expand") {
     val plan = finalPlan(graft.operators.Profiling.q100TableStats(spark, sf))
     assert(plan.split("== Initial Plan ==")(0)

@@ -434,4 +434,59 @@ class RelationalSpec extends SparkSpec {
     assert(rows.values.exists(_._1 > 0))
     assert(rows.values.forall(v => v._1 < v._2))
   }
+
+  test("q107 grouped top-k: exactly k ranked winners per group, correctly ordered") {
+    val rows = Relational.q107GroupedTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(4)))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, vs) =>
+      assert(vs.map(_._4).sorted.toSeq === (1 to Relational.TopKPerGroup),
+        s"ranks at $t")
+      val ordered = vs.sortBy(_._4).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        s"descending totals at $t")
+    }
+    // winner really is the group max of the per-user totals
+    val totals = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(Relational.dsum(col("value")).as("tv"))
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    byType.foreach { case (t, vs) =>
+      val best = totals.filter(_._1 == t).map(_._2).max
+      assert(vs.find(_._4 == 1).get._3 === best, s"winner at $t")
+    }
+  }
+
+  test("q108 equal-frequency bins: balanced counts, ordered non-overlapping ranges") {
+    val rows = Relational.q108EqualFreqBins(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (t, vs) =>
+      assert(vs.map(_._2).sorted.toSeq === (1 to Relational.CalibBins), s"bins at $t")
+      val counts = vs.map(_._3)
+      assert(counts.max - counts.min <= 1, s"equal-frequency at $t")
+      val ordered = vs.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4 + 1e-12,
+          s"bin ranges must not overlap at $t")
+        case _ =>
+      }
+    }
+  }
+
+  test("q109 skew profile matches a direct recount for every candidate key") {
+    val li = Tables.lineitem(spark, sf)
+    val got = graft.operators.Profiling.q109SkewProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    graft.operators.Profiling.SkewCols.foreach { c =>
+      val counts = li.groupBy(col(c)).count().collect().map(_.getLong(1))
+      val (ndv, n, mx) = got(c)
+      assert(ndv === counts.length.toLong, s"ndv at $c")
+      assert(n === counts.sum, s"rows at $c")
+      assert(mx === counts.max, s"max at $c")
+    }
+    // the profiler orders the skew decision: flag columns separate from keys
+    assert(got("l_returnflag")._1 < got("l_orderkey")._1)
+  }
 }

@@ -250,4 +250,24 @@ class ParitySpec extends SparkSpec {
     assert(streamed.exists(_.getLong(2) > 0))
     assert(streamed.exists(r => r.getLong(1) > r.getLong(2)))
   }
+
+  test("q106 streaming quality gate: aggregation, observe listener, and batch all agree") {
+    val res = StreamParity.q106StreamObserveQuality(spark, sf)
+    val streamed = res.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.operators.Observability.q105ObserveQuality(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch,
+      "complete-mode streaming counters must equal the batch gate")
+    // the observe side channel folded across micro-batches must agree
+    // with the aggregation result — metric truth is channel-independent
+    import scala.jdk.CollectionConverters._
+    val fold = StreamParity.observedFold.asScala
+      .maxBy(_._1.split("_").last.toInt)._2
+    graft.operators.Observability.rules.map(_._1).foreach { rule =>
+      assert(fold(rule) === streamed(rule)._1,
+        s"listener-folded counter for $rule")
+    }
+    assert(fold("n_rows") === streamed.head._2._2)
+  }
 }
