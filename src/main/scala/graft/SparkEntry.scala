@@ -128,6 +128,9 @@ object SparkEntry {
     "q107_grouped_topk"       -> (Relational.q107GroupedTopK _),
     "q108_equal_freq_bins"    -> (Relational.q108EqualFreqBins _),
     "q109_skew_profile"       -> (Profiling.q109SkewProfile _),
+    "q110_sliding_distinct"   -> (Relational.q110SlidingDistinct _),
+    "q111_cohort_retention"   -> (Relational.q111CohortRetention _),
+    "q112_snapshot_diff"      -> (Relational.q112SnapshotDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,5 +279,8 @@ object SparkEntry {
     "q107_grouped_topk"       -> Relational.q107Sql,
     "q108_equal_freq_bins"    -> Relational.q108Sql,
     "q109_skew_profile"       -> Profiling.q109Sql,
+    "q110_sliding_distinct"   -> Relational.q110Sql,
+    "q111_cohort_retention"   -> Relational.q111Sql,
+    "q112_snapshot_diff"      -> Relational.q112Sql,
   )
 }

@@ -1172,6 +1172,161 @@ object Relational {
        |GROUP BY event_type, bin
        |ORDER BY event_type, bin""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q110 — sliding-window distinct users: exact cardinality per 60s/20s
+  // window. Unlike the q01 sums, COUNT(DISTINCT) does not pane-
+  // decompose (distinct is not mergeable by addition) — the scalable
+  // exact shape is dedup-then-count: aggregate #1 dedups (window, user)
+  // pairs with map-side partial dedup, aggregate #2 counts the
+  // (already-distinct) pairs per window with a partial count. Both
+  // aggregates partial-combine, so the big shuffle carries distinct
+  // pairs, not events; the approx path at higher scale is q34's HLL.
+  // ---------------------------------------------------------------------
+  def q110SlidingDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window.start").cast("long").as("window_start"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .orderBy("window_start")
+
+  val q110Sql: String =
+    """SELECT CAST(FLOOR(epoch(ts)/20)*20 - 20*g.i AS BIGINT) AS window_start,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       COUNT(*) AS n_events
+      |FROM events CROSS JOIN (VALUES (0),(1),(2)) g(i)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q111 — cohort retention: users grouped by first-activity day, and
+  // for each (cohort, day-offset) the fraction of the cohort active
+  // that many days later — the product-analytics staple, and in a
+  // training-data pipeline the contributor-churn view of a corpus.
+  //
+  // Shape: (a) per-user first day — one user_id-keyed aggregate;
+  // (b) distinct (user, day) activity pairs — partial-deduped like
+  // q110; (c) join (b) to (a) on user_id (both sides already hashed on
+  // user_id — co-partitioned, no extra exchange) and count distinct
+  // users per (cohort, offset); (d) broadcast-join cohort sizes (one
+  // row per cohort day) for the rate. All counts exact; the rate is
+  // one deterministic division rounded at 6.
+  // ---------------------------------------------------------------------
+  def q111CohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("long") / lit(86400L)).cast("long")
+          .as("day"))
+      .distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+      .withColumnRenamed("cohort", "c2")
+    days.join(first, Seq("user_id"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), col("cohort") === col("c2"))
+      .select(col("cohort"), col("day_offset"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  val q111Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(day) AS cohort FROM days GROUP BY user_id),
+      |sizes AS (SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY cohort),
+      |act AS (
+      |  SELECT f.cohort AS cohort, d.day - f.cohort AS day_offset,
+      |         COUNT(*) AS n_active
+      |  FROM days d JOIN first f USING (user_id)
+      |  GROUP BY f.cohort, d.day - f.cohort)
+      |SELECT a.cohort, a.day_offset, a.n_active, s.n_cohort,
+      |       ROUND(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+      |FROM act a JOIN sizes s ON a.cohort = s.cohort
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q112 — snapshot reconciliation (data diff): classify every key of
+  // two table versions as added / removed / value-changed / unchanged,
+  // with per-column change counts for the changed set. The migration
+  // and backfill-validation primitive ("did the rewrite change
+  // anything it shouldn't have?"), and the general form of the q63 CDC
+  // merge's input audit. The second snapshot is derived
+  // deterministically from orders (mod-keyed deletes / price updates /
+  // status updates / inserts) so the oracle can rebuild it exactly.
+  //
+  // Shape: ONE full-outer join on the key (both sides shuffle once on
+  // o_orderkey), classification and per-column comparisons are
+  // projections over the joined row, and the report is one tiny
+  // aggregate. At 100 TB this is the plan you want: no collect, no
+  // second pass, and the join key is the primary key (no skew).
+  // ---------------------------------------------------------------------
+  def q112SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.orders(spark, sfDir)
+    // snapshot B: delete %13, reprice %7, restatus %5, insert shifted keys %17
+    val b0 = a.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 5 === 0, lit("R"))
+          .otherwise(col("o_orderstatus")))
+    val inserts = a.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+    val b = b0.unionAll(inserts)
+
+    val al = a.select(a.columns.map(c => col(c).as(s"a_$c")): _*)
+    val bl = b.select(b.columns.map(c => col(c).as(s"b_$c")): _*)
+    val j = al.join(bl, col("a_o_orderkey") === col("b_o_orderkey"), "full_outer")
+    val changed = col("a_o_totalprice") =!= col("b_o_totalprice") ||
+      col("a_o_orderstatus") =!= col("b_o_orderstatus")
+    j.select(
+        when(col("a_o_orderkey").isNull, "added")
+          .when(col("b_o_orderkey").isNull, "removed")
+          .when(changed, "changed").otherwise("unchanged").as("change_type"),
+        when(col("a_o_totalprice") =!= col("b_o_totalprice"), 1L)
+          .otherwise(0L).as("price_delta"),
+        when(col("a_o_orderstatus") =!= col("b_o_orderstatus"), 1L)
+          .otherwise(0L).as("status_delta"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_delta")).as("n_price_changed"),
+        sum(col("status_delta")).as("n_status_changed"))
+      .orderBy("change_type")
+  }
+
+  val q112Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END
+      |           AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 != 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 17 = 0),
+      |j AS (
+      |  SELECT a.o_orderkey AS ak, b.o_orderkey AS bk,
+      |         a.o_totalprice AS ap, b.o_totalprice AS bp,
+      |         a.o_orderstatus AS ast, b.o_orderstatus AS bst
+      |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT CASE WHEN ak IS NULL THEN 'added'
+      |            WHEN bk IS NULL THEN 'removed'
+      |            WHEN ap != bp OR ast != bst THEN 'changed'
+      |            ELSE 'unchanged' END AS change_type,
+      |       COUNT(*) AS n_rows,
+      |       SUM(CASE WHEN ap != bp THEN 1 ELSE 0 END) AS n_price_changed,
+      |       SUM(CASE WHEN ast != bst THEN 1 ELSE 0 END) AS n_status_changed
+      |FROM j
+      |GROUP BY 1
+      |ORDER BY change_type""".stripMargin
+
   val q98Sql: String =
     """SELECT n_name,
       |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
