@@ -131,6 +131,9 @@ object SparkEntry {
     "q110_sliding_distinct"   -> (Relational.q110SlidingDistinct _),
     "q111_cohort_retention"   -> (Relational.q111CohortRetention _),
     "q112_snapshot_diff"      -> (Relational.q112SnapshotDiff _),
+    "q113_weighted_sample"    -> (Curation.q113WeightedSample _),
+    "q114_top_grams_per_lang" -> (TextAnalysis.q114TopGramsPerLang _),
+    "q115_quality_rank"       -> (TextAnalysis.q115QualityRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -282,5 +285,8 @@ object SparkEntry {
     "q110_sliding_distinct"   -> Relational.q110Sql,
     "q111_cohort_retention"   -> Relational.q111Sql,
     "q112_snapshot_diff"      -> Relational.q112Sql,
+    "q113_weighted_sample"    -> Curation.q113Sql,
+    "q114_top_grams_per_lang" -> TextAnalysis.q114Sql,
+    "q115_quality_rank"       -> TextAnalysis.q115Sql,
   )
 }

@@ -803,4 +803,79 @@ object Curation {
        |         AS expected_docs
        |FROM p, z
        |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q113 — deterministic weight-proportional sampling WITHOUT
+  // randomness: systematic (fixed-interval) sampling over the
+  // cumulative weight line. Conceptually: lay every document's weight
+  // (n_chars — a token-budget proxy) end to end on [0, W); drop K
+  // equally spaced marks (multiples of W/K); a document is selected
+  // with multiplicity = #marks inside its interval. Selection
+  // probability is exactly proportional to weight, the sample total is
+  // exactly K, and the result is reproducible bit-for-bit across
+  // engines, partitionings and reruns — no RNG, no seed drift, unlike
+  // rand()-based weighted sampling (and unlike exponential-rank A-ES,
+  // whose log() would also hit the q102 transcendental problem).
+  // All arithmetic is integer: mark m lands in doc i iff
+  // floor(W_i*K/W) < floor((W_i+w_i)*K/W), multiplicity is the
+  // difference (W_i = exclusive prefix weight in doc_id order).
+  //
+  // Scale shape: the prefix weights are q95's two-pass range-partition
+  // prefix scan (per-partition totals -> driver prefix offsets [P
+  // longs] -> broadcast), NOT a global-order window — the corpus never
+  // funnels through one task. (W_i+w_i)*K must fit the integer type:
+  // Long here (documented bound W*K < 2^63; at 100 TB scale the same
+  // arithmetic runs in Decimal(38) — one cast).
+  // ---------------------------------------------------------------------
+  private[graft] val SampleK = 100L
+
+  def q113WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").as("w"))
+      .repartitionByRange(IdParts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .cache() // freeze range boundaries across both passes (see q95)
+
+    // pass 1: per-partition weight totals (P longs to the driver)
+    val parts = docs.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("w")).as("pw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = parts.map { case (pid, n) =>
+      val o = pid -> acc; acc += n; o
+    }.toMap
+    val totalW = acc
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: running prefix per cached partition; integer mark count
+    val out = docs.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var prefix = bc.value.getOrElse(pid, 0L)
+      it.flatMap { case (id, w) =>
+        val lo = prefix * SampleK / totalW
+        val hi = (prefix + w) * SampleK / totalW
+        prefix += w
+        if (hi > lo) Some((id, w, hi - lo)) else None
+      }
+    }.toDF("doc_id", "weight", "multiplicity").orderBy("doc_id")
+      .localCheckpoint(true)
+    docs.unpersist()
+    out
+  }
+
+  val q113Sql: String =
+    s"""WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
+       |t AS (SELECT SUM(w) AS total FROM w),
+       |p AS (SELECT doc_id, w,
+       |             COALESCE(SUM(w) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |               AS pw
+       |      FROM w)
+       |SELECT doc_id, w AS weight,
+       |       ((pw + w) * $SampleK // total) - (pw * $SampleK // total)
+       |         AS multiplicity
+       |FROM p, t
+       |WHERE ((pw + w) * $SampleK // total) - (pw * $SampleK // total) > 0
+       |ORDER BY doc_id""".stripMargin
 }

@@ -75,18 +75,22 @@ object TextAnalysis {
     stopwords.map(w => s"t = '$w'").mkString(" OR ")
   private val stopPred = stopPredSql
 
-  def q17QualityScore(spark: SparkSession, sfDir: String): DataFrame =
+  /** (doc_id, lang, n_tokens, stop_ratio, punct_ratio, len_sat, quality)
+    * — the q17 scoring pipeline with the language column carried
+    * through, shared by q17 (which drops lang for its fixed oracle
+    * schema) and q115 (which normalizes within it). */
+  private[graft] def qualityFrame(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("lang"),
         size(col("toks")).as("n_tokens"),
         expr(s"size(filter(toks, t -> $stopPred))").as("n_stop"),
         (length(col("text")) -
           length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
         length(col("text")).as("n_chars_calc"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("lang"),
         col("n_tokens"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
         (col("n_punct").cast("double") / col("n_chars_calc")).as("punct_ratio"),
@@ -94,6 +98,11 @@ object TextAnalysis {
       .withColumn("quality",
         lit(0.4) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio"))
           + lit(0.3) * col("len_sat"))
+
+  def q17QualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    qualityFrame(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("punct_ratio"), col("len_sat"), col("quality"))
       .orderBy("doc_id")
 
   val q17Sql: String = {
@@ -660,4 +669,101 @@ object TextAnalysis {
       |FROM terms t JOIN ns ON t.source = ns.source
       |GROUP BY t.source, ns.n_s
       |ORDER BY t.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q114 — grouped heavy vocabulary: the top-5 word bigrams per
+  // language by exact count. The per-slice companion to the global q61
+  // sketch gate: corpus slices (languages, sources, time shards) get
+  // their own frequency leaderboards for template/boilerplate triage.
+  // Exact shape: explode bigrams (pure projection), ONE
+  // partial-aggregable count keyed (lang, bigram-hash... the bigram
+  // string itself here — at web scale hash the gram like q51), then a
+  // rank window PARTITIONED by lang over the counted frame (parallel
+  // per language, never a global sort; input to the window is
+  // |distinct grams|, not tokens). Ties break lexicographically.
+  // ---------------------------------------------------------------------
+  private[graft] val TopGramsPerLang = 5
+
+  def q114TopGramsPerLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("lang"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("bigram"))
+    val counts = grams.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopGramsPerLang)
+      .orderBy("lang", "rank")
+  }
+
+  val q114Sql: String =
+    s"""SELECT lang, bigram, n, rank FROM (
+       |  SELECT lang, bigram, n,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY n DESC, bigram) AS rank
+       |  FROM (
+       |    SELECT lang, u.bigram AS bigram, COUNT(*) AS n FROM (
+       |      SELECT lang,
+       |             unnest([{'bigram': toks[i] || ' ' || toks[i+1]}
+       |                     for i in range(1, len(toks))]) AS u
+       |      FROM (SELECT lang, regexp_split_to_array(trim(text), ' +') AS toks
+       |            FROM documents)
+       |      WHERE len(toks) >= 2)
+       |    GROUP BY lang, u.bigram))
+       |WHERE rank <= $TopGramsPerLang
+       |ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q115 — within-language percentile normalization of the q17 quality
+  // score: percent_rank (exact, rank-based — no float accumulation to
+  // drift) plus the decile bucket. Cross-language score calibration:
+  // raw quality distributions differ per language, so curation quotas
+  // (q45) cut on the NORMALIZED rank, not the raw score. The window
+  // partitions by lang — parallel across languages; within one
+  // language the rank input is the |docs-in-lang| scored frame. Rank
+  // ties (equal scores) share a percent_rank by definition —
+  // deterministic without a tiebreak column; the decile uses ntile
+  // with a doc_id tiebreak for exact bucket boundaries.
+  // ---------------------------------------------------------------------
+  def q115QualityRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = qualityFrame(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality"))
+    val byLangTb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+    scored
+      .withColumn("pct_rank", round(percent_rank().over(byLang), 9))
+      .withColumn("decile", ntile(10).over(byLangTb))
+      .orderBy("doc_id")
+  }
+
+  val q115Sql: String = {
+    val duckStop = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    s"""SELECT doc_id, lang,
+       |       0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio) + 0.3 * len_sat
+       |         AS quality,
+       |       ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+       |           ORDER BY 0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+       |                    + 0.3 * len_sat), 9) AS pct_rank,
+       |       NTILE(10) OVER (PARTITION BY lang
+       |           ORDER BY 0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+       |                    + 0.3 * len_sat, doc_id) AS decile
+       |FROM (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_filter(toks, t -> $duckStop)) AS DOUBLE)
+       |           / len(toks) AS stop_ratio,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |           / length(text) AS punct_ratio,
+       |         LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_sat
+       |  FROM (SELECT doc_id, lang, text,
+       |               regexp_split_to_array(trim(text), ' +') AS toks
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
 }

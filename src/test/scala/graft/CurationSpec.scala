@@ -342,4 +342,30 @@ class CurationSpec extends SparkSpec {
     val byP     = rows.sortBy(_._3).map(_._1).toSeq
     assert(byCount === byP, "temperature scaling is monotone in count")
   }
+
+  test("q113 weighted sample: exactly K draws, weight-proportional, no global window") {
+    val rows = Curation.q113WeightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum === Curation.SampleK,
+      "systematic sampling draws exactly K marks")
+    assert(rows.forall(_._3 >= 1))
+    val weights = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = weights.map(_._2).sum
+    // every doc wider than one step MUST be drawn (it contains a mark)
+    val step = total.toDouble / Curation.SampleK
+    val selected = rows.map(_._1).toSet
+    weights.filter(_._2 > step).foreach { case (id, _) =>
+      assert(selected.contains(id), s"doc $id spans a full step")
+    }
+    // multiplicity is bounded by weight/step + 1
+    rows.foreach { case (id, w, m) =>
+      assert(m <= (w / step).toLong + 1, s"multiplicity bound at $id")
+    }
+    // scalable plan: two-pass prefix scan, never a global-order window
+    val df = Curation.q113WeightedSample(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "prefix weights must come from the range-partitioned scan")
+  }
 }

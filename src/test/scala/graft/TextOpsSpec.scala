@@ -85,4 +85,50 @@ class TextOpsSpec extends SparkSpec {
     // smoothed log-probs are strictly negative (nothing is certain)
     assert(rows.forall(_._3 < 0.0))
   }
+
+  test("q114 per-language top bigrams: exact ranks, verified against a direct recount") {
+    val rows = TextAnalysis.q114TopGramsPerLang(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (l, vs) =>
+      assert(vs.map(_._4).sorted.toSeq === (1 to TextAnalysis.TopGramsPerLang))
+      val ordered = vs.sortBy(_._4)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"rank order at $l")
+        case _ =>
+      }
+    }
+    // direct recount of one language's winner
+    val lang0 = byLang.keys.min
+    val direct = Tables.documents(spark, sf).filter(col("lang") === lang0)
+      .select(explode(expr(
+        """transform(sequence(0, size(split(trim(text), ' +')) - 2),
+          |  i -> concat(split(trim(text), ' +')[i], ' ',
+          |              split(trim(text), ' +')[i+1]))""".stripMargin))
+        .as("g"))
+      .groupBy("g").count().orderBy(col("count").desc, col("g").asc)
+      .collect().head
+    val winner = byLang(lang0).find(_._4 == 1).get
+    assert(winner._2 === direct.getString(0) && winner._3 === direct.getLong(1))
+  }
+
+  test("q115 quality rank: percentiles bounded, monotone in quality, deciles balanced") {
+    val rows = TextAnalysis.q115QualityRank(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    rows.groupBy(_._1).foreach { case (l, vs) =>
+      // percent_rank is monotone in the score
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3, s"monotone at $l")
+        case _ =>
+      }
+      assert(sorted.head._3 === 0.0, s"lowest score ranks 0 at $l")
+      // deciles balanced within 1
+      val sizes = vs.groupBy(_._4).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"decile balance at $l")
+    }
+  }
 }
