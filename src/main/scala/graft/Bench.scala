@@ -25,14 +25,19 @@ object Bench {
     * SHORTENED to their qNN prefix ("q01_sliding_window_agg" -> "q01"):
     * the full-name map grew past the tail window at the 65-query surface
     * (the spread line, printed earlier, keeps full names, and the qNN ->
-    * name mapping is fixed in SparkEntry/COVERAGE.md). The require makes
-    * any future growth that would silently re-break driver parsing fail
-    * loudly here (and in the unit test) instead.
+    * name mapping is fixed in SparkEntry/COVERAGE.md). Values use
+    * HYBRID precision — 2 dp under 10 s (where hundredths carry
+    * signal), 1 dp above — because at the 119-query surface uniform
+    * 2 dp would overflow the budget in the worst case. The require
+    * makes any future growth that would silently re-break driver
+    * parsing fail loudly here (and in the unit test) instead.
     */
   def driverLine(total: Double, queries: Seq[(String, Double)], sf: String,
                  streamRowsPerSec: Double, cpus: String): String = {
+    def fmt(v: Double): String =
+      if (math.abs(v) < 10.0) f"$v%.2f" else f"$v%.1f"
     val qs = queries
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"""":$v%.2f""" }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val line =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sf","stream_rows_per_sec":$streamRowsPerSec%.0f,"cpus":$cpus}"""

@@ -134,6 +134,14 @@ object SparkEntry {
     "q113_weighted_sample"    -> (Curation.q113WeightedSample _),
     "q114_top_grams_per_lang" -> (TextAnalysis.q114TopGramsPerLang _),
     "q115_quality_rank"       -> (TextAnalysis.q115QualityRank _),
+    "q116_stream_distinct"    -> (graft.streaming.StreamParity.q116StreamSlidingDistinct _),
+    "q117_asof_tolerance"     -> (TemporalJoins.q117AsofTolerance _),
+    "q118_pareto_share"       -> (Relational.q118ParetoShare _),
+    "q119_transition_matrix"  -> (Relational.q119TransitionMatrix _),
+    "q120_grouped_median"     -> (TextAnalysis.q120GroupedMedian _),
+    "q121_session_concurrency" -> (Relational.q121SessionConcurrency _),
+    "q122_bottomk_sample"     -> (Curation.q122BottomkSample _),
+    "q123_stream_dedup_wm"    -> (graft.streaming.StreamParity.q123StreamDedupWatermark _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -288,5 +296,17 @@ object SparkEntry {
     "q113_weighted_sample"    -> Curation.q113Sql,
     "q114_top_grams_per_lang" -> TextAnalysis.q114Sql,
     "q115_quality_rank"       -> TextAnalysis.q115Sql,
+    // q116 replays q110 through two CHAINED stateful streaming
+    // aggregations; same oracle as the batch sliding distinct.
+    "q116_stream_distinct"    -> Relational.q110Sql,
+    "q117_asof_tolerance"     -> TemporalJoins.q117Sql,
+    "q118_pareto_share"       -> Relational.q118Sql,
+    "q119_transition_matrix"  -> Relational.q119Sql,
+    "q120_grouped_median"     -> TextAnalysis.q120Sql,
+    "q121_session_concurrency" -> Relational.q121Sql,
+    "q122_bottomk_sample"     -> Curation.q122Sql,
+    // q123 runs the dedup through streaming state; its oracle is the
+    // batch DISTINCT the bounded-state operator must reproduce exactly.
+    "q123_stream_dedup_wm"    -> graft.streaming.StreamParity.q123Sql,
   )
 }

@@ -29,51 +29,99 @@ object Clustering {
   // one row per document (singletons are their own canonical), so the
   // result is corpus-sized, never pair-sized.
   //
-  // Scale shape: each round is one equi-join (edges x labels, both sides
-  // 2-long rows) + a min-groupBy — label propagation converges in
-  // diameter rounds, and near-dup graphs are shallow (dup clusters are
-  // tight cliques/chains; measured diameter <= 3 on every SF here, 25
-  // round cap as a guard). Lineage is truncated every round with an
-  // eager localCheckpoint, or iteration i's plan would embed i joins.
-  // (localCheckpoint trades fault tolerance for speed — executor loss
-  // drops its blocks; a 100 TB deployment sets a checkpoint dir and
-  // swaps in reliable checkpoint() at the same call sites.)
-  // The only driver-side value per round is the O(1) convergence count.
-  // For adversarial long-chain graphs the classic fix is large-star/
-  // small-star contraction (O(log n) rounds, same join shape) — not
-  // needed for the dedup workload this models.
+  // Scale shape — SIZE-ADAPTIVE, like an engine's join-strategy pick:
+  //  - The edge list is the set of NEAR-DUP PAIRS — orders of magnitude
+  //    smaller than the corpus (q40's prefix filter emits only verified
+  //    J>=threshold pairs). When it fits the driver comfortably
+  //    (<= CcDriverEdgeCap edges, a count the pair frame yields for
+  //    free), components resolve by UNION-FIND with path compression in
+  //    O(E a(E)) — microseconds — and the node->min-label map (edge-
+  //    touched nodes only, pair-set-sized) broadcasts back as the join
+  //    build side. This is the fast path virtually every real dedup run
+  //    takes, and it replaces 3+ distributed rounds (each a join +
+  //    aggregate + checkpoint barrier) with one collect.
+  //  - Past the cap, iterative min-label propagation: each round is one
+  //    equi-join (edges x labels, both sides 2-long rows) + a
+  //    min-groupBy — convergence in diameter rounds, and near-dup
+  //    graphs are shallow (tight cliques/chains; measured diameter <= 3
+  //    on every SF here, 25-round cap as a guard). Lineage is truncated
+  //    every round with an eager localCheckpoint, or iteration i's plan
+  //    would embed i joins. (localCheckpoint trades fault tolerance for
+  //    speed; a 100 TB deployment sets a checkpoint dir and swaps in
+  //    reliable checkpoint() at the same call sites.) The only
+  //    driver-side value per round is the O(1) convergence count. For
+  //    adversarial long-chain graphs the classic escalation is
+  //    large-star/small-star contraction (O(log n) rounds, same join
+  //    shape) — not needed for the dedup workload this models.
+  // Both paths produce the identical node -> min-member label frame
+  // (spec-asserted), so the switch is invisible to callers.
   // ---------------------------------------------------------------------
   private val MaxCcRounds = 25
+
+  /** Edges fitting under this cap resolve on the driver (16 bytes/edge
+    * -> ~64 MB at the cap; the label map sent back is smaller still). */
+  private[graft] val CcDriverEdgeCap = 4000000L
+
+  /** node -> min-member component label for every edge-touched node.
+    * `pairs` must be (doc_a, doc_b) with doc_a < doc_b. */
+  private[graft] def componentLabels(spark: SparkSession, pairs: DataFrame,
+                                     driverCap: Long): DataFrame = {
+    val cached = pairs.cache()
+    val nEdges = cached.count()
+    val out = if (nEdges <= driverCap) {
+      // driver fast path: union-find, union-by-min => root == min member
+      val es = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val rows = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      import spark.implicits._
+      rows.toDF("node", "lbl")
+    } else {
+      val edges = cached
+        .unionAll(cached.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .cache()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < MaxCcRounds) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("dst"), col("lbl").as("dst_lbl")), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(min(col("dst_lbl")).as("nbr_lbl"))
+        val updated = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+            (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("moved"))
+          .localCheckpoint(true)
+        changed = updated.filter(col("moved")).count()
+        labels = updated.select(col("node"), col("lbl"))
+        round += 1
+      }
+      edges.unpersist()
+      labels
+    }
+    cached.unpersist()
+    out
+  }
 
   def q46DedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Dedup.q40NgramJaccard(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .cache()
-
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < MaxCcRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("lbl").as("dst_lbl")), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("dst_lbl")).as("nbr_lbl"))
-      val updated = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("moved"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("moved")).count()
-      labels = updated.select(col("node"), col("lbl"))
-      round += 1
-    }
-    edges.unpersist()
-
+    val labels = componentLabels(spark, pairs, CcDriverEdgeCap)
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -878,4 +878,38 @@ object Curation {
        |FROM p, t
        |WHERE ((pw + w) * $SampleK // total) - (pw * $SampleK // total) > 0
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q122 — deterministic uniform sampling by bottom-k hash order: the k
+  // documents whose md5(doc_id) is smallest. Because a cryptographic
+  // hash is uniform on its input set, bottom-k-by-hash IS a uniform
+  // k-sample — but unlike rand()-based sampling it is reproducible
+  // across runs/partitionings/engines (the audit requirement for eval
+  // holdouts), composable (the bottom-k of a union = bottom-k of merged
+  // bottom-k's — a mergeable sample, so per-shard samples fold), and
+  // consistent (growing the corpus only swaps elements in/out by hash
+  // order, never reshuffles the whole sample — the KMV sketch property).
+  //
+  // Shape: Catalyst compiles orderBy(h).limit(k) to TakeOrderedAndProject
+  // — a per-partition top-k heap (O(k) memory each) merged at the
+  // driver: NO global sort, no full-data exchange; each partition ships
+  // at most k rows. The plan gate pins that. At 100 TB the scan is the
+  // whole cost and k·|partitions| rows move.
+  // ---------------------------------------------------------------------
+  private[graft] val BottomK = 500
+
+  def q122BottomkSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"),
+        col("lang"), col("n_chars"))
+      .orderBy(col("h"))
+      .limit(BottomK)
+      .orderBy("doc_id")
+
+  val q122Sql: String =
+    s"""SELECT doc_id, h, lang, n_chars FROM (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, lang, n_chars
+       |  FROM documents
+       |  ORDER BY h LIMIT $BottomK)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -1327,6 +1327,189 @@ object Relational {
       |GROUP BY 1
       |ORDER BY change_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q118 — Pareto concentration report (the 80/20 audit): customers
+  // ranked by revenue, cumulative revenue share, and the head flag
+  // (still inside the top-80% of revenue). In a corpus pipeline the
+  // identical query profiles source/domain concentration ("how few
+  // domains contribute 80% of tokens?") — the diversity red flag.
+  //
+  // Shape: per-customer decimal-exact revenue (one fact shuffle), then
+  // rank + running sum over the CUSTOMER-LEVEL aggregate (|customers|
+  // rows, orders of magnitude under the fact table; q95's partitioned
+  // prefix pattern composes if even that outgrows one task — noted,
+  // same tradeoff as q103). Cumulative sums run in DECIMAL: a running
+  // float sum would drift with rank, decimal is exact at every row.
+  // The share division is one deterministic double op, rounded at 9.
+  // ---------------------------------------------------------------------
+  def q118ParetoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(25, 6))).as("revenue"))
+    val byRev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val total = rev.agg(sum(col("revenue")).as("total"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(byRev))
+      .withColumn("cum_share",
+        round(sum(col("revenue")).over(cum).cast("double")
+          / col("total").cast("double"), 9))
+      .select(col("o_custkey"), col("rank"),
+        col("revenue").cast("double").as("revenue"),
+        col("cum_share"),
+        (col("cum_share") <= lit(0.8)).as("in_head"))
+      .orderBy("rank")
+  }
+
+  val q118Sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS revenue
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (SELECT SUM(revenue) AS total FROM rev),
+      |r AS (
+      |  SELECT o_custkey, revenue,
+      |         ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rank,
+      |         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM rev)
+      |SELECT o_custkey, rank, CAST(revenue AS DOUBLE) AS revenue,
+      |       ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 9) AS cum_share,
+      |       ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 9) <= 0.8
+      |         AS in_head
+      |FROM r, t
+      |ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q119 — event-transition matrix (first-order Markov counts): for
+  // each consecutive same-user event pair, the (from, to) transition
+  // count and row-normalized probability. The sequence-modeling prep
+  // behind next-event prediction features, session-flow dashboards,
+  // and curriculum ordering of interaction logs.
+  //
+  // Shape: ONE shuffle on user_id; lag() orders each user's events
+  // (ties on ts broken by event_id — total order, so the matrix is
+  // reproducible), the (from,to) count partial-aggregates, and the
+  // row normalization joins the |types|² matrix against |types| row
+  // totals — both aggregate-sized. Probabilities are exact-count
+  // divisions rounded at 9.
+  // ---------------------------------------------------------------------
+  def q119TransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_n"))
+    counts.join(broadcast(rowTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 9).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q119Sql: String =
+    """WITH pairs AS (
+      |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM pairs WHERE from_type IS NOT NULL
+      |  GROUP BY from_type, to_type),
+      |rt AS (SELECT from_type, SUM(n) AS row_n FROM c GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, c.n,
+      |       ROUND(CAST(c.n AS DOUBLE) / rt.row_n, 9) AS p
+      |FROM c JOIN rt USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q121 — concurrent-session timeline (sweep line): how many 300s-gap
+  // user sessions are active in each minute — the load-curve / capacity
+  // metric ("peak concurrency") and, over a corpus pipeline, the
+  // ingest-parallelism profile. The naive form is a sessions × minutes
+  // range join (quadratic row explosion); the sweep line never builds it.
+  //
+  // Shape, three strictly-shrinking stages:
+  //   1. session bounds — one shuffle on user_id (gaps-and-islands, same
+  //      300s gap as q08/q93), emitting (start,end) per session;
+  //   2. boundary deltas — each session becomes TWO integer rows
+  //      (+1 at its start minute, -1 after its end minute), partially
+  //      pre-aggregated per minute: the shuffle carries at most
+  //      |active minutes| rows regardless of corpus size;
+  //   3. running sum over the MINUTE-level aggregate — the window input
+  //      is bounded by the time SPAN (span/60 rows), not by data volume,
+  //      so the single-task global window is safe at any SF (same
+  //      argument as q103/q118; the q95 two-pass range-partition prefix
+  //      scan composes if the span itself ever explodes).
+  // All-integer arithmetic end to end — exact, partition-invariant.
+  // ---------------------------------------------------------------------
+  private val SessionGapUs = 300L * 1000000
+
+  def q121SessionConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("new_s",
+        when(lag(col("ts_us"), 1).over(byUser).isNull
+          || col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
+    val deltas = sessions
+      .select((col("s_us") / 60000000L).cast("long").as("m"), lit(1L).as("d"))
+      .unionAll(sessions.select(
+        ((col("e_us") / 60000000L).cast("long") + 1L).as("m"), lit(-1L).as("d")))
+    val perMin = deltas.groupBy(col("m")).agg(sum(col("d")).as("delta"))
+    val sweep = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perMin
+      .select((col("m") * 60).as("minute_start_sec"), col("delta"),
+        sum(col("delta")).over(sweep).as("active"))
+      .orderBy("minute_start_sec")
+  }
+
+  val q121Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+       |o AS (
+       |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+       |                   OR ts_us - lag(ts_us) OVER w > $SessionGapUs
+       |                 THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |s AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+       |                             ORDER BY ts_us, event_id) AS sid
+       |  FROM o),
+       |sess AS (
+       |  SELECT user_id, sid, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+       |  FROM s GROUP BY user_id, sid),
+       |deltas AS (
+       |  SELECT s_us // 60000000 AS m, 1 AS d FROM sess
+       |  UNION ALL
+       |  SELECT e_us // 60000000 + 1 AS m, -1 AS d FROM sess),
+       |per_min AS (
+       |  SELECT m, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY m)
+       |SELECT m * 60 AS minute_start_sec, delta,
+       |       CAST(SUM(delta) OVER (ORDER BY m
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS active
+       |FROM per_min
+       |ORDER BY minute_start_sec""".stripMargin
+
   val q98Sql: String =
     """SELECT n_name,
       |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

@@ -108,4 +108,75 @@ object TemporalJoins {
        |WHERE e.event_type = 'error'
        |GROUP BY e.event_id
        |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q117 — as-of join with a STALENESS TOLERANCE: q28's "latest order at
+  // or before the event" match, nulled out when that order is older
+  // than 30 days — the feature-freshness contract of every feature
+  // store (a stale feature is worse than no feature) and the `asof
+  // join ... tolerance` of kdb/pandas/QuestDB.
+  //
+  // Same single-window shape as q28 — the union trick needs NO second
+  // pass for the bound: the matched order's OWN timestamp rides along
+  // as one more last(_, ignoreNulls) column, and the tolerance check is
+  // a projection over (event ts, matched ts). One shuffle on the key,
+  // no join node at all, no row explosion — vs the naive
+  // events x orders range join this plan never materializes.
+  // ---------------------------------------------------------------------
+  private[graft] val AsofToleranceSec = 30L * 86400
+
+  def q117AsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id").as("k"), col("ts"), col("event_id"),
+      lit(null).cast("long").as("o_key"),
+      lit(null).cast("double").as("o_price"),
+      lit(null).cast("timestamp").as("o_ts"),
+      lit(1).as("side"))
+    val ord = Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("o_key"),
+      col("o_totalprice").as("o_price"),
+      col("o_orderdate").as("o_ts"),
+      lit(0).as("side"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts"), col("side"), col("o_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = unix_timestamp(col("ts")) -
+      unix_timestamp(col("m_ts")) <= AsofToleranceSec
+    ev.unionByName(ord)
+      .withColumn("m_key", last(col("o_key"), ignoreNulls = true).over(w))
+      .withColumn("m_price", last(col("o_price"), ignoreNulls = true).over(w))
+      .withColumn("m_ts", last(col("o_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        when(fresh, col("m_key")).as("asof_orderkey"),
+        when(fresh, col("m_price")).as("asof_price"),
+        when(fresh,
+          unix_timestamp(col("ts")) - unix_timestamp(col("m_ts")))
+          .as("staleness_sec"))
+      .orderBy("event_id")
+  }
+
+  val q117Sql: String =
+    s"""SELECT event_id, user_id,
+       |       CASE WHEN fresh THEN asof_orderkey END AS asof_orderkey,
+       |       CASE WHEN fresh THEN asof_price END AS asof_price,
+       |       CASE WHEN fresh THEN staleness END AS staleness_sec
+       |FROM (
+       |  SELECT event_id, user_id, asof_orderkey, asof_price, staleness,
+       |         staleness <= $AsofToleranceSec AS fresh
+       |  FROM (
+       |    SELECT e.event_id, e.user_id,
+       |           o.o_orderkey AS asof_orderkey,
+       |           o.o_totalprice AS asof_price,
+       |           CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+       |             - CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS staleness,
+       |           ROW_NUMBER() OVER (PARTITION BY e.event_id
+       |                              ORDER BY o.o_orderdate DESC,
+       |                                       o.o_orderkey DESC) AS rn
+       |    FROM events e LEFT JOIN orders o
+       |      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+       |  WHERE rn = 1)
+       |ORDER BY event_id""".stripMargin
 }

@@ -766,4 +766,46 @@ object TextAnalysis {
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q120 — exact grouped quartiles of document length per language: the
+  // length-distribution audit behind per-language truncation budgets and
+  // curation length cuts (an approximate p50 that is off by a bucket
+  // moves a corpus-wide token budget by percent; quartiles over lengths
+  // are cheap enough to do exactly).
+  //
+  // Shape: ONE shuffle on lang; `percentile` is Spark's exact sort-based
+  // aggregate — per-group state is the value multiset, fine because the
+  // group count is |langs| (tiny) and per-group rows are corpus-sized
+  // but *length-valued* (8 bytes/row; the aggregate buffers a
+  // counts-per-distinct-value map, and distinct lengths are bounded by
+  // max doc length, NOT corpus size — the map stays small at any SF).
+  // q57's approx_percentile is the sketch swap when even that map is too
+  // hot. Interpolation math is EXACT in double here: quartile indices
+  // are k/4 positions over integer lengths, so every interpolated value
+  // is int + {0,.25,.5,.75}·int — dyadic rationals, bit-identical in
+  // Spark and DuckDB (no rounding needed for the hash gate).
+  // ---------------------------------------------------------------------
+  def q120GroupedMedian(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        percentile(col("n_chars"), lit(0.25)).as("p25_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+        percentile(col("n_chars"), lit(0.75)).as("p75_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  val q120Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       MIN(n_chars) AS min_chars,
+      |       quantile_cont(n_chars, 0.25) AS p25_chars,
+      |       quantile_cont(n_chars, 0.5) AS median_chars,
+      |       quantile_cont(n_chars, 0.75) AS p75_chars,
+      |       MAX(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }

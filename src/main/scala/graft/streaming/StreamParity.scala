@@ -1079,4 +1079,127 @@ object StreamParity {
     spark.streams.removeListener(listener)
     out
   }
+
+  /** q116 — q110's sliding-window exact distinct through CHAINED
+    * stateful streaming aggregations: aggregation #1 dedups
+    * (window, user) pairs in windowed state, aggregation #2 counts the
+    * deduped pairs per window — two stateful operators in ONE query
+    * (Spark's multiple-stateful-operator pipeline; the watermark
+    * propagates through the first window's state eviction into the
+    * second's). Append mode means a window's pair-rows flush to the
+    * counting state exactly once, when the watermark closes the
+    * window — so the downstream count is exact, never double-counted
+    * across triggers. The q25 sentinel closes all real windows at end
+    * of stream. State cost: agg #1 holds open-window distinct pairs,
+    * agg #2 holds open-window counters — both watermark-bounded.
+    */
+  def q116StreamSlidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = raw.schema
+    val sentinelTs = sentinelTsPlus1h(raw)
+    val realMaxSec = graft.Tables.events(spark, sfDir)
+      .agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+
+    val dir = Files.createTempDirectory("q116_distinct")
+    Files.createSymbolicLink(
+      dir.resolve("events.parquet"), Paths.get(s"$sfDir/events.parquet"))
+    val sentinelVals = schema.fields.map { f =>
+      f.name match {
+        case "ts"      => sentinelTs
+        case "user_id" => -1L
+        case "value"   => 0.0
+        case _         => null
+      }
+    }
+    val sentinelDir = Files.createTempDirectory("q116_sentinel")
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => Files.copy(p, dir.resolve("zz_sentinel.parquet")))
+
+    val pairs = graft.Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
+      .select(col("ts"), col("user_id"))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val counts = pairs
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+
+    val table = s"q116_distinct_${runId.incrementAndGet()}"
+    val query = counts.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(table)
+      .select(col("window.start").cast("long").as("window_start"),
+        col("n_users"), col("n_events"))
+      .filter(col("window_start") <= realMaxSec) // drop sentinel windows
+      .orderBy("window_start")
+  }
+
+  /** q123 — streaming exact dedup via `dropDuplicatesWithinWatermark`:
+    * the STATE-BOUNDED streaming dedup primitive (Spark's answer to an
+    * unbounded seen-set) deduping (user_id, minute) activity pairs as
+    * they stream. Unlike q49 (aggregation-shaped dedup, complete mode)
+    * and q58 (foreachBatch + snapshot), this is the single-operator
+    * form: a stateful FILTER that emits a key's first row immediately
+    * (append mode, no window to close — no sentinel needed) and
+    * suppresses later duplicates while the key stays within the
+    * watermark delay; state for keys older than the delay is evicted,
+    * so state size is bounded by the delay × key arrival rate, NOT by
+    * stream lifetime — the property that makes streaming dedup viable
+    * on an unbounded 100 TB/day feed.
+    *
+    * Exactness contract: duplicates of a (user, minute) pair all carry
+    * event times inside that one minute, so any delay ≥ the replay's
+    * cross-batch disorder (here: range-partitioned file replay in ts
+    * order, disorder « 2 h) means no duplicate ever arrives after its
+    * key's eviction — output is EXACTLY the batch DISTINCT, which is
+    * this query's DuckDB oracle. Production sets the delay to the
+    * source's documented lateness bound; correctness degrades only for
+    * records later than that bound, exactly as the reference's
+    * bounded-out-of-orderness watermark contract specifies.
+    */
+  def q123StreamDedupWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir).select(col("ts"), col("user_id"))
+    // Ingest layout: four ts-range files, mtimes ascending in range
+    // order, so maxFilesPerTrigger=1 replays the stream in time order
+    // (same dance as q58) — the dedup state is exercised ACROSS batches.
+    val dir = Files.createTempDirectory("q123_dedup")
+    ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withColumn("minute_start",
+        (unix_micros(col("ts")) / 60000000L).cast("long") * 60)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "minute_start")
+      .select(col("user_id"), col("minute_start"))
+
+    val table = s"q123_dedup_${runId.incrementAndGet()}"
+    val query = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(table).orderBy("user_id", "minute_start")
+  }
+
+  val q123Sql: String =
+    """SELECT DISTINCT user_id,
+      |       (epoch_us(ts) // 60000000) * 60 AS minute_start
+      |FROM events
+      |ORDER BY user_id, minute_start""".stripMargin
 }

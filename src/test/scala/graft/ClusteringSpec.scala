@@ -48,6 +48,18 @@ class ClusteringSpec extends SparkSpec {
     assert(expected.values.toSet.size < expected.size)
   }
 
+  test("q46 size-adaptive paths agree: driver union-find == iterative propagation") {
+    import spark.implicits._
+    val pairs = Dedup.q40NgramJaccard(spark, sf).select("doc_a", "doc_b")
+    val fast = Clustering.componentLabels(spark, pairs, Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val iter = Clustering.componentLabels(spark, pairs, -1L) // force distributed
+      .as[(Long, Long)].collect().toMap
+    assert(fast === iter,
+      "the strategy switch must be invisible: identical labels either way")
+    assert(fast.nonEmpty)
+  }
+
   test("q47 k-means: output partitions the corpus into k clusters") {
     val df = Clustering.q47KmeansCluster(spark, sf).cache()
     val n = Tables.embeddings(spark, sf).count()

@@ -368,4 +368,25 @@ class CurationSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Window"),
       "prefix weights must come from the range-partitioned scan")
   }
+
+  test("q122 bottom-k hash sample: exact k, hash-minimal, merge-composable") {
+    val rows = Curation.q122BottomkSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length === Curation.BottomK)
+    // exactly the k smallest hashes — recompute on the driver
+    val all = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+      .map(id => (id, java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    val expect = all.sortBy(_._2).take(Curation.BottomK).map(_._1).toSet
+    assert(rows.map(_._1).toSet === expect)
+    // mergeability (the KMV property): bottom-k of two halves, merged,
+    // re-cut at k == bottom-k of the whole — per-shard samples fold
+    val (h1, h2) = all.partition(_._1 % 2 == 0)
+    val merged = (h1.sortBy(_._2).take(Curation.BottomK)
+      ++ h2.sortBy(_._2).take(Curation.BottomK))
+      .sortBy(_._2).take(Curation.BottomK).map(_._1).toSet
+    assert(merged === expect)
+  }
 }

@@ -475,4 +475,12 @@ class PlanSpec extends SparkSpec {
       "multi-column exact NDV compiles to a single Expand")
     assert(plan.contains("partial_"), "stats aggregate partially map-side")
   }
+
+  test("q122: bottom-k sample is a per-partition top-k, not a global sort") {
+    val plan = finalPlan(graft.operators.Curation.q122BottomkSample(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy(hash).limit(k) must compile to the heap-based top-k " +
+        "(the only sort touching corpus-sized data; the outer doc_id " +
+        "sort sees k rows)")
+  }
 }

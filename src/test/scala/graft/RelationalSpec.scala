@@ -523,6 +523,38 @@ class RelationalSpec extends SparkSpec {
     assert(byCohort.values.map(_.head._4).sum === users)
   }
 
+  test("q118 pareto: cumulative share is monotone to 1.0, head flag flips once") {
+    val rows = Relational.q118ParetoShare(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(rows.head._1 === 1)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 <= b._3 + 1e-12, "cumulative share is monotone")
+        assert(a._2 >= b._2, "revenue ranks descending")
+        assert(a._4 || !b._4, "head flag never turns back on")
+      case _ =>
+    }
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9, "shares sum to 1")
+    assert(rows.exists(_._4) && rows.exists(!_._4), "the 0.8 cut is interior")
+  }
+
+  test("q119 transition matrix: probabilities row-normalize, counts conserve") {
+    val rows = Relational.q119TransitionMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (from, vs) =>
+      assert(math.abs(vs.map(_._4).sum - 1.0) < 1e-6, s"row $from normalizes")
+      val rowN = vs.map(_._3).sum
+      vs.foreach(v => assert(
+        math.abs(v._4 - v._3.toDouble / rowN) < 1e-9, s"p at $from->${v._2}"))
+    }
+    // total transitions = events - users (each user contributes n-1 pairs)
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(countDistinct(col("user_id")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._3).sum === expected)
+  }
+
   test("q112 snapshot diff: classes partition the key space with exact counts") {
     val rows = Relational.q112SnapshotDiff(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -541,5 +573,43 @@ class RelationalSpec extends SparkSpec {
     // per-column deltas decompose the changed class
     assert(rows("changed")._2 === keys.filter(_ % 13 != 0).count(_ % 7 == 0))
     assert(rows("changed")._3 === keys.filter(_ % 13 != 0).count(_ % 5 == 0))
+  }
+
+  test("q121 concurrency sweep: deltas telescope to zero, active matches a direct recount") {
+    val rows = Relational.q121SessionConcurrency(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the sweep opens and closes every session exactly once
+    assert(rows.map(_._2).sum === 0L, "deltas telescope to 0")
+    assert(rows.last._3 === 0L, "after the last boundary nothing is active")
+    assert(rows.forall(_._3 >= 0L), "active count never goes negative")
+    // active at each boundary = running sum of deltas (window parity)
+    var run = 0L
+    rows.foreach { case (m, d, a) => run += d; assert(a === run, s"at $m") }
+    // direct recount at 3 sample minutes: sessions overlapping the minute
+    val sess = {
+      val evs = Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      evs.values.flatMap { g =>
+        val ts = g.map(t => (t._2, t._3)).sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var s = ts.head._1; var p = ts.head._1
+        ts.tail.foreach { case (t, _) =>
+          if (t - p > 300000000L) { out += ((s, p)); s = t }
+          p = t
+        }
+        out += ((s, p)); out
+      }.toSeq
+    }
+    val boundaries = rows.map(_._1)
+    Seq(boundaries.head, boundaries(boundaries.length / 2),
+        boundaries(boundaries.length / 4)).foreach { m =>
+      val expected = sess.count { case (s, e) =>
+        s / 60000000L * 60 <= m && e / 60000000L * 60 >= m }
+      val got = rows.filter(_._1 <= m).map(_._2).sum
+      assert(got === expected, s"active sessions at minute $m")
+    }
   }
 }

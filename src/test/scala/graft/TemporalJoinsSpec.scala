@@ -62,4 +62,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.filter(col("n_purchases") > 0).count() > 0)
     assert(got.filter(col("n_purchases") === 0).count() > 0)
   }
+
+  test("q117 tolerance as-of equals q28 where fresh, nulls where stale") {
+    val base = TemporalJoins.q28AsofJoin(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+      .toMap
+    val tol = TemporalJoins.q117AsofTolerance(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3))),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(tol.map(_._1).toSet === base.keySet)
+    var stale = 0
+    tol.foreach { case (eid, m, s) =>
+      (m, s) match {
+        case (Some(match_), Some(age)) =>
+          assert(base(eid) === Some(match_), s"fresh match must equal q28 at $eid")
+          assert(age >= 0 && age <= TemporalJoins.AsofToleranceSec)
+        case (None, None) =>
+          // either no prior order at all (q28 null too) or a stale one
+          if (base(eid).isDefined) stale += 1
+        case other => fail(s"match and staleness must be null together: $other")
+      }
+    }
+    assert(stale > 0, "the 30-day bound must actually null out stale matches")
+  }
 }

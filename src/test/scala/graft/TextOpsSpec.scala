@@ -131,4 +131,29 @@ class TextOpsSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1, s"decile balance at $l")
     }
   }
+
+  test("q120 grouped quartiles equal a driver-side exact recomputation") {
+    val got = TextAnalysis.q120GroupedMedian(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    val lens = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    def q(xs: Array[Long], p: Double): Double = {
+      val h = p * (xs.length - 1)
+      val lo = h.toInt
+      if (lo == xs.length - 1) xs(lo).toDouble
+      else xs(lo) + (h - lo) * (xs(lo + 1) - xs(lo))
+    }
+    assert(got.keySet === lens.keySet)
+    lens.foreach { case (l, xs) =>
+      val (n, mn, p25, med, p75, mx) = got(l)
+      assert(n === xs.length && mn === xs.head && mx === xs.last)
+      assert(p25 === q(xs, 0.25), s"p25 at $l")
+      assert(med === q(xs, 0.5), s"median at $l")
+      assert(p75 === q(xs, 0.75), s"p75 at $l")
+      assert(mn <= p25 && p25 <= med && med <= p75 && p75 <= mx)
+    }
+  }
 }

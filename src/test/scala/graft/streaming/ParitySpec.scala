@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, unix_micros}
 
 /** q25 through the file-stream source must equal the batch flagship q01
   * row-for-row (same oracle). */
@@ -269,5 +270,33 @@ class ParitySpec extends SparkSpec {
         s"listener-folded counter for $rule")
     }
     assert(fold("n_rows") === streamed.head._2._2)
+  }
+
+  test("q116 chained stateful aggregations equal the batch sliding distinct") {
+    val streamed = StreamParity.q116StreamSlidingDistinct(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Relational.q110SlidingDistinct(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "two chained windowed aggregations through streaming state must " +
+        "reproduce the batch dedup-then-count exactly")
+  }
+
+  test("q123 dropDuplicatesWithinWatermark equals the batch DISTINCT") {
+    val streamed = StreamParity.q123StreamDedupWatermark(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        ((unix_micros(col("ts")) / 60000000L).cast("long") * 60)
+          .as("minute_start"))
+      .distinct().orderBy("user_id", "minute_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.length === streamed.distinct.length,
+      "bounded-state dedup must emit each key exactly once")
+    assert(streamed === batch,
+      "streaming dedup with watermark-bounded state must reproduce the " +
+        "batch DISTINCT exactly")
   }
 }
