@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Clustering, Dedup, Relational, Similarity}
 
-/** Quality-floor report for the eight no-oracle queries (approximate or
-  * iterative by design — q21/q23/q30/q34/q47/q50/q53/q57): measures the
+/** Quality-floor report for the nine no-oracle queries (approximate or
+  * iterative by design — q21/q23/q30/q34/q47/q50/q53/q57/q125): measures the
   * same recall/error/monotonicity numbers the spec floors assert, and
   * writes them as ONE JSON file so the round artifact (QUALITY_r{N}.json,
   * committed next to CORRECTNESS_r{N}.json) shows measured values, not
@@ -129,6 +129,25 @@ object Quality {
       }.max,
       "floor" -> 1e-4)
 
+    // q125 — PCA projection: iterative eigensolve, no SQL oracle. The
+    // published numbers are the orthonormality residual of the solve and
+    // the share of total variance the kept top-k components explain
+    // (data-dependent — reported, floor on orthonormality only).
+    {
+      val (c, _) = Similarity.covAndMean(spark, sfDir)
+      val (evals, evecs) = Similarity.jacobiEigen(c)
+      val dim = c.length
+      val ortho = (for (a <- 0 until dim; b <- a until dim) yield {
+        val d = (0 until dim).map(k => evecs(a)(k) * evecs(b)(k)).sum
+        math.abs(d - (if (a == b) 1.0 else 0.0))
+      }).max
+      val trace = (0 until dim).map(i => c(i)(i)).sum
+      done("q125_pca_project",
+        "orthonormality_residual" -> ortho,
+        "explained_top8_share" -> evals.take(Similarity.PcaK).sum / trace,
+        "floor" -> 1e-8)
+    }
+
     out.toSeq
   }
 
@@ -145,7 +164,7 @@ object Quality {
     spark.sparkContext.setLogLevel("WARN")
     val metrics = measure(spark, sfDir)
     val json = metrics.map { case (q, ms) =>
-      ms.map { case (k, v) => f""""$k":$v%.6f""" }
+      ms.map { case (k, v) => f""""$k":$v%.9f""" }
         .mkString(s""""$q":{""", ",", "}")
     }.mkString(s"""{"sf":"$sfDir","queries":{""", ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

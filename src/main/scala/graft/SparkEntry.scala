@@ -142,6 +142,8 @@ object SparkEntry {
     "q121_session_concurrency" -> (Relational.q121SessionConcurrency _),
     "q122_bottomk_sample"     -> (Curation.q122BottomkSample _),
     "q123_stream_dedup_wm"    -> (graft.streaming.StreamParity.q123StreamDedupWatermark _),
+    "q124_embedding_cov"      -> (Similarity.q124EmbeddingCovariance _),
+    "q125_pca_project"        -> (Similarity.q125PcaProject _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,5 +310,9 @@ object SparkEntry {
     // q123 runs the dedup through streaming state; its oracle is the
     // batch DISTINCT the bounded-state operator must reproduce exactly.
     "q123_stream_dedup_wm"    -> graft.streaming.StreamParity.q123Sql,
+    "q124_embedding_cov"      -> Similarity.q124Sql,
+    // q125 is an iterative eigensolve (no SQL oracle, same class as
+    // q47): SimilaritySpec asserts the linear-algebra invariants and
+    // Quality publishes the measured explained-variance share.
   )
 }

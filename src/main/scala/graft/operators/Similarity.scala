@@ -1031,4 +1031,209 @@ object Similarity {
        |      FROM votes)
        |WHERE pr = 1
        |ORDER BY anchor_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q124 — exact embedding covariance matrix (population, upper
+  // triangle): the input to whitening/PCA — the preprocessing step that
+  // makes cosine-based SemDeDup/IVF behave on anisotropic embedding
+  // spaces (and the correctness anchor q125's eigensolve builds on).
+  //
+  // Scale shape — ONE corpus pass, no joins on corpus-sized data:
+  // each vector explodes into its dim(dim+1)/2 upper-triangular
+  // products WITHIN the scan stage (explode → project → partial hash
+  // aggregate, all pipelined before any exchange — the q105
+  // explode-before-partial-agg shape), so the shuffle carries
+  // |cells| × |partitions| partial sums, never O(rows). The per-dim
+  // sums reuse the same cached quantized scan. Means are a broadcast
+  // |dim|-row join. At a billion vectors the only growth is the scan.
+  //
+  // Float discipline = q74's, per cell: quantize each component ONCE at
+  // decimal scale 9 (engine-agreed HALF_UP on the shortest-repr value;
+  // no float sits on a 1e-9 half-boundary), multiply DECIMALS exactly
+  // (scale 18, no rounding), sum exactly (order-insensitive), step down
+  // to scale 12 before the double cast (unscaled stays under 2^53).
+  // The final covariance is one fixed double expression over those
+  // engine-identical sums, rounded at 9.
+  // ---------------------------------------------------------------------
+  private[graft] val CovDim = 64
+
+  /** Quantized per-component frame + the (i, j, n, sxy) cell sums and
+    * (d, sx) per-dim sums shared by q124 and q125. */
+  private def covSums(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(spark, sfDir)
+    val eq = emb.select(
+        transform(col("embedding"),
+          x => x.cast("double").cast(DecimalType(12, 9))).as("eq"))
+      .cache()
+    val cells = eq
+      .select(col("eq"), posexplode(col("eq")).as(Seq("i", "xi")))
+      .select(col("i"),
+        explode(sequence(col("i"), lit(CovDim - 1))).as("j"), col("eq"),
+        col("xi"))
+      .select(col("i"), col("j"),
+        (col("xi") * element_at(col("eq"), col("j") + 1)).as("q"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).cast(DecimalType(38, 12)).cast("double").as("sxy"))
+    val dims = eq
+      .select(posexplode(col("eq")).as(Seq("d", "xq")))
+      .groupBy("d")
+      .agg(sum(col("xq")).cast("double").as("sx"))
+    (eq, cells, dims)
+  }
+
+  // (eq stays cached for intra-query reuse across the two aggregations —
+  // the session-level hygiene is the caller's, same as q20/q23's corpus
+  // caches: Bench/specs clear the cache after each query's runs.)
+  def q124EmbeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, cells, dims) = covSums(spark, sfDir)
+    cells
+      .join(broadcast(dims.select(col("d").as("i"), col("sx").as("sxi"))), Seq("i"))
+      .join(broadcast(dims.select(col("d").as("j"), col("sx").as("sxj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("sxy") - col("sxi") * col("sxj") / col("n")) / col("n"), 9)
+          .as("cov"))
+      .orderBy("i", "j")
+  }
+
+  val q124Sql: String =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding,
+       |           x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))) AS eq
+       |  FROM embeddings),
+       |idx AS (
+       |  SELECT i.i AS i, j.j AS j
+       |  FROM generate_series(0, ${CovDim - 1}) i(i),
+       |       generate_series(0, ${CovDim - 1}) j(j)
+       |  WHERE j.j >= i.i),
+       |cells AS (
+       |  SELECT idx.i, idx.j, count(*) AS n,
+       |         CAST(CAST(round(sum(eq[idx.i + 1] * eq[idx.j + 1]), 12)
+       |              AS DECIMAL(38,12)) AS DOUBLE) AS sxy
+       |  FROM e, idx GROUP BY idx.i, idx.j),
+       |dims AS (
+       |  SELECT d.d AS d, CAST(sum(eq[d.d + 1]) AS DOUBLE) AS sx
+       |  FROM e, generate_series(0, ${CovDim - 1}) d(d) GROUP BY d.d)
+       |SELECT c.i, c.j,
+       |       round((c.sxy - a.sx * b.sx / c.n) / c.n, 9) AS cov
+       |FROM cells c JOIN dims a ON a.d = c.i JOIN dims b ON b.d = c.j
+       |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q125 — PCA projection (top-k principal coordinates per vector): the
+  // whitening/compression step of embedding pipelines. Iterative
+  // eigensolve ⇒ no SQL oracle (same class as q47's k-means); the spec
+  // asserts the linear-algebra invariants instead (orthonormal
+  // components, Av = λv residuals, per-coordinate variance = λ), and
+  // Quality publishes the measured explained-variance share.
+  //
+  // Scale split, same as q47: the DISTRIBUTED part is the one-pass
+  // covariance (q124's cells — O(dim²) partial sums) and the
+  // projection (one scan, k codegen'd DotProducts per vector against
+  // BROADCAST component literals). The DRIVER part is the dim×dim
+  // Jacobi eigensolve — O(dim³) on a 64×64 matrix, microseconds,
+  // independent of corpus size. Nothing corpus-sized crosses the
+  // driver. Determinism: cyclic Jacobi on engine-identical rounded
+  // covariances, sign-fixed per component (largest-|coord| positive),
+  // coordinates rounded at 9 — bit-stable across runs/partitionings.
+  // ---------------------------------------------------------------------
+  private[graft] val PcaK = 8
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors-as-rows), sorted descending, each vector
+    * sign-fixed so its largest-magnitude component is positive. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) { var q = p + 1; while (q < n) { s += a(p)(q) * a(p)(q); q += 1 }; p += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && offNorm() > 1e-22) {
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val col = Array.tabulate(n)(k => v(k)(i))
+      val mx = col.indices.maxBy(k => (math.abs(col(k)), -k))
+      if (col(mx) < 0) col.map(-_) else col
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** Covariance matrix + mean vector, driver-side (O(dim²) values). */
+  private[graft] def covAndMean(spark: SparkSession, sfDir: String)
+      : (Array[Array[Double]], Array[Double]) = {
+    val (eq, cells, dims) = covSums(spark, sfDir)
+    val c = Array.ofDim[Double](CovDim, CovDim)
+    val sx = Array.ofDim[Double](CovDim)
+    var n = 0L
+    cells.join(broadcast(dims.select(col("d").as("i"), col("sx").as("sxi"))), Seq("i"))
+      .join(broadcast(dims.select(col("d").as("j"), col("sx").as("sxj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("sxy") - col("sxi") * col("sxj") / col("n")) / col("n"), 9)
+          .as("cov"), col("n"))
+      .collect()
+      .foreach { r =>
+        val i = r.getInt(0); val j = r.getInt(1); val cv = r.getDouble(2)
+        c(i)(j) = cv; c(j)(i) = cv; n = r.getLong(3)
+      }
+    dims.collect().foreach { r => sx(r.getInt(0)) = r.getDouble(1) }
+    eq.unpersist()
+    (c, sx.map(_ / n))
+  }
+
+  def q125PcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val (c, mean) = covAndMean(spark, sfDir)
+    val (_, evecs) = jacobiEigen(c)
+    val comps = evecs.take(PcaK)
+    // centering is a constant per-component shift: (x - μ)·v = x·v - μ·v
+    val shifts = comps.map(v => v.zip(mean).map { case (a, b) => a * b }.sum)
+    val pcCols = comps.zipWithIndex.map { case (v, k) =>
+      round(dot(col("embedding"), typedLit(v.toSeq)) - lit(shifts(k)), 9)
+        .as(s"pc${k + 1}")
+    }
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id") +: pcCols.toSeq: _*)
+      .orderBy("vec_id")
+  }
 }

@@ -320,4 +320,66 @@ class SimilaritySpec extends SparkSpec {
       "decimal-summed moments must not depend on partitioning")
     assert(b.collect().toSeq.map(_.toSeq) === a.map(_.toSeq))
   }
+
+  test("q124 covariance equals an exact driver-side decimal recomputation") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val got = Similarity.q124EmbeddingCovariance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val vecs = Tables.embeddings(spark, sf).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = vecs.head.length
+    assert(got.size === dim * (dim + 1) / 2)
+    // mirror the pipeline's float discipline exactly: quantize each
+    // component at scale 9 (HALF_UP on the shortest double repr, which
+    // is what Spark's double->decimal cast quantizes), exact decimal
+    // products and sums, step down to scale 12, then the double formula.
+    val q = vecs.map(_.map(x =>
+      JBD.valueOf(x.toDouble).setScale(9, RoundingMode.HALF_UP)))
+    val n = vecs.length
+    val sx = Array.tabulate(dim)(i =>
+      q.map(v => v(i)).reduce(_.add(_)).doubleValue())
+    for (i <- 0 until dim; j <- i until dim if i == j || (i + j) % 13 == 0) {
+      val sxy = q.map(v => v(i).multiply(v(j))).reduce(_.add(_))
+        .setScale(12, RoundingMode.HALF_UP).doubleValue()
+      val cov = BigDecimal((sxy - sx(i) * sx(j) / n) / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((i, j)) === cov, s"cell ($i,$j)")
+    }
+    // diagonal is a variance: non-negative everywhere
+    (0 until dim).foreach(i => assert(got((i, i)) >= 0.0))
+  }
+
+  test("q125 PCA: orthonormal components, variance per coordinate = eigenvalue") {
+    val (c, mean) = Similarity.covAndMean(spark, sf)
+    val (evals, evecs) = Similarity.jacobiEigen(c)
+    val dim = c.length
+    // eigensolve invariants
+    assert(evals.sliding(2).forall { case Array(a, b) => a >= b - 1e-12 },
+      "eigenvalues descend")
+    assert(evals.forall(_ >= -1e-9), "covariance is PSD up to rounding")
+    for (a <- 0 until dim; b <- a until dim) {
+      val d = (0 until dim).map(k => evecs(a)(k) * evecs(b)(k)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-8, s"orthonormality at ($a,$b)")
+    }
+    // residual ||Cv - lambda v|| small for the kept components
+    for (k <- 0 until Similarity.PcaK) {
+      val v = evecs(k)
+      val cv = (0 until dim).map(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val res = math.sqrt((0 until dim)
+        .map(i => math.pow(cv(i) - evals(k) * v(i), 2)).sum)
+      assert(res < 1e-8, s"eigen residual at component $k")
+    }
+    // projected coordinates: mean ~ 0 (centering), variance ~ eigenvalue
+    val proj = Similarity.q125PcaProject(spark, sf).collect()
+    assert(proj.length === Tables.embeddings(spark, sf).count())
+    for (k <- 0 until Similarity.PcaK) {
+      val xs = proj.map(_.getDouble(k + 1))
+      val m = xs.sum / xs.length
+      val va = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(m) < 1e-6, s"pc${k + 1} is centered")
+      assert(math.abs(va - evals(k)) <= 1e-6 + 1e-3 * evals(k),
+        s"pc${k + 1} variance ${va} tracks eigenvalue ${evals(k)}")
+    }
+  }
 }
