@@ -144,6 +144,7 @@ object SparkEntry {
     "q123_stream_dedup_wm"    -> (graft.streaming.StreamParity.q123StreamDedupWatermark _),
     "q124_embedding_cov"      -> (Similarity.q124EmbeddingCovariance _),
     "q125_pca_project"        -> (Similarity.q125PcaProject _),
+    "q126_transform_state"    -> (graft.streaming.StreamParity.q126TransformWithState _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -314,5 +315,8 @@ object SparkEntry {
     // q125 is an iterative eigensolve (no SQL oracle, same class as
     // q47): SimilaritySpec asserts the linear-algebra invariants and
     // Quality publishes the measured explained-variance share.
+    // q126 folds per-user state through transformWithState; the oracle
+    // is the equivalent batch analytic-window pair.
+    "q126_transform_state"    -> graft.streaming.StreamParity.q126Sql,
   )
 }

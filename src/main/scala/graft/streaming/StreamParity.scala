@@ -1202,4 +1202,111 @@ object StreamParity {
       |       (epoch_us(ts) // 60000000) * 60 AS minute_start
       |FROM events
       |ORDER BY user_id, minute_start""".stripMargin
+
+  /** q126 input/state/output rows for the transformWithState processor. */
+  case class SeqEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  case class SeqState(seq: Long, purchases: Long)
+  case class SeqOut(event_id: Long, user_id: Long, seq_n: Long,
+      purchases_so_far: Long)
+
+  /** Per-user running counters in a [[org.apache.spark.sql.streaming.ValueState]]:
+    * each event is emitted with its 1-based per-user sequence number and
+    * the count of 'purchase' events seen so far. Batch rows for a key
+    * arrive UNORDERED — the processor sorts its per-key slice by
+    * (ts, event_id) before folding, and cross-batch order is the replay
+    * harness's contract (ts-range batches; equal timestamps never split
+    * across range partitions). */
+  class RunningSeqProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SeqEv, SeqOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SeqState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SeqState]("run",
+        org.apache.spark.sql.Encoders.product[SeqState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[SeqEv],
+        timerValues: TimerValues): Iterator[SeqOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var s = if (st.exists()) st.get() else SeqState(0L, 0L)
+      val out = sorted.map { e =>
+        s = SeqState(s.seq + 1,
+          s.purchases + (if (e.event_type == "purchase") 1L else 0L))
+        SeqOut(e.event_id, e.user_id, s.seq, s.purchases)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** q126 — per-user running sequence stats through Spark 4's
+    * `transformWithState` (the arbitrary-stateful-processing successor
+    * to mapGroupsWithState, used by q94): a typed StatefulProcessor
+    * holding ONE ValueState row per user, emitting every event with its
+    * per-user sequence number and purchases-so-far — the online-feature
+    * shape ("user's Nth event", "conversions before this point") that
+    * feeds real-time feature stores.
+    *
+    * Machinery exercised that q94's mapGroupsWithState cannot: the new
+    * handle-based typed-state API and the RocksDB state store provider
+    * it requires (multiple column families) — set for this query only
+    * and restored after. State: 2 longs per user, unbounded only in
+    * |users| (production adds TTLConfig where the key space churns —
+    * the knob is in the API surface this exercises).
+    *
+    * Held to the batch analytic-window oracle: two running windows over
+    * (user_id ORDER BY ts, event_id) must match the streamed fold
+    * row-for-row across the 4-batch ts-range replay.
+    */
+  def q126TransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    val dir = Files.createTempDirectory("q126_tws")
+    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir.toString).schema
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[SeqEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningSeqProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val table = s"q126_tws_${runId.incrementAndGet()}"
+      val query = out.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally query.stop()
+      spark.table(table).orderBy("event_id")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  val q126Sql: String =
+    """SELECT event_id, user_id,
+      |       ROW_NUMBER() OVER w AS seq_n,
+      |       COUNT(*) FILTER (WHERE event_type = 'purchase') OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS purchases_so_far
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
 }

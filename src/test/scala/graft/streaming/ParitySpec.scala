@@ -299,4 +299,29 @@ class ParitySpec extends SparkSpec {
       "streaming dedup with watermark-bounded state must reproduce the " +
         "batch DISTINCT exactly")
   }
+
+  test("q126 transformWithState running counters equal the batch analytic windows") {
+    val streamed = StreamParity.q126TransformWithState(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.row_number().over(w)
+          .cast("long").as("seq_n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            col("event_type") === "purchase", 1L).otherwise(0L)).over(cum)
+          .as("purchases_so_far"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "the typed ValueState fold across ts-range batches must equal the " +
+        "batch running windows row-for-row")
+  }
 }
