@@ -145,6 +145,12 @@ object SparkEntry {
     "q124_embedding_cov"      -> (Similarity.q124EmbeddingCovariance _),
     "q125_pca_project"        -> (Similarity.q125PcaProject _),
     "q126_transform_state"    -> (graft.streaming.StreamParity.q126TransformWithState _),
+    "q127_inverted_index"     -> (TextAnalysis.q127InvertedIndex _),
+    "q128_robust_stats"       -> (TextAnalysis.q128RobustStats _),
+    "q129_pmi_collocations"   -> (TextAnalysis.q129PmiCollocations _),
+    "q130_stream_history"     -> (graft.streaming.StreamParity.q130StreamRecentHistory _),
+    "q131_incremental_agg"    -> (Relational.q131IncrementalAgg _),
+    "q132_table_checksum"     -> (Relational.q132TableChecksum _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -318,5 +324,15 @@ object SparkEntry {
     // q126 folds per-user state through transformWithState; the oracle
     // is the equivalent batch analytic-window pair.
     "q126_transform_state"    -> graft.streaming.StreamParity.q126Sql,
+    "q127_inverted_index"     -> TextAnalysis.q127Sql,
+    "q128_robust_stats"       -> TextAnalysis.q128Sql,
+    "q129_pmi_collocations"   -> TextAnalysis.q129Sql,
+    // q130 folds per-user ListState through transformWithState; the
+    // oracle is the batch sliding history frame.
+    "q130_stream_history"     -> graft.streaming.StreamParity.q130Sql,
+    // q131 merges base+delta PARTIAL aggregate states; the oracle is the
+    // full recompute the incremental refresh must equal bit-for-bit.
+    "q131_incremental_agg"    -> Relational.q131Sql,
+    "q132_table_checksum"     -> Relational.q132Sql,
   )
 }

@@ -1525,4 +1525,119 @@ object Relational {
       |  AND o_orderdate <  TIMESTAMP '1997-01-01'
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q131 — incremental materialized-aggregate maintenance: the warehouse
+  // refresh primitive. A per-user aggregate (count / sum / max-ts) is
+  // "stored"; when a new day of events lands, the engine aggregates ONLY
+  // the delta partition and MERGES partial states (count: sum-of-counts,
+  // sum: sum-of-sums, max: max-of-maxes) — never rescanning history.
+  // Non-mergeable stats (avg) are DERIVED from merged sufficient
+  // statistics at read time — the algebraic-aggregate discipline every
+  // incremental view engine (Materialize, Delta MV, Druid rollup) runs on.
+  //
+  // Exactness: the double `value` is cast to DECIMAL(25,6) BEFORE any
+  // sum, so base-sum + delta-sum == full-sum bit-for-bit regardless of
+  // partitioning or merge order (the repo-wide decimal discipline). The
+  // final avg is one decimal->double division, identical IEEE in both
+  // engines.
+  //
+  // Scale shape: at 100 TB the base aggregate is a stored table and only
+  // the delta scan runs per refresh — here both sides derive from the
+  // same events scan with a cutoff = max(ts) - 1 day (a broadcast 1-row
+  // aggregate, q99's totals shape). The merge is a union of two
+  // PARTIAL-STATE tables re-aggregated on the SAME user_id key — one
+  // shuffle whose input is |users| + |delta users| rows, not the corpus.
+  // The oracle is the full recompute the incremental path must equal.
+  // ---------------------------------------------------------------------
+  def q131IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"),
+        col("value").cast("decimal(25,6)").as("v"))
+    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 1 DAY")).as("cut"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+    def part(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        max(col("ts")).as("mts"))
+    val base  = part(tagged.filter(col("ts") <  col("cut")))
+    val delta = part(tagged.filter(col("ts") >= col("cut")))
+    base.unionByName(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).as("sv"),
+        max(col("mts")).as("last_ts"))
+      .select(col("user_id"), col("n_events"),
+        col("sv").cast("double").as("sum_value"),
+        // avg derived from merged sufficient stats; divide in DOUBLE so
+        // both engines run the same single IEEE op (decimal-division
+        // scale rules differ between engines).
+        (col("sv").cast("double") / col("n_events")).as("avg_value"),
+        col("last_ts"))
+      .orderBy("user_id")
+  }
+
+  val q131Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+      |         AS avg_value,
+      |       MAX(ts) AS last_ts
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q132 — bucketed table checksum: the replication/migration audit
+  // primitive (pt-table-checksum / Debezium verification shape). Rows
+  // hash to a 60-bit value from a canonical key|attr representation;
+  // buckets (key mod NB) aggregate an ORDER-INSENSITIVE triple
+  // (row count, XOR of row hashes, sum of keys). Two copies of a table
+  // compare NB tiny rows instead of the table; a mismatched bucket
+  // narrows re-sync to 1/NB of the keyspace — without XOR's
+  // order-insensitivity the comparison would need a global sort.
+  //
+  // Cross-engine exactness: the representation uses only integers,
+  // strings, and epoch-us timestamps (no float/date formatting
+  // ambiguity); the hash is the first 15 md5 hex chars parsed base-16 —
+  // bit-identical in Spark (conv) and DuckDB (0x-cast), both < 2^60 so
+  // XOR stays in positive BIGINT range.
+  //
+  // Scale shape: one scan, one partial-aggregable shuffle of NB×
+  // partitions state rows. The md5 + conv are codegen'd builtins riding
+  // the scan projection.
+  // ---------------------------------------------------------------------
+  private[graft] val ChecksumBuckets = 64
+
+  def q132TableChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    checksumOrders(Tables.orders(spark, sfDir))
+
+  /** Checksum of any orders-shaped frame — split out so a spec can
+    * checksum a mutated copy and assert single-bucket divergence. */
+  private[graft] def checksumOrders(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(ChecksumBuckets)).as("bucket"),
+        // o_orderdate reads as TIMESTAMP_NTZ; the session TZ is pinned
+        // UTC, so the TIMESTAMP cast is an identity relabel.
+        expr("CAST(conv(substr(md5(concat_ws('|', o_orderkey, o_custkey, " +
+          "o_orderstatus, unix_micros(CAST(o_orderdate AS TIMESTAMP)))), " +
+          "1, 15), 16, 10) AS BIGINT)").as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_hash"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy("bucket")
+
+  val q132Sql: String =
+    s"""SELECT o_orderkey % $ChecksumBuckets AS bucket,
+       |       COUNT(*) AS n_rows,
+       |       bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+       |                 o_orderkey, o_custkey, o_orderstatus,
+       |                 epoch_us(o_orderdate))), 1, 15)) AS BIGINT))
+       |         AS xor_hash,
+       |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
 }

@@ -808,4 +808,194 @@ object TextAnalysis {
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q127 — inverted-index build: token -> document frequency + ordered
+  // posting list fingerprint + delta-varint size estimate. The core
+  // search-engine / retrieval-corpus materialization (reference scope:
+  // keyed aggregation, `rlink/src/api/function.rs` ReduceFunction class),
+  // and the sizing input for an index-layout planner: `varint_bytes` is
+  // the EXACT byte cost of the standard gap-encoded posting list
+  // (Lucene/ES on-disk shape), computed without materializing any
+  // encoding.
+  //
+  // Scale shape: ONE shuffle keyed on token. Per-doc token dedup happens
+  // BEFORE the corpus-wide groupBy (array_distinct inside the scan
+  // projection), so the shuffle carries each (token, doc) pair once. The
+  // posting list itself is collect_list per token — per-group state is
+  // df-sized, the Zipf head (stopwords) is the known hot key; at 100 TB a
+  // deployment splits head terms by doc-range (the q31 salting shape,
+  // noted not needed at bench SFs) — body/tail terms, i.e. the index
+  // bulk, are small. The fingerprint + varint math are pure HOF
+  // projections over the grouped array: no second shuffle, no window, no
+  // explode-back.
+  // ---------------------------------------------------------------------
+  /** Varint byte cost of one non-negative gap value, as inline SQL. */
+  private def vbSql(v: String): String =
+    s"(CASE WHEN $v < 128 THEN 1 WHEN $v < 16384 THEN 2" +
+      s" WHEN $v < 2097152 THEN 3 WHEN $v < 268435456 THEN 4 ELSE 5 END)"
+
+  def q127InvertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), " +")))
+          .as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .select(col("token"), col("df"),
+        md5(array_join(col("postings").cast("array<string>"), ","))
+          .as("postings_fp"),
+        // Spark's sequence(1, 0) DESCENDS — guard the df = 1 case.
+        expr(s"CAST(${vbSql("postings[0]")} + (CASE WHEN size(postings) = 1" +
+          " THEN 0 ELSE aggregate(" +
+          "transform(sequence(1, size(postings) - 1)," +
+          s"  i -> ${vbSql("(postings[i] - postings[i-1])")})," +
+          " 0L, (a, x) -> a + x) END) AS BIGINT)").as("varint_bytes"))
+      .orderBy("token")
+
+  val q127Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT token, doc_id FROM (
+       |    SELECT doc_id,
+       |           unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS token
+       |    FROM documents)),
+       |gaps AS (
+       |  SELECT token, doc_id,
+       |         doc_id - lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id)
+       |           AS gap
+       |  FROM pairs)
+       |SELECT token, COUNT(*) AS df,
+       |       md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_fp,
+       |       CAST(SUM(CASE WHEN gap IS NULL THEN ${vbSql("doc_id")}
+       |                     ELSE ${vbSql("gap")} END) AS BIGINT)
+       |         AS varint_bytes
+       |FROM gaps
+       |GROUP BY token
+       |ORDER BY token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q128 — robust per-language length statistics: median + MAD (median
+  // absolute deviation) + MAD-gated outlier counts. Mean/stddev outlier
+  // gates break on the heavy-tailed length distributions web corpora
+  // actually have (one 10 MB page moves the mean); median/MAD is the
+  // robust-statistics standard the Gopher/C4 length rules approximate.
+  //
+  // Exactness: medians over BIGINT lengths interpolate at k/2 positions
+  // -> halves; deviations |len - med| are then halves, and THEIR median
+  // interpolates to quarters — all dyadic rationals, bit-identical in
+  // binary64 across engines (same discipline as q120, one level deeper).
+  // The outlier gate 3*MAD stays dyadic, so the comparison is exact.
+  //
+  // Scale shape: two grouped aggregations on lang (|langs| groups) with a
+  // broadcast-sized join between them — the per-group percentile state is
+  // bounded by DISTINCT LENGTH VALUES, not rows (q120's argument). No
+  // window, no per-row state.
+  // ---------------------------------------------------------------------
+  def q128RobustStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"))
+    val med = docs.groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), lit(0.5)).as("median_chars"))
+    val dev = docs.join(broadcast(med), Seq("lang"))
+      .withColumn("dev", abs(col("n_chars") - col("median_chars")))
+      .cache() // feeds the MAD aggregate AND the outlier count below
+    val mad = dev.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("median_chars")).as("median_chars"),
+        percentile(col("dev"), lit(0.5)).as("mad_chars"))
+    val out = dev.join(broadcast(mad.select(col("lang"), col("mad_chars"))),
+        Seq("lang"))
+      .filter(col("dev") > lit(3) * col("mad_chars"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_outliers"))
+    mad.join(out, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("median_chars"),
+        col("mad_chars"), coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy("lang")
+  }
+
+  val q128Sql: String =
+    """WITH med AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars
+      |  FROM documents GROUP BY lang),
+      |dev AS (
+      |  SELECT d.lang, med.median_chars,
+      |         abs(d.n_chars - med.median_chars) AS dev
+      |  FROM documents d JOIN med ON d.lang = med.lang),
+      |mad AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |         ANY_VALUE(median_chars) AS median_chars,
+      |         quantile_cont(dev, 0.5) AS mad_chars
+      |  FROM dev GROUP BY lang)
+      |SELECT mad.lang, mad.n_docs, mad.median_chars, mad.mad_chars,
+      |       COUNT(*) FILTER (WHERE dev.dev > 3 * mad.mad_chars)
+      |         AS n_outliers
+      |FROM mad JOIN dev ON mad.lang = dev.lang
+      |GROUP BY mad.lang, mad.n_docs, mad.median_chars, mad.mad_chars
+      |ORDER BY mad.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q129 — collocation mining by pointwise mutual information: adjacent
+  // word pairs that co-occur far more than their marginals predict
+  // ("los angeles", "machine learning") — the standard phrase-detection
+  // pass (word2vec's phrase pass, NLTK collocations) that decides what
+  // becomes a single vocabulary unit before tokenizer training.
+  //
+  // Scored as the PMI RATIO p(w1,w2)/(p(w1)p(w2)) = c12*T/(cl*cr), NOT
+  // its log: the ratio needs only IEEE multiply/divide (deterministic,
+  // bit-identical across engines once the operation order is pinned),
+  // where log would pull in libm. Counts fit double exactly below 2^53;
+  // a 6-dp round guards the division. MinPairCount prunes hapax pairs —
+  // the statistics are meaningless below it and it bounds the output to
+  // the true collocation candidates.
+  //
+  // Scale shape: one bigram count shuffle (map-side combinable) + two
+  // marginal aggregations DERIVED from the counted pair table (|pairs|
+  // input, not corpus) + joins back on the pair table — Zipf-small; AQE
+  // broadcasts the marginals when they fit. No window, no explode-back
+  // through the corpus.
+  // ---------------------------------------------------------------------
+  private[graft] val MinPairCount = 5
+
+  def q129PmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .select(split(lower(trim(col("text"))), " +").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i+1] AS w2))""".stripMargin)).as("u"))
+      .select(col("u.w1").as("w1"), col("u.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .cache() // marginals + total + scoring all derive from this table
+    val cl = c12.groupBy(col("w1")).agg(sum(col("c12")).as("cl"))
+    val cr = c12.groupBy(col("w2")).agg(sum(col("c12")).as("cr"))
+    val t = c12.agg(sum(col("c12")).as("t"))
+    c12.filter(col("c12") >= MinPairCount)
+      .join(cl, "w1").join(cr, "w2")
+      .crossJoin(broadcast(t)) // 1-row total
+      .select(col("w1"), col("w2"), col("c12"), col("cl"), col("cr"),
+        round((col("c12").cast("double") * col("t")) /
+          (col("cl").cast("double") * col("cr")), 6).as("pmi_ratio"))
+      .orderBy("w1", "w2")
+  }
+
+  val q129Sql: String =
+    s"""WITH bg AS (
+       |  SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+       |    SELECT unnest([{'w1': toks[i+1], 'w2': toks[i+2]}
+       |                   for i in range(0, len(toks) - 1)]) AS u
+       |    FROM (SELECT regexp_split_to_array(lower(trim(text)), ' +') AS toks
+       |          FROM documents)
+       |    WHERE len(toks) >= 2)),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |cl AS (SELECT w1, sum(c12) AS cl FROM c12 GROUP BY w1),
+       |cr AS (SELECT w2, sum(c12) AS cr FROM c12 GROUP BY w2),
+       |t AS (SELECT sum(c12) AS t FROM c12)
+       |SELECT c12.w1, c12.w2, c12.c12,
+       |       CAST(cl.cl AS BIGINT) AS cl, CAST(cr.cr AS BIGINT) AS cr,
+       |       round((CAST(c12.c12 AS DOUBLE) * t.t) /
+       |             (CAST(cl.cl AS DOUBLE) * cr.cr), 6) AS pmi_ratio
+       |FROM c12 JOIN cl USING (w1) JOIN cr USING (w2), t
+       |WHERE c12.c12 >= $MinPairCount
+       |ORDER BY c12.w1, c12.w2""".stripMargin
 }

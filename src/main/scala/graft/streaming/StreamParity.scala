@@ -1309,4 +1309,99 @@ object StreamParity {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
+
+  /** q130 — size of the per-user recent-history window. */
+  private[graft] val HistN = 3
+
+  case class HistEv(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  case class HistOut(event_id: Long, user_id: Long, prev3: String)
+
+  /** Per-user recent-history feature in a
+    * [[org.apache.spark.sql.streaming.ListState]]: each event is emitted
+    * with the comma-joined types of the user's PREVIOUS up-to-3 events
+    * (chronological). The classic online sequence feature ("what did
+    * this user just do") — the point-in-time-correct train-time twin is
+    * the batch sliding frame the oracle runs. State is capped at HistN
+    * strings per user BY CONSTRUCTION (trim before put), so state size
+    * is O(users · HistN), independent of stream length — the contrast
+    * with q126's unbounded-count ValueState. */
+  class RecentHistoryProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, HistEv, HistOut] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var hist: ListState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getListState[String]("hist",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[HistEv],
+        timerValues: TimerValues): Iterator[HistOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var cur = hist.get().toArray // oldest-first, <= HistN elements
+      val out = sorted.map { e =>
+        val o = HistOut(e.event_id, e.user_id, cur.mkString(","))
+        cur = (cur :+ e.event_type).takeRight(HistN)
+        o
+      }
+      hist.put(cur)
+      out.iterator
+    }
+  }
+
+  /** q130 — q126's replay harness (ts-range batches, RocksDB provider)
+    * driving the [[RecentHistoryProcessor]]: exercises the ListState
+    * surface of Spark 4's transformWithState, the state primitive for
+    * bounded per-key sequences. Oracle: the batch sliding window
+    * `string_agg OVER (ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)` must
+    * match the streamed fold row-for-row. */
+  def q130StreamRecentHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    val dir = Files.createTempDirectory("q130_hist")
+    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir.toString).schema
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[HistEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new RecentHistoryProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val table = s"q130_hist_${runId.incrementAndGet()}"
+      val query = out.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally query.stop()
+      spark.table(table).orderBy("event_id")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  val q130Sql: String =
+    s"""SELECT event_id, user_id,
+       |       coalesce(string_agg(event_type, ',') OVER (
+       |         PARTITION BY user_id ORDER BY ts, event_id
+       |         ROWS BETWEEN $HistN PRECEDING AND 1 PRECEDING), '')
+       |         AS prev3
+       |FROM events
+       |ORDER BY event_id""".stripMargin
 }

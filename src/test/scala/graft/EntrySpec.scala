@@ -11,10 +11,10 @@ class EntrySpec extends SparkSpec {
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the only rows-only checks: approximate/hash-family ops and
-    // iterative float training
+    // iterative float training (q125's eigensolve is the q47 class)
     assert(noOracle == Set("q21_simhash_dedup", "q23_ann_lsh", "q30_ann_ivf",
       "q34_approx_distinct", "q47_kmeans_cluster", "q50_semdedup",
-      "q53_ann_ivf_pq", "q57_approx_quantiles"))
+      "q53_ann_ivf_pq", "q57_approx_quantiles", "q125_pca_project"))
   }
 
   test("oracle column names match the Spark result columns") {

@@ -612,4 +612,58 @@ class RelationalSpec extends SparkSpec {
       assert(got === expected, s"active sessions at minute $m")
     }
   }
+
+  test("q131: merged base+delta partial states equal the direct full aggregate") {
+    import org.apache.spark.sql.functions._
+    val inc = operators.Relational.q131IncrementalAgg(spark, sf)
+    val full = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"),
+        (sum(col("value").cast("decimal(25,6)")).cast("double") /
+          count(lit(1))).as("avg_value"),
+        max(col("ts")).as("last_ts"))
+    assert(inc.count() == full.count())
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0)
+  }
+
+  test("q131: the delta partition is non-empty (the merge path is actually exercised)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val cut = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
+      .minus(java.time.Duration.ofDays(1))
+    val delta = ev.filter(col("ts") >= lit(java.sql.Timestamp.from(cut))).count()
+    val base = ev.count() - delta
+    assert(delta > 0 && base > 0, s"base=$base delta=$delta")
+  }
+
+  test("q132: a single-row mutation flips exactly its own bucket's checksum") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf).cache()
+    val clean = operators.Relational.checksumOrders(orders).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val victim = orders.select("o_orderkey").orderBy("o_orderkey")
+      .limit(1).collect()(0).getLong(0)
+    val mutated = orders.withColumn("o_custkey",
+      when(col("o_orderkey") === victim, col("o_custkey") + 1)
+        .otherwise(col("o_custkey")))
+    val dirty = operators.Relational.checksumOrders(mutated).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(clean.keySet == dirty.keySet)
+    val diff = clean.keySet.filter(b => clean(b) != dirty(b))
+    assert(diff == Set(victim % operators.Relational.ChecksumBuckets),
+      s"diverged buckets: $diff")
+    // counts and key sums survive an attribute mutation - only the xor moves
+    val b = diff.head
+    assert(clean(b)._1 == dirty(b)._1 && clean(b)._3 == dirty(b)._3)
+    assert(clean(b)._2 != dirty(b)._2)
+  }
+
+  test("q132: checksum is partitioning-invariant (xor/count/sum are order-free)") {
+    val orders = Tables.orders(spark, sf)
+    val a = operators.Relational.checksumOrders(orders).collect().toSeq
+    val b = operators.Relational.checksumOrders(
+      orders.repartition(13)).collect().toSeq
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+  }
 }

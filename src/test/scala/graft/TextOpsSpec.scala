@@ -156,4 +156,82 @@ class TextOpsSpec extends SparkSpec {
       assert(mn <= p25 && p25 <= med && med <= p75 && p75 <= mx)
     }
   }
+
+  test("q127: inverted index df/fingerprint/varint agree with a driver-side rebuild") {
+    val got = TextAnalysis.q127InvertedIndex(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getString(2), r.getLong(3))))
+      .toMap
+    // independent rebuild: distinct (token, doc) pairs in plain Scala
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val postings = docs
+      .flatMap { case (id, t) =>
+        t.trim.toLowerCase.split(" +").distinct.map(tok => (tok, id)) }
+      .groupBy(_._1).map { case (tok, ps) => tok -> ps.map(_._2).sorted }
+    def vb(v: Long): Long =
+      if (v < 128) 1 else if (v < 16384) 2 else if (v < 2097152) 3
+      else if (v < 268435456) 4 else 5
+    assert(got.keySet == postings.keySet)
+    postings.foreach { case (tok, ids) =>
+      val (df, fp, bytes) = got(tok)
+      assert(df == ids.length, s"df of $tok")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fp == md, s"postings_fp of $tok")
+      val expBytes = vb(ids.head) +
+        ids.toSeq.sliding(2).collect { case Seq(a, b) => vb(b - a) }.sum
+      assert(bytes == expBytes, s"varint_bytes of $tok")
+    }
+  }
+
+  test("q128: MAD bounds and outlier count agree with a driver-side recompute") {
+    val got = TextAnalysis.q128RobustStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val byLang = Tables.documents(spark, sf).select("lang", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2.toDouble).sorted }
+    def interp(xs: Seq[Double], q: Double): Double = {
+      val pos = q * (xs.length - 1)
+      val lo = pos.toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+    }
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (l, xs) =>
+      val (n, med, mad, nOut) = got(l)
+      assert(n == xs.length)
+      assert(med === interp(xs, 0.5), s"median of $l")
+      val devs = xs.map(x => math.abs(x - med)).sorted
+      assert(mad === interp(devs, 0.5), s"mad of $l")
+      assert(nOut == devs.count(_ > 3 * mad), s"outliers of $l")
+    }
+  }
+
+  test("q129: PMI ratio is the exact count ratio and a planted collocation scores high") {
+    val rows = TextAnalysis.q129PmiCollocations(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // global totals recomputed from the returned marginals must satisfy
+    // ratio == c12 * T / (cl * cr) for every row (T derived once below)
+    val bg = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split(" +").sliding(2)
+        .collect { case Array(a, b) => (a, b) })
+    val t = bg.length.toDouble
+    val c12 = bg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cl = bg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cr = bg.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == c12((w1, w2)))
+      assert(r.getLong(3) == cl(w1) && r.getLong(4) == cr(w2))
+      val exp = BigDecimal(r.getLong(2) * t / (cl(w1).toDouble * cr(w2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) === exp, s"pmi of ($w1,$w2)")
+      assert(r.getLong(2) >= TextAnalysis.MinPairCount)
+    }
+    // sanity: the corpus's strongest surviving pair beats independence
+    assert(rows.map(_.getDouble(5)).max > 1.0)
+  }
 }

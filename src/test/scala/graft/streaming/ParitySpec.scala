@@ -324,4 +324,27 @@ class ParitySpec extends SparkSpec {
       "the typed ValueState fold across ts-range batches must equal the " +
         "batch running windows row-for-row")
   }
+
+  test("q130 ListState recent history equals the batch sliding frame") {
+    val streamed = StreamParity.q130StreamRecentHistory(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // state is bounded by construction: never more than HistN entries
+    assert(streamed.forall(_._3.split(",", -1).length <= 3 + 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, -1)
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.array_join(
+            org.apache.spark.sql.functions.collect_list(col("event_type"))
+              .over(w), ","),
+          org.apache.spark.sql.functions.lit("")).as("prev3"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "the ListState fold across ts-range batches must equal the batch " +
+        "3-preceding sliding frame row-for-row")
+  }
 }
