@@ -22,22 +22,27 @@ object Bench {
   val DriverLineBudget = 1850
 
   /** Build the single driver-consumed JSON line. Query keys are
-    * SHORTENED to their qNN prefix ("q01_sliding_window_agg" -> "q01"):
-    * the full-name map grew past the tail window at the 65-query surface
-    * (the spread line, printed earlier, keeps full names, and the qNN ->
-    * name mapping is fixed in SparkEntry/COVERAGE.md). Values use
-    * HYBRID precision — 2 dp under 10 s (where hundredths carry
-    * signal), 1 dp above — because at the 119-query surface uniform
-    * 2 dp would overflow the budget in the worst case. The require
+    * SHORTENED to their query number ("q01_sliding_window_agg" -> "01";
+    * "stream_ingest" -> "stream"): the full-name map grew past the tail
+    * window at the 65-query surface and the qNN prefixes grew past it
+    * again at the 133-query surface (the spread line, printed earlier,
+    * keeps full names, and the NN -> name mapping is fixed in
+    * SparkEntry/COVERAGE.md). Values use TIERED precision — 2 dp under
+    * 1 s (where hundredths carry signal), 1 dp to 100 s, whole seconds
+    * above — sized so the line holds ~150 queries with worst-case-wide
+    * times. Full 3-dp times always ride the spread line. The require
     * makes any future growth that would silently re-break driver
     * parsing fail loudly here (and in the unit test) instead.
     */
   def driverLine(total: Double, queries: Seq[(String, Double)], sf: String,
                  streamRowsPerSec: Double, cpus: String): String = {
     def fmt(v: Double): String =
-      if (math.abs(v) < 10.0) f"$v%.2f" else f"$v%.1f"
+      if (math.abs(v) < 1.0) f"$v%.2f"
+      else if (math.abs(v) < 100.0) f"$v%.1f"
+      else f"$v%.0f"
     val qs = queries
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val line =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sf","stream_rows_per_sec":$streamRowsPerSec%.0f,"cpus":$cpus}"""

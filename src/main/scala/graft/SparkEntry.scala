@@ -151,6 +151,11 @@ object SparkEntry {
     "q130_stream_history"     -> (graft.streaming.StreamParity.q130StreamRecentHistory _),
     "q131_incremental_agg"    -> (Relational.q131IncrementalAgg _),
     "q132_table_checksum"     -> (Relational.q132TableChecksum _),
+    "q133_bpe_merge_step"     -> (TextAnalysis.q133BpeMergeStep _),
+    "q134_packing_sweep"      -> (Curation.q134PackingSweep _),
+    "q135_epoch_shards"       -> (Curation.q135EpochShards _),
+    "q136_curriculum"         -> (Curation.q136CurriculumInterleave _),
+    "q137_stream_quota"       -> (graft.streaming.StreamParity.q137StreamQuotaGate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -334,5 +339,12 @@ object SparkEntry {
     // full recompute the incremental refresh must equal bit-for-bit.
     "q131_incremental_agg"    -> Relational.q131Sql,
     "q132_table_checksum"     -> Relational.q132Sql,
+    "q133_bpe_merge_step"     -> TextAnalysis.q133Sql,
+    "q134_packing_sweep"      -> Curation.q134Sql,
+    "q135_epoch_shards"       -> Curation.q135Sql,
+    "q136_curriculum"         -> Curation.q136Sql,
+    // q137 gates per-(user, day) quotas through transformWithState; the
+    // oracle is the batch ROW_NUMBER threshold.
+    "q137_stream_quota"       -> graft.streaming.StreamParity.q137Sql,
   )
 }

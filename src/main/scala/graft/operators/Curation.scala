@@ -912,4 +912,144 @@ object Curation {
        |  FROM documents
        |  ORDER BY h LIMIT $BottomK)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q134 — sequence-packing efficiency sweep: for a grid of candidate
+  // context lengths, the padding waste the corpus would incur if each
+  // document were chunked to that length — the measurement that picks a
+  // training context length (and the planning input to q43's actual
+  // packer). ceil-division in pure integer arithmetic; ONE corpus scan
+  // feeds all grid points (the per-L rows explode from a 4-element
+  // literal array, so the scan does not repeat per candidate).
+  // ---------------------------------------------------------------------
+  private[graft] val PackGrid = Seq(128, 256, 512, 1024)
+
+  def q134PackingSweep(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(size(split(trim(col("text")), " +")).cast("long").as("n_tokens"),
+        explode(array(PackGrid.map(lit): _*)).as("seq_len"))
+      .select(col("seq_len"), col("n_tokens"),
+        expr("(n_tokens + seq_len - 1) div seq_len").as("n_chunks"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chunks")).as("n_chunks"),
+        (sum(col("n_chunks")) * col("seq_len")).as("padded_tokens"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("n_chunks"), col("padded_tokens"),
+        round((col("padded_tokens") - col("total_tokens")).cast("double") /
+          col("padded_tokens") * 100, 6).as("waste_pct"))
+      .orderBy("seq_len")
+
+  val q134Sql: String =
+    s"""WITH d AS (
+       |  SELECT len(regexp_split_to_array(trim(text), ' +'))::BIGINT
+       |           AS n_tokens
+       |  FROM documents),
+       |g AS (SELECT unnest([${PackGrid.mkString(", ")}]) AS seq_len),
+       |c AS (
+       |  SELECT g.seq_len, d.n_tokens,
+       |         (d.n_tokens + g.seq_len - 1) // g.seq_len AS n_chunks
+       |  FROM d CROSS JOIN g)
+       |SELECT seq_len, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       |       CAST(SUM(n_chunks) * seq_len AS BIGINT) AS padded_tokens,
+       |       round(CAST(SUM(n_chunks) * seq_len - SUM(n_tokens) AS DOUBLE)
+       |             / (SUM(n_chunks) * seq_len) * 100, 6) AS waste_pct
+       |FROM c
+       |GROUP BY seq_len
+       |ORDER BY seq_len""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q135 — deterministic epoch shuffling into dataloader shards: each
+  // training epoch permutes the corpus by a seeded hash and splits it
+  // into numbered shards whose WITHIN-SHARD order is part of the
+  // contract (a reader must see the same sequence on every re-run /
+  // resume). Output is the shard manifest: per (epoch, shard) the doc
+  // count and a fingerprint of the ordered id sequence.
+  //
+  // Scale shape: the permutation is hash-derived (no global sort, no
+  // RNG state): shard = h mod NB is a pure scan projection; the one
+  // shuffle is the shard groupBy, and within-shard ordering sorts
+  // SHARD-sized arrays in parallel. This is the q122/q36 hash-determinism
+  // family applied to the epoch-ordering problem; the 60-bit md5-derived
+  // h is the q132 cross-engine parse.
+  // ---------------------------------------------------------------------
+  private[graft] val ShuffleEpochs = 2
+  private[graft] val ShardCount    = 64
+
+  def q135EpochShards(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array((0 until ShuffleEpochs).map(lit): _*)).as("epoch"))
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(concat(epoch, '-', doc_id)), 1, 15), 16, 10) " +
+          "AS BIGINT)"))
+      .withColumn("shard", pmod(col("h"), lit(ShardCount)))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("h"), col("doc_id")))),
+          s => s.getField("doc_id").cast("string")), ",")).as("order_fp"))
+      .orderBy("epoch", "shard")
+
+  val q135Sql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch
+       |  FROM documents),
+       |h AS (
+       |  SELECT epoch, doc_id,
+       |         CAST(concat('0x', substr(md5(concat(epoch, '-', doc_id)),
+       |                                  1, 15)) AS BIGINT) AS h
+       |  FROM e)
+       |SELECT CAST(epoch AS INT) AS epoch, h % $ShardCount AS shard,
+       |       COUNT(*) AS n_docs,
+       |       md5(string_agg(doc_id, ',' ORDER BY h, doc_id)) AS order_fp
+       |FROM h
+       |GROUP BY 1, 2
+       |ORDER BY epoch, shard""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q136 — curriculum interleave: order the corpus "hardest-first within
+  // source, round-robin across sources" — the data-ordering pass that
+  // keeps any single source from dominating a training phase while
+  // preserving a difficulty curriculum inside each source.
+  //
+  // The interesting part is the GLOBAL position without a global window:
+  // pos(r, s) = Σ_{s'} min(r−1, n_{s'})  +  |{s' ≤ s : n_{s'} ≥ r}|
+  // — docs of earlier rounds, plus earlier-or-equal sources still alive
+  // in round r. Per-source ranks are partition-parallel windows; the
+  // global term is a |sources|-row broadcast join + per-doc arithmetic.
+  // A ROW_NUMBER over the whole corpus (the oracle's formulation) would
+  // funnel 100 TB through one task; this shape never does.
+  // ---------------------------------------------------------------------
+  def q136CurriculumInterleave(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(desc("n_chars"), col("doc_id"))).cast("long")
+          .as("rank_in_source"))
+    val counts = r.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .select(col("source").as("s2"), col("n_s"))
+    r.crossJoin(broadcast(counts)) // |sources|-row explode per doc
+      .groupBy(col("doc_id"), col("source"), col("rank_in_source"))
+      .agg((sum(least(col("rank_in_source") - 1, col("n_s"))) +
+        sum(when(col("n_s") >= col("rank_in_source") &&
+          col("s2") <= col("source"), 1L).otherwise(0L))).as("global_pos"))
+      .orderBy("doc_id")
+  }
+
+  val q136Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id)
+      |           AS rank_in_source
+      |  FROM documents)
+      |SELECT doc_id, source, rank_in_source,
+      |       ROW_NUMBER() OVER (ORDER BY rank_in_source, source)
+      |         AS global_pos
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
 }

@@ -998,4 +998,54 @@ object TextAnalysis {
        |FROM c12 JOIN cl USING (w1) JOIN cr USING (w2), t
        |WHERE c12.c12 >= $MinPairCount
        |ORDER BY c12.w1, c12.w2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q133 — BPE merge-pair counting, the inner step of byte-pair-encoding
+  // tokenizer training: count adjacent SYMBOL pairs weighted by word
+  // frequency; the argmax pair becomes the next merge rule.
+  //
+  // The efficiency point (Sennrich et al.'s original trick): the pair
+  // scan runs over the WORD-FREQUENCY TABLE, not the corpus — one
+  // corpus-sized count shuffle produces the Zipf-small vocab, and every
+  // subsequent merge iteration is vocab-sized work. At 100 TB the corpus
+  // pass happens once; the ~50k-iteration merge loop never touches it
+  // again. This op materializes iteration 1 exactly (character symbols);
+  // later iterations replace `substring` pairs with the current symbol
+  // segmentation — same shape, same cost.
+  //
+  // All-integer weighted counts — bit-exact cross-engine; the pair
+  // explode is a pure HOF projection over vocab rows.
+  // ---------------------------------------------------------------------
+  private[graft] val MergeMinCount = 2L
+
+  def q133BpeMergeStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), " +")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(col("f"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+          |  i -> struct(substring(w, i, 1) AS l,
+          |              substring(w, i + 1, 1) AS r))""".stripMargin)).as("u"))
+      .groupBy(col("u.l").as("l"), col("u.r").as("r"))
+      .agg(sum(col("f")).as("n_weighted"))
+      .filter(col("n_weighted") >= MergeMinCount)
+      .orderBy("l", "r")
+  }
+
+  val q133Sql: String =
+    s"""WITH vocab AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS w
+       |    FROM documents) GROUP BY w),
+       |pairs AS (
+       |  SELECT f, unnest([{'l': w[i+1], 'r': w[i+2]}
+       |                    for i in range(0, length(w) - 1)]) AS u
+       |  FROM vocab WHERE length(w) >= 2)
+       |SELECT u.l AS l, u.r AS r, CAST(sum(f) AS BIGINT) AS n_weighted
+       |FROM pairs
+       |GROUP BY 1, 2
+       |HAVING sum(f) >= $MergeMinCount
+       |ORDER BY l, r""".stripMargin
 }

@@ -1404,4 +1404,96 @@ object StreamParity {
        |         AS prev3
        |FROM events
        |ORDER BY event_id""".stripMargin
+
+  /** q137 — events admitted per (user, UTC day) before the gate closes. */
+  private[graft] val QuotaN = 5L
+  private val DayUs = 86400L * 1000000L
+
+  case class QuotaEv(user_id: Long, ts_us: Long, event_id: Long)
+  case class QuotaState(day: Long, n: Long)
+  case class QuotaOut(event_id: Long, user_id: Long, admitted: Boolean)
+
+  /** Per-user daily-quota gate: admit the first QuotaN events per (user,
+    * UTC day), flag the rest — the rate-limiting / per-key-throttling
+    * operator (abuse caps, fair-share sampling of hot users at ingest).
+    * State is ONE (day, count) pair per user — the day rollover RESETS
+    * the counter in place, so state never grows with stream length or
+    * day count (contrast q126's monotone counters). Every event is
+    * emitted with its verdict: the gate is a stateful PROJECTION, not a
+    * filter, so downstream decides drop-vs-degrade. */
+  class DailyQuotaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, QuotaEv, QuotaOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[QuotaState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[QuotaState]("quota",
+        org.apache.spark.sql.Encoders.product[QuotaState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[QuotaEv],
+        timerValues: TimerValues): Iterator[QuotaOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var s = if (st.exists()) st.get() else QuotaState(-1L, 0L)
+      val out = sorted.map { e =>
+        val day = e.ts_us / DayUs
+        if (day != s.day) s = QuotaState(day, 0L)
+        s = QuotaState(s.day, s.n + 1)
+        QuotaOut(e.event_id, e.user_id, s.n <= QuotaN)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** q137 — the q126 replay harness driving [[DailyQuotaProcessor]]:
+    * per-key throttling through transformWithState, held to the batch
+    * ROW_NUMBER-per-(user, day) oracle. */
+  def q137StreamQuotaGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+    val dir = Files.createTempDirectory("q137_quota")
+    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir.toString).schema
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[QuotaEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new DailyQuotaProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val table = s"q137_quota_${runId.incrementAndGet()}"
+      val query = out.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally query.stop()
+      spark.table(table).orderBy("event_id")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  val q137Sql: String =
+    s"""SELECT event_id, user_id,
+       |       ROW_NUMBER() OVER (
+       |         PARTITION BY user_id, epoch_us(ts) // $DayUs
+       |         ORDER BY ts, event_id) <= $QuotaN AS admitted
+       |FROM events
+       |ORDER BY event_id""".stripMargin
 }

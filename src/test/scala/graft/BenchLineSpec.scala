@@ -25,10 +25,10 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.endsWith("}"))
     // The queries map must actually be on the line (that's what r07 lost).
     assert(line.contains("\"queries\":{"))
-    assert(line.contains("\"q01\":"))
-    // key shortening must not collide (qNN prefixes are unique by naming
+    assert(line.contains("\"01\":"))
+    // key shortening must not collide (query numbers are unique by naming
     // convention; this guards a future q65_a/q65_b mistake)
-    val shortKeys = fullSurface.map(_._1.takeWhile(_ != '_'))
+    val shortKeys = fullSurface.map(_._1.takeWhile(_ != '_').stripPrefix("q"))
     assert(shortKeys.distinct.size == shortKeys.size)
   }
 
@@ -36,7 +36,7 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.driverLine(1.23, Seq("q01" -> 0.5, "q02" -> -1.0),
       "/root/testdata/sf0.01", 48730.0, "32")
     assert(!line.contains("\n"))
-    assert(line.contains("\"q02\":-1.00"), "failed queries stay visible as -1")
+    assert(line.contains("\"02\":-1.0"), "failed queries stay visible as -1")
   }
 
   test("an over-budget line fails loudly instead of silently truncating") {

@@ -389,4 +389,57 @@ class CurationSpec extends SparkSpec {
       .sortBy(_._2).take(Curation.BottomK).map(_._1).toSet
     assert(merged === expect)
   }
+
+  test("q134: packing sweep matches a per-L driver recompute; totals L-invariant") {
+    val rows = operators.Curation.q134PackingSweep(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.split(" +").length.toLong)
+    assert(rows.keySet == operators.Curation.PackGrid.toSet)
+    operators.Curation.PackGrid.foreach { l =>
+      val (nDocs, total, chunks, padded, waste) = rows(l)
+      assert(nDocs == toks.length)
+      assert(total == toks.sum)
+      val expChunks = toks.map(t => (t + l - 1) / l).sum
+      assert(chunks == expChunks, s"chunks at L=$l")
+      assert(padded == expChunks * l)
+      val expWaste = BigDecimal((padded - total).toDouble / padded * 100)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(waste === expWaste, s"waste at L=$l")
+    }
+  }
+
+  test("q135: epoch shards partition the corpus and re-permute across epochs") {
+    val rows = operators.Curation.q135EpochShards(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    (0 until operators.Curation.ShuffleEpochs).foreach { e =>
+      val mine = rows.filter(_._1 == e)
+      assert(mine.map(_._3).sum == nDocs, s"epoch $e shard counts must sum")
+      assert(mine.map(_._2).distinct.length == mine.length, "unique shards")
+    }
+    // a reshuffle that leaves every shard's ordered contents identical is
+    // no shuffle at all - the two epochs must disagree somewhere
+    val byEpoch = rows.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._4)).toSet).toMap
+    assert(byEpoch(0) != byEpoch(1))
+  }
+
+  test("q136: interleave positions are a permutation honoring round-robin order") {
+    val rows = operators.Curation.q136CurriculumInterleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(rows.map(_._4).sorted.toSeq == (1L to n).toSeq,
+      "global_pos must be a permutation of 1..n")
+    // lexicographic (rank, source) order is exactly the global_pos order
+    val sorted = rows.sortBy(t => (t._3, t._2))
+    assert(sorted.map(_._4).toSeq == (1L to n).toSeq,
+      "position must follow (rank_in_source, source) lexicographic order")
+    // every source's own sequence stays rank-ordered (curriculum preserved)
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val byRank = ds.sortBy(_._3).map(_._4)
+      assert(byRank.sameElements(byRank.sorted), s"monotone within $src")
+    }
+  }
 }

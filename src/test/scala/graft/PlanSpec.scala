@@ -483,4 +483,42 @@ class PlanSpec extends SparkSpec {
         "(the only sort touching corpus-sized data; the outer doc_id " +
         "sort sees k rows)")
   }
+
+  /** AQE's plan string repeats the tree under "== Initial Plan ==" —
+    * count nodes in the final section only. */
+  private def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==")(0)
+
+  test("q127: inverted index is ONE token-keyed shuffle — no join, partial count") {
+    val plan = finalPlan(TextAnalysis.q127InvertedIndex(spark, sf))
+    assert(!plan.contains("Join"), "index build must not join")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "df count must combine map-side")
+    val hashEx = finalSection(plan).linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange, saw $hashEx")
+  }
+
+  test("q129: PMI joins stay equi-keyed; only the 1-row total broadcasts loosely") {
+    val plan = finalPlan(TextAnalysis.q129PmiCollocations(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "marginal joins must be hash equi-joins")
+  }
+
+  test("q131: incremental merge is user_id-keyed aggregation — no cartesian") {
+    val plan = finalPlan(Relational.q131IncrementalAgg(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "only the 1-row cutoff may broadcast (BNLJ); base/delta stay keyed")
+    assert(plan.contains("Union"), "base and delta partial states must union")
+    assert(plan.contains("partial"), "merge aggregate must combine map-side")
+  }
+
+  test("q132: table checksum is one scan + one partial-aggregable shuffle") {
+    val plan = finalPlan(Relational.q132TableChecksum(spark, sf))
+    assert(!plan.contains("Join"), "checksum must not join")
+    assert(plan.contains("partial"), "bucket triple must combine map-side")
+    val hashEx = finalSection(plan).linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange, saw $hashEx")
+  }
 }

@@ -234,4 +234,24 @@ class TextOpsSpec extends SparkSpec {
     // sanity: the corpus's strongest surviving pair beats independence
     assert(rows.map(_.getDouble(5)).max > 1.0)
   }
+
+  test("q133: BPE pair counts equal a driver-side weighted rebuild; argmax stable") {
+    val got = TextAnalysis.q133BpeMergeStep(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split(" +"))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._1.length >= 2)
+    val exp = words.toSeq
+      .flatMap { case (w, f) => w.sliding(2).map(p =>
+        (p.substring(0, 1), p.substring(1, 2)) -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 >= TextAnalysis.MergeMinCount).toMap
+    assert(got == exp)
+    // the merge rule the step would emit: deterministic argmax
+    if (exp.nonEmpty) {
+      val top = exp.maxBy { case ((l, r), n) => (n, l, r) }
+      assert(got(top._1) == top._2)
+    }
+  }
 }

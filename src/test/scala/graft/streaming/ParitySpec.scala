@@ -347,4 +347,25 @@ class ParitySpec extends SparkSpec {
       "the ListState fold across ts-range batches must equal the batch " +
         "3-preceding sliding frame row-for-row")
   }
+
+  test("q137 streaming quota gate equals the batch ROW_NUMBER threshold") {
+    val streamed = StreamParity.q137StreamQuotaGate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts) div 86400000000"))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        (org.apache.spark.sql.functions.row_number().over(w) <= 5)
+          .as("admitted"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "the per-(user, day) quota fold across ts-range batches must equal " +
+        "the batch row_number gate")
+    // the gate really bites on this corpus: both verdicts occur
+    assert(streamed.exists(_._3) && streamed.exists(!_._3))
+  }
 }
