@@ -156,6 +156,9 @@ object SparkEntry {
     "q135_epoch_shards"       -> (Curation.q135EpochShards _),
     "q136_curriculum"         -> (Curation.q136CurriculumInterleave _),
     "q137_stream_quota"       -> (graft.streaming.StreamParity.q137StreamQuotaGate _),
+    "q138_itemset_pairs"      -> (Relational.q138ItemsetPairs _),
+    "q139_fk_profile"         -> (Profiling.q139FkProfile _),
+    "q140_stream_type_seq"    -> (graft.streaming.StreamParity.q140StreamTypeSeq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -346,5 +349,10 @@ object SparkEntry {
     // q137 gates per-(user, day) quotas through transformWithState; the
     // oracle is the batch ROW_NUMBER threshold.
     "q137_stream_quota"       -> graft.streaming.StreamParity.q137Sql,
+    "q138_itemset_pairs"      -> Relational.q138Sql,
+    "q139_fk_profile"         -> Profiling.q139Sql,
+    // q140 folds per-(user, type) MapState through transformWithState;
+    // the oracle is the batch per-type ROW_NUMBER.
+    "q140_stream_type_seq"    -> graft.streaming.StreamParity.q140Sql,
   )
 }

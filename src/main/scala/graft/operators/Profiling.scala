@@ -117,4 +117,90 @@ object Profiling {
        |         AS mean_rows_per_key
        |FROM (SELECT $c, COUNT(*) AS cnt FROM lineitem GROUP BY $c)""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+
+  // ---------------------------------------------------------------------
+  // q139 — foreign-key / join-cardinality profile: for each declared FK
+  // edge, the referential-integrity verdict (orphan child rows) plus the
+  // join-planning statistics (distinct child keys, referenced parent
+  // keys, average fanout). The audit a migration/replication pipeline
+  // runs before trusting a join, and the cardinality input a cost-based
+  // join-order/broadcast decision consumes (q109 profiles one table's
+  // skew; this profiles the EDGES between tables).
+  //
+  // Shape per edge: the child aggregates to |child keys| partial counts
+  // (map-side combined), then ONE left join against the parent's
+  // distinct-key frame classifies matched/orphan and folds to a 1-row
+  // profile — shuffle volume is |keys|, never |rows|. Edges union into
+  // the report. On clean data orphans are zero by construction — the
+  // spec proves the detector fires by mutating a key (q132's pattern).
+  // ---------------------------------------------------------------------
+  private[graft] def fkEdges(spark: SparkSession, sfDir: String)
+      : Seq[(String, DataFrame, String, DataFrame, String)] = Seq(
+    ("lineitem.l_orderkey->orders",
+      Tables.lineitem(spark, sfDir), "l_orderkey",
+      Tables.orders(spark, sfDir), "o_orderkey"),
+    ("orders.o_custkey->customer",
+      Tables.orders(spark, sfDir), "o_custkey",
+      Tables.customer(spark, sfDir), "c_custkey"),
+    ("events.user_id->customer",
+      Tables.events(spark, sfDir), "user_id",
+      Tables.customer(spark, sfDir), "c_custkey"),
+    ("lineitem.l_suppkey->supplier",
+      Tables.lineitem(spark, sfDir), "l_suppkey",
+      Tables.supplier(spark, sfDir), "s_suppkey"))
+
+  def q139FkProfile(spark: SparkSession, sfDir: String): DataFrame =
+    fkEdges(spark, sfDir).map { case (name, child, ck, parent, pk) =>
+      fkProfileEdge(name, child, ck, parent, pk)
+    }.reduce(_.unionAll(_)).orderBy("edge")
+
+  /** One edge's profile — split out so a spec can profile a mutated
+    * child and assert the orphan detector fires. */
+  private[graft] def fkProfileEdge(name: String, child: DataFrame,
+      ck: String, parent: DataFrame, pk: String): DataFrame = {
+    val ckeys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
+    val pkeys = parent.select(col(pk).as("k")).distinct()
+      .withColumn("matched", lit(1))
+    ckeys.join(pkeys, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child_keys"),
+        sum(col("cnt")).as("n_child_rows"),
+        sum(when(col("matched").isNull, col("cnt")).otherwise(0L))
+          .as("n_orphan_rows"),
+        sum(when(col("matched").isNull, 1L).otherwise(0L))
+          .as("n_orphan_keys"),
+        sum(when(col("matched").isNotNull, 1L).otherwise(0L))
+          .as("n_ref_parent_keys"))
+      .select(lit(name).as("edge"), col("n_child_rows"),
+        col("n_child_keys"), col("n_orphan_rows"), col("n_orphan_keys"),
+        col("n_ref_parent_keys"),
+        round(col("n_child_rows").cast("double") /
+          col("n_ref_parent_keys"), 6).as("avg_fanout"))
+  }
+
+  private val fkEdgeSqls = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("events.user_id->customer", "events", "user_id",
+      "customer", "c_custkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"))
+
+  val q139Sql: String = fkEdgeSqls.map { case (name, ct, ck, pt, pk) =>
+    s"""SELECT '$name' AS edge,
+       |       CAST(SUM(cnt) AS BIGINT) AS n_child_rows,
+       |       COUNT(*) AS n_child_keys,
+       |       CAST(SUM(CASE WHEN p.k IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+       |         AS n_orphan_rows,
+       |       CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_orphan_keys,
+       |       CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_ref_parent_keys,
+       |       round(CAST(SUM(cnt) AS DOUBLE) /
+       |             SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END), 6)
+       |         AS avg_fanout
+       |FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $ct GROUP BY 1) c
+       |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $pt) p USING (k)""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
 }

@@ -1640,4 +1640,67 @@ object Relational {
        |FROM orders
        |GROUP BY 1
        |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q138 — frequent itemset pairs (market-basket co-occurrence): which
+  // event types co-occur in the same (user, UTC day) basket more than
+  // independence predicts. The pairwise-support step of association-rule
+  // mining (Apriori's k=2 pass) and the behavioral-segmentation input —
+  // the BASKET-set complement of q129's adjacency PMI.
+  //
+  // Scale shape: baskets dedup to distinct (user, day, type) FIRST (one
+  // partial-combining shuffle: corpus -> |baskets|·|types| rows), and
+  // the pair self-join is keyed on the basket id — per-basket output is
+  // C(|types in basket|, 2) ≤ C(|event types|, 2), a constant, so join
+  // output is O(baskets), never quadratic in rows. Marginals and the
+  // basket total come from the deduped frame (broadcast 1-row total,
+  // q99's shape). Lift = support·N/(c1·c2) with the q129 IEEE-pinned
+  // op order and 6-dp round.
+  // ---------------------------------------------------------------------
+  def q138ItemsetPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .distinct()
+      .cache() // basket table feeds pairs, marginals, and the total
+    val pairs = b.as("a").join(b.as("c"), Seq("user_id", "day"))
+      .filter(col("a.event_type") < col("c.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("c.event_type").as("t2"))
+      .agg(count(lit(1)).as("pair_n"))
+    val marg = b.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val total = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(marg.select(col("event_type").as("t1"), col("c").as("c1")), "t1")
+      .join(marg.select(col("event_type").as("t2"), col("c").as("c2")), "t2")
+      .crossJoin(broadcast(total))
+      .select(col("t1"), col("t2"), col("pair_n"), col("c1"), col("c2"),
+        col("n_baskets"),
+        round(col("pair_n").cast("double") * col("n_baskets") /
+          (col("c1").cast("double") * col("c2")), 6).as("lift"))
+      .orderBy("t1", "t2")
+  }
+
+  val q138Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         event_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT a.event_type AS t1, c.event_type AS t2, count(*) AS pair_n
+      |  FROM b a JOIN b c USING (user_id, day)
+      |  WHERE a.event_type < c.event_type
+      |  GROUP BY 1, 2),
+      |marg AS (SELECT event_type, count(*) AS c FROM b GROUP BY 1),
+      |total AS (
+      |  SELECT count(*) AS n_baskets
+      |  FROM (SELECT DISTINCT user_id, day FROM b))
+      |SELECT t1, t2, pair_n, m1.c AS c1, m2.c AS c2, n_baskets,
+      |       round(CAST(pair_n AS DOUBLE) * n_baskets /
+      |             (CAST(m1.c AS DOUBLE) * m2.c), 6) AS lift
+      |FROM pairs
+      |JOIN marg m1 ON pairs.t1 = m1.event_type
+      |JOIN marg m2 ON pairs.t2 = m2.event_type, total
+      |ORDER BY t1, t2""".stripMargin
 }

@@ -1496,4 +1496,91 @@ object StreamParity {
        |         ORDER BY ts, event_id) <= $QuotaN AS admitted
        |FROM events
        |ORDER BY event_id""".stripMargin
+
+  case class TypeSeqEv(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  case class TypeSeqOut(event_id: Long, user_id: Long, type_seq: Long)
+
+  /** Per-(user, event-type) running counters in a
+    * [[org.apache.spark.sql.streaming.MapState]]: each event is emitted
+    * with "this user's Nth event OF THIS TYPE" — the per-category
+    * sequence feature (3rd purchase, 5th error). One map of |types|
+    * longs per user; completes the typed-state API surface: q126 holds a
+    * ValueState, q130 a ListState, this a MapState — the sub-key lives
+    * IN the store (updating one type reads/writes one entry), where a
+    * ValueState of Map would rewrite the whole map per event. */
+  class TypeSeqProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypeSeqEv, TypeSeqOut] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TypeSeqEv],
+        timerValues: TimerValues): Iterator[TypeSeqOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      val out = sorted.map { e =>
+        val n = (if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L) + 1L
+        counts.updateValue(e.event_type, n)
+        TypeSeqOut(e.event_id, e.user_id, n)
+      }
+      out.iterator
+    }
+  }
+
+  /** q140 — the q126 replay harness driving [[TypeSeqProcessor]]: the
+    * MapState surface of Spark 4's transformWithState, held to the
+    * batch per-(user, type) ROW_NUMBER oracle. */
+  def q140StreamTypeSeq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    val dir = Files.createTempDirectory("q140_typeseq")
+    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir.toString).schema
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[TypeSeqEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new TypeSeqProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val table = s"q140_typeseq_${runId.incrementAndGet()}"
+      val query = out.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally query.stop()
+      spark.table(table).orderBy("event_id")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  val q140Sql: String =
+    """SELECT event_id, user_id,
+      |       ROW_NUMBER() OVER (
+      |         PARTITION BY user_id, event_type
+      |         ORDER BY ts, event_id) AS type_seq
+      |FROM events
+      |ORDER BY event_id""".stripMargin
 }

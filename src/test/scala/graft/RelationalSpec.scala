@@ -666,4 +666,57 @@ class RelationalSpec extends SparkSpec {
       orders.repartition(13)).collect().toSeq
     assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
   }
+
+  test("q138: pair supports match a driver-side basket recompute; lift exact") {
+    val rows = Relational.q138ItemsetPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val baskets = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"),
+        col("event_type")).distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nB = baskets.size.toLong
+    val marg = baskets.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val pairCounts = baskets.values.toSeq
+      .flatMap(ts => ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.nonEmpty)
+    assert(rows.map(t => (t._1, t._2)).toSet == pairCounts.keySet)
+    rows.foreach { case (t1, t2, pn, c1, c2, n, lift) =>
+      assert(pn == pairCounts((t1, t2)))
+      assert(c1 == marg(t1) && c2 == marg(t2) && n == nB)
+      assert(pn <= math.min(c1, c2), "support bounded by marginals")
+      val exp = BigDecimal(pn.toDouble * n / (c1.toDouble * c2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(lift === exp, s"lift of ($t1,$t2)")
+    }
+  }
+
+  test("q139: clean FK edges report zero orphans and consistent fanout") {
+    val rows = operators.Profiling.q139FkProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.length == 4)
+    rows.foreach { case (edge, nRows, nKeys, oRows, oKeys, refKeys, fanout) =>
+      assert(oRows == 0L && oKeys == 0L, s"$edge must be clean")
+      assert(refKeys == nKeys, s"$edge: all child keys referenced")
+      assert(nRows >= nKeys && fanout >= 1.0, s"$edge fanout sane")
+    }
+  }
+
+  test("q139: the orphan detector fires on a planted dangling key") {
+    val child = Tables.lineitem(spark, sf)
+    val victimRows = 7L
+    val mutated = child.withColumn("l_orderkey",
+      when(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("l_orderkey", "l_linenumber")) <= victimRows,
+        lit(-999L)).otherwise(col("l_orderkey")))
+    val prof = operators.Profiling.fkProfileEdge("probe",
+      mutated, "l_orderkey", Tables.orders(spark, sf), "o_orderkey")
+      .collect()(0)
+    assert(prof.getLong(3) == victimRows, "orphan rows counted exactly")
+    assert(prof.getLong(4) == 1L, "one dangling key")
+  }
 }

@@ -368,4 +368,22 @@ class ParitySpec extends SparkSpec {
     // the gate really bites on this corpus: both verdicts occur
     assert(streamed.exists(_._3) && streamed.exists(!_._3))
   }
+
+  test("q140 MapState per-type counters equal the batch per-type ROW_NUMBER") {
+    val streamed = StreamParity.q140StreamTypeSeq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.row_number().over(w).cast("long")
+          .as("type_seq"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "the MapState fold across ts-range batches must equal the batch " +
+        "per-(user, type) sequence numbers")
+  }
 }
