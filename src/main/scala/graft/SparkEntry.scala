@@ -159,6 +159,7 @@ object SparkEntry {
     "q138_itemset_pairs"      -> (Relational.q138ItemsetPairs _),
     "q139_fk_profile"         -> (Profiling.q139FkProfile _),
     "q140_stream_type_seq"    -> (graft.streaming.StreamParity.q140StreamTypeSeq _),
+    "q141_stream_timer_sessions" -> (graft.streaming.StreamParity.q141StreamTimerSessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -354,5 +355,8 @@ object SparkEntry {
     // q140 folds per-(user, type) MapState through transformWithState;
     // the oracle is the batch per-type ROW_NUMBER.
     "q140_stream_type_seq"    -> graft.streaming.StreamParity.q140Sql,
+    // q141 closes sessions on event-time TIMERS; the oracle is the batch
+    // gaps-and-islands sessionization.
+    "q141_stream_timer_sessions" -> graft.streaming.StreamParity.q141Sql,
   )
 }

@@ -1583,4 +1583,157 @@ object StreamParity {
       |         ORDER BY ts, event_id) AS type_seq
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  /** q141 — session gap in microseconds (q08/q71's 300 s). */
+  private[graft] val SessGapUs = 300L * 1000000L
+
+  case class TimerEv(user_id: Long, ts_us: Long)
+  case class TimerSessState(start_us: Long, last_us: Long, n: Long,
+      timer_ms: Long)
+  case class TimerSessOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Hand-built sessionization on event-time TIMERS: sessions split
+    * inline when a gap appears inside the data, and the LAST open
+    * session per user flushes when its registered timer fires — i.e.
+    * when the event-time watermark passes last-event + gap. This is the
+    * reference's window-trigger-on-watermark contract implemented
+    * directly on the timer surface of Spark 4's transformWithState
+    * (`rlink/src/runtime/worker/runnable/window_assigner_runnable.rs`'s
+    * assign/trigger split), where q71 gets the same semantics from the
+    * built-in merging session store and q94 from mapGroupsWithState's
+    * coarse timeout: one registered timer per key, re-pointed as the
+    * session extends (delete + register — stale timers never fire).
+    * State: one 4-long session record per user, evicted on flush. */
+  class TimerSessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimerEv, TimerSessOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[TimerSessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TimerSessState]("sess",
+        org.apache.spark.sql.Encoders.product[TimerSessState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TimerEv],
+        timerValues: TimerValues): Iterator[TimerSessOut] = {
+      val sorted = rows.toArray.sortBy(_.ts_us)
+      val out = scala.collection.mutable.ArrayBuffer.empty[TimerSessOut]
+      var cur: Option[TimerSessState] =
+        if (st.exists()) Some(st.get()) else None
+      cur.foreach(s => if (s.timer_ms > 0) getHandle.deleteTimer(s.timer_ms))
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.last_us <= SessGapUs =>
+            cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+          case Some(s) => // gap inside the data: close inline, open anew
+            out += TimerSessOut(key, s.start_us, s.last_us, s.n)
+            cur = Some(TimerSessState(e.ts_us, e.ts_us, 1L, 0L))
+          case None =>
+            cur = Some(TimerSessState(e.ts_us, e.ts_us, 1L, 0L))
+        }
+      }
+      cur.foreach { s =>
+        val expiry = s.last_us / 1000L + SessGapUs / 1000L + 1L
+        getHandle.registerTimer(expiry)
+        st.update(s.copy(timer_ms = expiry))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TimerSessOut] = {
+      // the delete+register discipline means any firing timer is the
+      // key's CURRENT one: the session is final — flush and evict
+      if (st.exists()) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(TimerSessOut(key, s.start_us, s.last_us, s.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** q141 — timer-driven sessionization through the streaming engine:
+    * the q71 file replay (ts-range batches + sentinel file to advance
+    * the final watermark) driving [[TimerSessionProcessor]] under
+    * TimeMode.EventTime. Held to the batch gaps-and-islands oracle. */
+  def q141StreamTimerSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = raw.schema
+    val sentinelTs = sentinelTsPlus1h(raw)
+
+    val dir = Files.createTempDirectory("q141_sessions")
+    raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    val parts = new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(t0 + i * 10000L)) }
+    val sentinelVals = schema.fields.map { f =>
+      f.name match {
+        case "ts"      => sentinelTs
+        case "user_id" => -1L
+        case "value"   => 0.0
+        case _         => null
+      }
+    }
+    val sentinelDir = Files.createTempDirectory("q141_sentinel")
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+    val sentinelTarget = dir.resolve("zz_sentinel.parquet")
+    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => Files.copy(p, sentinelTarget))
+    require(sentinelTarget.toFile.setLastModified(t0 + parts.length * 10000L))
+
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = graft.Tables.normalizeTs(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+        .withWatermark("ts", "1 second")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[TimerEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new TimerSessionProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      val table = s"q141_sessions_${runId.incrementAndGet()}"
+      val query = out.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally query.stop()
+      spark.table(table)
+        .filter(col("user_id") =!= -1L)
+        .orderBy("user_id", "start_us")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  val q141Sql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, epoch_us(ts) AS us FROM events),
+       |m AS (
+       |  SELECT user_id, us,
+       |         CASE WHEN lag(us) OVER w IS NULL
+       |                OR us - lag(us) OVER w > $SessGapUs THEN 1
+       |              ELSE 0 END AS brk
+       |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |g AS (
+       |  SELECT user_id, us,
+       |         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+       |                        ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+       |       COUNT(*) AS n_events
+       |FROM g
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, start_us""".stripMargin
 }

@@ -386,4 +386,36 @@ class ParitySpec extends SparkSpec {
       "the MapState fold across ts-range batches must equal the batch " +
         "per-(user, type) sequence numbers")
   }
+
+  test("q141 timer-driven sessions equal the batch gaps-and-islands split") {
+    val streamed = StreamParity.q141StreamTimerSessions(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // batch recompute: per-user gap split over sorted event times
+    val byUser = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val batch = byUser.toSeq.flatMap { case (u, ts) =>
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)]
+      var (start, last, n) = (ts.head, ts.head, 1L)
+      ts.tail.foreach { t =>
+        if (t - last <= 300L * 1000000L) { last = t; n += 1 }
+        else { sessions += ((start, last, n)); start = t; last = t; n = 1L }
+      }
+      sessions += ((start, last, n))
+      sessions.map(s => (u, s._1, s._2, s._3))
+    }.sortBy(t => (t._1, t._2))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "inline splits + timer flushes must reproduce the batch session " +
+        "partition exactly")
+    // session count aligns with q08's session-window view of the stream
+    val q08 = graft.operators.Relational.q08SessionWindow(spark, sf).count()
+    assert(streamed.length.toLong === q08,
+      "timer sessions and built-in session windows must agree in count")
+  }
 }
