@@ -160,6 +160,9 @@ object SparkEntry {
     "q139_fk_profile"         -> (Profiling.q139FkProfile _),
     "q140_stream_type_seq"    -> (graft.streaming.StreamParity.q140StreamTypeSeq _),
     "q141_stream_timer_sessions" -> (graft.streaming.StreamParity.q141StreamTimerSessions _),
+    "q142_forget_cascade"     -> (Curation.q142ForgetCascade _),
+    "q143_data_manifest"      -> (Curation.q143DataManifest _),
+    "q144_mean_pool"          -> (Similarity.q144MeanPool _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -358,5 +361,8 @@ object SparkEntry {
     // q141 closes sessions on event-time TIMERS; the oracle is the batch
     // gaps-and-islands sessionization.
     "q141_stream_timer_sessions" -> graft.streaming.StreamParity.q141Sql,
+    "q142_forget_cascade"     -> Curation.q142Sql,
+    "q143_data_manifest"      -> Curation.q143Sql,
+    "q144_mean_pool"          -> Similarity.q144Sql,
   )
 }

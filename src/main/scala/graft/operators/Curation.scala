@@ -1052,4 +1052,96 @@ object Curation {
       |         AS global_pos
       |FROM r
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q142 — deletion-cascade audit ("right to be forgotten"): given a
+  // predicate naming the users to forget, the per-table impact report —
+  // how many rows each table must drop, including rows reachable only
+  // TRANSITIVELY (lineitems of a forgotten customer's orders carry no
+  // user key themselves). The compliance primitive every stored-data
+  // pipeline needs before it can actually honor a deletion request, and
+  // the audit artifact regulators ask for.
+  //
+  // Shape: direct tables are a scan + filter (the predicate is pure key
+  // arithmetic — it reaches the parquet scan); the 2-hop table is ONE
+  // semi-join keyed on the parent key against the already-filtered
+  // parent (broadcast when small). Counts union into the report. The
+  // actual deletion is the same plans with anti-join writes.
+  // ---------------------------------------------------------------------
+  private[graft] val ForgetMod = 97L
+
+  def q142ForgetCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    val fEvents = Tables.events(spark, sfDir)
+      .filter(pmod(col("user_id"), lit(ForgetMod)) === 0)
+    val fOrders = Tables.orders(spark, sfDir)
+      .filter(pmod(col("o_custkey"), lit(ForgetMod)) === 0)
+    val fLineitem = Tables.lineitem(spark, sfDir)
+      .join(fOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val rows = Seq(
+      ("events", fEvents.groupBy().agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_keys"))),
+      ("orders", fOrders.groupBy().agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_keys"))),
+      ("lineitem", fLineitem.groupBy().agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_keys"))))
+    rows.map { case (t, df) => df.select(lit(t).as("table_name"),
+      col("n_rows"), col("n_keys")) }
+      .reduce(_.unionAll(_)).orderBy("table_name")
+  }
+
+  val q142Sql: String =
+    s"""SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+       |       COUNT(DISTINCT user_id) AS n_keys
+       |FROM events WHERE user_id % $ForgetMod = 0
+       |UNION ALL
+       |SELECT 'orders', COUNT(*), COUNT(DISTINCT o_custkey)
+       |FROM orders WHERE o_custkey % $ForgetMod = 0
+       |UNION ALL
+       |SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey)
+       |FROM lineitem WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders WHERE o_custkey % $ForgetMod = 0)
+       |ORDER BY table_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q143 — dataset manifest / data card: per (source, lang) slice, the
+  // reproducibility record a training run publishes — row count, token
+  // mass, id range, and an ORDER-INSENSITIVE content checksum (q132's
+  // 60-bit md5-xor over the DOCUMENT TEXT, so a silent regeneration that
+  // keeps counts but changes any byte of content flips the slice's
+  // fingerprint). Two runs trained on "the same data" can prove it —
+  // or detect they weren't — by comparing |sources|·|langs| rows.
+  //
+  // Shape: ONE scan, one partial-aggregable shuffle of slice-sized
+  // state; the checksum rides the scan projection (codegen'd md5+conv).
+  // ---------------------------------------------------------------------
+  def q143DataManifest(spark: SparkSession, sfDir: String): DataFrame =
+    manifestOf(Tables.documents(spark, sfDir))
+
+  /** Manifest of any documents-shaped frame — split out so a spec can
+    * fingerprint a one-byte-mutated corpus and assert the slice flips. */
+  private[graft] def manifestOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_tokens"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(h)").as("content_xor"))
+      .orderBy("source", "lang")
+
+  val q143Sql: String =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(len(regexp_split_to_array(trim(text), ' +')))
+      |            AS BIGINT) AS total_tokens,
+      |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+      |       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+      |         AS content_xor
+      |FROM documents
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
 }

@@ -1236,4 +1236,62 @@ object Similarity {
       .select(col("vec_id") +: pcCols.toSeq: _*)
       .orderBy("vec_id")
   }
+
+  // ---------------------------------------------------------------------
+  // q144 — chunk-to-document embedding mean-pool: retrieval corpora
+  // embed CHUNKS (context-window-sized pieces), but dedup/clustering/
+  // doc-level ANN need one vector per document — the standard answer is
+  // the mean of the chunk vectors. Chunk→doc assignment here is
+  // vec_id div ChunksPerDoc (the q73 chunk-plan layout inverted).
+  //
+  // Exactness: per-component sums use q124's quantize-once decimal
+  // discipline (exact, order-insensitive); each pooled mean is ONE
+  // double division then scaled to integer nano-units, so the document
+  // fingerprint is md5 over INTEGERS — no float-to-string formatting
+  // ambiguity can touch the oracle.
+  //
+  // Scale shape: one (doc, dim)-keyed partial-aggregable shuffle
+  // (|docs|·dim rows — the q74/q124 explode-before-partial-agg shape),
+  // then a |docs|-group fold where each group sorts its OWN dim-sized
+  // array. No joins, no corpus-sized collect.
+  // ---------------------------------------------------------------------
+  private[graft] val ChunksPerDoc = 4
+
+  def q144MeanPool(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.embeddings(spark, sfDir)
+      .select(expr(s"vec_id div $ChunksPerDoc").as("doc_id"),
+        transform(col("embedding"),
+          x => x.cast("double").cast(DecimalType(12, 9))).as("eq"))
+      .select(col("doc_id"), posexplode(col("eq")).as(Seq("d", "xq")))
+      .groupBy(col("doc_id"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"))
+      .select(col("doc_id"), col("d"), col("n"),
+        round(col("s").cast("double") / col("n") * 1e9, 0).cast("long")
+          .as("m"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chunks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m").cast("string")), ",")).as("pooled_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q144Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id // $ChunksPerDoc AS doc_id,
+       |         list_transform(embedding,
+       |           x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))) AS eq
+       |  FROM embeddings),
+       |pd AS (
+       |  SELECT doc_id, d.d AS d, count(*) AS n,
+       |         CAST(round(CAST(sum(eq[d.d + 1]) AS DOUBLE) / count(*)
+       |                    * 1e9, 0) AS BIGINT) AS m
+       |  FROM e, generate_series(0, ${CovDim - 1}) d(d)
+       |  GROUP BY doc_id, d.d)
+       |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chunks,
+       |       md5(string_agg(m, ',' ORDER BY d)) AS pooled_fp
+       |FROM pd
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -442,4 +442,45 @@ class CurationSpec extends SparkSpec {
       assert(byRank.sameElements(byRank.sorted), s"monotone within $src")
     }
   }
+
+  test("q142: cascade counts match direct recomputes, including the 2-hop table") {
+    val rows = Curation.q142ForgetCascade(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("events", "orders", "lineitem"))
+    val ev = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(97L)) === 0)
+    assert(rows("events")._1 == ev.count())
+    val fo = Tables.orders(spark, sf)
+      .filter(pmod(col("o_custkey"), lit(97L)) === 0).cache()
+    assert(rows("orders")._1 == fo.count())
+    val li = Tables.lineitem(spark, sf)
+      .join(fo.select(col("o_orderkey").as("k")),
+        col("l_orderkey") === col("k")).count()
+    assert(rows("lineitem")._1 == li)
+    // the request actually bites: every table loses rows
+    rows.values.foreach { case (n, k) => assert(n > 0 && k > 0) }
+  }
+
+  test("q143: manifest totals conserve the corpus and the checksum detects a flip") {
+    val docs = Tables.documents(spark, sf).cache()
+    val clean = Curation.manifestOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(6))).toMap
+    assert(clean.values.map(_._1).sum == docs.count())
+    // mutate ONE document's text by one character: exactly that slice's
+    // checksum must flip, all counts unchanged
+    val victim = docs.select("doc_id", "source", "lang")
+      .orderBy("doc_id").limit(1).collect()(0)
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === victim.getLong(0), concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val dirty = Curation.manifestOf(mutated).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(6))).toMap
+    assert(clean.keySet == dirty.keySet)
+    val flipped = clean.keySet.filter(k => clean(k)._2 != dirty(k)._2)
+    assert(flipped == Set((victim.getString(1), victim.getString(2))),
+      s"flipped slices: $flipped")
+    assert(clean.forall { case (k, v) => dirty(k)._1 == v._1 })
+  }
 }

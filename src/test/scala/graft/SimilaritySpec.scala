@@ -382,4 +382,29 @@ class SimilaritySpec extends SparkSpec {
         s"pc${k + 1} variance ${va} tracks eigenvalue ${evals(k)}")
     }
   }
+
+  test("q144: mean-pool fingerprints equal a driver-side decimal recompute") {
+    val got = graft.operators.Similarity.q144MeanPool(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val chunks = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0) / 4, r.getSeq[Float](1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == chunks.keySet)
+    chunks.foreach { case (doc, vecs) =>
+      val (n, fp) = got(doc)
+      assert(n == vecs.length)
+      val dims = vecs.head.length
+      val means = (0 until dims).map { d =>
+        val s = vecs.map(v => BigDecimal(v(d).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+        BigDecimal(s.toDouble / n * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(means.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fp == md, s"pooled fingerprint of doc $doc")
+    }
+  }
 }
