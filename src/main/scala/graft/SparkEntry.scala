@@ -163,6 +163,7 @@ object SparkEntry {
     "q142_forget_cascade"     -> (Curation.q142ForgetCascade _),
     "q143_data_manifest"      -> (Curation.q143DataManifest _),
     "q144_mean_pool"          -> (Similarity.q144MeanPool _),
+    "q145_stratified_split"   -> (Curation.q145StratifiedSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -364,5 +365,6 @@ object SparkEntry {
     "q142_forget_cascade"     -> Curation.q142Sql,
     "q143_data_manifest"      -> Curation.q143Sql,
     "q144_mean_pool"          -> Similarity.q144Sql,
+    "q145_stratified_split"   -> Curation.q145Sql,
   )
 }

@@ -1144,4 +1144,55 @@ object Curation {
       |FROM documents
       |GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q145 — stratified train/val/test split with EXACT per-stratum
+  // proportions: q36's hash split is unbiased only in expectation (a
+  // small language can land 73/17/10 by luck); evaluation sets need the
+  // 80/10/10 contract to hold exactly within every (lang, source)
+  // stratum. Assignment = rank along the stratum's seeded-hash order,
+  // cut at ⌊0.8n⌋ and ⌊0.9n⌋ — deterministic, reproducible, and
+  // rerun-stable under corpus append ONLY for unchanged strata (noted:
+  // hash-threshold splits trade exactness for append-stability; this op
+  // is the exact side of that tradeoff).
+  //
+  // Scale shape: per-stratum windows partition-parallel across
+  // |langs|·|sources| strata (skewed strata ride q31's salting if one
+  // language dominates); stratum sizes are a broadcast join. No global
+  // window, no driver-side data.
+  // ---------------------------------------------------------------------
+  private[graft] val SplitSalt = "graft-split-v1"
+
+  def q145StratifiedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(lit(SplitSalt), lit("-"), col("doc_id"))).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+    val sizes = ranked.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(sizes), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("rn") <= expr("n * 8 div 10"), "train")
+          .when(col("rn") <= expr("n * 9 div 10"), "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val q145Sql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, source,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY lang, source
+       |           ORDER BY md5(concat('$SplitSalt', '-', doc_id)), doc_id)
+       |           AS rn,
+       |         COUNT(*) OVER (PARTITION BY lang, source) AS n
+       |  FROM documents)
+       |SELECT doc_id, lang, source,
+       |       CASE WHEN rn <= n * 8 // 10 THEN 'train'
+       |            WHEN rn <= n * 9 // 10 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
 }

@@ -483,4 +483,21 @@ class CurationSpec extends SparkSpec {
       s"flipped slices: $flipped")
     assert(clean.forall { case (k, v) => dirty(k)._1 == v._1 })
   }
+
+  test("q145: split proportions are exact per stratum and rerun-stable") {
+    val a = Curation.q145StratifiedSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val b = Curation.q145StratifiedSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(a.toSeq == b.toSeq, "split must be deterministic")
+    assert(a.length == Tables.documents(spark, sf).count())
+    a.groupBy(t => (t._2, t._3)).foreach { case (stratum, docs) =>
+      val n = docs.length.toLong
+      val bySplit = docs.groupBy(_._4).view.mapValues(_.length.toLong)
+        .toMap.withDefaultValue(0L)
+      assert(bySplit("train") == n * 8 / 10, s"train count at $stratum")
+      assert(bySplit("val") == n * 9 / 10 - n * 8 / 10, s"val count at $stratum")
+      assert(bySplit("test") == n - n * 9 / 10, s"test count at $stratum")
+    }
+  }
 }

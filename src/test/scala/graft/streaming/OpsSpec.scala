@@ -165,6 +165,80 @@ class OpsSpec extends SparkSpec {
     val byKey = ds.partitionByKey(4, "id").df
     assert(byKey.rdd.getNumPartitions === 4)
   }
+
+  test("transformWithState survives a kill+restart exactly once (RocksDB)") {
+    // §2.9 F1-F3 for the NEW typed-state API: the q126 ValueState fold,
+    // killed mid-stream and restarted from its checkpoint — no event
+    // lost, none double-counted, per-user counters continue where the
+    // failed run's last committed batch left them.
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val inDir = Files.createTempDirectory("tws_in")
+    val ckDir = Files.createTempDirectory("tws_ck")
+    val outDir = Files.createTempDirectory("tws_out")
+
+    val evs = (0 until 40).map { i =>
+      StreamParity.SeqEv(user_id = i % 4, ts_us = 1000000L * i,
+        event_id = i.toLong,
+        event_type = if (i % 5 == 0) "purchase" else "click")
+    }
+    def writeFile(rows: Seq[StreamParity.SeqEv], name: String): Unit = {
+      rows.toDF().coalesce(1).write.parquet(s"$inDir/$name")
+      // replay order across the restart follows file mod-times
+      val f = new java.io.File(s"$inDir/$name")
+      require(f.setLastModified(
+        System.currentTimeMillis() - 3600000L + name.last.toInt * 10000L))
+    }
+    val parts = evs.grouped(10).toSeq
+    writeFile(parts(0), "f0")
+    writeFile(parts(1), "f1")
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(s"$inDir/f0").schema
+      def startQuery() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*/")
+        .as[StreamParity.SeqEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamParity.RunningSeqProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckDir.toString)
+        .start()
+
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop() // simulated failure after 2 committed batches
+
+      writeFile(parts(2), "f2") // arrives while down
+      writeFile(parts(3), "f3")
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+
+    val got = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length === 40, "no loss, no duplication across the restart")
+    assert(got.map(_._1).distinct.length === 40)
+    // the fold continued across the restart: full expected trajectory
+    val expected = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      es.sortBy(_.ts_us).zipWithIndex.map { case (e, i) =>
+        (e.event_id, u, i + 1L,
+          es.sortBy(_.ts_us).take(i + 1).count(_.event_type == "purchase").toLong)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+  }
 }
 
 object OpsSpec {
