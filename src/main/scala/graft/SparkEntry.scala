@@ -164,6 +164,7 @@ object SparkEntry {
     "q143_data_manifest"      -> (Curation.q143DataManifest _),
     "q144_mean_pool"          -> (Similarity.q144MeanPool _),
     "q145_stratified_split"   -> (Curation.q145StratifiedSplit _),
+    "q146_source_dup_matrix"  -> (Dedup.q146SourceDupMatrix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -366,5 +367,8 @@ object SparkEntry {
     "q143_data_manifest"      -> Curation.q143Sql,
     "q144_mean_pool"          -> Similarity.q144Sql,
     "q145_stratified_split"   -> Curation.q145Sql,
+    // q146's pairs come from q20's complete LSH+verify; the oracle
+    // re-derives them brute-force, exactly like q20's own gate.
+    "q146_source_dup_matrix"  -> Dedup.q146Sql,
   )
 }

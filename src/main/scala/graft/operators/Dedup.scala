@@ -123,6 +123,80 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q146 — inter-source near-duplication matrix: q64 measures EXACT
+  // cross-source contamination (shared n-grams); this measures the
+  // NEAR-dup rate (J >= 0.8) between every source pair — the audit that
+  // catches a crawl source that is largely a lightly-edited mirror of
+  // another (each doc unique, exact overlap low, near-dup rate high).
+  // Rates are per POSSIBLE pair (n_a·n_b cross, C(n,2) within), so the
+  // matrix is size-comparable across source pairs.
+  //
+  // Shape: q20's complete banded-LSH + exact-verify pair generation
+  // (S-curve miss ~1e-7 at J >= 0.8), then two |docs|-row dimension
+  // joins to attach sources and a |sources|²-group aggregate — the
+  // expensive part IS q20, already scale-shaped; everything after is
+  // pair-sized. The oracle re-derives the pairs by brute force, exactly
+  // like q20's.
+  // ---------------------------------------------------------------------
+  def q146SourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = q20MinHashDedup(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val sized = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tagged = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+    tagged
+      .join(broadcast(sized.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sized.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_a"), col("n_b"),
+        expr("CAST(CASE WHEN src_a = src_b THEN n_a * (n_a - 1) div 2 " +
+          "ELSE n_a * n_b END AS BIGINT)").as("possible_pairs"))
+      .withColumn("rate_ppm",
+        round(col("n_pairs").cast("double") / col("possible_pairs") * 1e6, 6))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q146Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 for i in range(1, len(toks) - 1)]
+      |           ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |src AS (SELECT doc_id, source FROM documents),
+      |sized AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |tagged AS (
+      |  SELECT least(sa.source, sb.source) AS src_a,
+      |         greatest(sa.source, sb.source) AS src_b, count(*) AS n_pairs
+      |  FROM pairs
+      |  JOIN src sa ON pairs.doc_a = sa.doc_id
+      |  JOIN src sb ON pairs.doc_b = sb.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_pairs,
+      |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      |       CAST(CASE WHEN src_a = src_b THEN a.n * (a.n - 1) // 2
+      |                 ELSE a.n * b.n END AS BIGINT) AS possible_pairs,
+      |       round(CAST(n_pairs AS DOUBLE) /
+      |             (CASE WHEN src_a = src_b THEN a.n * (a.n - 1) // 2
+      |                   ELSE a.n * b.n END) * 1e6, 6) AS rate_ppm
+      |FROM tagged
+      |JOIN sized a ON tagged.src_a = a.source
+      |JOIN sized b ON tagged.src_b = b.source
+      |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q21 — SimHash near-dup: 64-bit signature from token-frequency-weighted
   // bit votes; pairs within Hamming distance <= 3 found via 4x16-bit
   // pigeonhole bands (ham <= 3 => at least one band identical).

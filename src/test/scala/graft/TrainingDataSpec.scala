@@ -511,4 +511,24 @@ class TrainingDataSpec extends SparkSpec {
       assert(mx === d.getDouble(2), s"$c max")
     }
   }
+
+  test("q146: matrix cells tally q20's pairs exactly and rates are consistent") {
+    val cells = graft.operators.Dedup.q146SourceDupMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val pairTotal = graft.operators.Dedup.q20MinHashDedup(spark, sf).count()
+    assert(cells.map(_._3).sum == pairTotal,
+      "every verified near-dup pair lands in exactly one matrix cell")
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cells.foreach { case (a, b, np, na, nb, poss, ppm) =>
+      assert(a <= b, "canonical cell ordering")
+      assert(na == sizes(a) && nb == sizes(b))
+      assert(poss == (if (a == b) na * (na - 1) / 2 else na * nb))
+      assert(np <= poss)
+      val exp = BigDecimal(np.toDouble / poss * 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ppm === exp, s"rate at ($a,$b)")
+    }
+  }
 }
