@@ -165,6 +165,8 @@ object SparkEntry {
     "q144_mean_pool"          -> (Similarity.q144MeanPool _),
     "q145_stratified_split"   -> (Curation.q145StratifiedSplit _),
     "q146_source_dup_matrix"  -> (Dedup.q146SourceDupMatrix _),
+    "q147_vocab_growth"       -> (TextAnalysis.q147VocabGrowth _),
+    "q148_stream_dlq"         -> (graft.streaming.StreamParity.q148StreamDlqSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -370,5 +372,9 @@ object SparkEntry {
     // q146's pairs come from q20's complete LSH+verify; the oracle
     // re-derives them brute-force, exactly like q20's own gate.
     "q146_source_dup_matrix"  -> Dedup.q146Sql,
+    "q147_vocab_growth"       -> TextAnalysis.q147Sql,
+    // q148 routes each micro-batch to main/DLQ sinks in one pass; the
+    // oracle is the batch CASE verdict over the union of both sinks.
+    "q148_stream_dlq"         -> graft.streaming.StreamParity.q148Sql,
   )
 }

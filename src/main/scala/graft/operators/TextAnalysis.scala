@@ -1048,4 +1048,61 @@ object TextAnalysis {
        |GROUP BY 1, 2
        |HAVING sum(f) >= $MergeMinCount
        |ORDER BY l, r""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q147 — vocabulary growth curve (Heaps'-law measurement): distinct
+  // 3-gram count as a function of corpus prefix size, in deciles of the
+  // doc-id order. The sizing input for tokenizer/n-gram vocab budgets
+  // and for extrapolating "how much new vocabulary will the next 10x of
+  // crawl bring" — measured EXACTLY without re-scanning per prefix: a
+  // gram first appears in exactly one decile, so per-gram min-bucket +
+  // a 10-row running sum reconstructs all ten prefix counts from ONE
+  // corpus pass. (Grams are the q20 trigram shingles — the unit whose
+  // vocabulary actually grows; unigrams saturate immediately.)
+  //
+  // Shape: one gram-keyed partial-aggregable shuffle (min combines
+  // map-side) carrying 16-byte gram hashes, never gram text; the
+  // cumulative window sees 10 rows. The decile split is id-range
+  // arithmetic against a broadcast 1-row max — no ntile, no per-doc
+  // window.
+  // ---------------------------------------------------------------------
+  def q147VocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val mx = docs.agg((max(col("doc_id")) + 1).as("mx"))
+    val firstBucket = docs.crossJoin(broadcast(mx))
+      .select(expr("doc_id * 10 div mx").as("bucket"),
+        split(lower(trim(col("text"))), " +").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("bucket"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))"""
+          .stripMargin)).as("token"))
+      .groupBy(col("token")).agg(min(col("bucket")).as("first_bucket"))
+    firstBucket.groupBy(col("first_bucket").as("decile"))
+      .agg(count(lit(1)).as("new_tokens"))
+      .withColumn("cum_tokens", sum(col("new_tokens")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+          .rowsBetween(Long.MinValue, 0)))
+      .orderBy("decile")
+  }
+
+  val q147Sql: String =
+    """WITH mx AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+      |fb AS (
+      |  SELECT token, min(bucket) AS first_bucket FROM (
+      |    SELECT doc_id * 10 // mx.mx AS bucket,
+      |           unnest(list_distinct(
+      |             [md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |              for i in range(1, len(toks) - 1)])) AS token
+      |    FROM (SELECT doc_id,
+      |                 regexp_split_to_array(lower(trim(text)), ' +') AS toks
+      |          FROM documents), mx
+      |    WHERE len(toks) >= 3)
+      |  GROUP BY token)
+      |SELECT first_bucket AS decile, COUNT(*) AS new_tokens,
+      |       CAST(SUM(COUNT(*)) OVER (ORDER BY first_bucket
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |FROM fb
+      |GROUP BY first_bucket
+      |ORDER BY decile""".stripMargin
 }

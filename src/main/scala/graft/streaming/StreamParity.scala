@@ -1717,6 +1717,69 @@ object StreamParity {
     }
   }
 
+  /** q148 — dead-letter routing rule: suspicious telemetry values. */
+  private val DlqRule = "value > 95"
+
+  /** q148 — streaming dead-letter-queue split: one foreachBatch pass
+    * routes each micro-batch to TWO sinks — valid rows to the main
+    * table, rule-violating rows to a quarantine table — the ingest
+    * pattern that keeps bad data out of the pipeline WITHOUT dropping
+    * it (ops replay the DLQ after a rule fix). The reference's side-
+    * output shape (`rlink/src/api/output_format.rs` sink fan-out) on
+    * Spark's transactional micro-batch boundary.
+    *
+    * Scale notes: the batch is persisted ONCE and filtered twice (no
+    * double source scan); both writes happen inside the same trigger,
+    * and a production deployment makes them idempotent by writing
+    * batchId-named files (exactly-once across restarts — the q58
+    * admission gate documents the full discipline). Output here is the
+    * routing verdict table read back from BOTH sinks, so the oracle
+    * checks completeness (no row lost), disjointness, and rule
+    * fidelity in one comparison. */
+  def q148StreamDlqSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val dir = Files.createTempDirectory("q148_in")
+    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+    val mainDir = Files.createTempDirectory("q148_main")
+    val dlqDir  = Files.createTempDirectory("q148_dlq")
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val b = batch.persist() // ONE source scan feeds both routes
+        try {
+          b.filter(!expr(DlqRule)).select(col("event_id"), col("user_id"))
+            .write.mode("append").parquet(mainDir.toString)
+          b.filter(expr(DlqRule)).select(col("event_id"), col("user_id"))
+            .write.mode("append").parquet(dlqDir.toString)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.read.parquet(mainDir.toString).withColumn("sink", lit("main"))
+      .unionByName(
+        spark.read.parquet(dlqDir.toString).withColumn("sink", lit("dlq")))
+      .orderBy("event_id")
+  }
+
+  val q148Sql: String =
+    """SELECT event_id, user_id,
+      |       CASE WHEN value > 95 THEN 'dlq' ELSE 'main' END AS sink
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val q141Sql: String =
     s"""WITH o AS (
        |  SELECT user_id, epoch_us(ts) AS us FROM events),

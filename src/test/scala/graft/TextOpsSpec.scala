@@ -254,4 +254,23 @@ class TextOpsSpec extends SparkSpec {
       assert(got(top._1) == top._2)
     }
   }
+
+  test("q147: growth curve conserves the gram vocabulary and is cumulative") {
+    val rows = TextAnalysis.q147VocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // cum is the running sum of new
+    var run = 0L
+    rows.foreach { case (_, nw, cum) => run += nw; assert(cum == run) }
+    // total equals the corpus's distinct trigram count
+    val distinctGrams = Tables.documents(spark, sf)
+      .select(explode(expr(
+        """array_distinct(transform(sequence(0, size(split(trim(lower(text)), ' +')) - 3),
+          |  i -> concat(split(trim(lower(text)), ' +')[i], ' ',
+          |              split(trim(lower(text)), ' +')[i+1], ' ',
+          |              split(trim(lower(text)), ' +')[i+2])))""".stripMargin))
+        .as("g"))
+      .select("g").distinct().count()
+    assert(rows.last._3 == distinctGrams)
+  }
 }

@@ -387,6 +387,22 @@ class ParitySpec extends SparkSpec {
         "per-(user, type) sequence numbers")
   }
 
+  test("q148 DLQ split: complete, disjoint, and rule-faithful across both sinks") {
+    val routed = StreamParity.q148StreamDlqSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // completeness + disjointness: every event routed to exactly one sink
+    assert(routed.length === events.size)
+    assert(routed.map(_._1).distinct.length === routed.length)
+    // rule fidelity + both sinks exercised
+    routed.foreach { case (id, _, sink) =>
+      assert(sink === (if (events(id) > 95) "dlq" else "main"), s"event $id")
+    }
+    assert(routed.exists(_._3 == "dlq") && routed.exists(_._3 == "main"))
+  }
+
   test("q141 timer-driven sessions equal the batch gaps-and-islands split") {
     val streamed = StreamParity.q141StreamTimerSessions(spark, sf)
       .collect()
