@@ -167,6 +167,7 @@ object SparkEntry {
     "q146_source_dup_matrix"  -> (Dedup.q146SourceDupMatrix _),
     "q147_vocab_growth"       -> (TextAnalysis.q147VocabGrowth _),
     "q148_stream_dlq"         -> (graft.streaming.StreamParity.q148StreamDlqSplit _),
+    "q149_bm25"               -> (TextAnalysis.q149Bm25 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,5 +377,6 @@ object SparkEntry {
     // q148 routes each micro-batch to main/DLQ sinks in one pass; the
     // oracle is the batch CASE verdict over the union of both sinks.
     "q148_stream_dlq"         -> graft.streaming.StreamParity.q148Sql,
+    "q149_bm25"               -> TextAnalysis.q149Sql,
   )
 }

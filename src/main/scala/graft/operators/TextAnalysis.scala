@@ -1105,4 +1105,95 @@ object TextAnalysis {
       |FROM fb
       |GROUP BY first_bucket
       |ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q149 — BM25 ranked retrieval (Okapi, Lucene idf form): the scoring
+  // function behind every inverted-index search engine, run as a
+  // set-based query: score(d) = Σ_t idf(t) · tf·(k1+1) /
+  // (tf + k1·(1−b+b·dl/avgdl)), k1 = 1.2, b = 0.75. The query here is
+  // the corpus's own top-3 tokens (deterministic, exists at every SF);
+  // production passes literal terms through the same plan.
+  //
+  // Shape: term frequencies are ONE explode + (doc, token) count
+  // filtered by a broadcast 3-row term table (at scale this filter
+  // pushes into the scan — only query-term postings survive the map
+  // side, the q127 index turned inside out); N/avgdl are broadcast
+  // 1-row aggregates; the final top-k is TakeOrderedAndProject.
+  //
+  // Float discipline: idf's ln and each per-term partial score are
+  // rounded to DECIMAL(18,6) (q55's trick — libm ulp differences live
+  // at 1e-16, far below the 1e-6 grid), so the per-doc sum is
+  // order-insensitive and engine-identical.
+  // ---------------------------------------------------------------------
+  private val Bm25K1 = "1.2e0" // e-notation => DOUBLE literal in BOTH engines
+  private val Bm25B  = "0.75e0"
+  private[graft] val Bm25TopK = 20
+
+  def q149Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " +").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+      .cache() // feeds corpus stats, term stats, and scoring
+    val corpus = d.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tok = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+    val qterms = tok.groupBy(col("t"))
+      .agg(count(lit(1)).as("ctot"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("ctot"), col("t").asc).limit(3)
+      .crossJoin(broadcast(corpus))
+      .select(col("t"), col("df"),
+        expr("CAST(round(ln((n - df + 0.5e0) / (df + 0.5e0) + 1e0), 6) " +
+          "AS DECIMAL(18,6))").as("idf"),
+        col("avgdl"))
+    val tf = tok.join(broadcast(qterms), Seq("t"))
+      .groupBy(col("doc_id"), col("t"), col("dl"), col("idf"), col("avgdl"))
+      .agg(count(lit(1)).as("tf"))
+    tf.select(col("doc_id"),
+        expr(s"CAST(round(CAST(idf AS DOUBLE) * (tf * ($Bm25K1 + 1e0)) / " +
+          s"(tf + $Bm25K1 * (1e0 - $Bm25B + $Bm25B * dl / avgdl)), 6) " +
+          "AS DECIMAL(18,6))").as("part"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("sc"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("sc").cast("double").as("score"),
+        col("n_terms"))
+      .orderBy(desc("score"), col("doc_id").asc).limit(Bm25TopK)
+      .orderBy("doc_id")
+  }
+
+  val q149Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS toks
+       |  FROM documents),
+       |dd AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM d),
+       |corpus AS (
+       |  SELECT count(*) AS n,
+       |         CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dd),
+       |tok AS (SELECT doc_id, dl, unnest(toks) AS t FROM dd),
+       |qt AS (
+       |  SELECT t, count(*) AS ctot, count(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY t ORDER BY ctot DESC, t ASC LIMIT 3),
+       |qterms AS (
+       |  SELECT t, df,
+       |         CAST(round(ln((n - df + 0.5e0) / (df + 0.5e0) + 1e0), 6)
+       |              AS DECIMAL(18,6)) AS idf,
+       |         avgdl
+       |  FROM qt, corpus),
+       |tf AS (
+       |  SELECT doc_id, tok.t, dl, idf, avgdl, count(*) AS tf
+       |  FROM tok JOIN qterms ON tok.t = qterms.t
+       |  GROUP BY doc_id, tok.t, dl, idf, avgdl),
+       |scored AS (
+       |  SELECT doc_id,
+       |         CAST(round(CAST(idf AS DOUBLE) * (tf * ($Bm25K1 + 1e0)) /
+       |              (tf + $Bm25K1 * (1e0 - $Bm25B + $Bm25B * dl / avgdl)), 6)
+       |              AS DECIMAL(18,6)) AS part
+       |  FROM tf)
+       |SELECT doc_id, score, n_terms FROM (
+       |  SELECT doc_id, CAST(SUM(part) AS DOUBLE) AS score,
+       |         COUNT(*) AS n_terms
+       |  FROM scored GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK)
+       |ORDER BY doc_id""".stripMargin
 }

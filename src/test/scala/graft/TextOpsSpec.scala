@@ -273,4 +273,40 @@ class TextOpsSpec extends SparkSpec {
       .select("g").distinct().count()
     assert(rows.last._3 == distinctGrams)
   }
+
+  test("q149: BM25 top-k matches a driver-side scoring of the full corpus") {
+    val got = TextAnalysis.q149Bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.length == TextAnalysis.Bm25TopK)
+    // independent reference implementation
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split(" +").toSeq))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / docs.length
+    val ctot = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val qts = ctot.toSeq.sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = qts.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val scores = docs.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val parts = qts.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None else {
+          val idf = r6(math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1))
+          Some(r6(idf * (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))))
+        }
+      }
+      (id, BigDecimal(parts.map(BigDecimal(_)).sum.toDouble).toDouble,
+        parts.length.toLong)
+    }.filter(_._3 > 0)
+    val expTop = scores.sortBy { case (id, sc, _) => (-sc, id) }
+      .take(TextAnalysis.Bm25TopK).sortBy(_._1)
+    assert(got.map(_._1).toSeq == expTop.map(_._1).toSeq, "top-k doc set/order")
+    got.zip(expTop).foreach { case ((id, sc, nt), (eid, esc, ent)) =>
+      assert(id == eid && nt == ent)
+      assert(math.abs(sc - esc) < 1e-9, s"score of doc $id: $sc vs $esc")
+    }
+  }
 }
