@@ -32,6 +32,10 @@ def main(sf_dir, out_dir, only=None):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     if only:
+        unknown = only - set(oracle)
+        if unknown:  # a typo'd name must not report "0 pass / 0 fail" green
+            print(f"FAIL: unknown query names in filter: {sorted(unknown)}")
+            return 1
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

@@ -830,10 +830,14 @@ object TextAnalysis {
   // projections over the grouped array: no second shuffle, no window, no
   // explode-back.
   // ---------------------------------------------------------------------
-  /** Varint byte cost of one non-negative gap value, as inline SQL. */
+  /** Varint (LEB128) byte cost of one non-negative gap value, as inline
+    * SQL — full 9 tiers so the sizing stays exact for 63-bit ids/gaps. */
   private def vbSql(v: String): String =
     s"(CASE WHEN $v < 128 THEN 1 WHEN $v < 16384 THEN 2" +
-      s" WHEN $v < 2097152 THEN 3 WHEN $v < 268435456 THEN 4 ELSE 5 END)"
+      s" WHEN $v < 2097152 THEN 3 WHEN $v < 268435456 THEN 4" +
+      s" WHEN $v < 34359738368 THEN 5 WHEN $v < 4398046511104 THEN 6" +
+      s" WHEN $v < 562949953421312 THEN 7" +
+      s" WHEN $v < 72057594037927936 THEN 8 ELSE 9 END)"
 
   def q127InvertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -1256,13 +1256,18 @@ object StreamParity {
     * (user_id ORDER BY ts, event_id) must match the streamed fold
     * row-for-row across the 4-batch ts-range replay.
     */
-  def q126TransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    import spark.implicits._
-    val ev = graft.Tables.events(spark, sfDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id"), col("event_type"))
-    val dir = Files.createTempDirectory("q126_tws")
+
+  /** Shared replay harness for the transformWithState operators
+    * (q126/q130/q137/q140): lays `ev` out as four ts_us-range files
+    * replayed oldest-first (one per trigger), swaps in the RocksDB
+    * provider the typed-state API requires, runs `build`'s streaming
+    * Dataset to a memory sink, and cleans up — the input copy is
+    * deleted and the provider restored whether the query succeeds or
+    * not (the memory sink holds the committed rows, so the files are
+    * not needed after processAllAvailable returns). */
+  private def replayTyped(spark: SparkSession, ev: DataFrame, prefix: String)
+      (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
+    val dir = Files.createTempDirectory(prefix)
     ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
       .write.mode("overwrite").parquet(dir.toString)
     val t0 = System.currentTimeMillis() - 3600L * 1000
@@ -1271,32 +1276,46 @@ object StreamParity {
       .zipWithIndex.foreach { case (f, i) =>
         require(f.setLastModified(t0 + i * 10000L)) }
 
-    val prevProvider = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val schema = spark.read.parquet(dir.toString).schema
-      val out = spark.readStream.schema(schema)
+      val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .as[SeqEv]
-        .groupByKey(_.user_id)
-        .transformWithState(new RunningSeqProcessor,
-          TimeMode.None(), OutputMode.Append())
-      val table = s"q126_tws_${runId.incrementAndGet()}"
-      val query = out.writeStream.outputMode("append")
+      val table = s"${prefix}_${runId.incrementAndGet()}"
+      val query = build(stream).writeStream.outputMode("append")
         .format("memory").queryName(table).start()
       try query.processAllAvailable()
       finally query.stop()
-      spark.table(table).orderBy("event_id")
+      spark.table(table)
     } finally {
       prevProvider match {
-        case Some(p) => spark.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
       }
+      deleteRecursively(dir.toFile)
     }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  def q126TransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    replayTyped(spark, ev, "q126_tws") { stream =>
+      stream.as[SeqEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningSeqProcessor,
+          TimeMode.None(), OutputMode.Append())
+    }.orderBy("event_id")
   }
 
   val q126Sql: String =
@@ -1359,41 +1378,12 @@ object StreamParity {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))
-    val dir = Files.createTempDirectory("q130_hist")
-    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
-      .write.mode("overwrite").parquet(dir.toString)
-    val t0 = System.currentTimeMillis() - 3600L * 1000
-    new java.io.File(dir.toString).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        require(f.setLastModified(t0 + i * 10000L)) }
-
-    val prevProvider = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val schema = spark.read.parquet(dir.toString).schema
-      val out = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .as[HistEv]
+    replayTyped(spark, ev, "q130_hist") { stream =>
+      stream.as[HistEv]
         .groupByKey(_.user_id)
         .transformWithState(new RecentHistoryProcessor,
           TimeMode.None(), OutputMode.Append())
-      val table = s"q130_hist_${runId.incrementAndGet()}"
-      val query = out.writeStream.outputMode("append")
-        .format("memory").queryName(table).start()
-      try query.processAllAvailable()
-      finally query.stop()
-      spark.table(table).orderBy("event_id")
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    }.orderBy("event_id")
   }
 
   val q130Sql: String =
@@ -1452,41 +1442,12 @@ object StreamParity {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"))
-    val dir = Files.createTempDirectory("q137_quota")
-    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
-      .write.mode("overwrite").parquet(dir.toString)
-    val t0 = System.currentTimeMillis() - 3600L * 1000
-    new java.io.File(dir.toString).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        require(f.setLastModified(t0 + i * 10000L)) }
-
-    val prevProvider = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val schema = spark.read.parquet(dir.toString).schema
-      val out = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .as[QuotaEv]
+    replayTyped(spark, ev, "q137_quota") { stream =>
+      stream.as[QuotaEv]
         .groupByKey(_.user_id)
         .transformWithState(new DailyQuotaProcessor,
           TimeMode.None(), OutputMode.Append())
-      val table = s"q137_quota_${runId.incrementAndGet()}"
-      val query = out.writeStream.outputMode("append")
-        .format("memory").queryName(table).start()
-      try query.processAllAvailable()
-      finally query.stop()
-      spark.table(table).orderBy("event_id")
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    }.orderBy("event_id")
   }
 
   val q137Sql: String =
@@ -1539,41 +1500,12 @@ object StreamParity {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))
-    val dir = Files.createTempDirectory("q140_typeseq")
-    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
-      .write.mode("overwrite").parquet(dir.toString)
-    val t0 = System.currentTimeMillis() - 3600L * 1000
-    new java.io.File(dir.toString).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        require(f.setLastModified(t0 + i * 10000L)) }
-
-    val prevProvider = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val schema = spark.read.parquet(dir.toString).schema
-      val out = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .as[TypeSeqEv]
+    replayTyped(spark, ev, "q140_typeseq") { stream =>
+      stream.as[TypeSeqEv]
         .groupByKey(_.user_id)
         .transformWithState(new TypeSeqProcessor,
           TimeMode.None(), OutputMode.Append())
-      val table = s"q140_typeseq_${runId.incrementAndGet()}"
-      val query = out.writeStream.outputMode("append")
-        .format("memory").queryName(table).start()
-      try query.processAllAvailable()
-      finally query.stop()
-      spark.table(table).orderBy("event_id")
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    }.orderBy("event_id")
   }
 
   val q140Sql: String =
@@ -1714,6 +1646,8 @@ object StreamParity {
         case None => spark.conf.unset(
           "spark.sql.streaming.stateStore.providerClass")
       }
+      deleteRecursively(dir.toFile) // corpus-sized replay copies
+      deleteRecursively(sentinelDir.toFile)
     }
   }
 
@@ -1757,16 +1691,22 @@ object StreamParity {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val b = batch.persist() // ONE source scan feeds both routes
+        // coalesce the rule under NULL: a NULL value must route to main
+        // (the oracle's CASE does), never vanish from both sinks
+        val dlq = coalesce(expr(DlqRule), lit(false))
         try {
-          b.filter(!expr(DlqRule)).select(col("event_id"), col("user_id"))
+          b.filter(!dlq).select(col("event_id"), col("user_id"))
             .write.mode("append").parquet(mainDir.toString)
-          b.filter(expr(DlqRule)).select(col("event_id"), col("user_id"))
+          b.filter(dlq).select(col("event_id"), col("user_id"))
             .write.mode("append").parquet(dlqDir.toString)
         } finally { b.unpersist(); () }
       }
       .start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // corpus-sized input copy; sinks stay
+    }
 
     spark.read.parquet(mainDir.toString).withColumn("sink", lit("main"))
       .unionByName(

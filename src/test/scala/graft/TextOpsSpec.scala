@@ -169,9 +169,11 @@ class TextOpsSpec extends SparkSpec {
       .flatMap { case (id, t) =>
         t.trim.toLowerCase.split(" +").distinct.map(tok => (tok, id)) }
       .groupBy(_._1).map { case (tok, ps) => tok -> ps.map(_._2).sorted }
-    def vb(v: Long): Long =
-      if (v < 128) 1 else if (v < 16384) 2 else if (v < 2097152) 3
-      else if (v < 268435456) 4 else 5
+    def vb(v: Long): Long = { // LEB128: 7 payload bits per byte
+      var (x, b) = (v >> 7, 1L)
+      while (x > 0) { x >>= 7; b += 1 }
+      b
+    }
     assert(got.keySet == postings.keySet)
     postings.foreach { case (tok, ids) =>
       val (df, fp, bytes) = got(tok)

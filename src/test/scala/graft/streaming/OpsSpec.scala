@@ -183,10 +183,12 @@ class OpsSpec extends SparkSpec {
     }
     def writeFile(rows: Seq[StreamParity.SeqEv], name: String): Unit = {
       rows.toDF().coalesce(1).write.parquet(s"$inDir/$name")
-      // replay order across the restart follows file mod-times
-      val f = new java.io.File(s"$inDir/$name")
-      require(f.setLastModified(
-        System.currentTimeMillis() - 3600000L + name.last.toInt * 10000L))
+      // replay order across the restart follows the PART FILES' mod-times
+      // (the source orders by file, not directory, timestamps)
+      new java.io.File(s"$inDir/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => require(f.setLastModified(
+          System.currentTimeMillis() - 3600000L + name.last.toInt * 10000L)))
     }
     val parts = evs.grouped(10).toSeq
     writeFile(parts(0), "f0")

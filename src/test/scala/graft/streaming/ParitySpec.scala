@@ -329,7 +329,9 @@ class ParitySpec extends SparkSpec {
     val streamed = StreamParity.q130StreamRecentHistory(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     // state is bounded by construction: never more than HistN entries
-    assert(streamed.forall(_._3.split(",", -1).length <= 3 + 1))
+    // (k >= 1 entries split into exactly k parts; "" is the empty history)
+    assert(streamed.forall(t =>
+      t._3.isEmpty || t._3.split(",", -1).length <= StreamParity.HistN))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-3, -1)
