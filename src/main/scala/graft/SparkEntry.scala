@@ -168,6 +168,7 @@ object SparkEntry {
     "q147_vocab_growth"       -> (TextAnalysis.q147VocabGrowth _),
     "q148_stream_dlq"         -> (graft.streaming.StreamParity.q148StreamDlqSplit _),
     "q149_bm25"               -> (TextAnalysis.q149Bm25 _),
+    "q150_asof_nearest"       -> (TemporalJoins.q150AsofNearest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -378,5 +379,6 @@ object SparkEntry {
     // oracle is the batch CASE verdict over the union of both sinks.
     "q148_stream_dlq"         -> graft.streaming.StreamParity.q148Sql,
     "q149_bm25"               -> TextAnalysis.q149Sql,
+    "q150_asof_nearest"       -> TemporalJoins.q150Sql,
   )
 }

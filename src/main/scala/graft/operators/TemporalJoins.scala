@@ -179,4 +179,87 @@ object TemporalJoins {
        |      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
        |  WHERE rn = 1)
        |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q150 — NEAREST-direction as-of join (pandas merge_asof
+  // direction='nearest', kdb nearest-aj): each event matches the order
+  // with the smallest |Δt| on either side, ties to the backward match —
+  // the sensor/trade alignment primitive where the closest reading, not
+  // the last one, is truth. q28/q117 are the backward-only family; this
+  // adds the forward sweep and the comparison.
+  //
+  // Shape: the SAME single union + user_id window exchange as q28 — the
+  // backward candidate is last(non-null) over the ascending frame, the
+  // forward candidate first(non-null) over the descending-remainder
+  // frame, both riding ONE sort of one exchange. No join node, no row
+  // explosion; tie conventions (backward at equal |Δt|; max key among
+  // equal backward ts, min key among equal forward ts) are pinned in
+  // both engines.
+  // ---------------------------------------------------------------------
+  def q150AsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id").as("k"), col("ts"), col("event_id"),
+      lit(null).cast("long").as("o_key"),
+      lit(null).cast("double").as("o_price"),
+      lit(null).cast("timestamp").as("o_ts"),
+      lit(1).as("side"))
+    val ord = Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("ts"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("o_key"),
+      col("o_totalprice").as("o_price"),
+      col("o_orderdate").cast("timestamp").as("o_ts"),
+      lit(0).as("side"))
+    val wB = Window.partitionBy(col("k"))
+      .orderBy(col("ts"), col("side"), col("o_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("k"))
+      .orderBy(col("ts"), col("side"), col("o_key"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bdt = unix_timestamp(col("ts")) - unix_timestamp(col("b_ts"))
+    val fdt = unix_timestamp(col("f_ts")) - unix_timestamp(col("ts"))
+    val takeB = col("f_key").isNull ||
+      (col("b_key").isNotNull && bdt <= fdt)
+    ev.unionByName(ord)
+      .withColumn("b_key", last(col("o_key"), ignoreNulls = true).over(wB))
+      .withColumn("b_price", last(col("o_price"), ignoreNulls = true).over(wB))
+      .withColumn("b_ts", last(col("o_ts"), ignoreNulls = true).over(wB))
+      .withColumn("f_key", first(col("o_key"), ignoreNulls = true).over(wF))
+      .withColumn("f_price", first(col("o_price"), ignoreNulls = true).over(wF))
+      .withColumn("f_ts", first(col("o_ts"), ignoreNulls = true).over(wF))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        when(takeB, col("b_key")).otherwise(col("f_key")).as("near_orderkey"),
+        when(takeB, col("b_price")).otherwise(col("f_price")).as("near_price"),
+        when(takeB, bdt).otherwise(-fdt).as("signed_dt_sec"),
+        when(col("b_key").isNull && col("f_key").isNull, lit(null))
+          .otherwise(when(takeB, lit("b")).otherwise(lit("f")))
+          .cast("string").as("direction"))
+      .orderBy("event_id")
+  }
+
+  val q150Sql: String =
+    """SELECT event_id, user_id, near_orderkey, near_price, signed_dt_sec,
+      |       direction
+      |FROM (
+      |  SELECT e.event_id, e.user_id,
+      |         o.o_orderkey AS near_orderkey,
+      |         o.o_totalprice AS near_price,
+      |         CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+      |           - CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT)
+      |           AS signed_dt_sec,
+      |         CASE WHEN o.o_orderkey IS NULL THEN NULL
+      |              WHEN o.o_orderdate <= e.ts THEN 'b' ELSE 'f' END
+      |           AS direction,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY e.event_id
+      |           ORDER BY abs(CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+      |                        - CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT)),
+      |                    CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+      |                    CASE WHEN o.o_orderdate <= e.ts
+      |                         THEN -o.o_orderkey ELSE o.o_orderkey END)
+      |           AS rn
+      |  FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey)
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
 }

@@ -87,4 +87,36 @@ class TemporalJoinsSpec extends SparkSpec {
     }
     assert(stale > 0, "the 30-day bound must actually null out stale matches")
   }
+
+  test("q150: the chosen order really is the nearest, ties go backward") {
+    val got = TemporalJoins.q150AsofNearest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        Option(r.getString(5))))
+    val ordersByUser = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toEpochSecond(
+          java.time.ZoneOffset.UTC)))
+      .groupBy(_._1)
+    val evTs = Tables.events(spark, sf)
+      .selectExpr("event_id", "CAST(FLOOR(unix_micros(ts) / 1e6) AS LONG)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (eid, u, key, dt, dir) =>
+      val orders = ordersByUser.getOrElse(u, Array.empty)
+      if (orders.isEmpty) assert(key.isEmpty && dt.isEmpty && dir.isEmpty)
+      else {
+        val t = evTs(eid)
+        val best = orders.map { case (_, ok, ots) =>
+          (math.abs(t - ots), if (ots <= t) 0 else 1,
+            if (ots <= t) -ok else ok, ok, t - ots)
+        }.minBy(x => (x._1, x._2, x._3))
+        assert(key.contains(best._4), s"event $eid nearest key")
+        assert(dt.contains(best._5), s"event $eid dt")
+        assert(dir.contains(if (best._5 >= 0) "b" else "f"), s"event $eid dir")
+      }
+    }
+  }
 }
