@@ -169,6 +169,8 @@ object SparkEntry {
     "q148_stream_dlq"         -> (graft.streaming.StreamParity.q148StreamDlqSplit _),
     "q149_bm25"               -> (TextAnalysis.q149Bm25 _),
     "q150_asof_nearest"       -> (TemporalJoins.q150AsofNearest _),
+    "q151_quantile_norm"      -> (Curation.q151QuantileNorm _),
+    "q152_series_corr"        -> (Relational.q152SeriesCorr _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,5 +382,7 @@ object SparkEntry {
     "q148_stream_dlq"         -> graft.streaming.StreamParity.q148Sql,
     "q149_bm25"               -> TextAnalysis.q149Sql,
     "q150_asof_nearest"       -> TemporalJoins.q150Sql,
+    "q151_quantile_norm"      -> Curation.q151Sql,
+    "q152_series_corr"        -> Relational.q152Sql,
   )
 }

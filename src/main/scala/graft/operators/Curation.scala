@@ -1195,4 +1195,56 @@ object Curation {
        |            ELSE 'test' END AS split
        |FROM r
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q151 — cross-source quantile normalization (decile granularity):
+  // replace each document's length with the GLOBAL decile median at the
+  // document's WITHIN-SOURCE decile rank — the calibration step that
+  // makes per-source scores comparable before a corpus-wide quality cut
+  // (each source's score distribution maps onto the global one; the
+  // rank-based batch-effect correction bioinformatics calls quantile
+  // normalization, at the decile granularity that stays exact).
+  //
+  // Exactness: deciles are ntile ranks (integers), global decile medians
+  // interpolate at halves over BIGINT lengths — dyadic, bit-identical
+  // cross-engine (q120's discipline).
+  //
+  // Shape: two ntile windows (per-source windows partition-parallel;
+  // the global ntile is the oracle-matching formulation — at 100 TB the
+  // global decile boundaries come from approx quantiles, one tiny
+  // driver row, and the window disappears: documented tradeoff, q55's
+  // ntile note) + a broadcast 10-row median join.
+  // ---------------------------------------------------------------------
+  def q151QuantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val withDeciles = docs
+      .withColumn("src_decile", ntile(10).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("glob_decile", ntile(10).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))))
+    val globMedians = withDeciles.groupBy(col("glob_decile").as("src_decile"))
+      .agg(percentile(col("n_chars"), lit(0.5)).as("norm_chars"))
+    withDeciles
+      .join(broadcast(globMedians), Seq("src_decile"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_decile"), col("norm_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q151Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |         NTILE(10) OVER (PARTITION BY source
+      |                         ORDER BY n_chars, doc_id) AS src_decile,
+      |         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS glob_decile
+      |  FROM documents),
+      |gm AS (
+      |  SELECT glob_decile AS src_decile,
+      |         quantile_cont(n_chars, 0.5) AS norm_chars
+      |  FROM d GROUP BY glob_decile)
+      |SELECT d.doc_id, d.source, d.n_chars, d.src_decile, gm.norm_chars
+      |FROM d JOIN gm USING (src_decile)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -1703,4 +1703,84 @@ object Relational {
       |JOIN marg m1 ON pairs.t1 = m1.event_type
       |JOIN marg m2 ON pairs.t2 = m2.event_type, total
       |ORDER BY t1, t2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q152 — pairwise correlation of event-type time series: Pearson r
+  // between every two types' ZERO-FILLED hourly count series — the
+  // ops/analytics question "does the error series track the click
+  // series" answered exactly. Zero hours matter (a pair dormant
+  // together is correlation signal), so the series live on the full
+  // [min, max] hour grid, not just observed hours.
+  //
+  // Exactness: every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is
+  // an INTEGER — partial-aggregable, order-insensitive, bit-identical;
+  // r is one fixed double expression over them (IEEE sqrt is correctly
+  // rounded), 6-dp rounded (q104's discipline, cross-series).
+  //
+  // Shape: one (hour, type) count shuffle; the grid explode is
+  // |hours|·|types| rows from a broadcast 1-row span; the pair join is
+  // keyed on hour (|hours| rows/side, C(|types|,2) output per hour).
+  // ---------------------------------------------------------------------
+  def q152SeriesCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("event_type"))
+    val span = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .crossJoin(types)
+    val counts = ev.groupBy(col("hr"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val series = grid.join(counts, Seq("hr", "event_type"), "left")
+      .select(col("hr"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .cache() // both sides of the pair join
+    val a = series.select(col("hr"), col("event_type").as("t1"), col("c").as("x"))
+    val b = series.select(col("hr"), col("event_type").as("t2"), col("c").as("y"))
+    a.join(b, Seq("hr")).filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_r", expr(
+        "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+          "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+          "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"))
+      .orderBy("t1", "t2")
+  }
+
+  val q152Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, event_type FROM events),
+      |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev),
+      |grid AS (
+      |  SELECT g.hr, t.event_type
+      |  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM span) g
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+      |counts AS (SELECT hr, event_type, count(*) AS c FROM ev GROUP BY 1, 2),
+      |series AS (
+      |  SELECT grid.hr, grid.event_type, coalesce(counts.c, 0) AS c
+      |  FROM grid LEFT JOIN counts USING (hr, event_type)),
+      |pairs AS (
+      |  SELECT a.t1, a.x, b.t2, b.y, a.hr FROM
+      |    (SELECT hr, event_type AS t1, c AS x FROM series) a
+      |    JOIN (SELECT hr, event_type AS t2, c AS y FROM series) b
+      |    USING (hr)
+      |  WHERE a.t1 < b.t2)
+      |SELECT t1, t2, COUNT(*) AS n,
+      |       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |       CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |       CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |       CAST(SUM(y * y) AS BIGINT) AS syy,
+      |       round((CAST(COUNT(*) AS DOUBLE) * SUM(x * y)
+      |              - CAST(SUM(x) AS DOUBLE) * SUM(y)) /
+      |             (sqrt(CAST(COUNT(*) AS DOUBLE) * SUM(x * x)
+      |                   - CAST(SUM(x) AS DOUBLE) * SUM(x)) *
+      |              sqrt(CAST(COUNT(*) AS DOUBLE) * SUM(y * y)
+      |                   - CAST(SUM(y) AS DOUBLE) * SUM(y))), 6) AS corr_r
+      |FROM pairs
+      |GROUP BY t1, t2
+      |ORDER BY t1, t2""".stripMargin
 }

@@ -500,4 +500,22 @@ class CurationSpec extends SparkSpec {
       assert(bySplit("test") == n - n * 9 / 10, s"test count at $stratum")
     }
   }
+
+  test("q151: normalized values are the global decile medians, monotone in decile") {
+    val rows = Curation.q151QuantileNorm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // one normalized value per decile, monotone non-decreasing
+    val byDecile = rows.groupBy(_._4).view.mapValues(_.map(_._5).distinct).toMap
+    assert(byDecile.keySet == (1 to 10).toSet)
+    byDecile.values.foreach(v => assert(v.length == 1))
+    val meds = (1 to 10).map(d => byDecile(d).head)
+    assert(meds.sameElements(meds.sorted))
+    // within every source, normalization preserves the length ordering
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val sorted = ds.sortBy(t => (t._3, t._1)).map(_._4)
+      assert(sorted.sameElements(sorted.sorted), s"monotone deciles in $src")
+    }
+  }
 }

@@ -719,4 +719,34 @@ class RelationalSpec extends SparkSpec {
     assert(prof.getLong(3) == victimRows, "orphan rows counted exactly")
     assert(prof.getLong(4) == 1L, "one dangling key")
   }
+
+  test("q152: correlation stats match a driver-side zero-filled series recompute") {
+    val rows = Relational.q152SeriesCorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8)))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 3600000000 AS hr", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val types = ev.map(_._2).distinct.sorted
+    val counts = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val series = types.map(t =>
+      t -> (h0 to h1).map(h => counts((h, t)))).toMap
+    assert(rows.length == types.combinations(2).size)
+    rows.foreach { case (t1, t2, n, sx, sy, sxy, sxx, syy, r) =>
+      val (xs, ys) = (series(t1), series(t2))
+      assert(n == xs.length)
+      assert(sx == xs.sum && sy == ys.sum)
+      assert(sxy == xs.zip(ys).map { case (a, b) => a * b }.sum)
+      assert(sxx == xs.map(a => a * a).sum && syy == ys.map(a => a * a).sum)
+      val num = n.toDouble * sxy - sx.toDouble * sy
+      val den = math.sqrt(n.toDouble * sxx - sx.toDouble * sx) *
+        math.sqrt(n.toDouble * syy - sy.toDouble * sy)
+      val exp = BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r === exp, s"corr of ($t1,$t2)")
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
 }
