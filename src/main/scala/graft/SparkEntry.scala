@@ -171,6 +171,8 @@ object SparkEntry {
     "q150_asof_nearest"       -> (TemporalJoins.q150AsofNearest _),
     "q151_quantile_norm"      -> (Curation.q151QuantileNorm _),
     "q152_series_corr"        -> (Relational.q152SeriesCorr _),
+    "q153_interp_resample"    -> (Relational.q153InterpResample _),
+    "q154_weighted_median"    -> (Relational.q154WeightedMedian _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -384,5 +386,7 @@ object SparkEntry {
     "q150_asof_nearest"       -> TemporalJoins.q150Sql,
     "q151_quantile_norm"      -> Curation.q151Sql,
     "q152_series_corr"        -> Relational.q152Sql,
+    "q153_interp_resample"    -> Relational.q153Sql,
+    "q154_weighted_median"    -> Relational.q154Sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1783,4 +1784,135 @@ object Relational {
       |FROM pairs
       |GROUP BY t1, t2
       |ORDER BY t1, t2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q153 — linear-interpolation resampling to a regular grid: each event
+  // type's mean-value series, re-sampled onto the full hour grid with
+  // LINEAR interpolation across gaps (q75's LOCF fills with the stale
+  // value; training-feature and plotting pipelines want the line
+  // between neighbors). Leading/trailing hours with no bracketing
+  // observation stay NULL — interpolation never extrapolates.
+  //
+  // Exactness: observed hourly means use the decimal-sum-then-ONE-
+  // double-division discipline; the interpolation is one pinned double
+  // expression over (prev, next, integer hour distances), 6-dp rounded.
+  //
+  // Shape: per-type windows partition-parallel across types; the two
+  // neighbor sweeps (last/first non-null) ride ONE sort of one
+  // exchange — the q150 nearest machinery applied to series repair.
+  // ---------------------------------------------------------------------
+  def q153InterpResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("event_type"), col("value").cast("decimal(25,6)").as("v"))
+    val known = ev.groupBy(col("event_type"), col("hr"))
+      .agg((sum(col("v")).cast("double") / count(lit(1))).as("obs"))
+    val span = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(known, Seq("event_type", "hr"), "left")
+      .withColumn("pv", last(col("obs"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("obs").isNotNull, col("hr")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("obs"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("obs").isNotNull, col("hr")),
+        ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("hr"),
+        when(col("obs").isNotNull, round(col("obs"), 6))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            expr("round(pv + (nv - pv) * (hr - ph) / (nh - ph), 6)"))
+          .as("value_hourly"),
+        when(col("obs").isNotNull, "obs")
+          .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+          .otherwise("edge").as("kind"))
+      .orderBy("event_type", "hr")
+  }
+
+  val q153Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+      |         CAST(value AS DECIMAL(25,6)) AS v
+      |  FROM events),
+      |known AS (
+      |  SELECT event_type, hr, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS obs
+      |  FROM ev GROUP BY 1, 2),
+      |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev),
+      |grid AS (
+      |  SELECT g.hr, t.event_type
+      |  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM span) g
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+      |j AS (
+      |  SELECT grid.event_type, grid.hr, known.obs,
+      |         last_value(known.obs IGNORE NULLS) OVER wp AS pv,
+      |         last_value(CASE WHEN known.obs IS NOT NULL
+      |                         THEN grid.hr END IGNORE NULLS) OVER wp AS ph,
+      |         first_value(known.obs IGNORE NULLS) OVER wn AS nv,
+      |         first_value(CASE WHEN known.obs IS NOT NULL
+      |                          THEN grid.hr END IGNORE NULLS) OVER wn AS nh
+      |  FROM grid LEFT JOIN known USING (event_type, hr)
+      |  WINDOW wp AS (PARTITION BY grid.event_type ORDER BY grid.hr
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY grid.event_type ORDER BY grid.hr
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, hr,
+      |       CASE WHEN obs IS NOT NULL THEN round(obs, 6)
+      |            WHEN pv IS NOT NULL AND nv IS NOT NULL
+      |            THEN round(pv + (nv - pv) * (hr - ph) / (nh - ph), 6)
+      |       END AS value_hourly,
+      |       CASE WHEN obs IS NOT NULL THEN 'obs'
+      |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+      |            ELSE 'edge' END AS kind
+      |FROM j
+      |ORDER BY event_type, hr""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q154 — exact weighted median per group (lower weighted median):
+  // document length weighted by TOKEN MASS per language — "the length
+  // at which half the language's tokens live", the truncation-budget
+  // statistic q120's unweighted median cannot give (one long doc
+  // carries more training mass than many short ones). Lower weighted
+  // median = the smallest value whose cumulative weight reaches half
+  // the total — all-integer, bit-exact.
+  //
+  // Shape: per-language cumulative windows partition-parallel (the
+  // window input is |docs-per-lang| rows of 2 longs); totals broadcast.
+  // ---------------------------------------------------------------------
+  def q154WeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(split(trim(col("text")), " +")).cast("long").as("w"))
+    val tot = d.groupBy(col("lang")).agg(sum(col("w")).as("wtot"))
+    val cum = d.withColumn("cw", sum(col("w")).over(
+      Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(broadcast(tot), "lang")
+      .filter(col("cw") * 2 >= col("wtot"))
+      .groupBy(col("lang"))
+      .agg(min(col("n_chars")).as("weighted_median_chars"),
+        first(col("wtot")).as("token_mass"))
+      .orderBy("lang")
+  }
+
+  val q154Sql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id, n_chars,
+      |         len(regexp_split_to_array(trim(text), ' +'))::BIGINT AS w
+      |  FROM documents),
+      |tot AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS wtot FROM d GROUP BY lang),
+      |cum AS (
+      |  SELECT lang, n_chars,
+      |         SUM(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+      |                      ROWS UNBOUNDED PRECEDING) AS cw
+      |  FROM d)
+      |SELECT cum.lang AS lang, MIN(n_chars) AS weighted_median_chars,
+      |       ANY_VALUE(wtot) AS token_mass
+      |FROM cum JOIN tot ON cum.lang = tot.lang
+      |WHERE cw * 2 >= wtot
+      |GROUP BY cum.lang
+      |ORDER BY cum.lang""".stripMargin
 }

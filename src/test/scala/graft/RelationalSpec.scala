@@ -749,4 +749,61 @@ class RelationalSpec extends SparkSpec {
       assert(r >= -1.0 && r <= 1.0)
     }
   }
+
+  test("q153: interpolated points lie on the segment between their neighbors") {
+    val rows = Relational.q153InterpResample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+    assert(rows.nonEmpty)
+    // UNROUNDED observed means (the engine interpolates from these, then
+    // rounds once — interpolating from the rounded outputs drifts 1e-6)
+    val rawObs = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 AS hr",
+        "CAST(value AS DECIMAL(25,6)) AS v")
+      .groupBy("event_type", "hr")
+      .agg(expr("CAST(SUM(v) AS DOUBLE) / COUNT(*)").as("obs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.groupBy(_._1).foreach { case (t, series) =>
+      val sorted = series.sortBy(_._2)
+      // grid is contiguous
+      assert(sorted.map(_._2).toSeq ==
+        (sorted.head._2 to sorted.last._2).toSeq, s"grid of $t")
+      val obs = sorted.filter(_._4 == "obs")
+      assert(obs.nonEmpty)
+      sorted.filter(_._4 == "interp").foreach { case (_, h, Some(v), _) =>
+        val ph = obs.filter(_._2 < h).maxBy(_._2)._2
+        val nh = obs.filter(_._2 > h).minBy(_._2)._2
+        val (pv, nv) = (rawObs((t, ph)), rawObs((t, nh)))
+        val exp = BigDecimal(pv + (nv - pv) * (h - ph) / (nh - ph))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(v === exp, s"interp at ($t, $h)")
+      case other => fail(s"interp row with null value: $other")
+      }
+      // edges have no value and never sit between two observations
+      sorted.filter(_._4 == "edge").foreach { case (_, h, v, _) =>
+        assert(v.isEmpty)
+        assert(h < obs.map(_._2).min || h > obs.map(_._2).max)
+      }
+    }
+  }
+
+  test("q154: weighted median satisfies the half-mass property exactly") {
+    val rows = Relational.q154WeightedMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("lang", "n_chars",
+        "CAST(size(split(trim(text), ' +')) AS LONG) AS w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.map(_._1).toSet == docs.keySet)
+    rows.foreach { case (lang, med, mass) =>
+      val ds = docs(lang)
+      assert(mass == ds.map(_._3).sum)
+      val below = ds.filter(_._2 <= med).map(_._3).sum
+      val strictlyBelow = ds.filter(_._2 < med).map(_._3).sum
+      assert(below * 2 >= mass, s"$lang: half the mass at or below the median")
+      assert(strictlyBelow * 2 < mass, s"$lang: median is the SMALLEST such value")
+    }
+  }
 }
