@@ -173,6 +173,9 @@ object SparkEntry {
     "q152_series_corr"        -> (Relational.q152SeriesCorr _),
     "q153_interp_resample"    -> (Relational.q153InterpResample _),
     "q154_weighted_median"    -> (Relational.q154WeightedMedian _),
+    "q155_interevent_stats"   -> (Relational.q155InterEventStats _),
+    "q156_label_balance"      -> (Similarity.q156LabelBalance _),
+    "q157_compaction_plan"    -> (Curation.q157CompactionPlan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -388,5 +391,8 @@ object SparkEntry {
     "q152_series_corr"        -> Relational.q152Sql,
     "q153_interp_resample"    -> Relational.q153Sql,
     "q154_weighted_median"    -> Relational.q154Sql,
+    "q155_interevent_stats"   -> Relational.q155Sql,
+    "q156_label_balance"      -> Similarity.q156Sql,
+    "q157_compaction_plan"    -> Curation.q157Sql,
   )
 }

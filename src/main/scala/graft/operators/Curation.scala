@@ -1247,4 +1247,50 @@ object Curation {
       |SELECT d.doc_id, d.source, d.n_chars, d.src_decile, gm.norm_chars
       |FROM d JOIN gm USING (src_decile)
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q157 — small-file compaction plan (OPTIMIZE's planning half): per
+  // source, pack documents in doc_id order into output groups of
+  // ~TargetBytes — greedy running-sum binning, group = floor(cumulative
+  // bytes BEFORE this doc / target), so a doc lands in the group its
+  // prefix mass dictates and every group except the last holds at least
+  // the target once closed. Emits the per-group manifest (doc range,
+  // count, bytes) a rewrite job executes 1:1.
+  //
+  // Shape: one cumulative window per source (partition-parallel) over
+  // (doc_id) — the q43 packing discipline applied to FILES instead of
+  // sequences; all-integer.
+  // ---------------------------------------------------------------------
+  private[graft] val TargetBytes = 65536L // 64 KiB of text per output group
+
+  def q157CompactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("prefix", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("grp", expr(s"prefix div $TargetBytes"))
+      .groupBy(col("source"), col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("n_chars")).as("grp_bytes"))
+      .orderBy("source", "grp")
+  }
+
+  val q157Sql: String =
+    s"""WITH p AS (
+       |  SELECT source, doc_id, n_chars,
+       |         coalesce(SUM(n_chars) OVER (
+       |           PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS prefix
+       |  FROM documents)
+       |SELECT source, prefix // $TargetBytes AS grp,
+       |       COUNT(*) AS n_docs,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |       CAST(SUM(n_chars) AS BIGINT) AS grp_bytes
+       |FROM p
+       |GROUP BY source, prefix // $TargetBytes
+       |ORDER BY source, grp""".stripMargin
 }

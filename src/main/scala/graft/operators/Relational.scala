@@ -1915,4 +1915,64 @@ object Relational {
       |WHERE cw * 2 >= wtot
       |GROUP BY cum.lang
       |ORDER BY cum.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q155 — inter-event timing statistics per user: mean/variance of the
+  // gaps between consecutive events plus the burstiness coefficient
+  // B = (σ−μ)/(σ+μ) (Goh & Barabási) — the classic human-dynamics
+  // feature separating Poisson-like users (B≈0...−1) from bursty ones
+  // (B→1), used for bot detection and activity modeling.
+  //
+  // Exactness: gaps are integer seconds via lag over one user window;
+  // n/Σg/Σg² are exact integers, and μ, σ, B are ONE pinned double
+  // expression over them, 6-dp (population variance; q152's recipe).
+  // ---------------------------------------------------------------------
+  def q155InterEventStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sgg"))
+      .withColumn("mean_gap_sec",
+        expr("round(CAST(sg AS DOUBLE) / n_gaps, 6)"))
+      .withColumn("burstiness", expr(
+        "round((sqrt(CAST(sgg AS DOUBLE) / n_gaps " +
+          "- (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps)) " +
+          "- CAST(sg AS DOUBLE) / n_gaps) / " +
+          "(sqrt(CAST(sgg AS DOUBLE) / n_gaps " +
+          "- (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps)) " +
+          "+ CAST(sg AS DOUBLE) / n_gaps), 6)"))
+      .orderBy("user_id")
+  }
+
+  val q155Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |           - CAST(FLOOR(epoch(lag(ts) OVER (
+      |               PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+      |           AS gap
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_gaps,
+      |       CAST(SUM(gap) AS BIGINT) AS sg,
+      |       CAST(SUM(gap * gap) AS BIGINT) AS sgg,
+      |       round(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_sec,
+      |       round((sqrt(CAST(SUM(gap * gap) AS DOUBLE) / COUNT(*)
+      |               - (CAST(SUM(gap) AS DOUBLE) / COUNT(*))
+      |                 * (CAST(SUM(gap) AS DOUBLE) / COUNT(*)))
+      |              - CAST(SUM(gap) AS DOUBLE) / COUNT(*)) /
+      |             (sqrt(CAST(SUM(gap * gap) AS DOUBLE) / COUNT(*)
+      |               - (CAST(SUM(gap) AS DOUBLE) / COUNT(*))
+      |                 * (CAST(SUM(gap) AS DOUBLE) / COUNT(*)))
+      |              + CAST(SUM(gap) AS DOUBLE) / COUNT(*)), 6) AS burstiness
+      |FROM g
+      |WHERE gap IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 }

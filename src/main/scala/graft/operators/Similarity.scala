@@ -1294,4 +1294,49 @@ object Similarity {
        |FROM pd
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q156 — label-balance audit: per-class counts plus the two standard
+  // imbalance scalars — Gini impurity 1 − Σp² and the majority share —
+  // and the inverse-frequency class weight (n_total / (k · n_c), the
+  // sklearn 'balanced' convention) a loss function consumes directly.
+  // The pre-training check that catches a skewed classification corpus
+  // before it silently dominates the loss.
+  //
+  // Exactness: counts are exact; every ratio is a pinned double
+  // expression over integers, 6-dp (no transcendentals — Gini chosen
+  // over entropy precisely to keep the audit bit-exact cross-engine).
+  // One scan, one |classes|-group aggregate + a broadcast 1-row total.
+  // ---------------------------------------------------------------------
+  def q156LabelBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val byClass = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val tot = byClass.agg(sum(col("n")).as("nt"),
+      count(lit(1)).as("k"),
+      sum(col("n") * col("n")).as("nsq"),
+      max(col("n")).as("nmax"))
+    byClass.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        expr("round(CAST(n AS DOUBLE) / nt, 6)").as("share"),
+        expr("round(CAST(nt AS DOUBLE) / (k * n), 6)").as("class_weight"),
+        expr("round(1e0 - CAST(nsq AS DOUBLE) / " +
+          "(CAST(nt AS DOUBLE) * nt), 6)").as("gini_impurity"),
+        expr("round(CAST(nmax AS DOUBLE) / nt, 6)").as("majority_share"))
+      .orderBy("label")
+  }
+
+  val q156Sql: String =
+    """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, COUNT(*) AS k,
+      |             CAST(SUM(n * n) AS BIGINT) AS nsq,
+      |             MAX(n) AS nmax
+      |      FROM c)
+      |SELECT label, n,
+      |       round(CAST(n AS DOUBLE) / nt, 6) AS share,
+      |       round(CAST(nt AS DOUBLE) / (k * n), 6) AS class_weight,
+      |       round(1e0 - CAST(nsq AS DOUBLE) / (CAST(nt AS DOUBLE) * nt), 6)
+      |         AS gini_impurity,
+      |       round(CAST(nmax AS DOUBLE) / nt, 6) AS majority_share
+      |FROM c, t
+      |ORDER BY label""".stripMargin
 }

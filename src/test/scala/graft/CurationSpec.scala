@@ -518,4 +518,29 @@ class CurationSpec extends SparkSpec {
       assert(sorted.sameElements(sorted.sorted), s"monotone deciles in $src")
     }
   }
+
+  test("q157: compaction groups are the exact prefix-mass bins, mass conserved") {
+    val rows = Curation.q157CompactionPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.map(_._6).sum == docs.values.flatten.map(_._3).sum)
+    docs.foreach { case (src, ds) =>
+      var prefix = 0L
+      val expected = ds.sortBy(_._2).map { case (_, id, b) =>
+        val g = prefix / operators.Curation.TargetBytes
+        prefix += b
+        (g, id, b)
+      }.groupBy(_._1).map { case (g, xs) =>
+        g -> (xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max,
+          xs.map(_._3).sum)
+      }
+      val got = rows.filter(_._1 == src)
+        .map(t => t._2 -> (t._3, t._4, t._5, t._6)).toMap
+      assert(got == expected, s"bins of $src")
+    }
+  }
 }

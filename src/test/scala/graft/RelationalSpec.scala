@@ -806,4 +806,26 @@ class RelationalSpec extends SparkSpec {
       assert(strictlyBelow * 2 < mass, s"$lang: median is the SMALLEST such value")
     }
   }
+
+  test("q155: burstiness bounded and sufficient stats match a driver recompute") {
+    val rows = Relational.q155InterEventStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val byUser = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(FLOOR(unix_micros(ts) / 1e6) AS LONG) AS s",
+        "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).map(_._2)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, sg, sgg, mean, b) =>
+      val gaps = byUser(u).toSeq.sliding(2)
+        .collect { case Seq(a, c) => c - a }.toSeq
+      assert(n == gaps.length && sg == gaps.sum)
+      assert(sgg == gaps.map(g => g * g).sum)
+      assert(mean === BigDecimal(sg.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(b >= -1.0 && b <= 1.0, s"burstiness bounds for user $u")
+    }
+  }
 }

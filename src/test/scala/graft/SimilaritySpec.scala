@@ -407,4 +407,23 @@ class SimilaritySpec extends SparkSpec {
       assert(fp == md, s"pooled fingerprint of doc $doc")
     }
   }
+
+  test("q156: shares sum to one, weights rebalance exactly, gini consistent") {
+    val rows = graft.operators.Similarity.q156LabelBalance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val nt = rows.map(_._2).sum
+    val k = rows.length
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares sum to ~1")
+    // the 'balanced' convention: every class's n * weight == nt / k
+    rows.foreach { case (_, n, _, cw, _, _) =>
+      assert(math.abs(n * cw - nt.toDouble / k) < 1e-1) }
+    val gini = 1.0 - rows.map(t => (t._2.toDouble / nt) *
+      (t._2.toDouble / nt)).sum
+    rows.foreach { case (_, _, _, _, g, maj) =>
+      assert(math.abs(g - gini) < 1e-5)
+      assert(g >= 0.0 && g < 1.0)
+      assert(math.abs(maj - rows.map(_._3).max) < 1e-5)
+    }
+  }
 }
