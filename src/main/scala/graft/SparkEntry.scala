@@ -176,6 +176,7 @@ object SparkEntry {
     "q155_interevent_stats"   -> (Relational.q155InterEventStats _),
     "q156_label_balance"      -> (Similarity.q156LabelBalance _),
     "q157_compaction_plan"    -> (Curation.q157CompactionPlan _),
+    "q158_path_mining"        -> (Relational.q158PathMining _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,5 +395,6 @@ object SparkEntry {
     "q155_interevent_stats"   -> Relational.q155Sql,
     "q156_label_balance"      -> Similarity.q156Sql,
     "q157_compaction_plan"    -> Curation.q157Sql,
+    "q158_path_mining"        -> Relational.q158Sql,
   )
 }

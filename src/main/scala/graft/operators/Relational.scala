@@ -1975,4 +1975,53 @@ object Relational {
       |WHERE gap IS NOT NULL
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q158 — user-journey path mining: the most common length-3 event
+  // sequences across all users ("view > click > purchase") — the
+  // product-analytics path report, and the sequential-pattern upgrade
+  // of q119's first-order transition matrix (which cannot distinguish
+  // A>B>C from A>B plus B>C in unrelated journeys).
+  //
+  // Shape: two lead() columns over ONE user window (no self-joins, no
+  // explosion — each event contributes exactly one path) feeding a
+  // path-keyed count; top-k is TakeOrderedAndProject. Share is one
+  // pinned 6-dp double against the broadcast path total.
+  // ---------------------------------------------------------------------
+  private[graft] val PathTopK = 15
+
+  def q158PathMining(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .cache() // counted once; feeds the total AND the top-k
+    val tot = paths.agg(sum(col("n")).as("nt"))
+    paths.crossJoin(broadcast(tot))
+      .select(col("path"), col("n"),
+        expr("round(CAST(n AS DOUBLE) / nt, 6)").as("share"))
+      .orderBy(desc("n"), col("path").asc).limit(PathTopK)
+      .orderBy("path")
+  }
+
+  val q158Sql: String =
+    s"""WITH p AS (
+       |  SELECT event_type || '>' ||
+       |         lead(event_type, 1) OVER w || '>' ||
+       |         lead(event_type, 2) OVER w AS path
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |c AS (SELECT path, count(*) AS n FROM p WHERE path IS NOT NULL
+       |      GROUP BY path),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c)
+       |SELECT path, n, round(CAST(n AS DOUBLE) / nt, 6) AS share FROM (
+       |  SELECT path, n, nt FROM c, t
+       |  ORDER BY n DESC, path ASC LIMIT $PathTopK)
+       |ORDER BY path""".stripMargin
 }

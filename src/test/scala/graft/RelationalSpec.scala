@@ -828,4 +828,27 @@ class RelationalSpec extends SparkSpec {
       assert(b >= -1.0 && b <= 1.0, s"burstiness bounds for user $u")
     }
   }
+
+  test("q158: top paths match a driver-side path count over ordered user journeys") {
+    val rows = Relational.q158PathMining(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val journeys = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).map(_._4).toSeq).toMap
+    val counts = journeys.values.toSeq
+      .flatMap(_.sliding(3).filter(_.length == 3).map(_.mkString(">")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    val expTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(Relational.PathTopK).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2)).toSeq == expTop)
+    rows.foreach { case (p, n, sh) =>
+      val exp = BigDecimal(n.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(sh === exp, s"share of $p")
+    }
+  }
 }
