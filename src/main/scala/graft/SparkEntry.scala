@@ -177,6 +177,7 @@ object SparkEntry {
     "q156_label_balance"      -> (Similarity.q156LabelBalance _),
     "q157_compaction_plan"    -> (Curation.q157CompactionPlan _),
     "q158_path_mining"        -> (Relational.q158PathMining _),
+    "q159_funnel_ci"          -> (Relational.q159FunnelCi _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,5 +397,6 @@ object SparkEntry {
     "q156_label_balance"      -> Similarity.q156Sql,
     "q157_compaction_plan"    -> Curation.q157Sql,
     "q158_path_mining"        -> Relational.q158Sql,
+    "q159_funnel_ci"          -> Relational.q159Sql,
   )
 }

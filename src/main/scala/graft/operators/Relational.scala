@@ -2010,6 +2010,86 @@ object Relational {
       .orderBy("path")
   }
 
+  // ---------------------------------------------------------------------
+  // q159 — funnel conversion rates with Wilson 95% confidence intervals,
+  // by hour-of-day of the click: the A/B-readout statistic — a 40%
+  // conversion over 10 clicks and over 10,000 clicks are different
+  // facts, and the Wilson interval (unlike the naive normal one) stays
+  // inside [0,1] and behaves at small n. Click→purchase attribution
+  // reuses q92's next-purchase window (one user_id shuffle, no
+  // self-join); the interval is a pinned double expression over exact
+  // (n, k) counts, z = 1.96, 6-dp.
+  // ---------------------------------------------------------------------
+  def q159FunnelCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val clicks = ev
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+      .filter(col("event_type") === "click")
+      .select(expr("(ts_us div 3600000000) % 24").as("hour_of_day"),
+        (col("next_purchase_us") - col("ts_us") <= FunnelWindowUs)
+          .as("converted"))
+    clicks.groupBy(col("hour_of_day"))
+      .agg(count(lit(1)).as("n_clicks"),
+        count(when(col("converted"), 1)).as("n_converted"))
+      .withColumn("p_hat", expr(
+        "round(CAST(n_converted AS DOUBLE) / n_clicks, 6)"))
+      .withColumn("wilson_low", expr(
+        "round((CAST(n_converted AS DOUBLE) / n_clicks" +
+          " + 1.96e0 * 1.96e0 / (2e0 * n_clicks)" +
+          " - 1.96e0 * sqrt(CAST(n_converted AS DOUBLE) / n_clicks" +
+          " * (1e0 - CAST(n_converted AS DOUBLE) / n_clicks) / n_clicks" +
+          " + 1.96e0 * 1.96e0 / (4e0 * n_clicks * n_clicks)))" +
+          " / (1e0 + 1.96e0 * 1.96e0 / n_clicks), 6)"))
+      .withColumn("wilson_high", expr(
+        "round((CAST(n_converted AS DOUBLE) / n_clicks" +
+          " + 1.96e0 * 1.96e0 / (2e0 * n_clicks)" +
+          " + 1.96e0 * sqrt(CAST(n_converted AS DOUBLE) / n_clicks" +
+          " * (1e0 - CAST(n_converted AS DOUBLE) / n_clicks) / n_clicks" +
+          " + 1.96e0 * 1.96e0 / (4e0 * n_clicks * n_clicks)))" +
+          " / (1e0 + 1.96e0 * 1.96e0 / n_clicks), 6)"))
+      .orderBy("hour_of_day")
+  }
+
+  val q159Sql: String =
+    s"""WITH clicks AS (
+       |  SELECT (ts_us // 3600000000) % 24 AS hour_of_day,
+       |         (next_purchase_us - ts_us <= $FunnelWindowUs) AS converted
+       |  FROM (
+       |    SELECT event_type, ts_us,
+       |           MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
+       |             PARTITION BY user_id ORDER BY ts_us, event_id
+       |             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |             AS next_purchase_us
+       |    FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+       |          FROM events))
+       |  WHERE event_type = 'click'),
+       |agg AS (
+       |  SELECT hour_of_day, COUNT(*) AS n_clicks,
+       |         COUNT(*) FILTER (converted) AS n_converted
+       |  FROM clicks GROUP BY hour_of_day)
+       |SELECT hour_of_day, n_clicks, n_converted,
+       |       round(CAST(n_converted AS DOUBLE) / n_clicks, 6) AS p_hat,
+       |       round((CAST(n_converted AS DOUBLE) / n_clicks
+       |              + 1.96e0 * 1.96e0 / (2e0 * n_clicks)
+       |              - 1.96e0 * sqrt(CAST(n_converted AS DOUBLE) / n_clicks
+       |                * (1e0 - CAST(n_converted AS DOUBLE) / n_clicks) / n_clicks
+       |                + 1.96e0 * 1.96e0 / (4e0 * n_clicks * n_clicks)))
+       |             / (1e0 + 1.96e0 * 1.96e0 / n_clicks), 6) AS wilson_low,
+       |       round((CAST(n_converted AS DOUBLE) / n_clicks
+       |              + 1.96e0 * 1.96e0 / (2e0 * n_clicks)
+       |              + 1.96e0 * sqrt(CAST(n_converted AS DOUBLE) / n_clicks
+       |                * (1e0 - CAST(n_converted AS DOUBLE) / n_clicks) / n_clicks
+       |                + 1.96e0 * 1.96e0 / (4e0 * n_clicks * n_clicks)))
+       |             / (1e0 + 1.96e0 * 1.96e0 / n_clicks), 6) AS wilson_high
+       |FROM agg
+       |ORDER BY hour_of_day""".stripMargin
+
   val q158Sql: String =
     s"""WITH p AS (
        |  SELECT event_type || '>' ||

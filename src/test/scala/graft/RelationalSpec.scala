@@ -851,4 +851,28 @@ class RelationalSpec extends SparkSpec {
       assert(sh === exp, s"share of $p")
     }
   }
+
+  test("q159: Wilson intervals bracket p_hat, stay in [0,1], and narrow with n") {
+    val rows = Relational.q159FunnelCi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.forall(t => t._1 >= 0 && t._1 < 24))
+    rows.foreach { case (h, n, k, p, lo, hi) =>
+      assert(k <= n)
+      assert(math.abs(p - BigDecimal(k.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(lo >= 0.0 && hi <= 1.0, s"hour $h: interval clipped to [0,1]")
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9, s"hour $h: p inside interval")
+      // exact Wilson recompute
+      val z = 1.96
+      val ph = k.toDouble / n
+      val den = 1.0 + z * z / n
+      val ctr = ph + z * z / (2.0 * n)
+      val rad = z * math.sqrt(ph * (1 - ph) / n + z * z / (4.0 * n * n))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(lo === r6((ctr - rad) / den) && hi === r6((ctr + rad) / den),
+        s"hour $h: Wilson bounds")
+    }
+  }
 }
