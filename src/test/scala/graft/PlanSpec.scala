@@ -513,6 +513,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"), "merge aggregate must combine map-side")
   }
 
+  test("q149: BM25 term filter broadcasts; top-k is heap-based, no cartesian") {
+    val plan = finalPlan(TextAnalysis.q149Bm25(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the global top-k must compile to per-partition heaps")
+    assert(!plan.contains("CartesianProduct"),
+      "only the 1-row corpus stats may ride a broadcast nested loop")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the 3-row query-term table must broadcast against the tf explode")
+  }
+
+  test("q152/q158: series pairs and path top-k stay off the cartesian path") {
+    val p152 = finalPlan(Relational.q152SeriesCorr(spark, sf))
+    assert(!p152.contains("CartesianProduct"),
+      "the pair join must key on hour; only the tiny grid explode " +
+        "broadcasts loosely")
+    val p158 = finalPlan(Relational.q158PathMining(spark, sf))
+    assert(p158.contains("TakeOrderedAndProject"),
+      "path top-k must compile to per-partition heaps, not a global sort")
+    assert(!p158.contains("CartesianProduct"))
+  }
+
   test("q132: table checksum is one scan + one partial-aggregable shuffle") {
     val plan = finalPlan(Relational.q132TableChecksum(spark, sf))
     assert(!plan.contains("Join"), "checksum must not join")
