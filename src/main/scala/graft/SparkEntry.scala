@@ -178,6 +178,8 @@ object SparkEntry {
     "q157_compaction_plan"    -> (Curation.q157CompactionPlan _),
     "q158_path_mining"        -> (Relational.q158PathMining _),
     "q159_funnel_ci"          -> (Relational.q159FunnelCi _),
+    "q160_fertility"          -> (TextAnalysis.q160Fertility _),
+    "q161_zipf_slope"         -> (TextAnalysis.q161ZipfSlope _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -398,5 +400,7 @@ object SparkEntry {
     "q157_compaction_plan"    -> Curation.q157Sql,
     "q158_path_mining"        -> Relational.q158Sql,
     "q159_funnel_ci"          -> Relational.q159Sql,
+    "q160_fertility"          -> TextAnalysis.q160Sql,
+    "q161_zipf_slope"         -> TextAnalysis.q161Sql,
   )
 }

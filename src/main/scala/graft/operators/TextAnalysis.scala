@@ -1200,4 +1200,118 @@ object TextAnalysis {
        |  FROM scored GROUP BY doc_id
        |  ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q160 — tokenizer fertility report per language: chars-per-BPE-token
+  // and BPE-tokens-per-word — the metrics that decide whether a
+  // tokenizer under-serves a language (high fertility = more tokens per
+  // unit text = that language pays more context budget per sentence;
+  // the multilingual-tokenizer-evaluation standard). Uses q32's BPE-ish
+  // pre-tokenization over corpus-exact integer sums; ratios are single
+  // pinned 6-dp double divisions.
+  //
+  // Shape: one scan (both tokenizations ride the same projection), one
+  // |langs|-group partial-aggregable shuffle of 4 longs.
+  // ---------------------------------------------------------------------
+  def q160Fertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), length(col("text")).cast("long").as("n_chars_t"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars_t")).as("chars"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        sum(col("n_words")).as("words"))
+      .withColumn("chars_per_token",
+        expr("round(CAST(chars AS DOUBLE) / bpe_tokens, 6)"))
+      .withColumn("fertility",
+        expr("round(CAST(bpe_tokens AS DOUBLE) / words, 6)"))
+      .orderBy("lang")
+
+  val q160Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(length(text)) AS BIGINT) AS chars,
+       |       CAST(SUM(len(regexp_extract_all(text,
+       |              '${bpePattern.replace("'", "''")}'))) AS BIGINT)
+       |         AS bpe_tokens,
+       |       CAST(SUM(len(regexp_split_to_array(trim(text), ' +')))
+       |            AS BIGINT) AS words,
+       |       round(CAST(SUM(length(text)) AS DOUBLE) /
+       |             SUM(len(regexp_extract_all(text,
+       |               '${bpePattern.replace("'", "''")}'))), 6)
+       |         AS chars_per_token,
+       |       round(CAST(SUM(len(regexp_extract_all(text,
+       |               '${bpePattern.replace("'", "''")}'))) AS DOUBLE) /
+       |             SUM(len(regexp_split_to_array(trim(text), ' +'))), 6)
+       |         AS fertility
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q161 — Zipf exponent per source: the slope of the log-log
+  // rank-frequency line over each source's token vocabulary — the
+  // corpus-statistics fingerprint (natural language sits near −1;
+  // boilerplate-heavy or synthetic sources drift). OLS over
+  // (ln rank, ln freq) with q55's libm discipline: each log is rounded
+  // to DECIMAL(18,6) BEFORE the sums, so every sufficient statistic is
+  // an exact decimal and the slope is one pinned double expression —
+  // bit-identical cross-engine despite ln.
+  //
+  // Shape: one (source, token) count shuffle; ranks are per-source
+  // windows over the VOCABULARY (Zipf-small, partition-parallel); the
+  // slope fold is q104's sufficient-statistics aggregate.
+  // ---------------------------------------------------------------------
+  def q161ZipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), " +")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("f"))
+    val xy = counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(desc("f"), col("t").asc)).cast("long"))
+      .select(col("source"),
+        expr("CAST(round(ln(rank), 6) AS DECIMAL(18,6))").as("x"),
+        expr("CAST(round(ln(f), 6) AS DECIMAL(18,6))").as("y"))
+    xy.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n"),
+        expr("round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)")
+          .as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  val q161Sql: String =
+    """WITH c AS (
+      |  SELECT source, t, count(*) AS f FROM (
+      |    SELECT source,
+      |           unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS t
+      |    FROM documents)
+      |  GROUP BY source, t),
+      |xy AS (
+      |  SELECT source,
+      |         CAST(round(ln(ROW_NUMBER() OVER (
+      |           PARTITION BY source ORDER BY f DESC, t ASC)), 6)
+      |           AS DECIMAL(18,6)) AS x,
+      |         CAST(round(ln(f), 6) AS DECIMAL(18,6)) AS y
+      |  FROM c)
+      |SELECT source, COUNT(*) AS n,
+      |       round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+      |              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)) /
+      |             (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+      |              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
+      |         AS zipf_slope
+      |FROM xy
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }

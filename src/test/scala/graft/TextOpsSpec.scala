@@ -311,4 +311,51 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(sc - esc) < 1e-9, s"score of doc $id: $sc vs $esc")
     }
   }
+
+  test("q160: fertility ratios recompute exactly from per-doc token counts") {
+    val rows = TextAnalysis.q160Fertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val (n, chars, bpe, words, cpt, fert) = rows(lang)
+      assert(n == ds.length)
+      assert(chars == ds.map(_._2.length.toLong).sum)
+      assert(words == ds.map(_._2.trim.split(" +").length.toLong).sum)
+      assert(bpe >= words, "BPE pre-tokenization splits at least on spaces")
+      assert(cpt === r6(chars.toDouble / bpe))
+      assert(fert === r6(bpe.toDouble / words))
+      assert(fert >= 1.0)
+    }
+  }
+
+  test("q161: Zipf slopes are negative and match an OLS recompute over ranks") {
+    val rows = TextAnalysis.q161ZipfSlope(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val freq = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split(" +")
+        .map(t => (r.getString(0), t)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r6d(x: Double) = BigDecimal(math.round(x * 1e6)).bigDecimal
+      .movePointLeft(6)
+    rows.foreach { case (src, n, slope) =>
+      val vocab = freq.collect { case ((s, t), f) if s == src => (t, f) }.toSeq
+      assert(n == vocab.size)
+      val ranked = vocab.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      val xs = ranked.map { case (_, i) => r6d(math.log(i + 1.0)) }
+      val ys = ranked.map { case ((_, f), _) => r6d(math.log(f.toDouble)) }
+      val (sx, sy) = (xs.map(BigDecimal(_)).sum, ys.map(BigDecimal(_)).sum)
+      val sxy = xs.zip(ys).map { case (a, b) => BigDecimal(a) * BigDecimal(b) }.sum
+      val sxx = xs.map(a => BigDecimal(a) * BigDecimal(a)).sum
+      val exp = BigDecimal(
+        (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+          (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(slope === exp, s"slope of $src")
+      assert(slope < 0.0, s"$src rank-frequency must decay")
+    }
+  }
 }
