@@ -1224,6 +1224,8 @@ object Curation {
           .orderBy(col("n_chars"), col("doc_id"))))
       .withColumn("glob_decile", ntile(10).over(
         Window.orderBy(col("n_chars"), col("doc_id"))))
+      .cache() // feeds the global-median build AND the join probe side —
+               // uncached, the single-partition global ntile runs twice
     val globMedians = withDeciles.groupBy(col("glob_decile").as("src_decile"))
       .agg(percentile(col("n_chars"), lit(0.5)).as("norm_chars"))
     withDeciles
@@ -1251,11 +1253,14 @@ object Curation {
   // ---------------------------------------------------------------------
   // q157 — small-file compaction plan (OPTIMIZE's planning half): per
   // source, pack documents in doc_id order into output groups of
-  // ~TargetBytes — greedy running-sum binning, group = floor(cumulative
-  // bytes BEFORE this doc / target), so a doc lands in the group its
-  // prefix mass dictates and every group except the last holds at least
-  // the target once closed. Emits the per-group manifest (doc range,
-  // count, bytes) a rewrite job executes 1:1.
+  // ~TargetBytes — prefix-mass binning, group = floor(cumulative bytes
+  // BEFORE this doc / target): a doc lands in the bin its prefix mass
+  // dictates. Typical groups close near the target; a single document
+  // larger than the target overshoots its bin boundary, which closes
+  // the next group early (possibly small) and can skip bin ids — the
+  // honest price of a one-window plan that never splits a document
+  // (CurationSpec pins these exact semantics). Emits the per-group
+  // manifest (doc range, count, bytes) a rewrite job executes 1:1.
   //
   // Shape: one cumulative window per source (partition-parallel) over
   // (doc_id) — the q43 packing discipline applied to FILES instead of

@@ -1726,12 +1726,16 @@ object Relational {
     val ev = Tables.events(spark, sfDir)
       .select(expr("unix_micros(ts) div 3600000000").as("hr"),
         col("event_type"))
-    val span = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-    val types = ev.select(col("event_type")).distinct()
-    val grid = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
-      .crossJoin(types)
+    // ONE corpus scan: span and the type set both derive from the
+    // |hours|x|types|-sized counts aggregate (q75's discipline — reading
+    // them off the raw table would triple-scan the corpus)
     val counts = ev.groupBy(col("hr"), col("event_type"))
       .agg(count(lit(1)).as("c"))
+      .cache()
+    val span = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val types = counts.select(col("event_type")).distinct()
+    val grid = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .crossJoin(types)
     val series = grid.join(counts, Seq("hr", "event_type"), "left")
       .select(col("hr"), col("event_type"),
         coalesce(col("c"), lit(0L)).as("c"))
@@ -1807,9 +1811,11 @@ object Relational {
         col("event_type"), col("value").cast("decimal(25,6)").as("v"))
     val known = ev.groupBy(col("event_type"), col("hr"))
       .agg((sum(col("v")).cast("double") / count(lit(1))).as("obs"))
-    val span = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .cache() // span, type set, and the grid join all derive from it —
+               // one corpus scan total (q75's discipline)
+    val span = known.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
     val grid = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
-      .crossJoin(ev.select(col("event_type")).distinct())
+      .crossJoin(known.select(col("event_type")).distinct())
     val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(col("event_type")).orderBy(col("hr"))
@@ -1885,6 +1891,8 @@ object Relational {
     val d = Tables.documents(spark, sfDir)
       .select(col("lang"), col("doc_id"), col("n_chars"),
         size(split(trim(col("text")), " +")).cast("long").as("w"))
+      .cache() // totals and the cumulative window both consume it —
+               // uncached, the corpus tokenizes twice
     val tot = d.groupBy(col("lang")).agg(sum(col("w")).as("wtot"))
     val cum = d.withColumn("cw", sum(col("w")).over(
       Window.partitionBy(col("lang"))
@@ -1997,7 +2005,11 @@ object Relational {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("t2", lead(col("event_type"), 1).over(w))
       .withColumn("t3", lead(col("event_type"), 2).over(w))
-      .filter(col("t3").isNotNull)
+      // all three legs non-null: the oracle's '||' concatenation nulls
+      // the whole path if ANY leg is null — match it exactly (concat_ws
+      // would silently skip a null leg and emit a malformed 2-step path)
+      .filter(col("event_type").isNotNull && col("t2").isNotNull &&
+        col("t3").isNotNull)
       .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
         .as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
