@@ -1265,10 +1265,11 @@ object StreamParity {
     * deleted and the provider restored whether the query succeeds or
     * not (the memory sink holds the committed rows, so the files are
     * not needed after processAllAvailable returns). */
-  private def replayTyped(spark: SparkSession, ev: DataFrame, prefix: String)
+  private[streaming] def replayTyped(spark: SparkSession, ev: DataFrame,
+      prefix: String, nFiles: Int = 4)
       (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
     val dir = Files.createTempDirectory(prefix)
-    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
+    ev.repartitionByRange(nFiles, col("ts_us")).sortWithinPartitions("ts_us")
       .write.mode("overwrite").parquet(dir.toString)
     val t0 = System.currentTimeMillis() - 3600L * 1000
     new java.io.File(dir.toString).listFiles()
@@ -1304,13 +1305,21 @@ object StreamParity {
     f.delete(); ()
   }
 
-  def q126TransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
+  def q126TransformWithState(spark: SparkSession, sfDir: String): DataFrame =
+    q126WithSplit(spark, sfDir, 4)
+
+  /** q126 parameterized on the replay split — the batch-boundary-
+    * invariance spec replays the same stream as 2 and 4 micro-batches
+    * and requires identical output (state folds must not depend on
+    * where triggers fall). */
+  private[streaming] def q126WithSplit(spark: SparkSession, sfDir: String,
+      nFiles: Int): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))
-    replayTyped(spark, ev, "q126_tws") { stream =>
+    replayTyped(spark, ev, "q126_tws", nFiles) { stream =>
       stream.as[SeqEv]
         .groupByKey(_.user_id)
         .transformWithState(new RunningSeqProcessor,

@@ -325,6 +325,20 @@ class ParitySpec extends SparkSpec {
         "batch running windows row-for-row")
   }
 
+  test("q126 fold is batch-boundary invariant: 2-file and 8-file replays agree") {
+    // THE streaming correctness property: where the micro-batch triggers
+    // fall must not change the result — state folds + the per-batch
+    // in-key sort compose to the same sequence under any time-ordered
+    // split (the reference's determinism-under-repartitioning contract).
+    val coarse = StreamParity.q126WithSplit(spark, sf, 2)
+      .collect().map(_.toSeq).toSeq
+    val fine = StreamParity.q126WithSplit(spark, sf, 8)
+      .collect().map(_.toSeq).toSeq
+    assert(coarse.nonEmpty)
+    assert(coarse === fine,
+      "per-user running counters must not depend on trigger boundaries")
+  }
+
   test("q130 ListState recent history equals the batch sliding frame") {
     val streamed = StreamParity.q130StreamRecentHistory(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
