@@ -37,9 +37,12 @@ object Bench {
   def driverLine(total: Double, queries: Seq[(String, Double)], sf: String,
                  streamRowsPerSec: Double, cpus: String): String = {
     def fmt(v: Double): String =
-      if (math.abs(v) < 1.0) f"$v%.2f"
-      else if (math.abs(v) < 100.0) f"$v%.1f"
-      else f"$v%.0f"
+      if (v < 0) "-1" // failure sentinel, exact value carries no signal
+      else if (v < 1.0) f"$v%.2f"
+      else if (v < 100.0) f"$v%.1f"
+      // saturating display: a >=1000 s query reads 999 here (real time on
+      // the spread line) — keeps the worst-case line width at 3 chars
+      else f"${math.min(v, 999.0)}%.0f"
     val qs = queries
       .map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + fmt(v) }

@@ -36,7 +36,7 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.driverLine(1.23, Seq("q01" -> 0.5, "q02" -> -1.0),
       "/root/testdata/sf0.01", 48730.0, "32")
     assert(!line.contains("\n"))
-    assert(line.contains("\"02\":-1.0"), "failed queries stay visible as -1")
+    assert(line.contains("\"02\":-1"), "failed queries stay visible as -1")
   }
 
   test("an over-budget line fails loudly instead of silently truncating") {
@@ -49,5 +49,15 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("budget leaves headroom for sbt epilogue inside the 2000-char window") {
     assert(Bench.DriverLineBudget <= 2000 - 100)
+  }
+
+  test("worst-case line leaves room for ~15 more queries before the budget") {
+    // forward headroom check: simulate the surface grown by 15 queries
+    // at worst-case widths — the next round should not hit the guard on
+    // its first operator batch
+    val grown = fullSurface ++ (1 to 15).map(i => s"q9$i${i}_future" -> 999.99)
+    val line = Bench.driverLine(9999.99, grown,
+      "/root/testdata/sf0.1", 999999.0, "32")
+    assert(line.length <= Bench.DriverLineBudget)
   }
 }
