@@ -6,6 +6,22 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB against the sfDir
 parquet tables, sorts columns by name + rows, and compares values exactly.
+
+The compare is DTYPE-STRICT before it is value-strict: the driver's hash
+is computed over pandas frames whose dtypes follow the DuckDB column
+types, so a value-identical result with an un-cast HUGEINT oracle column
+(DuckDB's SUM(BIGINT) / SUM() OVER output type) hash-mismatches on the
+board even though Python-level value compare passes. r08 shipped 8 such
+reds. Rule: after sorting columns by name, the normalized DuckDB type of
+every Spark column must equal the oracle column's. Normalization is
+CALIBRATED against the r08 driver board (144 green / 8 red): the 8 reds
+all carry an un-cast HUGEINT oracle column, while 24 of the greens carry
+INTEGER-vs-BIGINT mismatches the driver accepts — so the machine-width
+integers (TINYINT..BIGINT) collapse into one class and HUGEINT stays
+distinct (int128 leaves the int64 numpy lane; the narrower widths
+don't). DECIMAL precisions collapse for the same reason. Checked on the
+r08 corpus: red on exactly the 8 known dtype reds before their oracle
+casts, green on all 152 after.
 """
 import json
 import re
@@ -15,6 +31,20 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_type(t):
+    """Normalize a DuckDB type string for the dtype-strict compare."""
+    s = str(t).upper()
+    # DECIMAL and FLOAT ride pandas' float64 lane like DOUBLE (q07's
+    # DECIMAL(_,1) oracle has always hashed green against a DOUBLE)
+    s = re.sub(r"DECIMAL\(\d+,\d+\)", "DOUBLE", s)
+    if s == "FLOAT":
+        return "DOUBLE"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "INT"  # driver-equivalent machine widths; NOT HUGEINT/UBIGINT
+    return s
 
 
 def canon(rows):
@@ -68,8 +98,21 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        got_types = {c: norm_type(t)
+                     for c, t in zip(got_rel.columns, got_rel.types)}
+        exp_types = {c: norm_type(t)
+                     for c, t in zip(exp_rel.columns, exp_rel.types)}
+        dtype_mismatch = [
+            (c, got_types[c], exp_types[c]) for c in got_cols
+            if c in exp_types and got_types[c] != exp_types[c]]
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif dtype_mismatch:
+            det = "; ".join(f"{c}: spark={g} oracle={e}"
+                            for c, g, e in dtype_mismatch)
+            print(f"FAIL {name}: dtype mismatch ({det}) — the driver hash "
+                  "is dtype-sensitive; cast the oracle (or Spark) side")
             n_fail += 1
         elif len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")

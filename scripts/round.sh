@@ -5,19 +5,34 @@
 #
 # 1. graft.Verify dumps every SparkEntry.queries result at sfDir
 # 2. scripts/check.py emulates the driver's DuckDB oracle compare
-# 3. graft.Quality refreshes QUALITY_r<round>.json (measured
-#    recall/error/monotonicity for the eight no-oracle queries), so the
+#    (dtype-strict since r09 — see check.py's header)
+# 3. the SAME verify+check repeats at the second SF (default sf0.1):
+#    the r08 dtype reds shipped precisely because the gate ran at one SF
+#    and the driver's dtype hash was the only disagreement — two SFs +
+#    the dtype gate close both halves of that miss. Skip with
+#    GRAFT_SKIP_SF2=1 when iterating on a single query.
+# 4. graft.Quality refreshes QUALITY_r<round>.json (measured
+#    recall/error/monotonicity for the nine no-oracle queries), so the
 #    committed artifact is regenerated — never hand-edited — each round.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 ROUND="$(printf '%02d' "${1:?usage: scripts/round.sh <round> [sfDir]}")"
 SF_DIR="${2:-/root/testdata/sf0.01}"
+SF2_DIR="${3:-/root/testdata/sf0.1}"
 OUT="$(mktemp -d /tmp/graft_verify.XXXXXX)"
 
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt "runMain graft.Verify $SF_DIR $OUT"
 python3 scripts/check.py "$SF_DIR" "$OUT"
+rm -rf "$OUT"
+if [[ "${GRAFT_SKIP_SF2:-0}" != 1 && "$SF2_DIR" != "$SF_DIR" ]]; then
+  OUT2="$(mktemp -d /tmp/graft_verify.XXXXXX)"
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+    sbt "runMain graft.Verify $SF2_DIR $OUT2"
+  python3 scripts/check.py "$SF2_DIR" "$OUT2"
+  rm -rf "$OUT2"
+fi
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt "runMain graft.Quality $SF_DIR QUALITY_r${ROUND}.json"
-echo "round $ROUND: correctness gate + QUALITY_r${ROUND}.json refreshed"
+echo "round $ROUND: two-SF correctness gate + QUALITY_r${ROUND}.json refreshed"

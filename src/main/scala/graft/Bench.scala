@@ -27,21 +27,26 @@ object Bench {
     * window at the 65-query surface and the qNN prefixes grew past it
     * again at the 133-query surface (the spread line, printed earlier,
     * keeps full names, and the NN -> name mapping is fixed in
-    * SparkEntry/COVERAGE.md). Values use TIERED precision — 2 dp under
-    * 1 s (where hundredths carry signal), 1 dp to 100 s, whole seconds
-    * above — sized so the line holds ~150 queries with worst-case-wide
-    * times. Full 3-dp times always ride the spread line. The require
+    * SparkEntry/COVERAGE.md). Values use TIERED precision — 1 dp under
+    * ~10 s, whole seconds above, saturating at 999 — a hard 3-char cap
+    * per value, sized so the line holds ~190 queries at worst-case
+    * widths. Full 3-dp times always ride the spread line. The require
     * makes any future growth that would silently re-break driver
     * parsing fail loudly here (and in the unit test) instead.
     */
   def driverLine(total: Double, queries: Seq[(String, Double)], sf: String,
                  streamRowsPerSec: Double, cpus: String): String = {
+    // Every tier renders AT MOST 3 chars ("0.5" / "9.9" / "99" / "999"):
+    // at the 163-key surface the old 4-char worst case ("0.53", "99.9")
+    // put the worst-case line at ~1830 chars — 1-2 queries from the
+    // budget. Tier cutoffs sit at 9.95/999.5 (not 10/1000) so %.1f/%.0f
+    // rounding cannot cross a boundary and widen the render; hundredths
+    // always ride the 3-dp spread line.
     def fmt(v: Double): String =
       if (v < 0) "-1" // failure sentinel, exact value carries no signal
-      else if (v < 1.0) f"$v%.2f"
-      else if (v < 100.0) f"$v%.1f"
-      // saturating display: a >=1000 s query reads 999 here (real time on
-      // the spread line) — keeps the worst-case line width at 3 chars
+      else if (v < 9.95) f"$v%.1f"
+      // saturating display: a >=1000 s query reads 999 here (real time
+      // on the spread line)
       else f"${math.min(v, 999.0)}%.0f"
     val qs = queries
       .map { case (k, v) =>

@@ -33,6 +33,14 @@ object Quality {
     // q21 — SimHash near-dup: structural guarantees are exact (ordering,
     // hamming cutoff); quality = how much of the MinHash+verify dup set
     // (q20, itself oracle-checked vs brute-force J>=0.8) it re-finds.
+    // The two detectors measure DIFFERENT similarities — q20 thresholds
+    // set Jaccard over shingles, SimHash Hamming<=3 approximates a high
+    // cosine over term-frequency vectors — so full cross-method overlap
+    // is not expected: a pair at Jaccard 0.8 with disjoint heavy tokens
+    // can legitimately sit at Hamming 4+. Everything is deterministic
+    // (fixed planes, fixed corpus), so the 0.6 measured at sf0.01 is a
+    // stable number, not a flake; 0.5 is the regression floor
+    // (TrainingDataSpec asserts the same bound).
     val simPairs = Dedup.q21SimHashDedup(spark, sfDir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -43,7 +51,8 @@ object Quality {
       "pairs" -> simPairs.size.toDouble,
       "minhash_overlap_recall" ->
         (if (mhPairs.isEmpty) 1.0
-         else (simPairs & mhPairs).size.toDouble / mhPairs.size))
+         else (simPairs & mhPairs).size.toDouble / mhPairs.size),
+      "floor" -> 0.5)
 
     // Exact ANN baseline for the three approximate ANN queries.
     val exact = topkSet(Similarity.q22AnnBruteForce(spark, sfDir))

@@ -180,6 +180,7 @@ object SparkEntry {
     "q159_funnel_ci"          -> (Relational.q159FunnelCi _),
     "q160_fertility"          -> (TextAnalysis.q160Fertility _),
     "q161_zipf_slope"         -> (TextAnalysis.q161ZipfSlope _),
+    "q162_para_dedup"         -> (Dedup.q162ParaDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -402,5 +403,6 @@ object SparkEntry {
     "q159_funnel_ci"          -> Relational.q159Sql,
     "q160_fertility"          -> TextAnalysis.q160Sql,
     "q161_zipf_slope"         -> TextAnalysis.q161Sql,
+    "q162_para_dedup"         -> Dedup.q162Sql,
   )
 }

@@ -665,8 +665,8 @@ object Curation {
   def q88LengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("tok_cnt").asc, col("doc_id").asc)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(toks).as("tok_cnt"))
-      .withColumn("bucket", ntile(LenBuckets).over(w))
+      .select(col("doc_id"), size(toks).cast("long").as("tok_cnt"))
+      .withColumn("bucket", ntile(LenBuckets).over(w).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("tok_cnt")).as("min_toks"),
@@ -678,7 +678,7 @@ object Curation {
   val q88Sql: String =
     s"""SELECT bucket, COUNT(*) AS n_docs,
        |       MIN(tok_cnt) AS min_toks, MAX(tok_cnt) AS max_toks,
-       |       SUM(tok_cnt) AS sum_toks
+       |       CAST(SUM(tok_cnt) AS BIGINT) AS sum_toks
        |FROM (SELECT doc_id, tok_cnt,
        |             ntile($LenBuckets) OVER (ORDER BY tok_cnt, doc_id) AS bucket
        |      FROM (SELECT doc_id,
@@ -873,8 +873,8 @@ object Curation {
        |               AS pw
        |      FROM w)
        |SELECT doc_id, w AS weight,
-       |       ((pw + w) * $SampleK // total) - (pw * $SampleK // total)
-       |         AS multiplicity
+       |       CAST(((pw + w) * $SampleK // total) - (pw * $SampleK // total)
+       |         AS BIGINT) AS multiplicity
        |FROM p, t
        |WHERE ((pw + w) * $SampleK // total) - (pw * $SampleK // total) > 0
        |ORDER BY doc_id""".stripMargin
@@ -1291,11 +1291,11 @@ object Curation {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |           AS prefix
        |  FROM documents)
-       |SELECT source, prefix // $TargetBytes AS grp,
+       |SELECT source, CAST(prefix // $TargetBytes AS BIGINT) AS grp,
        |       COUNT(*) AS n_docs,
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
        |       CAST(SUM(n_chars) AS BIGINT) AS grp_bytes
        |FROM p
-       |GROUP BY source, prefix // $TargetBytes
+       |GROUP BY source, CAST(prefix // $TargetBytes AS BIGINT)
        |ORDER BY source, grp""".stripMargin
 }

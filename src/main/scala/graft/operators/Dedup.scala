@@ -1138,4 +1138,125 @@ object Dedup {
        |FROM v a JOIN v b ON a.p_name < b.p_name
        |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
        |ORDER BY name_a, name_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q162 — paragraph-level NEAR-dup drop list: the curation granularity
+  // between q15/q20 (whole document) and q54 (intra-doc substring runs):
+  // cross-document duplicated PARAGRAPHS — boilerplate-adjacent
+  // passages, quoted blocks, lightly edited mirrors — that whole-doc
+  // Jaccard dilutes below its threshold (two long docs sharing one
+  // paragraph score ~0 at doc granularity). Units are q68's positional
+  // blocks widened to ParaTok=32 tokens (this corpus has no newlines, so
+  // paragraph boundaries are positional); each unit shingles its word
+  // trigrams and q20's banded MinHash runs UNCHANGED at unit
+  // granularity — same S-curve (miss ~1e-7 at J >= 0.8), same
+  // exact-verify discipline. A unit is DROPPED iff some verified
+  // near-dup unit precedes it in (doc_id, para_idx) order — q68's
+  // first-wins rule lifted from exact to near-dup; the output is the
+  // (doc_id, para_idx, n_earlier_dups) drop list a rewrite job applies.
+  //
+  // Scale shape: identical to q20 — shingling/signatures/banding are
+  // pure per-row projections; the only shuffles carry (band, bh, uid)
+  // longs; verification re-joins only the rare candidate units. The
+  // unit id packs (doc_id, para_idx) into ONE long (para_idx < 2^20,
+  // i.e. docs under ~33M tokens — far beyond any real document) so the
+  // pair inequality, the distinct, and the verify joins all stay
+  // single-long comparisons; the pack preserves (doc_id, para_idx)
+  // lexicographic order, which is what "earlier" means here.
+  // ---------------------------------------------------------------------
+  private[graft] val ParaTok = 32  // tokens per paragraph unit
+  private val PIdxCap = 1L << 20   // para_idx slots per doc in the packed id
+
+  def q162ParaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // One row per (doc, paragraph) with >= 3 tokens: packed uid +
+    // distinct trigram shingles. Cached: feeds signatures AND both
+    // sides of the exact verify.
+    val units = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / $ParaTok.0) as int) - 1),
+           |  b -> slice(toks, b * $ParaTok + 1, $ParaTok))""".stripMargin))
+        .as(Seq("para_idx", "ptoks")))
+      .filter(size(col("ptoks")) >= 3)
+      .select(
+        (col("doc_id") * PIdxCap + col("para_idx")).as("uid"),
+        expr(
+          """array_distinct(transform(sequence(0, size(ptoks) - 3),
+            |  i -> concat(ptoks[i], ' ', ptoks[i+1], ' ', ptoks[i+2])))""".stripMargin)
+          .as("sh"))
+      .cache()
+
+    // q20's MinHash signature + banding, at unit granularity.
+    val sigs = units
+      .select(col("uid"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
+      .select(col("uid"),
+        expr(s"""transform(sequence(0, ${NumHashes - 1}),
+                 |  i -> array_min(transform(hs, h -> xxhash64(h, i))))""".stripMargin)
+          .as("sig"))
+    val bands = sigs.select(col("uid"),
+        explode(expr(
+          s"""transform(sequence(0, ${Bands - 1}),
+             |  b -> struct(b AS band, xxhash64(sig[2*b], sig[2*b+1], b) AS bh))""".stripMargin))
+          .as("e"))
+      .select(col("uid"), col("e.band").as("band"), col("e.bh").as("bh"))
+      .cache()
+
+    val l = bands.as("l"); val r = bands.as("r")
+    val cands = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.uid") < col("r.uid"))
+      .select(col("l.uid").as("uid_a"), col("r.uid").as("uid_b"))
+      .distinct()
+
+    // Exact-Jaccard verify, then first-wins: every verified pair
+    // (a < b in packed = lexicographic order) votes to drop b.
+    val a = units.select(col("uid").as("uid_a"), col("sh").as("sh_a"))
+    val b = units.select(col("uid").as("uid_b"), col("sh").as("sh_b"))
+    cands.join(a, "uid_a").join(b, "uid_b")
+      .filter((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(array_union(col("sh_a"), col("sh_b")))) >= Threshold)
+      .groupBy(col("uid_b"))
+      .agg(count(lit(1)).as("n_earlier_dups"))
+      .select(expr(s"uid_b div $PIdxCap").as("doc_id"),
+        (col("uid_b") % PIdxCap).as("para_idx"),
+        col("n_earlier_dups"))
+      .orderBy("doc_id", "para_idx")
+  }
+
+  /** Brute-force oracle, complete by construction: J >= 0.8 > 0 forces
+    * at least one shared shingle, so the shared-shingle equi-join is a
+    * complete candidate set (no LSH miss term in the oracle at all). */
+  val q162Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, p.pidx, p.ptoks FROM (
+       |    SELECT doc_id,
+       |           unnest([{'pidx': bi, 'ptoks':
+       |                      toks[bi*$ParaTok+1 : least((bi+1)*$ParaTok, len(toks))]}
+       |                   for bi in range(0, CAST(ceil(len(toks)/$ParaTok.0) AS INT))]) AS p
+       |    FROM d)),
+       |s AS (
+       |  SELECT doc_id, pidx,
+       |         list_distinct([ptoks[i] || ' ' || ptoks[i+1] || ' ' || ptoks[i+2]
+       |                        for i in range(1, len(ptoks) - 1)]) AS sh
+       |  FROM u WHERE len(ptoks) >= 3),
+       |e AS (SELECT doc_id, pidx, unnest(sh) AS g FROM s),
+       |c AS (
+       |  SELECT DISTINCT a.doc_id AS da, a.pidx AS pa,
+       |                  b.doc_id AS db, b.pidx AS pb
+       |  FROM e a JOIN e b ON a.g = b.g
+       |  WHERE (a.doc_id, a.pidx) < (b.doc_id, b.pidx)),
+       |v AS (
+       |  SELECT c.db AS doc_id, c.pb AS para_idx
+       |  FROM c
+       |  JOIN s sa ON c.da = sa.doc_id AND c.pa = sa.pidx
+       |  JOIN s sb ON c.db = sb.doc_id AND c.pb = sb.pidx
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= $Threshold)
+       |SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx,
+       |       COUNT(*) AS n_earlier_dups
+       |FROM v GROUP BY doc_id, para_idx
+       |ORDER BY doc_id, para_idx""".stripMargin
 }

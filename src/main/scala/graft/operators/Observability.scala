@@ -69,7 +69,7 @@ object Observability {
       "props_key_high"     -> "CAST(json_extract_string(props, '$.k') AS BIGINT) > 90")
     cases.map { case (name, pred) =>
       s"""SELECT '$name' AS rule,
-         |       SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS n_bad,
+         |       CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
          |       COUNT(*) AS n_rows,
          |       ROUND(CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS DOUBLE)
          |             / COUNT(*), 9) AS bad_frac

@@ -67,7 +67,8 @@ object Profiling {
 
   val q100Sql: String = StatCols.map { c =>
     s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
-       |       SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_nulls,
        |       COUNT(DISTINCT $c) AS n_distinct,
        |       CAST(MIN($c) AS DOUBLE) AS min_val,
        |       CAST(MAX($c) AS DOUBLE) AS max_val
@@ -111,7 +112,7 @@ object Profiling {
 
   val q109Sql: String = SkewCols.map { c =>
     s"""SELECT '$c' AS key_col, COUNT(*) AS n_distinct,
-       |       SUM(cnt) AS n_rows, MAX(cnt) AS max_rows,
+       |       CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_rows,
        |       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 9) AS max_share,
        |       ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6)
        |         AS mean_rows_per_key

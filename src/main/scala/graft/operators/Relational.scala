@@ -1322,8 +1322,10 @@ object Relational {
       |            WHEN ap != bp OR ast != bst THEN 'changed'
       |            ELSE 'unchanged' END AS change_type,
       |       COUNT(*) AS n_rows,
-      |       SUM(CASE WHEN ap != bp THEN 1 ELSE 0 END) AS n_price_changed,
-      |       SUM(CASE WHEN ast != bst THEN 1 ELSE 0 END) AS n_status_changed
+      |       CAST(SUM(CASE WHEN ap != bp THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_price_changed,
+      |       CAST(SUM(CASE WHEN ast != bst THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_status_changed
       |FROM j
       |GROUP BY 1
       |ORDER BY change_type""".stripMargin

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 /** Streaming/batch parity: the flagship sliding-window aggregation run
   * through the REAL Structured Streaming engine (file source, watermark,
@@ -604,42 +604,117 @@ object StreamParity {
     * ingest rate per side — the exact knob the reference's CoProcess
     * user must hand-manage with keyed state + timers; skewed users ride
     * the same salting story as q31. */
+  /** Shared replay inputs for the q82/q83 stream-stream interval joins:
+    * one (purchase, click) directory pair per sfDir, each side
+    * range-partitioned into 4 time-ordered files plus the q83
+    * end-of-stream sentinel (impossible user −1, one hour past the last
+    * event). Both queries read the same pair: the left join NEEDS the
+    * sentinel to flush its unmatched tail, and the inner join is immune
+    * to it (user −1 matches only the other sentinel; a guard filter
+    * drops that one pair). Built ONCE per (JVM, sfDir) — q82 and q83
+    * previously each wrote both corpus-sized replay sides independently,
+    * four writes per bench run; sharing halves the harness setup, which
+    * dominated the two queries' board cost. Dirs are removed by a JVM
+    * shutdown hook (they must outlive both queries and the specs). */
+  private val q8xDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def q8xSideDirs(spark: SparkSession, sfDir: String): (String, String) =
+    q8xDirs.computeIfAbsent(sfDir, { _ =>
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val sentinelTs = sentinelTsPlus1h(raw)
+      def sideDir(etype: String): String = {
+        val d = Files.createTempDirectory(s"q8x_$etype")
+        raw.filter(col("event_type") === etype)
+          .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(d.toString)
+        val t0 = System.currentTimeMillis() - 3600L * 1000
+        val parts = new java.io.File(d.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified(t0 + i * 10000L)) }
+        val sentinelVals = raw.schema.fields.map { f =>
+          f.name match {
+            case "ts"         => sentinelTs
+            case "user_id"    => -1L
+            case "event_type" => etype
+            case "value"      => 0.0
+            case _            => null
+          }
+        }
+        val tmp = Files.createTempDirectory(s"q8x_${etype}_sent")
+        spark.createDataFrame(
+            java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)),
+            raw.schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val dst = Paths.get(d.toString).resolve("zz_sentinel.parquet")
+        Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .forEach(p => Files.copy(p, dst))
+        deleteRecursively(tmp.toFile)
+        require(dst.toFile.setLastModified(t0 + parts.length * 10000L))
+        d.toString
+      }
+      val p = sideDir("purchase")
+      val c = sideDir("click")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        deleteRecursively(new java.io.File(p))
+        deleteRecursively(new java.io.File(c))
+      }))
+      (p, c)
+    })
+
+  /** Run `body` with the RocksDB state-store provider — the 100 TB
+    * state backend (state lives off-heap/on-disk per executor instead
+    * of on the JVM heap) — restoring the previous provider after.
+    * q116 proved the provider on windowed-dedup state and replayTyped
+    * runs every transformWithState query on it; this extends the
+    * coverage to the stream-stream JOIN state shape (q82/q83), so every
+    * stateful shape in the suite exercises the scale backend. */
+  private def withRocksDBProvider[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** One side of the q82/q83 join as a live file stream. Two files per
+    * trigger (the 5 time-ordered files replay in 3 micro-batches): the
+    * join semantics depend on the watermark ADVANCING across batches,
+    * not on any particular batch granularity — rows grouped into one
+    * trigger join against state exactly as they would across two. */
+  private def q8xSide(spark: SparkSession, schema: StructType,
+      dir: String, prefix: String): DataFrame =
+    graft.Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(dir))
+      .select(col("event_id").as(s"${prefix}_id"),
+        col("ts").as(s"${prefix}_ts"), col("user_id").as(s"${prefix}_user"))
+      .withWatermark(s"${prefix}_ts", "1 second")
+
   def q82StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val (purchDir, clickDir) = q8xSideDirs(spark, sfDir)
 
-    def sideDir(etype: String): String = {
-      val d = Files.createTempDirectory(s"q82_$etype")
-      raw.filter(col("event_type") === etype)
-        .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
-        .write.mode("overwrite").parquet(d.toString)
-      val t0 = System.currentTimeMillis() - 3600L * 1000
-      val parts = new java.io.File(d.toString).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        require(f.setLastModified(t0 + i * 10000L)) }
-      d.toString
-    }
-    val (purchDir, clickDir) = (sideDir("purchase"), sideDir("click"))
-
-    def side(dir: String, prefix: String): DataFrame =
-      graft.Tables.normalizeTs(spark.readStream.schema(raw.schema)
-          .option("maxFilesPerTrigger", "1").parquet(dir))
-        .select(col("event_id").as(s"${prefix}_id"),
-          col("ts").as(s"${prefix}_ts"), col("user_id").as(s"${prefix}_user"))
-        .withWatermark(s"${prefix}_ts", "1 second")
-
-    val joined = side(purchDir, "p").join(side(clickDir, "c"),
-      col("p_user") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 86400 SECONDS") &&
-        col("c_ts") <= col("p_ts"))
+    val joined = q8xSide(spark, raw.schema, purchDir, "p")
+      .join(q8xSide(spark, raw.schema, clickDir, "c"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 86400 SECONDS") &&
+          col("c_ts") <= col("p_ts"))
 
     val table = s"q82_attrib_${runId.incrementAndGet()}"
-    val query = joined.writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withRocksDBProvider(spark) {
+      val query = joined.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
 
     spark.table(table)
+      .filter(col("p_user") =!= -1L) // shared-harness sentinel pair
       .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
         col("p_user").as("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
@@ -678,68 +753,27 @@ object StreamParity {
     * q82; the null-extended tail costs one sentinel row of state. */
   def q83StreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val sentinelTs = sentinelTsPlus1h(raw) // +1 h > any real click gap
+    // Shared q8x replay pair. BOTH sides carry the sentinel: the global
+    // watermark is the MIN across sources, so without a purchase-side
+    // sentinel the last real purchases sit below the global watermark
+    // forever and their unmatched rows never flush (the purchase
+    // sentinel itself emits as a user −1 row — dropped by the guard).
+    val (purchDir, clickDir) = q8xSideDirs(spark, sfDir)
 
-    def sideDir(etype: String, sentinel: Boolean): String = {
-      val d = Files.createTempDirectory(s"q83_$etype")
-      raw.filter(col("event_type") === etype)
-        .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
-        .write.mode("overwrite").parquet(d.toString)
-      val t0 = System.currentTimeMillis() - 3600L * 1000
-      val parts = new java.io.File(d.toString).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        require(f.setLastModified(t0 + i * 10000L)) }
-      if (sentinel) {
-        // One impossible-user click far past the end: closes every real
-        // purchase's 24 h candidate window (q25's MAX_WATERMARK replay).
-        val sentinelVals = raw.schema.fields.map { f =>
-          f.name match {
-            case "ts"         => sentinelTs
-            case "user_id"    => -1L
-            case "event_type" => etype
-            case "value"      => 0.0
-            case _            => null
-          }
-        }
-        val tmp = Files.createTempDirectory(s"q83_${etype}_sent")
-        spark.createDataFrame(
-            java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)),
-            raw.schema)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val dst = Paths.get(d.toString).resolve("zz_sentinel.parquet")
-        Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-          .forEach(p => Files.copy(p, dst))
-        require(dst.toFile.setLastModified(t0 + parts.length * 10000L))
-      }
-      d.toString
-    }
-    // BOTH sides need the sentinel: the global watermark is the MIN
-    // across sources, so without a purchase-side sentinel the last real
-    // purchases sit below the global watermark forever and their
-    // unmatched rows never flush (the purchase sentinel itself emits as
-    // an unmatched user −1 row — dropped by the output guard).
-    val purchDir = sideDir("purchase", sentinel = true)
-    val clickDir = sideDir("click", sentinel = true)
-
-    def side(dir: String, prefix: String): DataFrame =
-      graft.Tables.normalizeTs(spark.readStream.schema(raw.schema)
-          .option("maxFilesPerTrigger", "1").parquet(dir))
-        .select(col("event_id").as(s"${prefix}_id"),
-          col("ts").as(s"${prefix}_ts"), col("user_id").as(s"${prefix}_user"))
-        .withWatermark(s"${prefix}_ts", "1 second")
-
-    val joined = side(purchDir, "p").join(side(clickDir, "c"),
-      col("p_user") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 86400 SECONDS") &&
-        col("c_ts") <= col("p_ts"),
-      "leftOuter")
+    val joined = q8xSide(spark, raw.schema, purchDir, "p")
+      .join(q8xSide(spark, raw.schema, clickDir, "c"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 86400 SECONDS") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
 
     val table = s"q83_attrib_${runId.incrementAndGet()}"
-    val query = joined.writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withRocksDBProvider(spark) {
+      val query = joined.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
 
     spark.table(table)
       .filter(col("p_user") =!= -1L) // drop nothing real; guard only
@@ -1714,13 +1748,21 @@ object StreamParity {
     try query.processAllAvailable()
     finally {
       query.stop()
-      deleteRecursively(dir.toFile) // corpus-sized input copy; sinks stay
+      deleteRecursively(dir.toFile) // corpus-sized input copy
     }
 
-    spark.read.parquet(mainDir.toString).withColumn("sink", lit("main"))
+    // Materialize eagerly (localCheckpoint severs the lineage to the sink
+    // parquet) so BOTH temp sinks can be deleted before returning — the
+    // lazily-read form leaked two corpus-derived directories per run.
+    val out = spark.read.parquet(mainDir.toString)
+      .withColumn("sink", lit("main"))
       .unionByName(
         spark.read.parquet(dlqDir.toString).withColumn("sink", lit("dlq")))
       .orderBy("event_id")
+      .localCheckpoint(true)
+    deleteRecursively(mainDir.toFile)
+    deleteRecursively(dlqDir.toFile)
+    out
   }
 
   val q148Sql: String =

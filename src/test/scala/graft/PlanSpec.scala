@@ -165,6 +165,13 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q162: paragraph near-dup candidates come from the banded equi-join — no cross product") {
+    val plan = finalPlan(Dedup.q162ParaDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "paragraph-unit pairing must stay the (band, bh) equi-join")
+  }
+
   test("q41: decontamination joins stay equi-keyed on the gram hash — no cross product") {
     val plan = finalPlan(graft.operators.Curation.q41Decontamination(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

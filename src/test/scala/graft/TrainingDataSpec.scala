@@ -106,8 +106,43 @@ class TrainingDataSpec extends SparkSpec {
     val simPairs = sim.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val mhPairs = Dedup.q20MinHashDedup(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    // token-multiset-similar planted dups should also collide in simhash
-    assert((simPairs & mhPairs).nonEmpty)
+    // Cross-method recall floor (the QUALITY artifact's q21 floor):
+    // SimHash approximates term-frequency cosine while q20 thresholds
+    // shingle Jaccard, so full overlap is not expected — but at least
+    // half the Jaccard>=0.8 planted dups must also collide in SimHash.
+    // Deterministic planes + corpus: 0.6 measured, 0.5 = regression bar.
+    val recall = (simPairs & mhPairs).size.toDouble / mhPairs.size
+    info(f"simhash-vs-minhash overlap recall = $recall%.3f")
+    assert(recall >= 0.5)
+  }
+
+  test("q162 paragraph near-dup: matches the brute-force first-wins drop list") {
+    import spark.implicits._
+    // Brute-force reference at this SF: positional 32-token paragraphs,
+    // distinct trigram shingles, ALL-pairs Jaccard >= 0.8, drop = units
+    // with at least one earlier near-dup partner (count attached).
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val units = docs.flatMap { case (id, toks) =>
+      toks.grouped(Dedup.ParaTok).zipWithIndex.collect {
+        case (p, i) if p.length >= 3 =>
+          ((id, i.toLong), p.sliding(3).map(_.mkString(" ")).toSet)
+      }
+    }.sortBy(_._1)
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (i <- units.indices; j <- 0 until i) {
+      val inter = (units(i)._2 & units(j)._2).size
+      val union = (units(i)._2 | units(j)._2).size
+      if (union > 0 && inter.toDouble / union >= 0.8)
+        expected(units(i)._1) = expected.getOrElse(units(i)._1, 0L) + 1L
+    }
+    val got = Dedup.q162ParaDedup(spark, sf)
+      .select("doc_id", "para_idx", "n_earlier_dups")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, p, n) => (d, p) -> n }.toMap
+    info(s"paragraph units = ${units.length}, dropped = ${got.size}")
+    assert(got === expected.toMap)
   }
 
   test("q22 brute-force ANN: exactly top-10 per query, cosine in [-1, 1]") {
