@@ -181,6 +181,13 @@ object SparkEntry {
     "q160_fertility"          -> (TextAnalysis.q160Fertility _),
     "q161_zipf_slope"         -> (TextAnalysis.q161ZipfSlope _),
     "q162_para_dedup"         -> (Dedup.q162ParaDedup _),
+    "q163_novelty"            -> (TextAnalysis.q163Novelty _),
+    "q164_quality_roc"        -> (TextAnalysis.q164QualityRoc _),
+    "q165_oov_rate"           -> (TextAnalysis.q165OovRate _),
+    "q166_token_entropy"      -> (TextAnalysis.q166TokenEntropy _),
+    "q167_bigram_xent"        -> (TextAnalysis.q167BigramXent _),
+    "q168_chunk_manifest"     -> (TextAnalysis.q168ChunkManifest _),
+    "q170_source_kl"          -> (TextAnalysis.q170SourceKl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -404,5 +411,12 @@ object SparkEntry {
     "q160_fertility"          -> TextAnalysis.q160Sql,
     "q161_zipf_slope"         -> TextAnalysis.q161Sql,
     "q162_para_dedup"         -> Dedup.q162Sql,
+    "q163_novelty"            -> TextAnalysis.q163Sql,
+    "q164_quality_roc"        -> TextAnalysis.q164Sql,
+    "q165_oov_rate"           -> TextAnalysis.q165Sql,
+    "q166_token_entropy"      -> TextAnalysis.q166Sql,
+    "q167_bigram_xent"        -> TextAnalysis.q167Sql,
+    "q168_chunk_manifest"     -> TextAnalysis.q168Sql,
+    "q170_source_kl"          -> TextAnalysis.q170Sql,
   )
 }

@@ -1314,4 +1314,444 @@ object TextAnalysis {
       |FROM xy
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q163 — n-gram novelty per document: the fraction of a doc's distinct
+  // word trigrams whose corpus-wide FIRST occurrence (min doc_id) is
+  // this document. Low novelty = the doc is mostly recombined
+  // already-seen text (late-crawl mirror, template farm); the per-doc
+  // novelty is the memorization-risk/diversity score a curation
+  // pipeline sorts by, and summed in doc_id order it IS the corpus
+  // novelty curve (how fast fresh n-grams arrive as the crawl grows).
+  //
+  // Shape: distinct grams per doc explode ONCE to (doc_id, 16-byte gram
+  // md5); the first-occurrence table is a partial-aggregable
+  // min(doc_id) per hash; the verdict is a re-join on the same hash —
+  // shuffles carry (hash, id), never text, exactly q64's key
+  // discipline. Docs with < 3 tokens have no trigrams and report 0/0
+  // with a NULL novelty.
+  // ---------------------------------------------------------------------
+  def q163Novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
+    val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    val per = grams.join(first, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 9).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val q163Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                               for i in range(1, len(toks) - 1)])) AS g
+      |  FROM d WHERE len(toks) >= 3),
+      |f AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY g),
+      |p AS (
+      |  SELECT gr.doc_id, COUNT(*) AS n_grams,
+      |         CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_novel
+      |  FROM gr JOIN f USING (g) GROUP BY gr.doc_id)
+      |SELECT d0.doc_id,
+      |       coalesce(p.n_grams, 0) AS n_grams,
+      |       coalesce(p.n_novel, 0) AS n_novel,
+      |       ROUND(CAST(p.n_novel AS DOUBLE) / p.n_grams, 9) AS novelty
+      |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q164 — quality-threshold sweep (the curation ROC): for each cutoff
+  // t in {0.0 .. 0.9}, what keeping quality >= t costs and buys —
+  // docs kept, fraction kept, tokens kept, and the mean quality of the
+  // kept set. This is how a pipeline TUNES q45's cutoff: the elbow of
+  // (frac_kept, mean_quality) is the operating point, and tokens_kept
+  // is the training-budget axis. q134 sweeps packing the same way.
+  //
+  // Shape: ONE scan, one 1-row aggregate — all 10 thresholds evaluate
+  // as conditional sums inside a single partial-aggregable fold (q100's
+  // wide-aggregate-then-explode pivot), so the sweep costs exactly one
+  // pass regardless of grid size. Mean quality uses the q55 decimal
+  // discipline (quality is transcendental-free, so its doubles are
+  // bit-identical cross-engine; the DECIMAL(18,6) cast makes the SUM
+  // order-insensitive).
+  // ---------------------------------------------------------------------
+  def q164QualityRoc(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = qualityFrame(spark, sfDir)
+      .select(col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("total")) ++
+      (0 to 9).flatMap { i =>
+        val kept = col("quality") >= lit(i) / lit(10.0)
+        Seq(
+          sum(when(kept, 1L).otherwise(0L)).as(s"k_$i"),
+          sum(when(kept, col("n_tokens")).otherwise(0L)).as(s"t_$i"),
+          sum(when(kept, expr("CAST(quality AS DECIMAL(18,6))"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).as(s"q_$i"))
+      }
+    val one = q.agg(aggs.head, aggs.tail: _*)
+    val entries = (0 to 9).map { i =>
+      struct(
+        (lit(i) / lit(10.0)).as("thr"),
+        col(s"k_$i").as("n_kept"),
+        col("total").as("n_total"),
+        col(s"t_$i").as("kept_tokens"),
+        round(col(s"k_$i").cast("double") / col("total"), 9).as("frac_kept"),
+        when(col(s"k_$i") === 0L, lit(null).cast("double"))
+          .otherwise(round(col(s"q_$i").cast("double") / col(s"k_$i"), 6))
+          .as("mean_quality"))
+    }
+    one.select(explode(array(entries: _*)).as("s"))
+      .select(col("s.thr"), col("s.n_kept"), col("s.n_total"),
+        col("s.kept_tokens"), col("s.frac_kept"), col("s.mean_quality"))
+      .orderBy("thr")
+  }
+
+  val q164Sql: String = {
+    val duckStop = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    s"""WITH q AS (
+       |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         0.4 * (CAST(len(list_filter(toks, t -> $duckStop)) AS DOUBLE)
+       |                / len(toks))
+       |         + 0.3 * (1.0 - CAST(length(text) -
+       |             length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |             / length(text))
+       |         + 0.3 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality
+       |  FROM (SELECT text, regexp_split_to_array(trim(text), ' +') AS toks
+       |        FROM documents)),
+       |g AS (SELECT range / 10.0 AS thr FROM range(0, 10))
+       |SELECT thr,
+       |       CAST(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept,
+       |       COUNT(*) AS n_total,
+       |       CAST(SUM(CASE WHEN quality >= thr THEN n_tokens ELSE 0 END)
+       |         AS BIGINT) AS kept_tokens,
+       |       ROUND(CAST(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / COUNT(*), 9) AS frac_kept,
+       |       CASE WHEN SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) = 0
+       |            THEN NULL
+       |            ELSE ROUND(CAST(SUM(CASE WHEN quality >= thr
+       |                THEN CAST(quality AS DECIMAL(18,6))
+       |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       |              / SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END), 6)
+       |       END AS mean_quality
+       |FROM q CROSS JOIN g
+       |GROUP BY thr
+       |ORDER BY thr""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q165 — out-of-vocabulary rate per source against a fixed top-K
+  // corpus vocabulary: the tokenizer-coverage audit. A source whose
+  // token mass falls outside the vocabulary will fragment into long
+  // byte-level token sequences (q160's fertility measures the symptom;
+  // this measures the cause) — the number a pipeline checks before
+  // committing a tokenizer to a new source mix. VocabK = 25 here so the
+  // tiny synthetic vocabulary still yields non-trivial rates; the
+  // production value (32k/50k) changes nothing structural.
+  //
+  // Shape: one (token) count aggregate, a TakeOrdered top-K (vocab-
+  // sized — never a global row_number window), and one broadcast-sized
+  // semi-join verdict per exploded token, re-aggregated per source.
+  // Ties at the K boundary break deterministically by token text.
+  // ---------------------------------------------------------------------
+  private[graft] val VocabK = 25
+
+  def q165OovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokens = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(toks).as("token"))
+    val vocab = tokens.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("token").asc).limit(VocabK)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tokens.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 9))
+      .orderBy("source")
+  }
+
+  val q165Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_split_to_array(trim(text), ' +')) AS token
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+       |    ORDER BY c DESC, token ASC LIMIT $VocabK))
+       |SELECT source, COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_oov,
+       |       ROUND(CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / COUNT(*), 9) AS oov_rate
+       |FROM tok LEFT JOIN vocab USING (token)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q166 — per-document token-distribution Shannon entropy (nats): the
+  // information-theoretic diversity score that separates natural text
+  // (high entropy for its length) from keyword stuffing and template
+  // spam (low) — the finer-grained companion to q38's duplicate-token
+  // ratio in a Gopher-style quality suite. Each (doc, token-type) term
+  // (c/n)·ln(n/c) is rounded to DECIMAL(18,6) BEFORE the per-doc sum
+  // (q55/q161's libm discipline: ln is not correctly rounded, summation
+  // must be order-insensitive), so the entropy is bit-identical
+  // cross-engine.
+  //
+  // Shape: one (doc, token) count shuffle; n comes from a per-doc
+  // re-aggregation of those counts (no second corpus scan); the entropy
+  // fold is partial-aggregable. All corpus-scale keys are (doc_id).
+  // ---------------------------------------------------------------------
+  def q166TokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val n = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    tf.join(n, "doc_id")
+      .select(col("doc_id"), col("n"), col("n_types"),
+        expr("""CAST(round((CAST(c AS DOUBLE) / n)
+                |  * ln(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(18,6))"""
+          .stripMargin).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_tokens"), first(col("n_types")).as("n_types"),
+        sum(col("term")).cast("double").as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val q166Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS token
+      |    FROM documents)
+      |  GROUP BY doc_id, token),
+      |n AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types
+      |  FROM tf GROUP BY doc_id)
+      |SELECT tf.doc_id, MIN(n.n) AS n_tokens, MIN(n.n_types) AS n_types,
+      |       CAST(SUM(CAST(round((CAST(c AS DOUBLE) / n.n)
+      |           * ln(CAST(n.n AS DOUBLE) / c), 6) AS DECIMAL(18,6)))
+      |         AS DOUBLE) AS entropy
+      |FROM tf JOIN n USING (doc_id)
+      |GROUP BY tf.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q167 — bigram-LM cross-entropy per document (the CCNet/KenLM-style
+  // perplexity filter): train an add-one-smoothed bigram model on the
+  // corpus itself, then score every document by its mean per-bigram
+  // negative log-likelihood. Outlier-high cross-entropy = text the
+  // corpus's own statistics find improbable (boilerplate soup, OCR
+  // noise); the pipeline drops or down-weights by this score exactly as
+  // CCNet does with its web-trained LM.
+  //
+  // Model: p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), so
+  // -ln p = ln((c(w1) + V) / (c(w1,w2) + 1)) — counts over ALL token
+  // positions, V = |vocabulary|. Each per-bigram term is rounded to
+  // DECIMAL(18,6) BEFORE the multiplicity-weighted sum (q55/q166's libm
+  // discipline — ln is not correctly rounded, sums must be
+  // order-insensitive), so scores are bit-identical cross-engine.
+  //
+  // Shape: the corpus scan explodes ONCE into per-doc bigram
+  // multiplicities; the model tables (bigram counts, unigram counts)
+  // are partial-aggregable re-aggregations of that same frame — no
+  // second scan. Scoring is two equi-joins on the bigram/unigram token
+  // keys plus a broadcast 1-row V; shuffles carry (token, count), never
+  // documents. At 100 TB the join key becomes unhex(md5(w1||w2))
+  // (q163's 16-byte discipline) — the oracle-parity string key here
+  // changes nothing structural.
+  // ---------------------------------------------------------------------
+  def q167BigramXent(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+    val bi = d.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i+1] AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val cb = docBi.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("cb"))
+    val cu = d.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val v = cu.agg(count(lit(1)).as("vs"))
+    val scored = docBi
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, docBi("w1") === cu("t"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("m"),
+        expr("""CAST(round(ln(CAST(cu + vs AS DOUBLE) / (cb + 1)), 6)
+                |  AS DECIMAL(18,6))""".stripMargin).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("term")).as("s"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // no final round: the decimal-exact sum cast to double divided
+        // by an int64 is ONE IEEE op — bit-identical cross-engine,
+        // whereas a 6-dp round of the quotient can straddle a decimal
+        // boundary differently per engine (seen once in 5000 at sf0.1)
+        (col("s").cast("double") / col("n_bigrams")).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  val q167Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(toks[1:len(toks) - 1]) AS w1,
+      |         unnest(toks[2:len(toks)]) AS w2
+      |  FROM d WHERE len(toks) >= 2),
+      |db AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg GROUP BY doc_id, w1, w2),
+      |cb AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS cb FROM db GROUP BY w1, w2),
+      |uni AS (
+      |  SELECT t, COUNT(*) AS cu FROM (SELECT unnest(toks) AS t FROM d)
+      |  GROUP BY t),
+      |v AS (SELECT COUNT(*) AS vs FROM uni),
+      |p AS (
+      |  SELECT db.doc_id, CAST(SUM(db.m) AS BIGINT) AS n_bigrams,
+      |         SUM(db.m * CAST(round(ln(CAST(uni.cu + v.vs AS DOUBLE)
+      |             / (cb.cb + 1)), 6) AS DECIMAL(18,6))) AS s
+      |  FROM db JOIN cb USING (w1, w2) JOIN uni ON uni.t = db.w1 CROSS JOIN v
+      |  GROUP BY db.doc_id)
+      |SELECT d0.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+      |       CAST(p.s AS DOUBLE) / p.n_bigrams AS xent
+      |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q168 — fixed-stride token chunking manifest (the RAG-indexing /
+  // context-packing primitive): every document is cut into ChunkTokens-
+  // token windows advancing by ChunkStride (overlap = ChunkTokens -
+  // ChunkStride), and the manifest row per chunk carries its token
+  // range plus the md5 of the chunk text — the unit an embedding
+  // indexer, a packing writer (q77), or a chunk-level dedup consumes.
+  // The tail chunk is kept short (standard sliding-window chunking);
+  // every token lands in at least one chunk.
+  //
+  // Shape: a pure per-row projection — sequence → slice → hash, no
+  // shuffle at all except the output ORDER BY; at 100 TB this is a
+  // map-only pass, which is exactly what a chunker must be.
+  // ---------------------------------------------------------------------
+  private[graft] val ChunkTokens = 32
+  private[graft] val ChunkStride = 24
+
+  def q168ChunkManifest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - 1, $ChunkStride),
+           |  s -> concat_ws(' ', slice(toks, s + 1, $ChunkTokens)))"""
+          .stripMargin)))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * ChunkStride).cast("long").as("tok_start"),
+        least(lit(ChunkTokens), col("n") - col("pos") * ChunkStride)
+          .cast("long").as("tok_len"),
+        md5(col("col")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val q168Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |         unnest(range(0, len(toks), $ChunkStride)) AS s
+       |  FROM d)
+       |SELECT doc_id,
+       |       CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+       |       CAST(s AS BIGINT) AS tok_start,
+       |       CAST(LEAST($ChunkTokens, n - s) AS BIGINT) AS tok_len,
+       |       md5(array_to_string(toks[(s + 1):LEAST(s + $ChunkTokens, n)], ' '))
+       |         AS chunk_md5
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q170 — per-source KL divergence from the corpus token distribution
+  // (the domain-shift audit): KL(P_source || P_corpus) over token
+  // unigrams. Near-zero = the source is statistically interchangeable
+  // with the mix (a mirror or resample — candidate for down-weighting);
+  // large = a genuinely distinct domain whose mixture weight (q99)
+  // actually buys diversity. Pipelines watch this number per crawl
+  // snapshot to catch a source drifting or collapsing.
+  //
+  // Every term p·ln(p/q) is computed from exact BIGINT count products
+  // (c_st·N and c_t·N_s are exact in int64 and below 2^53 at any
+  // per-source corpus this runs on — the ratio is one IEEE divide) and
+  // rounded to DECIMAL(18,9) before the per-source sum, so the
+  // divergence is bit-identical cross-engine. P's support is a subset
+  // of Q's by construction, so no term needs an epsilon.
+  //
+  // Shape: one (source, token) count shuffle; the marginals are
+  // re-aggregations of it (no second scan); scoring is one equi-join
+  // on token plus two broadcast-sized marginal joins (|sources| rows,
+  // 1 row). Shuffles carry (token, count) only.
+  // ---------------------------------------------------------------------
+  def q170SourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+    val cst = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(toks).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+    val ct = cst.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"),
+      count(lit(1)).as("n_types"))
+    val tot = ct.agg(sum(col("c_t")).as("n"))
+    cst.join(ct, "t")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("n_types"),
+        expr("""CAST(round((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                |  * ln(CAST(c_st * n AS DOUBLE) / CAST(c_t * n_s AS DOUBLE)),
+                |  9) AS DECIMAL(18,9))""".stripMargin).as("term"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tokens"),
+        first(col("n_types")).as("n_types"),
+        // decimal-exact sum cast once to double, no final round (q167's
+        // cross-engine boundary rule)
+        sum(col("term")).cast("double").as("kl"))
+      .orderBy("source")
+  }
+
+  val q170Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(text), ' +')) AS t
+      |  FROM documents),
+      |cst AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY source, t),
+      |ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY t),
+      |ns AS (
+      |  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s, COUNT(*) AS n_types
+      |  FROM cst GROUP BY source),
+      |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct)
+      |SELECT cst.source, MIN(ns.n_s) AS n_tokens, MIN(ns.n_types) AS n_types,
+      |       CAST(SUM(CAST(round(
+      |           (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+      |           * ln(CAST(c_st * n AS DOUBLE) / CAST(c_t * n_s AS DOUBLE)), 9)
+      |         AS DECIMAL(18,9))) AS DOUBLE) AS kl
+      |FROM cst JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot
+      |GROUP BY cst.source
+      |ORDER BY cst.source""".stripMargin
 }

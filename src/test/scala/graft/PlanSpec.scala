@@ -172,6 +172,13 @@ class PlanSpec extends SparkSpec {
       "paragraph-unit pairing must stay the (band, bh) equi-join")
   }
 
+  test("q163: novelty joins stay equi-keyed on the gram hash — no cross product") {
+    val plan = finalPlan(graft.operators.TextAnalysis.q163Novelty(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "first-occurrence matching must never become an all-pairs join")
+  }
+
   test("q41: decontamination joins stay equi-keyed on the gram hash — no cross product") {
     val plan = finalPlan(graft.operators.Curation.q41Decontamination(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

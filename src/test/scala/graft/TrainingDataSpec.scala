@@ -145,6 +145,68 @@ class TrainingDataSpec extends SparkSpec {
     assert(got === expected.toMap)
   }
 
+  test("q163 novelty: matches brute-force first-occurrence gram fractions") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    def grams(toks: Seq[String]): Set[String] =
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty[String]
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, toks) => // ascending doc_id = first occurrence
+      grams(toks).foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+    }
+    val expected = docs.map { case (id, toks) =>
+      val gs = grams(toks)
+      (id, gs.size.toLong, gs.count(g => firstSeen(g) == id).toLong)
+    }.toSeq
+    val got = TextAnalysis.q163Novelty(spark, sf)
+      .select("doc_id", "n_grams", "n_novel").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === expected)
+    // the corpus recombines a small vocabulary, so BOTH regimes must
+    // occur: novel-gram docs and docs made entirely of seen grams
+    assert(expected.exists { case (_, g, n) => g > 0 && n > 0 })
+    assert(expected.exists { case (_, g, n) => g > 0 && n == 0 })
+  }
+
+  test("q164 quality ROC: monotone in the threshold, complete at t=0") {
+    import spark.implicits._
+    val rows = TextAnalysis.q164QualityRoc(spark, sf)
+      .select("thr", "n_kept", "n_total", "kept_tokens")
+      .as[(Double, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 10)
+    assert(rows.head._1 === 0.0 && rows.head._2 === rows.head._3,
+      "every doc has quality >= 0, so t=0 keeps the whole corpus")
+    rows.sliding(2).foreach {
+      case Array((_, kA, _, tA), (_, kB, _, tB)) =>
+        assert(kB <= kA && tB <= tA, "raising the cutoff can only drop docs")
+      case _ =>
+    }
+  }
+
+  test("q165 OOV rate: per-source token counts are complete and rates bounded") {
+    val df = TextAnalysis.q165OovRate(spark, sf).cache()
+    val total = df.agg(sum("n_tokens")).head().getLong(0)
+    val corpus = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), " +")).as("t")).count()
+    assert(total === corpus, "every token is attributed to exactly one source")
+    assert(df.filter(col("oov_rate") < 0.0 || col("oov_rate") > 1.0).count() === 0)
+    // the corpus vocabulary exceeds VocabK, so some mass must be OOV
+    assert(df.agg(sum("n_oov")).head().getLong(0) > 0)
+  }
+
+  test("q166 token entropy: bounded by ln(n_types), zero iff one type") {
+    val df = TextAnalysis.q166TokenEntropy(spark, sf).cache()
+    assert(df.filter(col("entropy") < 0.0).count() === 0)
+    // uniform bound with slack for the per-term 6-dp rounding
+    assert(df.filter(
+      col("entropy") > log(col("n_types").cast("double"))
+        + col("n_types").cast("double") * 1e-6 + 1e-9).count() === 0)
+    assert(df.filter(col("n_types") === 1 && col("entropy") =!= 0.0).count() === 0)
+  }
+
   test("q22 brute-force ANN: exactly top-10 per query, cosine in [-1, 1]") {
     val df = Similarity.q22AnnBruteForce(spark, sf).cache()
     assert(df.groupBy("query_id").count().filter(col("count") =!= 10).count() === 0)
