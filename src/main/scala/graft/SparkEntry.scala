@@ -187,6 +187,7 @@ object SparkEntry {
     "q166_token_entropy"      -> (TextAnalysis.q166TokenEntropy _),
     "q167_bigram_xent"        -> (TextAnalysis.q167BigramXent _),
     "q168_chunk_manifest"     -> (TextAnalysis.q168ChunkManifest _),
+    "q169_quant_audit"        -> (Similarity.q169QuantAudit _),
     "q170_source_kl"          -> (TextAnalysis.q170SourceKl _),
   )
 
@@ -417,6 +418,7 @@ object SparkEntry {
     "q166_token_entropy"      -> TextAnalysis.q166Sql,
     "q167_bigram_xent"        -> TextAnalysis.q167Sql,
     "q168_chunk_manifest"     -> TextAnalysis.q168Sql,
+    "q169_quant_audit"        -> Similarity.q169Sql,
     "q170_source_kl"          -> TextAnalysis.q170Sql,
   )
 }

@@ -1339,4 +1339,69 @@ object Similarity {
       |       round(CAST(nmax AS DOUBLE) / nt, 6) AS majority_share
       |FROM c, t
       |ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q169 — int8 quantization audit per embedding dimension: affine
+  // min/max quantization (the faiss SQ8 / ONNX uint8 scheme — scale =
+  // (max-min)/255, q = round((x-min)/scale)) applied and immediately
+  // inverted, reporting mean and max absolute reconstruction error per
+  // dimension. This is the go/no-go audit before serving a 4x-smaller
+  // quantized index: a dimension whose max error spikes (heavy-tailed
+  // outliers stretching the range) is the one that needs clipping.
+  //
+  // Exactness: x widens float→double exactly; min/max/scale and the
+  // quantize-dequantize chain are the same IEEE ops in both engines.
+  // q uses floor(v + 0.5), NOT round(v) — Spark HALF_UP and DuckDB's
+  // banker-ish double rounding disagree on exact .5 ties, floor(+0.5)
+  // cannot. Per-value errors round to DECIMAL(25,12) pre-sum (order-
+  // insensitive); a 12-dp tie is impossible (no double equals the
+  // non-dyadic k·10^-12 + 5·10^-13).
+  //
+  // Shape: posexplode → per-dim min/max (partial-aggregable, 64-row
+  // result broadcast back) → one more partial-aggregable fold. Two
+  // scans of the embedding column, zero wide shuffles at corpus scale.
+  // ---------------------------------------------------------------------
+  def q169QuantAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.embeddings(spark, sfDir)
+      .select(posexplode(expr("transform(embedding, v -> CAST(v AS DOUBLE))")))
+      .select(col("pos").cast("long").as("dim"), col("col").as("x"))
+    val st = x.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n_vals"))
+    x.join(broadcast(st), "dim")
+      .select(col("dim"), col("mn"), col("mx"), col("n_vals"),
+        expr("""CAST(round(CASE WHEN mx = mn THEN 0e0 ELSE
+                |  abs(x - (mn + floor((x - mn) / ((mx - mn) / 255e0) + 0.5)
+                |           * ((mx - mn) / 255e0))) END, 12)
+                |  AS DECIMAL(25,12))""".stripMargin).as("err"))
+      .groupBy(col("dim"))
+      .agg(first(col("n_vals")).as("n_vals"),
+        first(col("mn")).as("mn"), first(col("mx")).as("mx"),
+        (sum(col("err")).cast("double") / first(col("n_vals"))).as("mae"),
+        max(col("err")).cast("double").as("max_err"))
+      .orderBy("dim")
+  }
+
+  val q169Sql: String =
+    """WITH x AS (
+      |  SELECT unnest(range(0, len(emb))) AS dim, unnest(emb) AS x
+      |  FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings)),
+      |st AS (
+      |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n_vals
+      |  FROM x GROUP BY dim),
+      |e AS (
+      |  SELECT x.dim, st.mn, st.mx, st.n_vals,
+      |         CAST(round(CASE WHEN st.mx = st.mn THEN 0e0 ELSE
+      |             abs(x.x - (st.mn
+      |               + floor((x.x - st.mn) / ((st.mx - st.mn) / 255e0) + 0.5)
+      |               * ((st.mx - st.mn) / 255e0))) END, 12)
+      |           AS DECIMAL(25,12)) AS err
+      |  FROM x JOIN st USING (dim))
+      |SELECT CAST(dim AS BIGINT) AS dim, MIN(n_vals) AS n_vals,
+      |       MIN(mn) AS mn, MIN(mx) AS mx,
+      |       CAST(SUM(err) AS DOUBLE) / MIN(n_vals) AS mae,
+      |       CAST(MAX(err) AS DOUBLE) AS max_err
+      |FROM e
+      |GROUP BY dim
+      |ORDER BY dim""".stripMargin
 }

@@ -179,6 +179,19 @@ class PlanSpec extends SparkSpec {
       "first-occurrence matching must never become an all-pairs join")
   }
 
+  test("q167: LM scoring joins stay equi-keyed on bigram/unigram tokens") {
+    val plan = finalPlan(graft.operators.TextAnalysis.q167BigramXent(spark, sf))
+    // the only nested-loop join allowed is the broadcast 1-row V scalar
+    assert(!plan.contains("CartesianProduct"),
+      "model scoring must never become an unbroadcast all-pairs join")
+  }
+
+  test("q170: KL scoring joins stay equi-keyed on the token") {
+    val plan = finalPlan(graft.operators.TextAnalysis.q170SourceKl(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "marginal attachment must ride broadcasts, not a cartesian shuffle")
+  }
+
   test("q41: decontamination joins stay equi-keyed on the gram hash — no cross product") {
     val plan = finalPlan(graft.operators.Curation.q41Decontamination(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

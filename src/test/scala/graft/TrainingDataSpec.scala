@@ -207,6 +207,94 @@ class TrainingDataSpec extends SparkSpec {
     assert(df.filter(col("n_types") === 1 && col("entropy") =!= 0.0).count() === 0)
   }
 
+  test("q167 bigram LM: matches a brute-force add-one model") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    docs.foreach { case (_, t) =>
+      t.foreach(w => uni(w) += 1)
+      t.sliding(2).filter(_.length == 2).foreach(p => big((p(0), p(1))) += 1)
+    }
+    val v = uni.size.toLong
+    def term(w1: String, w2: String): BigDecimal =
+      BigDecimal.valueOf(math.log((uni(w1) + v).toDouble / (big((w1, w2)) + 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = docs.map { case (id, t) =>
+      val bs = t.sliding(2).filter(_.length == 2).toSeq
+      if (bs.isEmpty) (id, 0L, None)
+      else (id, bs.size.toLong,
+        Some((bs.map(p => term(p(0), p(1))).sum / bs.size).toDouble))
+    }.toSeq
+    val got = TextAnalysis.q167BigramXent(spark, sf)
+      .select("doc_id", "n_bigrams", "xent").as[(Long, Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) === expected.map(r => (r._1, r._2)))
+    got.zip(expected).foreach { case ((id, _, g), (_, _, e)) =>
+      (g, e) match {
+        case (Some(gv), Some(ev)) =>
+          assert(math.abs(gv - ev) < 1e-9, s"doc $id: $gv vs $ev")
+        case (a, b) => assert(a === b, s"doc $id")
+      }
+    }
+  }
+
+  test("q168 chunking: manifest matches a brute-force chunker, tiles every token") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val C = TextAnalysis.ChunkTokens
+    val S = TextAnalysis.ChunkStride
+    val expected = docs.flatMap { case (id, t) =>
+      (0 until t.length by S).zipWithIndex.map { case (s, i) =>
+        val chunk = t.slice(s, math.min(s + C, t.length))
+        (id, i.toLong, s.toLong, chunk.length.toLong,
+          md5hex(chunk.mkString(" ")))
+      }
+    }.toSeq
+    val got = TextAnalysis.q168ChunkManifest(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === expected)
+    // coverage: per doc, the last chunk must end exactly at n_tokens
+    docs.foreach { case (id, t) =>
+      val last = expected.filter(_._1 == id).maxBy(_._2)
+      assert(last._3 + last._4 === t.length.toLong, s"doc $id tail")
+    }
+  }
+
+  test("q169 quantization audit: errors bounded by half a step, uniform n") {
+    val df = Similarity.q169QuantAudit(spark, sf).cache()
+    val nEmb = Tables.embeddings(spark, sf).count()
+    assert(df.count() === 64)
+    assert(df.filter(col("n_vals") =!= nEmb).count() === 0)
+    // affine min/max quantization error is at most scale/2 (+12-dp slack)
+    assert(df.filter(
+      col("max_err") > (col("mx") - col("mn")) / lit(510.0) + lit(1e-12))
+      .count() === 0)
+    assert(df.filter(col("mae") > col("max_err")).count() === 0)
+    assert(df.filter(col("mae") < 0.0).count() === 0)
+  }
+
+  test("q170 source KL: non-negative up to rounding slack, totals complete") {
+    val df = TextAnalysis.q170SourceKl(spark, sf).cache()
+    // each of n_types terms was rounded at 9 dp pre-sum
+    assert(df.filter(
+      col("kl") < col("n_types").cast("double") * lit(-5e-10)).count() === 0)
+    val corpus = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), " +")).as("t")).count()
+    assert(df.agg(sum("n_tokens")).head().getLong(0) === corpus)
+    assert(df.filter(col("kl") > 0.0).count() > 0,
+      "synthetic sources differ in token mix, so some KL must be positive")
+  }
+
   test("q22 brute-force ANN: exactly top-10 per query, cosine in [-1, 1]") {
     val df = Similarity.q22AnnBruteForce(spark, sf).cache()
     assert(df.groupBy("query_id").count().filter(col("count") =!= 10).count() === 0)
