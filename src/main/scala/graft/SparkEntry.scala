@@ -186,9 +186,9 @@ object SparkEntry {
     "q165_oov_rate"           -> (TextAnalysis.q165OovRate _),
     "q166_token_entropy"      -> (TextAnalysis.q166TokenEntropy _),
     "q167_bigram_xent"        -> (TextAnalysis.q167BigramXent _),
-    "q168_chunk_manifest"     -> (TextAnalysis.q168ChunkManifest _),
+    "q168_chunk_dedup_sweep"  -> (TextAnalysis.q168ChunkDedupSweep _),
     "q169_quant_audit"        -> (Similarity.q169QuantAudit _),
-    "q170_source_kl"          -> (TextAnalysis.q170SourceKl _),
+    "q170_source_jsd"         -> (TextAnalysis.q170SourceJsd _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -417,8 +417,8 @@ object SparkEntry {
     "q165_oov_rate"           -> TextAnalysis.q165Sql,
     "q166_token_entropy"      -> TextAnalysis.q166Sql,
     "q167_bigram_xent"        -> TextAnalysis.q167Sql,
-    "q168_chunk_manifest"     -> TextAnalysis.q168Sql,
+    "q168_chunk_dedup_sweep"  -> TextAnalysis.q168Sql,
     "q169_quant_audit"        -> Similarity.q169Sql,
-    "q170_source_kl"          -> TextAnalysis.q170Sql,
+    "q170_source_jsd"         -> TextAnalysis.q170Sql,
   )
 }

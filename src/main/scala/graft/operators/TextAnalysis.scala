@@ -1643,76 +1643,92 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q168 — fixed-stride token chunking manifest (the RAG-indexing /
-  // context-packing primitive): every document is cut into ChunkTokens-
-  // token windows advancing by ChunkStride (overlap = ChunkTokens -
-  // ChunkStride), and the manifest row per chunk carries its token
-  // range plus the md5 of the chunk text — the unit an embedding
-  // indexer, a packing writer (q77), or a chunk-level dedup consumes.
-  // The tail chunk is kept short (standard sliding-window chunking);
-  // every token lands in at least one chunk.
+  // q168 — chunk-granularity dedup sweep: for each candidate chunk size
+  // in {8, 16, 32, 64} tokens, cut the corpus into NON-OVERLAPPING
+  // chunks and measure how much chunk-level deduplication would buy —
+  // total chunks, distinct chunks, and the duplicate fraction. This is
+  // the knob-tuning curve BEHIND q73's chunker and q68/q76's block
+  // scrubbers: small chunks find more duplication but cost more rows;
+  // the elbow of (chunk_size, dup_frac) picks the granularity before
+  // committing a corpus-wide dedup pass (q164 sweeps a quality cutoff
+  // the same way).
   //
-  // Shape: a pure per-row projection — sequence → slice → hash, no
-  // shuffle at all except the output ORDER BY; at 100 TB this is a
-  // map-only pass, which is exactly what a chunker must be.
+  // Shape: ONE corpus scan explodes all four granularities at once
+  // (flatten of per-size transforms — the grid is per-row, never a
+  // join); the only shuffle carries (size, 16-byte md5) pairs, and the
+  // answer is 4 rows. dup_frac is a single IEEE divide of two exact
+  // int64 counts — no final rounding (q167's cross-engine rule).
   // ---------------------------------------------------------------------
-  private[graft] val ChunkTokens = 32
-  private[graft] val ChunkStride = 24
+  private[graft] val SweepSizes = Seq(8, 16, 32, 64)
 
-  def q168ChunkManifest(spark: SparkSession, sfDir: String): DataFrame =
+  def q168ChunkDedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizesSql = SweepSizes.mkString(", ")
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("n"), posexplode(expr(
-        s"""transform(sequence(0, size(toks) - 1, $ChunkStride),
-           |  s -> concat_ws(' ', slice(toks, s + 1, $ChunkTokens)))"""
-          .stripMargin)))
-      .select(col("doc_id"),
-        col("pos").cast("long").as("chunk_idx"),
-        (col("pos") * ChunkStride).cast("long").as("tok_start"),
-        least(lit(ChunkTokens), col("n") - col("pos") * ChunkStride)
-          .cast("long").as("tok_len"),
-        md5(col("col")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
+      .select(toks.as("toks"))
+      .select(explode(expr(
+        s"""flatten(transform(array($sizesSql), cs ->
+           |  transform(sequence(0, size(toks) - 1, cs),
+           |    s -> struct(cs AS csize,
+           |      md5(concat_ws(' ', slice(toks, s + 1, cs))) AS h))))"""
+          .stripMargin)).as("c"))
+      .select(col("c.csize").as("csize"), unhex(col("c.h")).as("h"))
+      .groupBy(col("csize"), col("h")).agg(count(lit(1)).as("m"))
+      .groupBy(col("csize"))
+      .agg(sum(col("m")).as("n_chunks"), count(lit(1)).as("n_distinct"))
+      .select(col("csize").cast("long").as("chunk_size"),
+        col("n_chunks"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"))
+          .as("dup_frac"))
+      .orderBy("chunk_size")
+  }
 
-  val q168Sql: String =
+  val q168Sql: String = {
+    val sizesSql = SweepSizes.mkString(", ")
     s"""WITH d AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  SELECT regexp_split_to_array(trim(text), ' +') AS toks
        |  FROM documents),
+       |pos AS (
+       |  SELECT cs, toks, unnest(range(0, len(toks), cs)) AS s
+       |  FROM d CROSS JOIN (SELECT unnest([$sizesSql]) AS cs)),
        |c AS (
-       |  SELECT doc_id, toks, len(toks) AS n,
-       |         unnest(range(0, len(toks), $ChunkStride)) AS s
-       |  FROM d)
-       |SELECT doc_id,
-       |       CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
-       |       CAST(s AS BIGINT) AS tok_start,
-       |       CAST(LEAST($ChunkTokens, n - s) AS BIGINT) AS tok_len,
-       |       md5(array_to_string(toks[(s + 1):LEAST(s + $ChunkTokens, n)], ' '))
-       |         AS chunk_md5
-       |FROM c
-       |ORDER BY doc_id, chunk_idx""".stripMargin
+       |  SELECT cs,
+       |         md5(array_to_string(toks[(s + 1):LEAST(s + cs, len(toks))], ' '))
+       |           AS h
+       |  FROM pos),
+       |g AS (SELECT cs, h, COUNT(*) AS m FROM c GROUP BY cs, h)
+       |SELECT CAST(cs AS BIGINT) AS chunk_size,
+       |       CAST(SUM(m) AS BIGINT) AS n_chunks,
+       |       COUNT(*) AS n_distinct,
+       |       1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(m) AS dup_frac
+       |FROM g
+       |GROUP BY cs
+       |ORDER BY chunk_size""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
-  // q170 — per-source KL divergence from the corpus token distribution
-  // (the domain-shift audit): KL(P_source || P_corpus) over token
-  // unigrams. Near-zero = the source is statistically interchangeable
-  // with the mix (a mirror or resample — candidate for down-weighting);
-  // large = a genuinely distinct domain whose mixture weight (q99)
-  // actually buys diversity. Pipelines watch this number per crawl
-  // snapshot to catch a source drifting or collapsing.
+  // q170 — per-source Jensen–Shannon divergence from the corpus token
+  // distribution. q72 already publishes the KL drift; JSD is the metric
+  // a pipeline actually thresholds on for source triage because it is
+  // symmetric, bounded in [0, ln 2], and defined even where supports
+  // differ — a source missing half the corpus vocabulary gets a finite,
+  // comparable score where KL(corpus‖source) would be infinite.
   //
-  // Every term p·ln(p/q) is computed from exact BIGINT count products
-  // (c_st·N and c_t·N_s are exact in int64 and below 2^53 at any
-  // per-source corpus this runs on — the ratio is one IEEE divide) and
-  // rounded to DECIMAL(18,9) before the per-source sum, so the
-  // divergence is bit-identical cross-engine. P's support is a subset
-  // of Q's by construction, so no term needs an epsilon.
+  // With P = source unigram dist, Q = corpus dist, M = (P+Q)/2:
+  //   JSD = ½·Σ_{t∈supp(P)} [p·ln(p/m) + q·ln(q/m)]
+  //       + ½·ln2·(1 − Σ_{t∈supp(P)} q_t)
+  // (outside P's support, p=0 and q·ln(q/m) = q·ln 2 — the tail
+  // collapses to a closed form, so NO per-source full-vocabulary
+  // explosion is ever materialized; work stays proportional to the
+  // (source, token) support, exactly q72's shuffle). Both log ratios
+  // are exact-int64-product quotients (2·c_st·N / (c_st·N + c_t·N_s)
+  // and its q-side twin — all < 2^53 here); each summand is rounded to
+  // DECIMAL(18,9) pre-sum, and the closed-form tail is assembled from
+  // the same IEEE ops on both engines, so the score is bit-identical.
   //
-  // Shape: one (source, token) count shuffle; the marginals are
-  // re-aggregations of it (no second scan); scoring is one equi-join
-  // on token plus two broadcast-sized marginal joins (|sources| rows,
-  // 1 row). Shuffles carry (token, count) only.
+  // Shape: one (source, token) count shuffle, marginals re-aggregated
+  // from it, one token equi-join + broadcast marginals. 4 output cols.
   // ---------------------------------------------------------------------
-  def q170SourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+  def q170SourceJsd(spark: SparkSession, sfDir: String): DataFrame = {
     val cst = Tables.documents(spark, sfDir)
       .select(col("source"), explode(toks).as("t"))
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
@@ -1723,16 +1739,29 @@ object TextAnalysis {
     cst.join(ct, "t")
       .join(broadcast(ns), "source")
       .crossJoin(broadcast(tot))
-      .select(col("source"), col("n_s"), col("n_types"),
-        expr("""CAST(round((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
-                |  * ln(CAST(c_st * n AS DOUBLE) / CAST(c_t * n_s AS DOUBLE)),
+      .select(col("source"), col("n_s"), col("n_types"), col("n"),
+        col("c_t"),
+        expr("""CAST(round(
+                |    (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                |    * ln(CAST(2 * c_st * n AS DOUBLE)
+                |         / CAST(c_st * n + c_t * n_s AS DOUBLE))
+                |  + (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))
+                |    * ln(CAST(2 * c_t * n_s AS DOUBLE)
+                |         / CAST(c_st * n + c_t * n_s AS DOUBLE)),
                 |  9) AS DECIMAL(18,9))""".stripMargin).as("term"))
       .groupBy(col("source"))
       .agg(first(col("n_s")).as("n_tokens"),
         first(col("n_types")).as("n_types"),
-        // decimal-exact sum cast once to double, no final round (q167's
-        // cross-engine boundary rule)
-        sum(col("term")).cast("double").as("kl"))
+        sum(col("c_t")).as("q_mass_num"), first(col("n")).as("n"),
+        sum(col("term")).as("s"))
+      // identical op order to the oracle: s/2 + ln(2) * tail / 2
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("q_mass_num").cast("double") / col("n").cast("double"))
+          .as("q_mass"),
+        (col("s").cast("double") / lit(2.0)
+          + expr("ln(2e0)")
+            * ((col("n") - col("q_mass_num")).cast("double")
+               / col("n").cast("double")) / lit(2.0)).as("jsd"))
       .orderBy("source")
   }
 
@@ -1745,13 +1774,25 @@ object TextAnalysis {
       |ns AS (
       |  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s, COUNT(*) AS n_types
       |  FROM cst GROUP BY source),
-      |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct)
-      |SELECT cst.source, MIN(ns.n_s) AS n_tokens, MIN(ns.n_types) AS n_types,
-      |       CAST(SUM(CAST(round(
-      |           (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
-      |           * ln(CAST(c_st * n AS DOUBLE) / CAST(c_t * n_s AS DOUBLE)), 9)
-      |         AS DECIMAL(18,9))) AS DOUBLE) AS kl
-      |FROM cst JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot
-      |GROUP BY cst.source
-      |ORDER BY cst.source""".stripMargin
+      |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct),
+      |p AS (
+      |  SELECT cst.source, MIN(ns.n_s) AS n_tokens, MIN(ns.n_types) AS n_types,
+      |         CAST(SUM(ct.c_t) AS BIGINT) AS q_mass_num, MIN(tot.n) AS nn,
+      |         SUM(CAST(round(
+      |             (CAST(c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+      |             * ln(CAST(2 * c_st * tot.n AS DOUBLE)
+      |                  / CAST(c_st * tot.n + c_t * ns.n_s AS DOUBLE))
+      |           + (CAST(c_t AS DOUBLE) / CAST(tot.n AS DOUBLE))
+      |             * ln(CAST(2 * c_t * ns.n_s AS DOUBLE)
+      |                  / CAST(c_st * tot.n + c_t * ns.n_s AS DOUBLE)),
+      |           9) AS DECIMAL(18,9))) AS s
+      |  FROM cst JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot
+      |  GROUP BY cst.source)
+      |SELECT source, n_tokens, n_types,
+      |       CAST(q_mass_num AS DOUBLE) / CAST(nn AS DOUBLE) AS q_mass,
+      |       CAST(s AS DOUBLE) / 2e0
+      |         + ln(2e0) * (CAST(nn - q_mass_num AS DOUBLE)
+      |                      / CAST(nn AS DOUBLE)) / 2e0 AS jsd
+      |FROM p
+      |ORDER BY source""".stripMargin
 }

@@ -186,8 +186,8 @@ class PlanSpec extends SparkSpec {
       "model scoring must never become an unbroadcast all-pairs join")
   }
 
-  test("q170: KL scoring joins stay equi-keyed on the token") {
-    val plan = finalPlan(graft.operators.TextAnalysis.q170SourceKl(spark, sf))
+  test("q170: JSD scoring joins stay equi-keyed on the token") {
+    val plan = finalPlan(graft.operators.TextAnalysis.q170SourceJsd(spark, sf))
     assert(!plan.contains("CartesianProduct"),
       "marginal attachment must ride broadcasts, not a cartesian shuffle")
   }

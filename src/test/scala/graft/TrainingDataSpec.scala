@@ -243,31 +243,28 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
-  test("q168 chunking: manifest matches a brute-force chunker, tiles every token") {
+  test("q168 dedup sweep: matches a brute-force chunk census at every size") {
     import spark.implicits._
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def md5hex(s: String): String =
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
-      .as[(Long, Seq[String])].collect().sortBy(_._1)
-    val C = TextAnalysis.ChunkTokens
-    val S = TextAnalysis.ChunkStride
-    val expected = docs.flatMap { case (id, t) =>
-      (0 until t.length by S).zipWithIndex.map { case (s, i) =>
-        val chunk = t.slice(s, math.min(s + C, t.length))
-        (id, i.toLong, s.toLong, chunk.length.toLong,
-          md5hex(chunk.mkString(" ")))
-      }
-    }.toSeq
-    val got = TextAnalysis.q168ChunkManifest(spark, sf)
-      .as[(Long, Long, Long, Long, String)].collect().toSeq
-    assert(got === expected)
-    // coverage: per doc, the last chunk must end exactly at n_tokens
-    docs.foreach { case (id, t) =>
-      val last = expected.filter(_._1 == id).maxBy(_._2)
-      assert(last._3 + last._4 === t.length.toLong, s"doc $id tail")
+      .select(split(trim(col("text")), " +").as("toks"))
+      .as[Seq[String]].collect()
+    val expected = TextAnalysis.SweepSizes.map { cs =>
+      val chunks = docs.flatMap(t =>
+        (0 until t.length by cs).map(s =>
+          t.slice(s, math.min(s + cs, t.length)).mkString(" ")))
+      (cs.toLong, chunks.length.toLong, chunks.distinct.length.toLong)
     }
+    val got = TextAnalysis.q168ChunkDedupSweep(spark, sf)
+      .select("chunk_size", "n_chunks", "n_distinct")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+    // the synthetic corpus recombines a tiny vocabulary: small chunks
+    // MUST collide more than large ones or the sweep carries no signal
+    val fracs = TextAnalysis.q168ChunkDedupSweep(spark, sf)
+      .select("dup_frac").as[Double].collect()
+    assert(fracs.head > fracs.last,
+      "8-token chunks must deduplicate more than 64-token chunks")
+    assert(fracs.forall(f => f >= 0.0 && f < 1.0))
   }
 
   test("q169 quantization audit: errors bounded by half a step, uniform n") {
@@ -283,16 +280,36 @@ class TrainingDataSpec extends SparkSpec {
     assert(df.filter(col("mae") < 0.0).count() === 0)
   }
 
-  test("q170 source KL: non-negative up to rounding slack, totals complete") {
-    val df = TextAnalysis.q170SourceKl(spark, sf).cache()
-    // each of n_types terms was rounded at 9 dp pre-sum
-    assert(df.filter(
-      col("kl") < col("n_types").cast("double") * lit(-5e-10)).count() === 0)
-    val corpus = Tables.documents(spark, sf)
-      .select(explode(split(trim(col("text")), " +")).as("t")).count()
-    assert(df.agg(sum("n_tokens")).head().getLong(0) === corpus)
-    assert(df.filter(col("kl") > 0.0).count() > 0,
-      "synthetic sources differ in token mix, so some KL must be positive")
+  test("q170 source JSD: matches a full-vocabulary brute-force recompute") {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(trim(col("text")), " +")).as("t"))
+      .groupBy("source", "t").count()
+      .as[(String, String, Long)].collect()
+    val ct = counts.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).sum }
+    val n = ct.values.sum.toDouble
+    val expected = counts.groupBy(_._1).map { case (src, xs) =>
+      val cs = xs.map(x => x._2 -> x._3).toMap
+      val ns = cs.values.sum.toDouble
+      // plain full-support JSD, NO closed-form tail and NO pre-sum
+      // rounding — an independent formulation of the same quantity
+      val jsd = ct.map { case (t, c) =>
+        val p = cs.getOrElse(t, 0L) / ns
+        val q = c / n
+        val m = (p + q) / 2.0
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          0.5 * q * math.log(q / m)
+      }.sum
+      src -> jsd
+    }
+    val got = TextAnalysis.q170SourceJsd(spark, sf)
+      .select("source", "jsd").as[(String, Double)].collect().toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (src, v) =>
+      assert(math.abs(v - expected(src)) < 1e-6, s"$src: $v vs ${expected(src)}")
+      assert(v >= -1e-9 && v <= math.log(2.0) + 1e-9,
+        s"$src: JSD must sit in [0, ln 2]")
+    }
   }
 
   test("q22 brute-force ANN: exactly top-10 per query, cosine in [-1, 1]") {
