@@ -1348,6 +1348,11 @@ object Similarity {
   // dimension. This is the go/no-go audit before serving a 4x-smaller
   // quantized index: a dimension whose max error spikes (heavy-tailed
   // outliers stretching the range) is the one that needs clipping.
+  // Complements q48, which audits SYMMETRIC per-VECTOR scales (each
+  // row's own max-abs): this is the other standard layout — one affine
+  // (min, scale) pair per COLUMN — and the two disagree exactly when
+  // per-dim ranges are skewed, which is what the pair of audits exists
+  // to reveal.
   //
   // Exactness: x widens float→double exactly; min/max/scale and the
   // quantize-dequantize chain are the same IEEE ops in both engines.
