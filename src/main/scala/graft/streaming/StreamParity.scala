@@ -35,6 +35,18 @@ object StreamParity {
 
   private val runId = new AtomicInteger(0)
 
+  /** Data files per replay (one micro-batch each, plus the sentinel
+    * trigger where a query uses one). Two batches is the MINIMUM that
+    * still proves cross-batch state carry — every state fold here is
+    * replay-split invariant by construction (complete-mode tables,
+    * min-first-wins folds, watermark-flushed windows over time-ordered
+    * files), and ParitySpec pins that invariance explicitly where it is
+    * least obvious (q126 at splits 2 vs 8). Wall-clock per query is
+    * dominated by per-trigger job count (the AdmissionSweep result), so
+    * the bench path runs the minimum; specs that want finer replays
+    * pass their own split. */
+  private[streaming] val ReplayFiles = 2
+
   /** Max ts + 1 hour, as a value of the RAW ts column's type — the
     * sentinel row must stay schema-identical to the streamed table, and
     * the testdata's ts type varies by generation (nanos Long,
@@ -169,7 +181,7 @@ object StreamParity {
     // Ingest layout: four id-range files, mod-times ascending in range
     // order, so the file source replays batches in id order.
     val dir = Files.createTempDirectory("q58_incoming")
-    incoming.repartitionByRange(4, col("doc_id"))
+    incoming.repartitionByRange(ReplayFiles, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(dir.toString)
     val t0 = System.currentTimeMillis() - 3600L * 1000
@@ -322,7 +334,7 @@ object StreamParity {
 
     // Four contiguous time-range files, replayed oldest-first.
     val dir = Files.createTempDirectory("q71_sessions")
-    raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    raw.repartitionByRange(ReplayFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir.toString)
     val t0 = System.currentTimeMillis() - 3600L * 1000
     val parts = new java.io.File(dir.toString).listFiles()
@@ -390,7 +402,7 @@ object StreamParity {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val schema = docs.schema
     val dir = Files.createTempDirectory("q49_docs")
-    docs.repartition(4).write.mode("overwrite").parquet(dir.toString)
+    docs.repartition(ReplayFiles).write.mode("overwrite").parquet(dir.toString)
 
     val agg = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
@@ -440,7 +452,7 @@ object StreamParity {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val schema = docs.schema
     val dir = Files.createTempDirectory("q66_docs")
-    docs.repartition(4).write.mode("overwrite").parquet(dir.toString)
+    docs.repartition(ReplayFiles).write.mode("overwrite").parquet(dir.toString)
 
     val mgSketch = udaf(new graft.functions.MisraGriesSketch(HhK),
       ExpressionEncoder[String]())
@@ -496,7 +508,7 @@ object StreamParity {
     import graft.operators.Relational
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dir = Files.createTempDirectory("q81_events")
-    raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    raw.repartitionByRange(ReplayFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir.toString)
     val t0 = System.currentTimeMillis() - 3600L * 1000
     val parts = new java.io.File(dir.toString).listFiles()
@@ -966,7 +978,7 @@ object StreamParity {
     val sentinelTs = sentinelTsPlus1h(raw)
 
     val dir = Files.createTempDirectory("q94_funnel")
-    raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    raw.repartitionByRange(ReplayFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir.toString)
     val t0 = System.currentTimeMillis() - 3600L * 1000
     val parts = new java.io.File(dir.toString).listFiles()
@@ -1081,7 +1093,7 @@ object StreamParity {
     val ev = graft.Tables.events(spark, sfDir)
     val schema = ev.schema
     val dir = Files.createTempDirectory("q106_events")
-    ev.repartition(4).write.mode("overwrite").parquet(dir.toString)
+    ev.repartition(ReplayFiles).write.mode("overwrite").parquet(dir.toString)
 
     val aggs = Observability.rules.map { case (name, pred) =>
       sum(when(pred, 1L).otherwise(0L)).as(name)
@@ -1224,7 +1236,7 @@ object StreamParity {
     // order, so maxFilesPerTrigger=1 replays the stream in time order
     // (same dance as q58) — the dedup state is exercised ACROSS batches.
     val dir = Files.createTempDirectory("q123_dedup")
-    ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    ev.repartitionByRange(ReplayFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir.toString)
     val t0 = System.currentTimeMillis() - 3600L * 1000
     new java.io.File(dir.toString).listFiles()
@@ -1319,7 +1331,7 @@ object StreamParity {
     * not (the memory sink holds the committed rows, so the files are
     * not needed after processAllAvailable returns). */
   private[streaming] def replayTyped(spark: SparkSession, ev: DataFrame,
-      prefix: String, nFiles: Int = 4)
+      prefix: String, nFiles: Int = ReplayFiles)
       (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
     val dir = Files.createTempDirectory(prefix)
     ev.repartitionByRange(nFiles, col("ts_us")).sortWithinPartitions("ts_us")
@@ -1359,7 +1371,7 @@ object StreamParity {
   }
 
   def q126TransformWithState(spark: SparkSession, sfDir: String): DataFrame =
-    q126WithSplit(spark, sfDir, 4)
+    q126WithSplit(spark, sfDir, ReplayFiles)
 
   /** q126 parameterized on the replay split — the batch-boundary-
     * invariance spec replays the same stream as 2 and 4 micro-batches
@@ -1656,7 +1668,7 @@ object StreamParity {
     val sentinelTs = sentinelTsPlus1h(raw)
 
     val dir = Files.createTempDirectory("q141_sessions")
-    raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    raw.repartitionByRange(ReplayFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir.toString)
     val t0 = System.currentTimeMillis() - 3600L * 1000
     val parts = new java.io.File(dir.toString).listFiles()
@@ -1737,7 +1749,7 @@ object StreamParity {
       .select(col("event_id"), col("user_id"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
     val dir = Files.createTempDirectory("q148_in")
-    ev.repartitionByRange(4, col("ts_us")).sortWithinPartitions("ts_us")
+    ev.repartitionByRange(ReplayFiles, col("ts_us")).sortWithinPartitions("ts_us")
       .write.mode("overwrite").parquet(dir.toString)
     val t0 = System.currentTimeMillis() - 3600L * 1000
     new java.io.File(dir.toString).listFiles()
