@@ -1423,11 +1423,10 @@ object TextAnalysis {
       .orderBy("thr")
   }
 
-  val q164Sql: String = {
-    val duckStop = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+  val q164Sql: String =
     s"""WITH q AS (
        |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
-       |         0.4 * (CAST(len(list_filter(toks, t -> $duckStop)) AS DOUBLE)
+       |         0.4 * (CAST(len(list_filter(toks, t -> $stopPredSql)) AS DOUBLE)
        |                / len(toks))
        |         + 0.3 * (1.0 - CAST(length(text) -
        |             length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
@@ -1454,7 +1453,6 @@ object TextAnalysis {
        |FROM q CROSS JOIN g
        |GROUP BY thr
        |ORDER BY thr""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // q165 — out-of-vocabulary rate per source against a fixed top-K

@@ -119,9 +119,10 @@ object StreamParity {
 
   /** q58 — the q52 admission gate through the REAL streaming engine: a
     * continuously-ingesting corpus admits documents batch by batch. The
-    * incoming slice (doc_id % 5 == 0, exactly q52's) is laid out as four
-    * id-range files with ascending modification times and streamed with
-    * maxFilesPerTrigger=1, so micro-batches replay ingest in id order;
+    * incoming slice (doc_id % 5 == 0, exactly q52's) is laid out as
+    * ReplayFiles id-range files with ascending modification times and
+    * streamed with maxFilesPerTrigger=1, so micro-batches replay ingest
+    * in id order;
     * the existing corpus is the static index side. Per micro-batch
     * (`foreachBatch` — the production pattern for join-shaped per-batch
     * logic that streaming aggregation modes cannot express):
@@ -159,7 +160,7 @@ object StreamParity {
     *                     (q52's whole-corpus df is a different, equally
     *                     valid order; the verified result set is equal).
     *
-    * Held to q52's own DuckDB oracle: four independently-computed
+    * Held to q52's own DuckDB oracle: the independently-computed
     * micro-batches must reproduce the single-shot batch verdicts row for
     * row — the strongest parity statement available for this operator.
     * Scale notes: the seen-state table carries (16-byte hash, id); the
@@ -178,7 +179,7 @@ object StreamParity {
     // computed and cached here, not recomputed per batch).
     val index = new Dedup.NearDupIndex(existing)
 
-    // Ingest layout: four id-range files, mod-times ascending in range
+    // Ingest layout: ReplayFiles id-range files, mod-times ascending in range
     // order, so the file source replays batches in id order.
     val dir = Files.createTempDirectory("q58_incoming")
     incoming.repartitionByRange(ReplayFiles, col("doc_id"))
@@ -305,7 +306,7 @@ object StreamParity {
   }
 
   /** q71 — SESSION windows through the REAL streaming engine: the q08
-    * per-user session aggregation (gap 300 s) streamed as four
+    * per-user session aggregation (gap 300 s) streamed as ReplayFiles
     * time-range micro-batches, held to the batch q08's DuckDB oracle.
     *
     * This is the stateful shape q25's sliding windows cannot reach:
@@ -313,7 +314,7 @@ object StreamParity {
     * end of batch N absorbs batch N+1's events (and two separate
     * fragments fuse) inside Spark's merging-session state store, the
     * engine equivalent of the reference's window-assigner + keyed state
-    * pair for dynamic windows. The events table is re-laid-out as four
+    * pair for dynamic windows. The events table is re-laid-out as ReplayFiles
     * contiguous time ranges (repartitionByRange on ts, mod-times
     * ascending), so replay is time-ordered and nothing is late against
     * the 1 s watermark: range boundaries guarantee batch N+1's min ts >
@@ -332,7 +333,7 @@ object StreamParity {
     val schema = raw.schema
     val sentinelTs = sentinelTsPlus1h(raw)
 
-    // Four contiguous time-range files, replayed oldest-first.
+    // ReplayFiles contiguous time-range files, replayed oldest-first.
     val dir = Files.createTempDirectory("q71_sessions")
     raw.repartitionByRange(ReplayFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir.toString)
@@ -385,9 +386,9 @@ object StreamParity {
 
   /** q49 — streaming exact dedup: the q15 md5-keyed dedup aggregation
     * run through the REAL streaming engine with state carried ACROSS
-    * micro-batches. The documents table is re-laid-out as four files and
+    * micro-batches. The documents table is re-laid-out as ReplayFiles files and
     * streamed with maxFilesPerTrigger=1, so the aggregation state (one
-    * entry per distinct text hash) is built incrementally over four
+    * entry per distinct text hash) is built incrementally over the
     * micro-batches — the unbounded-keyed-state shape of the reference's
     * KeyedStateFlatMapFunction, held to the BATCH q15 oracle (complete
     * mode's final table is split-invariant by construction).
@@ -421,7 +422,7 @@ object StreamParity {
 
   /** q66 — heavy hitters over a CONTINUOUSLY INGESTING corpus: q61's
     * Misra-Gries sketch-then-verify gate through the streaming engine.
-    * The documents table is replayed as four micro-batches
+    * The documents table is replayed as ReplayFiles micro-batches
     * (maxFilesPerTrigger=1). Per trigger (`foreachBatch`), ONE
     * distributed job computes the batch's k-counter MG sketch (partial
     * per partition, merged by the mergeable-summaries rule) plus the
@@ -489,7 +490,7 @@ object StreamParity {
 
   /** q81 — the timeline-anomaly monitor through the streaming engine:
     * q78's per-type z-score over the dense hour grid, maintained
-    * INCREMENTALLY. Events replay as four contiguous time-range
+    * INCREMENTALLY. Events replay as ReplayFiles contiguous time-range
     * micro-batches; foreachBatch aggregates ONLY its own rows to
     * (hour, type) counts and folds them into a running grid-sized
     * snapshot by addition — counts are the simplest mergeable summary,
@@ -600,7 +601,8 @@ object StreamParity {
     * (every click by the same user in the 24 h window before a
     * purchase) through TWO live file streams — the one major Structured
     * Streaming state shape the parity family had not yet exercised.
-    * Purchases and clicks replay as separate sources, each as four
+    * Purchases and clicks replay as separate sources, each as four (q8x-
+    * local — see sideDir)
     * time-range micro-batches; the inner join carries an event-time
     * range condition, so each side's rows are retained in join state
     * only until the OTHER side's watermark passes their eviction bound
@@ -637,6 +639,10 @@ object StreamParity {
       val sentinelTs = sentinelTsPlus1h(raw)
       def sideDir(etype: String): String = {
         val d = Files.createTempDirectory(s"q8x_$etype")
+        // Deliberately NOT ReplayFiles: 4 data files + sentinel at
+        // maxFilesPerTrigger=3 already replay in 2 triggers/side (the
+        // same per-trigger minimum), while keeping the finer time-range
+        // layout the dual-source watermark-alignment story exercises.
         raw.filter(col("event_type") === etype)
           .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
           .write.mode("overwrite").parquet(d.toString)
@@ -950,7 +956,7 @@ object StreamParity {
     * engine as an arbitrary-stateful operator: `flatMapGroupsWithState`
     * with an EVENT-TIME TIMEOUT — the reference's KeyedStateFlatMap with
     * reduce-side expiration (§2 E9/T6), exercised here with hand-managed
-    * state rather than a built-in aggregate. Events replay as four
+    * state rather than a built-in aggregate. Events replay as ReplayFiles
     * contiguous time-range micro-batches (q71's layout), so per-user
     * arrival order is event-time order; each trigger folds its rows into
     * the per-user state machine (clicks pend; the first subsequent
@@ -1232,7 +1238,7 @@ object StreamParity {
     */
   def q123StreamDedupWatermark(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.Tables.events(spark, sfDir).select(col("ts"), col("user_id"))
-    // Ingest layout: four ts-range files, mtimes ascending in range
+    // Ingest layout: ReplayFiles ts-range files, mtimes ascending in range
     // order, so maxFilesPerTrigger=1 replays the stream in time order
     // (same dance as q58) — the dedup state is exercised ACROSS batches.
     val dir = Files.createTempDirectory("q123_dedup")
@@ -1323,7 +1329,7 @@ object StreamParity {
     */
 
   /** Shared replay harness for the transformWithState operators
-    * (q126/q130/q137/q140): lays `ev` out as four ts_us-range files
+    * (q126/q130/q137/q140): lays `ev` out as nFiles ts_us-range files
     * replayed oldest-first (one per trigger), swaps in the RocksDB
     * provider the typed-state API requires, runs `build`'s streaming
     * Dataset to a memory sink, and cleans up — the input copy is
@@ -1374,7 +1380,7 @@ object StreamParity {
     q126WithSplit(spark, sfDir, ReplayFiles)
 
   /** q126 parameterized on the replay split — the batch-boundary-
-    * invariance spec replays the same stream as 2 and 4 micro-batches
+    * invariance spec replays the same stream as 2 and 8 micro-batches
     * and requires identical output (state folds must not depend on
     * where triggers fall). */
   private[streaming] def q126WithSplit(spark: SparkSession, sfDir: String,

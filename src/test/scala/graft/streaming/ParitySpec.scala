@@ -20,7 +20,7 @@ class ParitySpec extends SparkSpec {
       .collect().toSeq
     assert(streamed.nonEmpty)
     assert(streamed === batch,
-      "4 time-range micro-batches + merging session state must reproduce the batch sessions")
+      "time-range micro-batch replay + merging session state must reproduce the batch sessions")
     // the corpus must exercise the dynamic-window shape: users with
     // several distinct sessions (not one giant or all-singleton windows)
     val perUser = batch.groupBy(_.getLong(1)).view.mapValues(_.size)
@@ -133,7 +133,7 @@ class ParitySpec extends SparkSpec {
       .collect().toSeq
     assert(streamed.nonEmpty)
     assert(streamed === batch,
-      "four micro-batches + seen-state must reproduce the single-shot gate")
+      "micro-batch replay + seen-state must reproduce the single-shot gate")
     // the gate must actually exercise more than one batch (4 range files)
     assert(streamed.map(_.getLong(0)).distinct.size == batch.size)
   }
