@@ -189,6 +189,7 @@ object SparkEntry {
     "q168_chunk_dedup_sweep"  -> (TextAnalysis.q168ChunkDedupSweep _),
     "q169_quant_audit"        -> (Similarity.q169QuantAudit _),
     "q170_source_jsd"         -> (TextAnalysis.q170SourceJsd _),
+    "q171_winnow_fp"          -> (Dedup.q171Winnow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -420,5 +421,6 @@ object SparkEntry {
     "q168_chunk_dedup_sweep"  -> TextAnalysis.q168Sql,
     "q169_quant_audit"        -> Similarity.q169Sql,
     "q170_source_jsd"         -> TextAnalysis.q170Sql,
+    "q171_winnow_fp"          -> Dedup.q171Sql,
   )
 }

@@ -1259,4 +1259,84 @@ object Dedup {
        |       COUNT(*) AS n_earlier_dups
        |FROM v GROUP BY doc_id, para_idx
        |ORDER BY doc_id, para_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q171 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+  // selection rule): per document, hash every WinnowK-token gram, slide
+  // a WinnowW-gram window, and keep the window's minimum hash —
+  // rightmost position on ties. The output is the LOCAL fingerprint
+  // index with the winnowing guarantee: any two documents sharing a run
+  // of WinnowW + WinnowK - 1 tokens share at least one fingerprint, at
+  // ~1/WinnowW the density of the full gram set. This is the
+  // position-robust middle ground the family lacks: q19 hashes whole
+  // docs (any edit changes everything), q20/q162 select by GLOBAL
+  // permutation minima (no locality guarantee for short runs), q54/q68
+  // keep every window fingerprint (w-times denser). A matcher is one
+  // equi-join on fp — q64's shape over a w-times smaller relation.
+  //
+  // Selection is one ordered-window MIN per gram over a composite key
+  // (hash hex || inverted zero-padded position — string order encodes
+  // "min hash, rightmost pos" exactly, identically in both engines),
+  // then DISTINCT picks. Shapes: one scan + one per-doc sort window +
+  // a dedup shuffle on (doc, pos) — no joins, no all-pairs anywhere.
+  // Docs shorter than WinnowK tokens have no grams and emit no rows; a
+  // gram tail shorter than WinnowW (including whole docs with fewer
+  // than WinnowW grams) winnows as its single clamped window.
+  // ---------------------------------------------------------------------
+  private[graft] val WinnowK = 4
+  private[graft] val WinnowW = 4
+
+  def q171Winnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinnowW - 1)
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= WinnowK)
+      .select(col("doc_id"), size(col("toks")).as("n"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $WinnowK),
+           |  i -> substring(md5(concat_ws(' ', slice(toks, i + 1, $WinnowK))),
+           |                 1, 16))""".stripMargin)))
+      .select(col("doc_id"), col("n"), col("pos"),
+        concat(col("col"), lit("-"),
+          lpad((lit(999999999) - col("pos")).cast("string"), 9, "0"))
+          .as("key"))
+    grams
+      .select(col("doc_id"), col("n"), col("pos"), min(col("key")).over(win).as("pick"))
+      // window starts: every gram index up to G - W (clamped tail = one
+      // window at 0 when the doc has fewer than W grams); G = n - K + 1
+      .filter(col("pos") <= greatest(col("n") - lit(WinnowK - 1 + WinnowW), lit(0)))
+      .select(col("doc_id"),
+        (lit(999999999) - substring(col("pick"), 18, 9).cast("long")).as("fp_pos"),
+        substring(col("pick"), 1, 16).as("fp"))
+      .distinct()
+      .orderBy("doc_id", "fp_pos")
+  }
+
+  val q171Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(toks) AS n,
+       |         unnest(range(0, len(toks) - ${WinnowK - 1})) AS pos,
+       |         unnest([substr(md5(array_to_string(toks[(i + 1):(i + $WinnowK)], ' ')), 1, 16)
+       |                 for i in range(0, len(toks) - ${WinnowK - 1})]) AS h
+       |  FROM d WHERE len(toks) >= $WinnowK),
+       |k AS (
+       |  SELECT doc_id, n, pos,
+       |         h || '-' || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS key
+       |  FROM g),
+       |p AS (
+       |  SELECT doc_id, n, pos,
+       |         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+       |           AS pick
+       |  FROM k)
+       |SELECT DISTINCT doc_id,
+       |       999999999 - CAST(substr(pick, 18, 9) AS BIGINT) AS fp_pos,
+       |       substr(pick, 1, 16) AS fp
+       |FROM p
+       |WHERE pos <= GREATEST(n - ${WinnowK - 1 + WinnowW}, 0)
+       |ORDER BY doc_id, fp_pos""".stripMargin
 }

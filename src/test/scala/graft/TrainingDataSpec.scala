@@ -312,6 +312,53 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("q171 winnowing: matches brute-force selection and keeps the MOSS guarantee") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex16(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val K = Dedup.WinnowK
+    val W = Dedup.WinnowW
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    def winnow(toks: Seq[String]): Set[(Long, String)] = {
+      if (toks.length < K) return Set.empty
+      val hs = (0 to toks.length - K)
+        .map(i => md5hex16(toks.slice(i, i + K).mkString(" ")))
+      val lastStart = math.max(hs.length - W, 0)
+      (0 to lastStart).map { j =>
+        val frame = hs.slice(j, j + W).zipWithIndex
+        // min hash, rightmost position on ties — the robust rule
+        val (h, off) = frame.minBy { case (x, i) => (x, -i) }
+        ((j + off).toLong, h)
+      }.toSet
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      winnow(t).map { case (p, h) => (id, p, h) }
+    }.toSet
+    val got = Dedup.q171Winnow(spark, sf)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === expected)
+    // guarantee: two docs sharing a W+K-1 token run share a fingerprint
+    val byId = docs.toMap
+    val fpByDoc = docs.map { case (id, t) => id -> winnow(t) }.toMap
+    val runs = docs.flatMap { case (id, t) =>
+      t.sliding(W + K - 1).filter(_.length == W + K - 1)
+        .map(r => r.mkString(" ") -> id)
+    }.groupBy(_._1).values.filter(_.length >= 2)
+    assert(runs.nonEmpty, "corpus must contain shared 7-token runs")
+    runs.foreach { pairs =>
+      val ids = pairs.map(_._2).distinct
+      for (a <- ids; b <- ids if a < b) {
+        val shared = fpByDoc(a).map(_._2) intersect fpByDoc(b).map(_._2)
+        assert(shared.nonEmpty,
+          s"docs $a and $b share a ${W + K - 1}-token run but no fingerprint " +
+            s"(|toks|=${byId(a).length},${byId(b).length})")
+      }
+    }
+  }
+
   test("q22 brute-force ANN: exactly top-10 per query, cosine in [-1, 1]") {
     val df = Similarity.q22AnnBruteForce(spark, sf).cache()
     assert(df.groupBy("query_id").count().filter(col("count") =!= 10).count() === 0)
