@@ -10,7 +10,12 @@
 #    the r08 dtype reds shipped precisely because the gate ran at one SF
 #    and the driver's dtype hash was the only disagreement — two SFs +
 #    the dtype gate close both halves of that miss. Skip with
-#    GRAFT_SKIP_SF2=1 when iterating on a single query.
+#    GRAFT_SKIP_SF2=1 when iterating on a single query, or scope with
+#    GRAFT_SF2_QUERIES=q1_x,q2_y to re-verify only this round's
+#    changed/new queries at the second SF — the full sf0.1 DuckDB pass
+#    is dominated by a few quadratic pair-join oracles (q46's doc-pair
+#    Jaccard + recursive components above all) and costs ~1 h, which is
+#    only worth paying on the full-surface closing run.
 # 4. graft.Quality refreshes QUALITY_r<round>.json (measured
 #    recall/error/monotonicity for the nine no-oracle queries), so the
 #    committed artifact is regenerated — never hand-edited — each round.
@@ -29,8 +34,8 @@ rm -rf "$OUT"
 if [[ "${GRAFT_SKIP_SF2:-0}" != 1 && "$SF2_DIR" != "$SF_DIR" ]]; then
   OUT2="$(mktemp -d /tmp/graft_verify.XXXXXX)"
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
-    sbt "runMain graft.Verify $SF2_DIR $OUT2"
-  python3 scripts/check.py "$SF2_DIR" "$OUT2"
+    sbt "runMain graft.Verify $SF2_DIR $OUT2 ${GRAFT_SF2_QUERIES:-}"
+  python3 scripts/check.py "$SF2_DIR" "$OUT2" ${GRAFT_SF2_QUERIES:+"$GRAFT_SF2_QUERIES"}
   rm -rf "$OUT2"
 fi
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
