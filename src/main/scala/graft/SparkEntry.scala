@@ -190,6 +190,7 @@ object SparkEntry {
     "q169_quant_audit"        -> (Similarity.q169QuantAudit _),
     "q170_source_jsd"         -> (TextAnalysis.q170SourceJsd _),
     "q171_winnow_fp"          -> (Dedup.q171Winnow _),
+    "q172_curation_funnel"    -> (Curation.q172CurationFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,5 +423,6 @@ object SparkEntry {
     "q169_quant_audit"        -> Similarity.q169Sql,
     "q170_source_jsd"         -> TextAnalysis.q170Sql,
     "q171_winnow_fp"          -> Dedup.q171Sql,
+    "q172_curation_funnel"    -> Curation.q172Sql,
   )
 }

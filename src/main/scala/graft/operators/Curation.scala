@@ -1298,4 +1298,170 @@ object Curation {
        |FROM p
        |GROUP BY source, CAST(prefix // $TargetBytes AS BIGINT)
        |ORDER BY source, grp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q172 — the curation FUNNEL: the three corpus filters run as one
+  // sequenced pipeline over the training split (bucket < 90), reporting
+  // per stage what each filter costs and what it UNIQUELY catches —
+  // the attribution report a data team reads before re-ordering or
+  // dropping a filter. Stages, in the conventional order:
+  //   1 exact_dup      — not the min doc_id of its md5(text) group
+  //                      (q15's corpus-wide first-wins rule)
+  //   2 quality_top20  — outside q45's per-lang top-20% quality rank
+  //                      (identical score, rank, and tie rule)
+  //   3 decontaminate  — shares a word 4-gram with the held-out split
+  //                      (q41's flag, verbatim)
+  // Each flag is computed INDEPENDENTLY with its parent query's exact
+  // predicate (corpus-wide where the parent is corpus-wide), then the
+  // funnel applies them in sequence: n_dropped at stage k counts docs
+  // flagged by k that survived 1..k-1; n_flagged is the filter's
+  // standalone count; n_unique is what ONLY this filter catches — the
+  // number that justifies its place in the pipeline.
+  //
+  // Shape: the flag joins are the parents' shapes (hash-group window,
+  // per-lang rank window, gram equi-join); the funnel itself is ONE
+  // 1-row aggregate exploded to 3 stage rows (q164's pivot). Output is
+  // all-integer — no float parity surface at all.
+  // ---------------------------------------------------------------------
+  def q172CurationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"), splitBucket,
+        toks.as("toks"))
+    val dup = d
+      .withColumn("dup",
+        col("doc_id") =!= min(col("doc_id"))
+          .over(Window.partitionBy(md5(col("text")))))
+      .select(col("doc_id"), col("dup"))
+    val lowq = d
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter(toks, t -> ${TextAnalysis.stopPredSql}))")
+          .as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+        length(col("text")).as("n_chars_calc"))
+      .select(col("doc_id"), col("lang"),
+        (lit(0.4) * (col("n_stop").cast("double") / col("n_tokens"))
+          + lit(0.3) * (lit(1.0)
+            - col("n_punct").cast("double") / col("n_chars_calc"))
+          + lit(0.3) * least(lit(1.0),
+            col("n_tokens").cast("double") / lit(100.0))).as("quality"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("n_lang",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .select(col("doc_id"), (col("rnk") > expr("(n_lang + 4) div 5")).as("lowq"))
+    val grams = d.select(col("doc_id"), col("bucket"),
+      explode(expr(
+        s"""CASE WHEN size(toks) >= $DeconN
+           |     THEN array_distinct(transform(sequence(0, size(toks) - $DeconN),
+           |            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])))
+           |     ELSE array() END""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("bucket"), md5(col("g")).as("gh"))
+    val contamIds = grams.filter(col("bucket") < 90)
+      .join(grams.filter(col("bucket") >= 95).select(col("gh")).distinct(), "gh")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    val flags = d.filter(col("bucket") < 90).select(col("doc_id"))
+      .join(dup, "doc_id").join(lowq, "doc_id")
+      .join(contamIds, Seq("doc_id"), "left")
+      .select(col("dup"), col("lowq"),
+        coalesce(col("contam"), lit(false)).as("contam"))
+    def cnt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(c, 1L).otherwise(0L))
+    val a = flags.agg(
+      count(lit(1)).as("n_in"),
+      cnt(col("dup")).as("d1"),
+      cnt(!col("dup") && col("lowq")).as("d2"),
+      cnt(!col("dup") && !col("lowq") && col("contam")).as("d3"),
+      cnt(col("dup")).as("f1"), cnt(col("lowq")).as("f2"),
+      cnt(col("contam")).as("f3"),
+      cnt(col("dup") && !col("lowq") && !col("contam")).as("u1"),
+      cnt(col("lowq") && !col("dup") && !col("contam")).as("u2"),
+      cnt(col("contam") && !col("dup") && !col("lowq")).as("u3"))
+    val stages = Seq(
+      (1L, "exact_dup", col("n_in"), col("d1"), col("f1"), col("u1")),
+      (2L, "quality_top20", col("n_in") - col("d1"), col("d2"), col("f2"),
+        col("u2")),
+      (3L, "decontaminate", col("n_in") - col("d1") - col("d2"), col("d3"),
+        col("f3"), col("u3")))
+    a.select(explode(array(stages.map { case (i, nm, in, drop, flag, uniq) =>
+        struct(lit(i).as("stage_idx"), lit(nm).as("stage"), in.as("n_in"),
+          drop.as("n_dropped"), (in - drop).as("n_out"),
+          flag.as("n_flagged"), uniq.as("n_unique"))
+      }: _*)).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_in"),
+        col("s.n_dropped"), col("s.n_out"), col("s.n_flagged"),
+        col("s.n_unique"))
+      .orderBy("stage_idx")
+  }
+
+  val q172Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text,
+       |         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT AS BIGINT) % 100
+       |           AS bucket,
+       |         regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |dup AS (
+       |  SELECT doc_id,
+       |         doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS dup
+       |  FROM d),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |         0.4 * (CAST(len(list_filter(toks, t -> ${TextAnalysis.stopPredSql}))
+       |                  AS DOUBLE) / len(toks))
+       |         + 0.3 * (1.0 - CAST(length(text) -
+       |             length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |             / length(text))
+       |         + 0.3 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality
+       |  FROM d),
+       |lowq AS (
+       |  SELECT doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY quality DESC, doc_id)
+       |           > (COUNT(*) OVER (PARTITION BY lang) + 4) // 5 AS lowq
+       |  FROM q),
+       |g AS (
+       |  SELECT doc_id, bucket,
+       |         unnest(list_distinct(CASE WHEN len(toks) >= $DeconN
+       |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       |                 for i in range(1, len(toks) - ${DeconN - 2})]
+       |           ELSE [] END)) AS gram
+       |  FROM d),
+       |contam AS (
+       |  SELECT DISTINCT tr.doc_id
+       |  FROM (SELECT doc_id, gram FROM g WHERE bucket < 90) tr
+       |  JOIN (SELECT DISTINCT gram FROM g WHERE bucket >= 95) te
+       |    USING (gram)),
+       |flags AS (
+       |  SELECT dup.dup, lowq.lowq, (c.doc_id IS NOT NULL) AS contam
+       |  FROM d JOIN dup USING (doc_id) JOIN lowq USING (doc_id)
+       |  LEFT JOIN contam c ON d.doc_id = c.doc_id
+       |  WHERE d.bucket < 90),
+       |a AS (
+       |  SELECT COUNT(*) AS n_in,
+       |         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |         CAST(SUM(CASE WHEN NOT dup AND lowq THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS d2,
+       |         CAST(SUM(CASE WHEN NOT dup AND NOT lowq AND contam
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+       |         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |         CAST(SUM(CASE WHEN lowq THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       |         CAST(SUM(CASE WHEN contam THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+       |         CAST(SUM(CASE WHEN dup AND NOT lowq AND NOT contam
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+       |         CAST(SUM(CASE WHEN lowq AND NOT dup AND NOT contam
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+       |         CAST(SUM(CASE WHEN contam AND NOT dup AND NOT lowq
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS u3
+       |  FROM flags)
+       |SELECT 1 AS stage_idx, 'exact_dup' AS stage, n_in, d1 AS n_dropped,
+       |       n_in - d1 AS n_out, f1 AS n_flagged, u1 AS n_unique FROM a
+       |UNION ALL
+       |SELECT 2, 'quality_top20', n_in - d1, d2, n_in - d1 - d2, f2, u2 FROM a
+       |UNION ALL
+       |SELECT 3, 'decontaminate', n_in - d1 - d2, d3, n_in - d1 - d2 - d3,
+       |       f3, u3 FROM a
+       |ORDER BY stage_idx""".stripMargin
 }

@@ -24,6 +24,66 @@ class CurationSpec extends SparkSpec {
       (col("n_test_docs") > 0 || col("n_shared_ngrams") > 0)).count() === 0)
   }
 
+  test("q172 funnel: matches brute-force flags; stage arithmetic conserves docs") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    val bucket = docs.map { case (id, _, t) =>
+      id -> java.lang.Long.parseLong(md5hex(t).take(8), 16) % 100
+    }.toMap
+    val minByHash = docs.groupBy(d => md5hex(d._3))
+      .map { case (h, ds) => h -> ds.map(_._1).min }
+    val dup = docs.map(d => d._1 -> (d._1 != minByHash(md5hex(d._3)))).toMap
+    val qual = docs.map { case (id, lang, t) =>
+      val toks = t.trim.split(" +").toSeq
+      val sr = toks.count(TextAnalysis.stopwords.contains).toDouble / toks.length
+      val pr = t.count(c => ".,!?;:".contains(c)).toDouble / t.length
+      val ls = math.min(1.0, toks.length.toDouble / 100.0)
+      (id, lang, 0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * ls)
+    }
+    val lowq: Map[Long, Boolean] = qual.groupBy(_._2).toSeq.flatMap {
+      case (_, ds) =>
+        val ranked = ds.sortBy { case (id, _, q) => (-q, id) }
+        val keep = (ds.length + 4) / 5
+        ranked.zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1 > keep) }
+    }.toMap
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split(" +")
+      if (toks.length < 4) Set.empty
+      else toks.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val testGrams = docs.filter(d => bucket(d._1) >= 95)
+      .flatMap(d => grams(d._3)).toSet
+    val contam = docs.map(d =>
+      d._1 -> (bucket(d._1) < 90 && grams(d._3).exists(testGrams.contains))).toMap
+    val pop = docs.map(_._1).filter(id => bucket(id) < 90)
+    val nIn = pop.length.toLong
+    def n(p: Long => Boolean): Long = pop.count(p).toLong
+    val d1 = n(dup); val d2 = n(id => !dup(id) && lowq(id))
+    val d3 = n(id => !dup(id) && !lowq(id) && contam(id))
+    val expected = Seq(
+      (1L, "exact_dup", nIn, d1, nIn - d1, n(dup),
+        n(id => dup(id) && !lowq(id) && !contam(id))),
+      (2L, "quality_top20", nIn - d1, d2, nIn - d1 - d2, n(lowq),
+        n(id => lowq(id) && !dup(id) && !contam(id))),
+      (3L, "decontaminate", nIn - d1 - d2, d3, nIn - d1 - d2 - d3, n(contam),
+        n(id => contam(id) && !dup(id) && !lowq(id))))
+    val got = Curation.q172CurationFunnel(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // the funnel must catch something no single filter explains alone
+    // (per-stage uniqueness is SF-dependent: the sf0.001 train split has
+    // no exact duplicates, so stage 1 legitimately reports 0 there)
+    assert(got.map(_._7).sum > 0, s"no stage caught anything unique: $got")
+    got.foreach { case (_, _, in, drop, out, flagged, uniq) =>
+      assert(out === in - drop && uniq <= flagged && drop <= flagged)
+    }
+  }
+
   test("q41 decontamination: a train doc sharing a 4-gram with a test doc is flagged") {
     import spark.implicits._
     // independent brute force on the small SF
