@@ -191,6 +191,12 @@ object SparkEntry {
     "q170_source_jsd"         -> (TextAnalysis.q170SourceJsd _),
     "q171_winnow_fp"          -> (Dedup.q171Winnow _),
     "q172_curation_funnel"    -> (Curation.q172CurationFunnel _),
+    "q173_k_anonymity"        -> (Profiling.q173KAnonymity _),
+    "q174_containment"        -> (Dedup.q174Containment _),
+    "q175_exact_quantile"     -> (Profiling.q175ExactQuantile _),
+    "q176_benford"            -> (Profiling.q176Benford _),
+    "q177_ks_drift"           -> (Profiling.q177KsDrift _),
+    "q178_gini_token_mass"    -> (TextAnalysis.q178GiniTokenMass _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -424,5 +430,11 @@ object SparkEntry {
     "q170_source_jsd"         -> TextAnalysis.q170Sql,
     "q171_winnow_fp"          -> Dedup.q171Sql,
     "q172_curation_funnel"    -> Curation.q172Sql,
+    "q173_k_anonymity"        -> Profiling.q173Sql,
+    "q174_containment"        -> Dedup.q174Sql,
+    "q175_exact_quantile"     -> Profiling.q175Sql,
+    "q176_benford"            -> Profiling.q176Sql,
+    "q177_ks_drift"           -> Profiling.q177Sql,
+    "q178_gini_token_mass"    -> TextAnalysis.q178Sql,
   )
 }

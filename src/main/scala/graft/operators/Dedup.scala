@@ -1339,4 +1339,92 @@ object Dedup {
        |FROM p
        |WHERE pos <= GREATEST(n - ${WinnowK - 1 + WinnowW}, 0)
        |ORDER BY doc_id, fp_pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q174 — asymmetric shingle CONTAINMENT (doc-in-doc detection):
+  // ordered pairs (a, b) where C(a,b) = |S(a) ∩ S(b)| / |S(a)| >= θ —
+  // document a is (nearly) a subset of document b. The near-SUPERSET
+  // relation every symmetric dedup in the family misses: a short doc
+  // quoted whole inside a long one has Jaccard |A|/|B| (arbitrarily low)
+  // but containment ~1. This is the dedup rule for "drop the fragment,
+  // keep the containing compilation" (and, reversed, the q41-adjacent
+  // contamination question "is this benchmark item embedded in a
+  // training doc").
+  //
+  // Scale shape: candidates come from an inverted-index equi-join, but
+  // ASYMMETRIC — the contained side contributes only its rarest-first
+  // PREFIX (|A| - ceil(θ|A|) + 1 shingle hashes: if fewer than that
+  // many of a's shingles hit B, C < θ is impossible), while the
+  // container side is indexed in FULL (b's prefix can't serve: b may
+  // contain a without a touching b's rare shingles). Join rows are
+  // three longs; the |B| >= θ|A| - 1 length prune (one unit of slack
+  // swallows any θ·|A| float rounding) kills short-container pairs
+  // inside the join. Survivors are verified EXACTLY on the string
+  // shingle sets, so the output equals the brute-force oracle. No
+  // all-pairs anywhere; the prefix keeps probe volume at ~(1-θ) of the
+  // corpus shingle mass, each hitting only df(h) postings.
+  // ---------------------------------------------------------------------
+  private[graft] val ContainTheta = 0.8
+  private[graft] val ContainMinSh = 5 // ignore shingle sets too small to rank
+
+  def q174Containment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairs(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** Core over any (doc_id long, text string) frame — exposed so the
+    * spec can plant a fragment-inside-compilation pair (whose Jaccard
+    * is far below any symmetric-dedup threshold). */
+  private[graft] def containmentPairs(base: DataFrame): DataFrame = {
+    val t = ContainTheta
+    val docs = shingleDocs(base)
+      .filter(col("sz") >= ContainMinSh).cache()
+    val exploded = docs
+      .select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Contained-side prefix, rarest-first under the (df, h) total order
+    // (q40's canonicalization; collect_list is per-document-bounded).
+    val prefixes = exploded.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(collect_list(struct(col("df"), col("h"))).as("dhs"))
+      .select(col("doc_id"), col("sz"), explode(expr(
+        s"slice(array_sort(dhs), 1, sz - CAST(ceil($t * sz) AS INT) + 1).h"))
+        .as("h"))
+    val cands = prefixes.as("l").join(exploded.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") =!= col("r.doc_id") &&
+          col("r.sz").cast("double") >= lit(t) * col("l.sz") - 1)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / col("sz_a")).as("containment"))
+      .filter(col("containment") >= t)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force ordered-pair oracle; the length prune is the same
+    * slack-redundant inequality the Spark join applies (it can never
+    * drop a qualifying pair), kept to bound DuckDB's pair count. */
+  val q174Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_distinct(CASE WHEN len(toks) >= 3
+       |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                 for i in range(1, len(toks) - 1)]
+       |           ELSE [] END) AS sh
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |        FROM documents)),
+       |f AS (SELECT doc_id, sh FROM t WHERE len(sh) >= $ContainMinSh)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+       |         AS containment
+       |FROM f a JOIN f b
+       |  ON a.doc_id <> b.doc_id
+       | AND len(b.sh) >= CAST($ContainTheta AS DOUBLE) * len(a.sh) - 1
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+       |        >= CAST($ContainTheta AS DOUBLE)
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -188,6 +188,315 @@ object Profiling {
     ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
       "supplier", "s_suppkey"))
 
+  // ---------------------------------------------------------------------
+  // q173 — k-anonymity / l-diversity privacy audit: for every
+  // quasi-identifier equivalence class, the re-identification statistics
+  // a release-review runs before publishing a table (Sweeney 2002's
+  // k-anonymity; Machanavajjhala et al. 2007's l-diversity). QI =
+  // (nation, account-balance band); sensitive attribute = market
+  // segment. k = class size (a class of 1 is a direct re-identification;
+  // k < 5 is the conventional suppression threshold), l = distinct
+  // sensitive values in the class (l = 1 means membership alone
+  // discloses the sensitive attribute even at large k).
+  //
+  // Shape: ONE partial-aggregable groupBy on the QI columns; the exact
+  // distinct-segment count shuffles (QI, segment) pairs — bounded by
+  // |classes| x |segments|, never row count. Output is one row per
+  // occupied class. The banding floor(c_acctbal/1000) is a single IEEE
+  // division + floor, bit-identical in Spark and DuckDB.
+  // ---------------------------------------------------------------------
+  private[graft] val KAnonThreshold = 5L // classes below this are suppressed
+  private[graft] val LDivThreshold  = 2L // classes below this leak the attribute
+  private[graft] val BalBandWidth   = 1000.0
+
+  /** Per-class audit over any frame: `qi` columns define the class,
+    * `sensitive` is the disclosure-risk attribute. */
+  private[graft] def kAnonymityAudit(df: DataFrame, qi: Seq[String],
+      sensitive: String): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("k"),
+        count_distinct(col(sensitive)).as("l"))
+      .select(qi.map(col) ++ Seq(col("k"), col("l"),
+        (col("k") < KAnonThreshold || col("l") < LDivThreshold)
+          .as("at_risk")): _*)
+      .orderBy(qi.map(col): _*)
+
+  def q173KAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    kAnonymityAudit(
+      Tables.customer(spark, sfDir)
+        .select(col("c_nationkey").as("nation"),
+          floor(col("c_acctbal") / BalBandWidth).as("bal_band"),
+          col("c_mktsegment")),
+      Seq("nation", "bal_band"), "c_mktsegment")
+
+  val q173Sql: String =
+    s"""SELECT c_nationkey AS nation,
+       |       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |       COUNT(*) AS k,
+       |       COUNT(DISTINCT c_mktsegment) AS l,
+       |       (COUNT(*) < $KAnonThreshold
+       |         OR COUNT(DISTINCT c_mktsegment) < $LDivThreshold) AS at_risk
+       |FROM customer
+       |GROUP BY 1, 2
+       |ORDER BY nation, bal_band""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q175 — EXACT order-statistic quantiles of a continuous column by
+  // iterative bucket narrowing (the BigQuery/Hive "exact percentile
+  // without a global sort" recipe). q120's exact `percentile` aggregate
+  // buffers a count-per-distinct-value map — fine for bounded-domain
+  // ints, corpus-sized (and fatal) for a continuous double like
+  // l_extendedprice; q57's GK sketch is approximate by design. This
+  // operator returns the EXACT k-th smallest value with bounded memory
+  // everywhere: each pass histograms the candidate range into `SelectB`
+  // buckets (one partial-aggregable scan; the driver holds <= SelectB
+  // counts, never values), walks the cumulative counts to the bucket
+  // containing the rank, and recurses into it; when the candidate set
+  // fits `SelectThreshold` rows, one bounded top-k finishes exactly.
+  // Passes are O(log_B(n / threshold)) — 2 scans at 10^12 rows.
+  //
+  // Cross-engine exactness: k = ceil(q * n) is the same IEEE double
+  // product + ceil both engines evaluate; the returned value is a raw
+  // data value (no interpolation), so the hash gate compares bit-exact
+  // doubles.
+  // ---------------------------------------------------------------------
+  private[graft] val QuantileQs      = Seq(0.5, 0.9, 0.99)
+  private[graft] val SelectB         = 1024
+  private[graft] val SelectThreshold = 65536L
+
+  /** Exact k-th smallest (1-indexed) of non-null double column `v`. */
+  private[graft] def exactKth(vals: DataFrame, k: Long,
+      buckets: Int = SelectB, threshold: Long = SelectThreshold): Double = {
+    var cur = vals
+    var rank = k
+    while (true) {
+      val head = cur.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+      val (lo, hi, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+      val width = (hi - lo) / buckets
+      // width == 0 covers both the all-equal bucket and (hi - lo)
+      // underflow — either way every candidate is lo to within 2^-1022.
+      if (lo == hi || width == 0.0) return lo
+      if (n <= threshold)
+        // Bounded final selection: rank <= n <= threshold by invariant.
+        return cur.orderBy(col("v")).limit(rank.toInt)
+          .agg(max(col("v"))).head().getDouble(0)
+      val bexpr = least(greatest(
+        floor((col("v") - lit(lo)) / lit(width)), lit(0.0)),
+        lit((buckets - 1).toDouble)).cast("int")
+      // <= SelectB count rows cross the driver per pass — bounded by
+      // construction at any corpus size.
+      val counts = cur.groupBy(bexpr.as("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      var b = 0
+      while (acc + counts.getOrElse(b, 0L) < rank) {
+        acc += counts.getOrElse(b, 0L); b += 1
+      }
+      rank -= acc
+      cur = cur.filter(bexpr === lit(b))
+    }
+    Double.NaN // unreachable
+  }
+
+  def q175ExactQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").as("v")).cache()
+    val n = vals.count()
+    val rows = QuantileQs.map { q =>
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      (q, k, exactKth(vals, k))
+    }
+    vals.unpersist()
+    import spark.implicits._
+    rows.toDF("q", "k", "value").orderBy("q")
+  }
+
+  /** Oracle pins the identical rank rule: k = ceil(q * n) as an IEEE
+    * DOUBLE product (the quantile literals are cast to DOUBLE so DuckDB
+    * does not silently use exact DECIMAL arithmetic where Spark used
+    * binary doubles), value = the k-th smallest by row_number. */
+  val q175Sql: String =
+    s"""WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+       |n AS (SELECT COUNT(*) AS n FROM v),
+       |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q
+       |       FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+       |SELECT qs.q,
+       |       greatest(1, CAST(ceil(qs.q * n.n) AS BIGINT)) AS k,
+       |       r.x AS value
+       |FROM qs CROSS JOIN n
+       |JOIN r ON r.rn = greatest(1, CAST(ceil(qs.q * n.n) AS BIGINT))
+       |ORDER BY q""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q176 — Benford first-digit audit: the leading-digit distribution of
+  // a naturally-occurring numeric column against Benford's law
+  // (Newcomb 1881 / Benford 1938; the standard fabricated-data /
+  // generation-bug detector in data-quality suites — synthetic or
+  // truncated pipelines skew the first digit long before summary stats
+  // move). Emits per digit the observed count/share, the Benford
+  // expectation, and the chi-square contribution; the caller thresholds
+  // the sum.
+  //
+  // Shape: one pure projection (floor → int → first char: NO
+  // double→decimal rounding anywhere, so both engines extract the
+  // identical digit) + one 9-group aggregate + a broadcast 1-row total.
+  // The expected shares are 6-dp literals (identical text both sides),
+  // not engine-evaluated log10 calls — libm log10 is only ≤1-ulp
+  // correct and must not enter the hash-compared output.
+  // ---------------------------------------------------------------------
+  private[graft] val BenfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  def q176Benford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.lineitem(spark, sfDir)
+      .filter(col("l_extendedprice") >= 1.0)
+      .select(substring(floor(col("l_extendedprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(count(lit(1)).as("total"))
+    val grid = BenfordExpected.toDF("digit", "expected")
+    grid.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)).cast("double") / col("total"))
+          .as("share"),
+        col("expected"),
+        ((coalesce(col("n"), lit(0L)).cast("double")
+          - col("expected") * col("total"))
+          * (coalesce(col("n"), lit(0L)).cast("double")
+            - col("expected") * col("total"))
+          / (col("expected") * col("total"))).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  val q176Sql: String = {
+    val expectedCase = BenfordExpected
+      .map { case (d, e) => s"WHEN $d THEN CAST($e AS DOUBLE)" }
+      .mkString("CASE g.digit ", " ", " END")
+    s"""WITH v AS (
+       |  SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+       |                     AS VARCHAR), 1, 1)::INT AS digit
+       |  FROM lineitem WHERE l_extendedprice >= 1.0),
+       |c AS (SELECT digit, COUNT(*) AS n FROM v GROUP BY digit),
+       |tot AS (SELECT COUNT(*) AS total FROM v),
+       |g AS (SELECT unnest(range(1, 10))::INT AS digit)
+       |SELECT g.digit, COALESCE(c.n, 0) AS n,
+       |       CAST(COALESCE(c.n, 0) AS DOUBLE) / total AS share,
+       |       $expectedCase AS expected,
+       |       (CAST(COALESCE(c.n, 0) AS DOUBLE)
+       |          - ($expectedCase) * total)
+       |         * (CAST(COALESCE(c.n, 0) AS DOUBLE)
+       |          - ($expectedCase) * total)
+       |         / (($expectedCase) * total) AS chi2_term
+       |FROM g LEFT JOIN c ON g.digit = c.digit, tot
+       |ORDER BY g.digit""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q177 — exact two-sample Kolmogorov–Smirnov drift test between two
+  // snapshot halves of a continuous column: D = max over values of
+  // |F_a(v) - F_b(v)|, plus the 5%-level decision threshold
+  // 1.358·sqrt((n_a+n_b)/(n_a·n_b)). THE feature-drift gate a training
+  // pipeline runs between yesterday's and today's extract — approximate
+  // KS (sketched CDFs) can silently under-call drift; this is exact.
+  //
+  // Scale shape: the naive plan is a global ORDER BY window over every
+  // distinct value — a single task holding a corpus-sized CDF. This is
+  // the q95 two-pass prefix-sum shape instead: per-value (na, nb)
+  // counts range-partition by value with the layout FROZEN by a cache;
+  // pass 1 sends P partial sums to the driver (P pairs of longs);
+  // pass 2 broadcasts the prefix offsets and each partition emits its
+  // running CDF locally. The max-D row then reduces via one bounded
+  // top-1 (TakeOrderedAndProject), never a global sort.
+  //
+  // Float discipline: F_a, F_b, their difference, and the threshold are
+  // fixed single-IEEE-op chains over exact integers, mirrored verbatim
+  // in the oracle; ties on D resolve by smallest value both sides.
+  // ---------------------------------------------------------------------
+  private[graft] val KsParts  = 8
+  private[graft] val KsCritical = 1.358 // alpha = 0.05 asymptotic constant
+
+  def q177KsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tagged = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").as("v"),
+        (pmod(col("l_orderkey"), lit(2)) === 0).as("a"))
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+      .repartitionByRange(KsParts, col("v"))
+      .sortWithinPartitions("v")
+      .cache() // freeze the sampled range boundaries across both passes
+
+    // pass 1: per-partition mass (P rows to the driver); materializes
+    // the cache, pinning the layout pass 2 reads
+    val parts = perValue
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("na")).as("sa"), sum(col("nb")).as("sb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nA = parts.map(_._2).sum
+    val nB = parts.map(_._3).sum
+    var (accA, accB) = (0L, 0L)
+    val offsets = parts.map { case (pid, sa, sb) =>
+      val o = pid -> ((accA, accB)); accA += sa; accB += sb; o
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: running CDF per frozen partition (rows are value-sorted)
+    val cdf = perValue.as[(Double, Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var (ca, cb) = bc.value.getOrElse(pid, (0L, 0L))
+      it.map { case (v, na, nb) =>
+        ca += na; cb += nb
+        (v, math.abs(ca.toDouble / nA - cb.toDouble / nB))
+      }
+    }.toDF("at_value", "d_stat")
+
+    val top = cdf.orderBy(col("d_stat").desc, col("at_value").asc).limit(1)
+    val out = top.select(
+      lit(nA).as("n_a"), lit(nB).as("n_b"),
+      col("at_value"), col("d_stat"),
+      (col("d_stat") > lit(KsCritical) *
+        sqrt((lit(nA).cast("double") + lit(nB).cast("double"))
+          / (lit(nA).cast("double") * lit(nB).cast("double"))))
+        .as("drift"))
+      .localCheckpoint(true) // materialize before releasing the layout
+    perValue.unpersist()
+    out
+  }
+
+  val q177Sql: String =
+    s"""WITH s AS (
+       |  SELECT l_extendedprice AS v, l_orderkey % 2 = 0 AS a
+       |  FROM lineitem),
+       |g AS (
+       |  SELECT v, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+       |         SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb
+       |  FROM s GROUP BY v),
+       |tot AS (
+       |  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+       |  FROM g),
+       |c AS (
+       |  SELECT v, SUM(na) OVER (ORDER BY v) AS ca,
+       |         SUM(nb) OVER (ORDER BY v) AS cb
+       |  FROM g),
+       |d AS (
+       |  SELECT v, abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+       |           AS d
+       |  FROM c, tot)
+       |SELECT ta AS n_a, tb AS n_b, v AS at_value, d AS d_stat,
+       |       d > $KsCritical * sqrt((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+       |             / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))) AS drift
+       |FROM d, tot
+       |ORDER BY d_stat DESC, at_value ASC
+       |LIMIT 1""".stripMargin
+
   val q139Sql: String = fkEdgeSqls.map { case (name, ct, ck, pt, pk) =>
     s"""SELECT '$name' AS edge,
        |       CAST(SUM(cnt) AS BIGINT) AS n_child_rows,

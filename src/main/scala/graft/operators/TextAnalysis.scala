@@ -1793,4 +1793,73 @@ object TextAnalysis {
       |                      / CAST(nn AS DOUBLE)) / 2e0 AS jsd
       |FROM p
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q178 — exact Gini coefficient of the corpus token mass across
+  // documents: how concentrated the training-token budget is in few
+  // documents (G = 0 every doc contributes equally; G → 1 a handful of
+  // megadocs dominate). The single-number inequality complement of
+  // q118's "share held by the top 10%" and the quantity a mixture
+  // designer tracks when length-capping (q73) or packing (q43) shifts
+  // the mass distribution.
+  //
+  // Exact WITHOUT a global rank window: with x sorted ascending and
+  // 1-based ranks, G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx); tied values
+  // make Σ rank·x permutation-invariant, so ranks can be assigned
+  // per distinct LENGTH v with count c and prior cumulative count m:
+  // Σ rank·x over the tie group = v·(c·m + c·(c+1)/2). The cumulative
+  // window therefore runs over DISTINCT token counts — bounded by the
+  // max document length, not the corpus (q120's bounded-domain
+  // argument) — and everything else is one partial-aggregable groupBy.
+  // The rank-mass sum accumulates in DECIMAL(38,0): at 10^12 documents
+  // Σ rank·x overflows int64 (rank ~ 10^12 × mass ~ 10^4), while the
+  // final Gini is a fixed IEEE chain over the decimal sums cast to
+  // double, mirrored verbatim in the oracle.
+  // ---------------------------------------------------------------------
+  def q178GiniTokenMass(spark: SparkSession, sfDir: String): DataFrame = {
+    val byLen = Tables.documents(spark, sfDir)
+      .select(size(toks).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // bounded-domain cumulative: rows = distinct doc lengths
+    val W = org.apache.spark.sql.expressions.Window
+    val win = W.orderBy(col("v")).rowsBetween(W.unboundedPreceding, -1)
+    byLen
+      .select(col("v"), col("c"),
+        coalesce(sum(col("c")).over(win), lit(0L)).as("m"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        sum(col("v") * col("c")).as("total_tokens"),
+        sum(expr("CAST(v * (c * m + (c * (c + 1)) DIV 2) AS DECIMAL(38,0))"))
+          .as("s"))
+      .select(col("n_docs"), col("total_tokens"),
+        ((lit(2.0) * col("s").cast("double")
+          - (col("n_docs").cast("double") + lit(1.0))
+            * col("total_tokens").cast("double"))
+          / (col("n_docs").cast("double")
+            * col("total_tokens").cast("double"))).as("gini"))
+  }
+
+  val q178Sql: String =
+    """WITH x AS (
+      |  SELECT len(regexp_split_to_array(trim(text), ' +')) AS v
+      |  FROM documents),
+      |g AS (SELECT v, COUNT(*) AS c FROM x GROUP BY v),
+      |w AS (
+      |  SELECT v, c,
+      |         COALESCE(SUM(c) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+      |  FROM g),
+      |a AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+      |         CAST(SUM(v * c) AS BIGINT) AS total_tokens,
+      |         SUM(CAST(v * (c * m + (c * (c + 1)) // 2) AS DECIMAL(38,0)))
+      |           AS s
+      |  FROM w)
+      |SELECT n_docs, total_tokens,
+      |       (2e0 * CAST(s AS DOUBLE)
+      |          - (CAST(n_docs AS DOUBLE) + 1e0)
+      |            * CAST(total_tokens AS DOUBLE))
+      |         / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+      |         AS gini
+      |FROM a""".stripMargin
 }

@@ -104,6 +104,13 @@ class PlanSpec extends SparkSpec {
       "the inverted-index join must stay equi-keyed on the shingle hash")
   }
 
+  test("q174: containment candidates stay equi-keyed — no cross product") {
+    val plan = finalPlan(Dedup.q174Containment(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the asymmetric prefix x full-index join must stay hash-keyed")
+  }
+
   test("q54: substring-run stats stay equi-keyed — no cross product, pruned scan") {
     val plan = finalPlan(Dedup.q54SubstringRuns(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

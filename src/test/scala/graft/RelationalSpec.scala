@@ -875,4 +875,96 @@ class RelationalSpec extends SparkSpec {
         s"hour $h: Wilson bounds")
     }
   }
+
+  test("q173 k-anonymity: k/l flags fire exactly on planted classes") {
+    import spark.implicits._
+    val df = (
+      // class (0,0): k=6, l=3 — safe
+      Seq("A", "B", "C", "A", "B", "C").map(s => (0, 0L, s)) ++
+      // class (1,0): k=2 < 5 — at risk even with l=2
+      Seq("A", "B").map(s => (1, 0L, s)) ++
+      // class (2,0): k=6 >= 5 but l=1 — attribute disclosure
+      Seq.fill(6)((2, 0L, "A"))
+    ).toDF("nation", "bal_band", "seg")
+    val got = operators.Profiling
+      .kAnonymityAudit(df, Seq("nation", "bal_band"), "seg").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSet === Set(
+      (0, 6L, 3L, false), (1, 2L, 2L, true), (2, 6L, 1L, true)))
+  }
+
+  test("q173: classes partition the table — k sums to the row count") {
+    val rows = operators.Profiling.q173KAnonymity(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === Tables.customer(spark, sf).count())
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5),
+      "l is bounded by the segment cardinality")
+  }
+
+  test("q175 exact quantile: multi-pass narrowing equals the sorted truth") {
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice").as("v")).cache()
+    val sorted = vals.collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    // buckets=4, threshold=16 forces ~log_4(6000/16) ≈ 5 narrowing
+    // passes — the 100 TB code path, not the small-input shortcut.
+    Seq(1L, 2L, n / 2L, n - 1L, n.toLong).foreach { k =>
+      val got = operators.Profiling.exactKth(vals, k,
+        buckets = 4, threshold = 16)
+      assert(got === sorted(k.toInt - 1), s"k=$k")
+    }
+    vals.unpersist()
+  }
+
+  test("q176 Benford audit: counts, shares, and chi2 terms match a recount") {
+    val prices = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0))
+      .filter(_ >= 1.0)
+    val digitOf = (x: Double) => math.floor(x).toLong.toString.head.asDigit
+    val counts = prices.groupBy(digitOf).view.mapValues(_.length.toLong)
+      .toMap.withDefaultValue(0L)
+    val total = prices.length.toLong
+    val rows = operators.Profiling.q176Benford(spark, sf).collect()
+    assert(rows.length === 9, "all nine digits present even at count 0")
+    rows.foreach { r =>
+      val (d, n, share, e, chi) = (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n === counts(d), s"digit $d count")
+      assert(share === n.toDouble / total)
+      val dev = n.toDouble - e * total
+      assert(chi === dev * dev / (e * total), s"digit $d chi2 term")
+    }
+    assert(rows.map(_.getLong(1)).sum === total)
+  }
+
+  test("q177 KS drift: D equals the brute-force two-sample statistic") {
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_orderkey")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1) % 2 == 0))
+    val a = vals.filter(_._2).map(_._1).sorted
+    val b = vals.filterNot(_._2).map(_._1).sorted
+    val cuts = (a ++ b).distinct.sorted
+    val brute = cuts.map { v =>
+      val d = math.abs(a.count(_ <= v).toDouble / a.length
+        - b.count(_ <= v).toDouble / b.length)
+      (d, v)
+    }.maxBy { case (d, v) => (d, -v) }
+    val row = operators.Profiling.q177KsDrift(spark, sf).collect()(0)
+    assert(row.getLong(0) === a.length.toLong)
+    assert(row.getLong(1) === b.length.toLong)
+    assert(row.getDouble(3) === brute._1, "exact D statistic")
+    assert(row.getDouble(2) === brute._2, "argmax value, smallest on ties")
+  }
+
+  test("q175: output ranks follow k = ceil(q*n) and values are data values") {
+    val rows = operators.Profiling.q175ExactQuantile(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    val sorted = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    assert(rows.map(_._1).toSeq == operators.Profiling.QuantileQs)
+    rows.foreach { case (q, k, v) =>
+      assert(k === math.max(1L, math.ceil(q * n).toLong), s"rank rule at $q")
+      assert(v === sorted(k.toInt - 1), s"value at $q")
+    }
+  }
 }

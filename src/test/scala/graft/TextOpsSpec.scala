@@ -358,4 +358,20 @@ class TextOpsSpec extends SparkSpec {
       assert(slope < 0.0, s"$src rank-frequency must decay")
     }
   }
+
+  test("q178 Gini: matches the sorted-rank brute force and sits in [0, 1)") {
+    val lens = Tables.documents(spark, sf)
+      .select(size(split(trim(col("text")), " +")).as("v"))
+      .collect().map(_.getInt(0).toLong).sorted
+    val n = lens.length.toLong
+    val t = lens.sum
+    val s = lens.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val brute = (2.0 * s.toDouble - (n.toDouble + 1.0) * t.toDouble) /
+      (n.toDouble * t.toDouble)
+    val row = TextAnalysis.q178GiniTokenMass(spark, sf).collect()(0)
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === t)
+    assert(row.getDouble(2) === brute, "tie-grouped rank sum is exact")
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 1.0)
+  }
 }

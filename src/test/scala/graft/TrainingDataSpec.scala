@@ -780,4 +780,45 @@ class TrainingDataSpec extends SparkSpec {
       assert(ppm === exp, s"rate at ($a,$b)")
     }
   }
+
+  test("q174 containment equals brute force over every ordered pair") {
+    import org.apache.spark.sql.functions.{col, split, trim}
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .collect().map { r =>
+        val toks = r.getSeq[String](1)
+        r.getLong(0) ->
+          toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.size >= Dedup.ContainMinSh)
+    val expected = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= Dedup.ContainTheta
+    } yield (ia, ib, c)).toSet
+    val got = Dedup.q174Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected,
+      "prefix + full-index candidates must be a complete generator")
+    assert(got.nonEmpty, "the corpus contains containment pairs")
+  }
+
+  test("q174: a fragment inside a compilation is caught at Jaccard far below θ") {
+    import spark.implicits._
+    val fragToks = (1 to 12).map(i => s"frag$i")
+    val tailToks = (1 to 60).map(i => s"tail$i")
+    val base = Seq(
+      (1L, fragToks.mkString(" ")),
+      (2L, (fragToks ++ tailToks).mkString(" ")),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)),
+      "fragment->container detected once, never the reverse direction")
+    // the symmetric measure on the same pair: 10 shared trigrams of a
+    // 70-trigram union — far below every Jaccard dedup threshold.
+    val jac = 10.0 / 70.0
+    assert(jac < Dedup.ContainTheta / 2,
+      "this pair is invisible to the Jaccard family by construction")
+  }
 }
