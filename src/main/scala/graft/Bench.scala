@@ -17,28 +17,40 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Hard budget for the final stdout line. The driver tail window is 2000
-    * chars and must also hold the line's own `[info] ` prefix (7 chars) and
-    * sbt's epilogue (`[success] Total time: ...`, ≤ ~85 chars); 1900 leaves
-    * a 100-char margin for both (pinned by BenchLineSpec). Raised from 1850
-    * at the 170-query surface together with rendering `sf` as its basename
-    * (−15 chars/line) so the +15-query forward-headroom guard holds. */
-  val DriverLineBudget = 1900
+    * chars and must also hold what follows the line: its newline plus
+    * sbt's epilogue (`[success] Total time: NNN s (MM:SS), completed
+    * <date>` — measured 73 chars, ≤ 84 at worst-case field widths;
+    * runMain stdout is NOT `[info]`-prefixed under -batch, verified
+    * against real bench logs). 1914 = 2000 − 84 epilogue − 1 line
+    * newline − 1 margin (pinned by BenchLineSpec). Raised from 1900 at
+    * the 178-query surface together with the zero-pad strip, the `s`
+    * stream key, and the whole-second total so the +15-query
+    * forward-headroom guard keeps holding. */
+  val DriverLineBudget = 1914
+
+  /** Query-key shortening for the driver line:
+    * "q01_sliding_window_agg" -> "1" (query number, zero-pad stripped —
+    * the pad cost 9 chars at the 178-query surface), "stream_ingest" ->
+    * "s". The spread line keeps full names; the number -> name mapping
+    * is fixed in SparkEntry/COVERAGE.md. */
+  def shortKey(name: String): String = {
+    val n = name.takeWhile(_ != '_').stripPrefix("q")
+    if (n == "stream") "s" else n.dropWhile(_ == '0')
+  }
 
   /** Build the single driver-consumed JSON line. Query keys are
-    * SHORTENED to their query number ("q01_sliding_window_agg" -> "01";
-    * "stream_ingest" -> "stream"): the full-name map grew past the tail
+    * SHORTENED via [[shortKey]]: the full-name map grew past the tail
     * window at the 65-query surface and the qNN prefixes grew past it
     * again at the 133-query surface (the spread line, printed earlier,
-    * keeps full names, and the NN -> name mapping is fixed in
-    * SparkEntry/COVERAGE.md). Values use TIERED precision — 1 dp under
+    * keeps full names). Values use TIERED precision — 1 dp under
     * ~10 s, whole seconds above, saturating at 999 — a hard 3-char cap
-    * per value, sized so the line holds ~190 queries at worst-case
+    * per value, sized so the line holds ~195 queries at worst-case
     * widths. Full 3-dp times always ride the spread line. The require
     * makes any future growth that would silently re-break driver
     * parsing fail loudly here (and in the unit test) instead.
     */
   def driverLine(total: Double, queries: Seq[(String, Double)], sf: String,
-                 streamRowsPerSec: Double, cpus: String): String = {
+                 streamRowsPerSec: Double): String = {
     // Every tier renders AT MOST 3 chars ("0.5" / "9.9" / "99" / "999"):
     // at the 163-key surface the old 4-char worst case ("0.53", "99.9")
     // put the worst-case line at ~1830 chars — 1-2 queries from the
@@ -52,13 +64,18 @@ object Bench {
       // on the spread line)
       else f"${math.min(v, 999.0)}%.0f"
     val qs = queries
-      .map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val line =
-      // "stream_rps" = the stream ingest rows/sec previously published as
-      // "stream_rows_per_sec" (renamed r09 for line-budget headroom)
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"${sf.split('/').last}","stream_rps":$streamRowsPerSec%.0f,"cpus":$cpus}"""
+      // "rps" = the stream ingest rows/sec (previously
+      // "stream_rows_per_sec", then "stream_rps"; shortened again at the
+      // 175-query surface for line-budget headroom — the "stream" queries
+      // key carries the same path's seconds). "cpus" (static 32) rides
+      // the spread line since the same shave.
+      // whole-second total: the headline is a ~3-digit number whose
+      // 1-second resolution is 0.5% — per-query precision rides the
+      // spread line (3 dp) and the queries map (tiered).
+      f"""{"metric":"total","value":$total%.0f,"unit":"sec","queries":$qs,"sf":"${sf.split('/').last}","rps":$streamRowsPerSec%.0f}"""
     require(line.length <= DriverLineBudget,
       s"driver line is ${line.length} chars > budget $DriverLineBudget: " +
         "trim keys/precision or move data to an earlier line, or the " +
@@ -180,12 +197,12 @@ object Bench {
     val spread = runs
       .map { case (k, (t1, t2)) => "\"" + k + f"\":[$t1%.3f,$t2%.3f]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"spread","spread":$spread}""")
+    println(s"""{"metric":"spread","cpus":$cpus,"spread":$spread}""")
 
     val total = results.map(_._2).filter(_ > 0).sum + tParity + tIngest
     println(driverLine(total,
       results ++ Seq("q25_stream_parity" -> tParity, "stream_ingest" -> tIngest),
-      sfDir, streamRowsPerSec, cpus))
+      sfDir, streamRowsPerSec))
     spark.stop()
   }
 }

@@ -22,45 +22,56 @@ class BenchLineSpec extends AnyFunSuite {
     // 9.94 s per query formats at worst-case width, so a pass here
     // means any real bench line is shorter still.
     val line = Bench.driverLine(9999.99, fullSurface,
-      "/root/testdata/sf0.1", 999999.0, "32")
+      "/root/testdata/sf0.1", 999999.0)
     assert(line.length <= Bench.DriverLineBudget)
     assert(line.startsWith("{\"metric\":\"total\""))
     assert(line.endsWith("}"))
     // The queries map must actually be on the line (that's what r07 lost).
     assert(line.contains("\"queries\":{"))
-    assert(line.contains("\"01\":"))
+    assert(line.contains("\"1\":"), "zero-pad-stripped keys present")
+    assert(line.contains("\"s\":"), "stream ingest key present")
     // key shortening must not collide (query numbers are unique by naming
-    // convention; this guards a future q65_a/q65_b mistake)
-    val shortKeys = fullSurface.map(_._1.takeWhile(_ != '_').stripPrefix("q"))
+    // convention; this guards a future q65_a/q65_b mistake — and the
+    // zero-pad strip must not alias "01" with a future "1")
+    val shortKeys = fullSurface.map(p => Bench.shortKey(p._1))
     assert(shortKeys.distinct.size == shortKeys.size)
   }
 
   test("driver line is valid single-line JSON shape") {
     val line = Bench.driverLine(1.23, Seq("q01" -> 0.5, "q02" -> -1.0),
-      "/root/testdata/sf0.01", 48730.0, "32")
+      "/root/testdata/sf0.01", 48730.0)
     assert(!line.contains("\n"))
-    assert(line.contains("\"02\":-1"), "failed queries stay visible as -1")
+    assert(line.contains("\"2\":-1"), "failed queries stay visible as -1")
   }
 
   test("an over-budget line fails loudly instead of silently truncating") {
     val bloated = (1 to 200).map(i => s"q${i}_some_long_query_name_padding" -> 1.0)
     val e = intercept[IllegalArgumentException] {
-      Bench.driverLine(1.0, bloated, "/root/testdata/sf0.1", 1.0, "32")
+      Bench.driverLine(1.0, bloated, "/root/testdata/sf0.1", 1.0)
     }
     assert(e.getMessage.contains("budget"))
   }
 
   test("budget leaves headroom for sbt epilogue inside the 2000-char window") {
-    assert(Bench.DriverLineBudget <= 2000 - 100)
+    // the epilogue after the line is `\n[success] Total time: NNN s
+    // (H:MM:SS), completed <Month> <DD>, <YYYY>, <H>:<MM>:<SS> <AM|PM>\n`
+    // — 84 chars at worst-case field widths (measured 73 in real bench
+    // logs; runMain stdout carries no [info] prefix under -batch), plus
+    // the line's own newline and a margin char.
+    assert(Bench.DriverLineBudget <= 2000 - 84 - 1 - 1)
   }
 
-  test("worst-case line leaves room for ~15 more queries before the budget") {
-    // forward headroom check: simulate the surface grown by 15 queries
-    // at worst-case widths — the next round should not hit the guard on
-    // its first operator batch
-    val grown = fullSurface ++ (1 to 15).map(i => s"q9$i${i}_future" -> 9.94)
+  test("worst-case line leaves room for 15 more queries before the budget") {
+    // forward headroom check: simulate the surface grown by the 15
+    // queries the next round would ACTUALLY add — the successors of the
+    // current max query number (self-updating as the surface grows) —
+    // so round N+1 does not hit the guard on its first operator batch.
+    val maxNum = SparkEntry.queries.keys
+      .map(_.drop(1).takeWhile(_.isDigit).toInt).max
+    val grown = fullSurface ++
+      (1 to 15).map(i => s"q${maxNum + i}_future" -> 9.94)
     val line = Bench.driverLine(9999.99, grown,
-      "/root/testdata/sf0.1", 999999.0, "32")
+      "/root/testdata/sf0.1", 999999.0)
     assert(line.length <= Bench.DriverLineBudget)
   }
 }
