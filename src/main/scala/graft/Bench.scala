@@ -38,19 +38,39 @@ object Bench {
     if (n == "stream") "s" else n.dropWhile(_ == '0')
   }
 
+  /** The driver line's queries map is capped at the [[BenchTopK]] most
+    * EXPENSIVE queries (plus, always: every failed query — a -1 must
+    * never be invisible — and the stream parity/ingest keys, whose
+    * trends the board tracks). At the 181-query surface the full map's
+    * worst case outgrew the tail window's arithmetic capacity (~193
+    * entries at 3-char values); the head of the cost distribution is
+    * the only part that carries perf signal — a fast query that
+    * REGRESSES enters the top-k by construction, a fast query that
+    * stays fast is represented by the exact total — and the cap makes
+    * the line length surface-independent for every future round. The
+    * full per-query map (both raw runs, 3 dp) always rides the spread
+    * line; "nq" reports the measured surface size. */
+  val BenchTopK = 80
+
   /** Build the single driver-consumed JSON line. Query keys are
     * SHORTENED via [[shortKey]]: the full-name map grew past the tail
     * window at the 65-query surface and the qNN prefixes grew past it
     * again at the 133-query surface (the spread line, printed earlier,
     * keeps full names). Values use TIERED precision — 1 dp under
     * ~10 s, whole seconds above, saturating at 999 — a hard 3-char cap
-    * per value, sized so the line holds ~195 queries at worst-case
-    * widths. Full 3-dp times always ride the spread line. The require
+    * per value. Full 3-dp times always ride the spread line. The require
     * makes any future growth that would silently re-break driver
     * parsing fail loudly here (and in the unit test) instead.
     */
   def driverLine(total: Double, queries: Seq[(String, Double)], sf: String,
                  streamRowsPerSec: Double): String = {
+    val always = Set("q25_stream_parity", "stream_ingest")
+    val kept = queries.filter { case (k, v) =>
+      v < 0 || always(k) } ++
+      queries.filter { case (k, v) => v >= 0 && !always(k) }
+        .sortBy { case (k, v) => (-v, k) }.take(BenchTopK)
+    val keptKeys = kept.map(_._1).toSet
+    val shown = queries.filter(p => keptKeys(p._1))
     // Every tier renders AT MOST 3 chars ("0.5" / "9.9" / "99" / "999"):
     // at the 163-key surface the old 4-char worst case ("0.53", "99.9")
     // put the worst-case line at ~1830 chars — 1-2 queries from the
@@ -63,7 +83,7 @@ object Bench {
       // saturating display: a >=1000 s query reads 999 here (real time
       // on the spread line)
       else f"${math.min(v, 999.0)}%.0f"
-    val qs = queries
+    val qs = shown
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val line =
@@ -75,7 +95,7 @@ object Bench {
       // whole-second total: the headline is a ~3-digit number whose
       // 1-second resolution is 0.5% — per-query precision rides the
       // spread line (3 dp) and the queries map (tiered).
-      f"""{"metric":"total","value":$total%.0f,"unit":"sec","queries":$qs,"sf":"${sf.split('/').last}","rps":$streamRowsPerSec%.0f}"""
+      f"""{"metric":"total","value":$total%.0f,"unit":"sec","nq":${queries.size},"queries":$qs,"sf":"${sf.split('/').last}","rps":$streamRowsPerSec%.0f}"""
     require(line.length <= DriverLineBudget,
       s"driver line is ${line.length} chars > budget $DriverLineBudget: " +
         "trim keys/precision or move data to an earlier line, or the " +

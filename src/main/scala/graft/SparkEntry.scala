@@ -197,6 +197,9 @@ object SparkEntry {
     "q176_benford"            -> (Profiling.q176Benford _),
     "q177_ks_drift"           -> (Profiling.q177KsDrift _),
     "q178_gini_token_mass"    -> (TextAnalysis.q178GiniTokenMass _),
+    "q179_rrf_fusion"         -> (TextAnalysis.q179RrfFusion _),
+    "q180_mi_audit"           -> (Relational.q180MiAudit _),
+    "q181_assoc_rules"        -> (Relational.q181AssocRules _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -436,5 +439,8 @@ object SparkEntry {
     "q176_benford"            -> Profiling.q176Sql,
     "q177_ks_drift"           -> Profiling.q177Sql,
     "q178_gini_token_mass"    -> TextAnalysis.q178Sql,
+    "q179_rrf_fusion"         -> TextAnalysis.q179Sql,
+    "q180_mi_audit"           -> Relational.q180Sql,
+    "q181_assoc_rules"        -> Relational.q181Sql,
   )
 }

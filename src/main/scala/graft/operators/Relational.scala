@@ -1660,12 +1660,18 @@ object Relational {
   // q99's shape). Lift = support·N/(c1·c2) with the q129 IEEE-pinned
   // op order and 6-dp round.
   // ---------------------------------------------------------------------
-  def q138ItemsetPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = Tables.events(spark, sfDir)
+  /** Distinct (user, UTC day, type) basket rows — q138's corpus->basket
+    * reduction, shared with q181's directed rules. */
+  private[graft] def eventBaskets(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    Tables.events(spark, sfDir)
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         col("event_type"))
       .distinct()
+
+  def q138ItemsetPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = eventBaskets(spark, sfDir)
       .cache() // basket table feeds pairs, marginals, and the total
     val pairs = b.as("a").join(b.as("c"), Seq("user_id", "day"))
       .filter(col("a.event_type") < col("c.event_type"))
@@ -1706,6 +1712,148 @@ object Relational {
       |JOIN marg m1 ON pairs.t1 = m1.event_type
       |JOIN marg m2 ON pairs.t2 = m2.event_type, total
       |ORDER BY t1, t2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q181 — directed association rules with confidence and lift (the
+  // rule-generation pass Apriori runs on top of q138's pairwise
+  // supports): for every ORDERED pair antecedent -> consequent,
+  // confidence = P(consequent | antecedent basket) with minimum-support
+  // and minimum-confidence pruning. q138 answers "which types co-occur
+  // beyond chance" (symmetric); this answers the actionable directed
+  // form "baskets with X also contain Y z% of the time" — confidence is
+  // asymmetric (conf(X->Y) != conf(Y->X) whenever marginals differ), so
+  // the directed pass is not derivable from q138's output alone.
+  //
+  // Shape: identical to q138 (basket dedup shuffle, basket-keyed pair
+  // join bounded by C(|types|,2) per basket, broadcast 1-row total);
+  // support/confidence prune inside the join's aggregate output.
+  // Confidence is ONE exact-int division; lift reuses q138's 6-dp
+  // discipline.
+  // ---------------------------------------------------------------------
+  private[graft] val RuleMinSupport = 0.01 // fraction of baskets
+  private[graft] val RuleMinConf    = 0.2
+
+  def q181AssocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = eventBaskets(spark, sfDir).cache()
+    val pairs = b.as("a").join(b.as("c"), Seq("user_id", "day"))
+      .filter(col("a.event_type") =!= col("c.event_type"))
+      .groupBy(col("a.event_type").as("antecedent"),
+        col("c.event_type").as("consequent"))
+      .agg(count(lit(1)).as("pair_n"))
+    val marg = b.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val total = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(marg.select(col("event_type").as("antecedent"),
+        col("c").as("c1")), "antecedent")
+      .join(marg.select(col("event_type").as("consequent"),
+        col("c").as("c2")), "consequent")
+      .crossJoin(broadcast(total))
+      .filter(col("pair_n").cast("double")
+          >= lit(RuleMinSupport) * col("n_baskets")
+        && col("pair_n").cast("double") / col("c1") >= lit(RuleMinConf))
+      .select(col("antecedent"), col("consequent"), col("pair_n"),
+        col("c1"), col("c2"), col("n_baskets"),
+        (col("pair_n").cast("double") / col("c1")).as("confidence"),
+        round(col("pair_n").cast("double") * col("n_baskets")
+          / (col("c1").cast("double") * col("c2")), 6).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  val q181Sql: String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+       |         event_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT a.event_type AS antecedent, c.event_type AS consequent,
+       |         count(*) AS pair_n
+       |  FROM b a JOIN b c USING (user_id, day)
+       |  WHERE a.event_type <> c.event_type
+       |  GROUP BY 1, 2),
+       |marg AS (SELECT event_type, count(*) AS c FROM b GROUP BY 1),
+       |total AS (
+       |  SELECT count(*) AS n_baskets
+       |  FROM (SELECT DISTINCT user_id, day FROM b))
+       |SELECT antecedent, consequent, pair_n, m1.c AS c1, m2.c AS c2,
+       |       n_baskets,
+       |       CAST(pair_n AS DOUBLE) / m1.c AS confidence,
+       |       round(CAST(pair_n AS DOUBLE) * n_baskets /
+       |             (CAST(m1.c AS DOUBLE) * m2.c), 6) AS lift
+       |FROM pairs
+       |JOIN marg m1 ON pairs.antecedent = m1.event_type
+       |JOIN marg m2 ON pairs.consequent = m2.event_type, total
+       |WHERE CAST(pair_n AS DOUBLE) >= $RuleMinSupport * n_baskets
+       |  AND CAST(pair_n AS DOUBLE) / m1.c >= $RuleMinConf
+       |ORDER BY antecedent, consequent""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q180 — mutual-information independence audit between two categorical
+  // columns (lang x source): per-cell observed count, independence
+  // expectation, the MI contribution (p_ij·ln(p_ij/(p_i·p_j))), and the
+  // chi-square contribution. The corpus-composition question "are
+  // languages distributed independently of sources" (a skewed cell =
+  // a source that over-collects one language — a mixture-design and
+  // leakage red flag), and the feature-level complement of q129's
+  // token-pair PMI. Contributions are emitted PER CELL (the caller
+  // sums), so no cross-engine float summation exists.
+  //
+  // Shape: one (lang, source) groupBy + two marginal aggregates + a
+  // broadcast 1-row total; the full grid (including zero cells, whose
+  // MI contribution is lim x->0 x·ln x = 0) comes from an
+  // aggregate-sized marginal cross join. ln rides the established 6-dp
+  // decimal discipline (q129/q149); expectation and chi-square are
+  // fixed IEEE chains over exact ints.
+  // ---------------------------------------------------------------------
+  def q180MiAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("lang"), col("source"))
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_ij"))
+    val ml = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_i"))
+    val ms = docs.groupBy(col("source")).agg(count(lit(1)).as("n_j"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val expected = col("n_i").cast("double") * col("n_j") / col("n")
+    val nij = coalesce(col("n_ij"), lit(0L))
+    ml.crossJoin(broadcast(ms))
+      .join(cells, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"),
+        nij.as("n_ij"), col("n_i"), col("n_j"),
+        expected.as("expected"),
+        when(nij === 0L, lit(0.0)).otherwise(
+          round((nij.cast("double") / col("n"))
+            * log(nij.cast("double") * col("n")
+              / (col("n_i").cast("double") * col("n_j"))), 6))
+          .as("mi_term"),
+        ((nij.cast("double") - expected) * (nij.cast("double") - expected)
+          / expected).as("chi2_term"))
+      .orderBy("lang", "source")
+  }
+
+  val q180Sql: String =
+    """WITH d AS (SELECT lang, source FROM documents),
+      |cells AS (SELECT lang, source, count(*) AS n_ij
+      |          FROM d GROUP BY 1, 2),
+      |ml AS (SELECT lang, count(*) AS n_i FROM d GROUP BY 1),
+      |ms AS (SELECT source, count(*) AS n_j FROM d GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM d)
+      |SELECT ml.lang, ms.source,
+      |       COALESCE(n_ij, 0) AS n_ij, n_i, n_j,
+      |       CAST(n_i AS DOUBLE) * n_j / n AS expected,
+      |       CASE WHEN COALESCE(n_ij, 0) = 0 THEN 0e0
+      |            ELSE round((CAST(n_ij AS DOUBLE) / n)
+      |                   * ln(CAST(n_ij AS DOUBLE) * n
+      |                        / (CAST(n_i AS DOUBLE) * n_j)), 6) END
+      |         AS mi_term,
+      |       (CAST(COALESCE(n_ij, 0) AS DOUBLE)
+      |          - CAST(n_i AS DOUBLE) * n_j / n)
+      |         * (CAST(COALESCE(n_ij, 0) AS DOUBLE)
+      |          - CAST(n_i AS DOUBLE) * n_j / n)
+      |         / (CAST(n_i AS DOUBLE) * n_j / n) AS chi2_term
+      |FROM ml CROSS JOIN ms
+      |LEFT JOIN cells ON ml.lang = cells.lang AND ms.source = cells.source
+      |CROSS JOIN tot
+      |ORDER BY ml.lang, ms.source""".stripMargin
 
   // ---------------------------------------------------------------------
   // q152 — pairwise correlation of event-type time series: Pearson r

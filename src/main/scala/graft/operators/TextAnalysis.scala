@@ -1133,7 +1133,15 @@ object TextAnalysis {
   private val Bm25B  = "0.75e0"
   private[graft] val Bm25TopK = 20
 
-  def q149Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+  def q149Bm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scores(spark, sfDir)
+      .orderBy(desc("score"), col("doc_id").asc).limit(Bm25TopK)
+      .orderBy("doc_id")
+
+  /** Full BM25-scored candidate set (every document containing a query
+    * term), shared by q149's top-k and q179's fusion pool. */
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(lower(trim(col("text"))), " +").as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -1161,8 +1169,6 @@ object TextAnalysis {
       .agg(sum(col("part")).as("sc"), count(lit(1)).as("n_terms"))
       .select(col("doc_id"), col("sc").cast("double").as("score"),
         col("n_terms"))
-      .orderBy(desc("score"), col("doc_id").asc).limit(Bm25TopK)
-      .orderBy("doc_id")
   }
 
   val q149Sql: String =
@@ -1200,6 +1206,115 @@ object TextAnalysis {
        |  FROM scored GROUP BY doc_id
        |  ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q179 — reciprocal-rank fusion of two retrieval signals (Cormack,
+  // Clarke & Büttcher 2009): fused(d) = Σ_r 1/(K + rank_r(d)) over a
+  // query-DEPENDENT ranker (q149's BM25) and a query-INDEPENDENT prior
+  // (q17's quality score) — the standard hybrid-retrieval merge (search
+  // engines fuse lexical relevance with static priors exactly this way;
+  // RRF needs only RANKS, so incomparable score scales fuse soundly).
+  //
+  // Scale shape: RRF consumes each ranker's TOP-POOL list, so each side
+  // is one bounded TakeOrderedAndProject (never a global sort); the
+  // rank-assignment windows run over POOL rows (bounded single task by
+  // construction), the fusion is one full-outer join of two pool-sized
+  // frames, and the final top-k is again bounded. A document missing
+  // from a pool contributes 0 to the sum (rank printed as 0).
+  //
+  // Float discipline: ranks are ints; the fused score is two fixed
+  // single divisions + one add — bit-identical cross-engine.
+  // ---------------------------------------------------------------------
+  private[graft] val RrfK    = 60 // the paper's constant
+  private[graft] val RrfPool = 50 // per-ranker candidate depth
+  private[graft] val RrfTopK = 20
+
+  def q179RrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val a = bm25Scores(spark, sfDir)
+      .orderBy(desc("score"), col("doc_id").asc).limit(RrfPool)
+      .select(col("doc_id"), row_number()
+        .over(W.orderBy(desc("score"), col("doc_id").asc)).as("ra"))
+    val b = qualityFrame(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+      .orderBy(desc("quality"), col("doc_id").asc).limit(RrfPool)
+      .select(col("doc_id"), row_number()
+        .over(W.orderBy(desc("quality"), col("doc_id").asc)).as("rb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("ra"), col("rb"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id").asc).limit(RrfTopK)
+      .select(col("doc_id"),
+        coalesce(col("ra"), lit(0)).as("ra"),
+        coalesce(col("rb"), lit(0)).as("rb"), col("rrf"))
+      .orderBy("doc_id")
+  }
+
+  val q179Sql: String = {
+    val duckStop = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS toks
+       |  FROM documents),
+       |dd AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM d),
+       |corpus AS (
+       |  SELECT count(*) AS n,
+       |         CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dd),
+       |tok AS (SELECT doc_id, dl, unnest(toks) AS t FROM dd),
+       |qt AS (
+       |  SELECT t, count(*) AS ctot, count(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY t ORDER BY ctot DESC, t ASC LIMIT 3),
+       |qterms AS (
+       |  SELECT t, df,
+       |         CAST(round(ln((n - df + 0.5e0) / (df + 0.5e0) + 1e0), 6)
+       |              AS DECIMAL(18,6)) AS idf,
+       |         avgdl
+       |  FROM qt, corpus),
+       |tf AS (
+       |  SELECT doc_id, tok.t, dl, idf, avgdl, count(*) AS tf
+       |  FROM tok JOIN qterms ON tok.t = qterms.t
+       |  GROUP BY doc_id, tok.t, dl, idf, avgdl),
+       |scored AS (
+       |  SELECT doc_id,
+       |         CAST(round(CAST(idf AS DOUBLE) * (tf * ($Bm25K1 + 1e0)) /
+       |              (tf + $Bm25K1 * (1e0 - $Bm25B + $Bm25B * dl / avgdl)), 6)
+       |              AS DECIMAL(18,6)) AS part
+       |  FROM tf),
+       |a AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+       |  FROM (SELECT doc_id, CAST(SUM(part) AS DOUBLE) AS score
+       |        FROM scored GROUP BY doc_id
+       |        ORDER BY score DESC, doc_id LIMIT $RrfPool)),
+       |q AS (
+       |  SELECT doc_id,
+       |         0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+       |           + 0.3 * len_sat AS quality
+       |  FROM (
+       |    SELECT doc_id,
+       |           CAST(len(list_filter(toks, t -> $duckStop)) AS DOUBLE)
+       |             / len(toks) AS stop_ratio,
+       |           CAST(length(text) - length(regexp_replace(text,
+       |             '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+       |             AS punct_ratio,
+       |           LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_sat
+       |    FROM (SELECT doc_id, text,
+       |                 regexp_split_to_array(trim(text), ' +') AS toks
+       |          FROM documents))),
+       |b AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS rb
+       |  FROM (SELECT doc_id, quality FROM q
+       |        ORDER BY quality DESC, doc_id LIMIT $RrfPool)),
+       |f AS (
+       |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, ra, rb,
+       |         COALESCE(1e0 / ($RrfK + ra), 0e0)
+       |           + COALESCE(1e0 / ($RrfK + rb), 0e0) AS rrf
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT doc_id, COALESCE(ra, 0) AS ra, COALESCE(rb, 0) AS rb, rrf
+       |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT $RrfTopK)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q160 — tokenizer fertility report per language: chars-per-BPE-token

@@ -45,11 +45,28 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("an over-budget line fails loudly instead of silently truncating") {
-    val bloated = (1 to 200).map(i => s"q${i}_some_long_query_name_padding" -> 1.0)
+    // un-shortenable keys (no underscore, no q-prefix digits) survive
+    // shortKey whole, so 100 of them overflow even the capped map
+    val bloated = (1 to 100).map(i => s"averyveryverylongquerykeyname$i" -> 1.0)
     val e = intercept[IllegalArgumentException] {
       Bench.driverLine(1.0, bloated, "/root/testdata/sf0.1", 1.0)
     }
     assert(e.getMessage.contains("budget"))
+  }
+
+  test("capped map keeps the cost head, every failure, and stream keys") {
+    val qs = (1 to 170).map(i => f"q$i%03d_x" -> i * 0.01) ++ Seq(
+      "q171_fail" -> -1.0, "q25_stream_parity" -> 0.1, "stream_ingest" -> 0.2)
+    val line = Bench.driverLine(100.0, qs, "/root/testdata/sf0.1", 1000.0)
+    assert(line.contains("\"171\":-1"), "failed query always visible")
+    assert(line.contains("\"25\":") && line.contains("\"s\":"),
+      "stream keys always visible")
+    assert(line.contains("\"170\":1.7"), "most expensive kept")
+    assert(!line.contains("\"1\":0.0"), "cheapest dropped by the cap")
+    assert(line.contains("\"nq\":173"), "surface size reported")
+    // exactly BenchTopK + failures + stream keys entries
+    val n = "\"[0-9s]+\":".r.findAllIn(line.drop(line.indexOf("queries"))).size
+    assert(n == Bench.BenchTopK + 3)
   }
 
   test("budget leaves headroom for sbt epilogue inside the 2000-char window") {

@@ -876,6 +876,52 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q180 MI audit: cells recount, zero cells contribute zero MI") {
+    val docs = Tables.documents(spark, sf).select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toLong
+    val cell = docs.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap.withDefaultValue(0L)
+    val mi = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val mj = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rows = Relational.q180MiAudit(spark, sf).collect()
+    assert(rows.length === mi.size * mj.size, "full grid incl zero cells")
+    assert(rows.map(_.getLong(2)).sum === n, "cells partition the corpus")
+    rows.foreach { r =>
+      val (l, s, nij, ni, nj) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nij === cell((l, s)))
+      assert(ni === mi(l) && nj === mj(s))
+      val e = ni.toDouble * nj / n
+      assert(r.getDouble(5) === e, s"expected at ($l,$s)")
+      if (nij == 0) assert(r.getDouble(6) === 0.0, "zero-cell MI term")
+      val dev = nij.toDouble - e
+      assert(r.getDouble(7) === dev * dev / e, s"chi2 at ($l,$s)")
+    }
+  }
+
+  test("q181 rules: directions agree with q138 supports, thresholds hold") {
+    val pairs = Relational.q138ItemsetPairs(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rules = Relational.q181AssocRules(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getDouble(6)))
+    assert(rules.nonEmpty, "the event corpus produces rules")
+    rules.foreach { case (ant, con, pn, c1, nb, conf) =>
+      val key = if (ant < con) (ant, con) else (con, ant)
+      assert(pairs(key) === pn, s"$ant->$con support equals q138's pair")
+      assert(conf === pn.toDouble / c1, s"$ant->$con confidence")
+      assert(pn.toDouble >= Relational.RuleMinSupport * nb)
+      assert(conf >= Relational.RuleMinConf)
+    }
+    // directedness: confidence must differ across directions somewhere
+    // (marginals differ), even when both directions survive the prune
+    val conf = rules.map(r => (r._1, r._2) -> r._6).toMap
+    assert(conf.exists { case ((a, c), v) =>
+      conf.get((c, a)).forall(_ != v) },
+      "confidence is asymmetric whenever marginals differ")
+  }
+
   test("q173 k-anonymity: k/l flags fire exactly on planted classes") {
     import spark.implicits._
     val df = (

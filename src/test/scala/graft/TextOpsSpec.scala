@@ -359,6 +359,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q179 RRF: fused ranking equals the brute-force rank recompute") {
+    val pool = TextAnalysis.RrfPool
+    val k = TextAnalysis.RrfK
+    val bm = TextAnalysis.bm25Scores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.take(pool)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val qual = TextAnalysis.q17QualityScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(5)))
+      .sortBy { case (id, s) => (-s, id) }.take(pool)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val fused = (bm.keySet ++ qual.keySet).toSeq.map { id =>
+      val ra = bm.getOrElse(id, 0)
+      val rb = qual.getOrElse(id, 0)
+      val s = (if (ra > 0) 1.0 / (k + ra) else 0.0) +
+        (if (rb > 0) 1.0 / (k + rb) else 0.0)
+      (id, ra, rb, s)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(TextAnalysis.RrfTopK)
+      .sortBy(_._1)
+    val got = TextAnalysis.q179RrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq === fused, "fusion must equal the rank-space recompute")
+    got.foreach { case (_, ra, rb, _) =>
+      assert(ra >= 0 && ra <= pool && rb >= 0 && rb <= pool)
+      assert(ra > 0 || rb > 0, "a fused doc sits in at least one pool")
+    }
+  }
+
   test("q178 Gini: matches the sorted-rank brute force and sits in [0, 1)") {
     val lens = Tables.documents(spark, sf)
       .select(size(split(trim(col("text")), " +")).as("v"))
