@@ -200,6 +200,7 @@ object SparkEntry {
     "q179_rrf_fusion"         -> (TextAnalysis.q179RrfFusion _),
     "q180_mi_audit"           -> (Relational.q180MiAudit _),
     "q181_assoc_rules"        -> (Relational.q181AssocRules _),
+    "q182_spearman_drift"     -> (Relational.q182SpearmanDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -442,5 +443,6 @@ object SparkEntry {
     "q179_rrf_fusion"         -> TextAnalysis.q179Sql,
     "q180_mi_audit"           -> Relational.q180Sql,
     "q181_assoc_rules"        -> Relational.q181Sql,
+    "q182_spearman_drift"     -> Relational.q182Sql,
   )
 }

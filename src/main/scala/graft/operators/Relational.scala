@@ -1940,6 +1940,90 @@ object Relational {
       |ORDER BY t1, t2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q182 — Spearman rank correlation of token-frequency distributions
+  // between every pair of sources: does source A use the vocabulary the
+  // way source B does? Rank correlation is the drift measure that is
+  // ROBUST to corpus-size and frequency-scale differences (q170's JSD
+  // and q72's KL compare probability mass — a 10x bigger source with
+  // identical usage ordering scores rho = 1 here, where raw-frequency
+  // Pearson would be dominated by the head). Tie handling is the
+  // textbook average-rank rule, carried as DOUBLED ranks so every
+  // rank is an exact INTEGER: 2·avgrank = 2·minrank + ties − 1, and
+  // Spearman's rho on doubled ranks equals rho on ranks (affine
+  // invariance). All sufficient statistics are then exact integer sums
+  // (q152's discipline; at a 10^6-token shared vocabulary Σ ra·rb sits
+  // within int64 by ~2 decades — the DECIMAL(38,0) swap is one cast
+  // when vocabulary outgrows that) and rho is one pinned 6-dp double
+  // expression.
+  //
+  // Shape: one (source, token) count shuffle; the pair join is keyed
+  // on token (|vocab| rows/side, C(|sources|,2) output per token); the
+  // rank windows partition by (s1, s2) — vocabulary-sized partitions,
+  // bounded by the token domain, never the corpus (q120's argument).
+  // ---------------------------------------------------------------------
+  def q182SpearmanDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(trim(col("text")), " +")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .cache() // both sides of the pair join
+    val a = counts.select(col("t"), col("source").as("s1"), col("c").as("ca"))
+    val b = counts.select(col("t"), col("source").as("s2"), col("c").as("cb"))
+    val shared = a.join(b, Seq("t")).filter(col("s1") < col("s2"))
+    val wa = Window.partitionBy(col("s1"), col("s2")).orderBy(col("ca"))
+    val ta = Window.partitionBy(col("s1"), col("s2"), col("ca"))
+    val wb = Window.partitionBy(col("s1"), col("s2")).orderBy(col("cb"))
+    val tb = Window.partitionBy(col("s1"), col("s2"), col("cb"))
+    shared
+      .select(col("s1"), col("s2"),
+        (lit(2) * rank().over(wa) + count(lit(1)).over(ta) - 1).as("ra"),
+        (lit(2) * rank().over(wb) + count(lit(1)).over(tb) - 1).as("rb"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra")).as("sx"), sum(col("rb")).as("sy"),
+        sum(col("ra") * col("rb")).as("sxy"),
+        sum(col("ra") * col("ra")).as("sxx"),
+        sum(col("rb") * col("rb")).as("syy"))
+      .withColumn("rho", expr(
+        "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+          "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+          "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"))
+      .orderBy("s1", "s2")
+  }
+
+  val q182Sql: String =
+    """WITH counts AS (
+      |  SELECT source, t, count(*) AS c
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), ' +'))
+      |               AS t
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |shared AS (
+      |  SELECT a.t, a.source AS s1, b.source AS s2, a.c AS ca, b.c AS cb
+      |  FROM counts a JOIN counts b ON a.t = b.t AND a.source < b.source),
+      |ranked AS (
+      |  SELECT s1, s2,
+      |         2 * rank() OVER (PARTITION BY s1, s2 ORDER BY ca)
+      |           + COUNT(*) OVER (PARTITION BY s1, s2, ca) - 1 AS ra,
+      |         2 * rank() OVER (PARTITION BY s1, s2 ORDER BY cb)
+      |           + COUNT(*) OVER (PARTITION BY s1, s2, cb) - 1 AS rb
+      |  FROM shared)
+      |SELECT s1, s2, COUNT(*) AS n,
+      |       CAST(SUM(ra) AS BIGINT) AS sx, CAST(SUM(rb) AS BIGINT) AS sy,
+      |       CAST(SUM(ra * rb) AS BIGINT) AS sxy,
+      |       CAST(SUM(ra * ra) AS BIGINT) AS sxx,
+      |       CAST(SUM(rb * rb) AS BIGINT) AS syy,
+      |       round((CAST(COUNT(*) AS DOUBLE) * SUM(ra * rb)
+      |              - CAST(SUM(ra) AS DOUBLE) * SUM(rb)) /
+      |             (sqrt(CAST(COUNT(*) AS DOUBLE) * SUM(ra * ra)
+      |                   - CAST(SUM(ra) AS DOUBLE) * SUM(ra)) *
+      |              sqrt(CAST(COUNT(*) AS DOUBLE) * SUM(rb * rb)
+      |                   - CAST(SUM(rb) AS DOUBLE) * SUM(rb))), 6) AS rho
+      |FROM ranked
+      |GROUP BY s1, s2
+      |ORDER BY s1, s2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q153 — linear-interpolation resampling to a regular grid: each event
   // type's mean-value series, re-sampled onto the full hour grid with
   // LINEAR interpolation across gaps (q75's LOCF fills with the stale

@@ -922,6 +922,45 @@ class RelationalSpec extends SparkSpec {
       "confidence is asymmetric whenever marginals differ")
   }
 
+  test("q182 Spearman: rho matches an average-rank brute force per pair") {
+    val counts = Tables.documents(spark, sf)
+      .selectExpr("source", "explode(split(trim(text), ' +')) AS t")
+      .groupBy("source", "t").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySource = counts.groupBy(_._1).view
+      .mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    def doubledRanks(xs: Seq[Long]): Map[Long, Long] = {
+      // doubled average rank per VALUE: 2*minrank + ties - 1
+      val sorted = xs.sorted
+      sorted.distinct.map { v =>
+        val lt = sorted.count(_ < v); val ties = sorted.count(_ == v)
+        v -> (2L * (lt + 1) + ties - 1)
+      }.toMap
+    }
+    val rows = Relational.q182SpearmanDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(5).foreach { r =>
+      val (s1, s2, n, rho) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(8))
+      val sharedToks = bySource(s1).keySet intersect bySource(s2).keySet
+      assert(n === sharedToks.size.toLong, s"shared vocab of ($s1,$s2)")
+      val ca = sharedToks.toSeq.map(bySource(s1))
+      val cb = sharedToks.toSeq.map(bySource(s2))
+      val (rka, rkb) = (doubledRanks(ca), doubledRanks(cb))
+      val xs = ca.map(rka); val ys = cb.map(rkb)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val exp = BigDecimal(
+        (n.toDouble * sxy - sx.toDouble * sy) /
+          (math.sqrt(n.toDouble * sxx - sx.toDouble * sx) *
+            math.sqrt(n.toDouble * syy - sy.toDouble * sy)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rho === exp, s"rho of ($s1,$s2)")
+      assert(rho >= -1.0 && rho <= 1.0)
+    }
+  }
+
   test("q173 k-anonymity: k/l flags fire exactly on planted classes") {
     import spark.implicits._
     val df = (
