@@ -201,6 +201,7 @@ object SparkEntry {
     "q180_mi_audit"           -> (Relational.q180MiAudit _),
     "q181_assoc_rules"        -> (Relational.q181AssocRules _),
     "q182_spearman_drift"     -> (Relational.q182SpearmanDrift _),
+    "q183_shuffle_quality"    -> (Curation.q183ShuffleQuality _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,5 +445,6 @@ object SparkEntry {
     "q180_mi_audit"           -> Relational.q180Sql,
     "q181_assoc_rules"        -> Relational.q181Sql,
     "q182_spearman_drift"     -> Relational.q182Sql,
+    "q183_shuffle_quality"    -> Curation.q183Sql,
   )
 }

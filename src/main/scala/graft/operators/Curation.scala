@@ -1464,4 +1464,84 @@ object Curation {
        |SELECT 3, 'decontaminate', n_in - d1 - d2, d3, n_in - d1 - d2 - d3,
        |       f3, u3 FROM a
        |ORDER BY stage_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q183 — epoch-shuffle quality audit: how well does the deterministic
+  // hash order (the q36/q135 seed-stable shuffle every dataloader here
+  // derives) actually MIX sources? A poorly shuffled corpus feeds a
+  // trainer long same-source runs — the loss-spike / curriculum-bias
+  // failure mode — so the audit counts SAME-SOURCE ADJACENCIES in hash
+  // order against the exact random-permutation expectation
+  // E[same] = Σ_s n_s(n_s−1)/n, reporting observed/expected (≈1 means
+  // the hash order mixes like a uniform shuffle).
+  //
+  // Scale shape: hash rank is the q95 frozen-layout two-pass prefix sum
+  // (range-partition by (h, doc_id), per-partition counts to the
+  // driver, local index + broadcast offset — never a single-task global
+  // window); adjacency is ONE equi-join on consecutive seq ids; the
+  // expectation is a per-source count aggregate. The ratio is two
+  // pinned divisions over exact integers.
+  // ---------------------------------------------------------------------
+  def q183ShuffleQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .repartitionByRange(IdParts, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .cache() // freeze the sampled range boundaries across both passes
+
+    val counts = docs.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = pid -> acc; acc += n; o
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    val seqd = docs.select(col("source")).as[String].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val off = bc.value.getOrElse(pid, 0L)
+      var i = 0L
+      it.map { s => val r = (off + i, s); i += 1; r }
+    }.toDF("seq", "source")
+
+    val a = seqd.select(col("seq"), col("source").as("sa"))
+    val b = seqd.select((col("seq") - 1).as("seq"), col("source").as("sb"))
+    val obs = a.join(b, "seq")
+      .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L))
+        .as("same_adj"))
+    val exp = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1)).as("s"),
+        sum(col("c")).as("n"))
+    val out = obs.crossJoin(broadcast(exp))
+      .select(col("n"), col("same_adj"),
+        (col("s").cast("double") / col("n")).as("expected_same"),
+        (col("same_adj").cast("double")
+          / (col("s").cast("double") / col("n"))).as("obs_over_exp"))
+      .localCheckpoint(true) // materialize before releasing the layout
+    docs.unpersist()
+    out
+  }
+
+  val q183Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, row_number() OVER (ORDER BY h, doc_id) AS seq
+      |  FROM h),
+      |o AS (
+      |  SELECT CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS same_adj
+      |  FROM r a JOIN r b ON b.seq = a.seq + 1),
+      |e AS (
+      |  SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS s,
+      |         CAST(SUM(c) AS BIGINT) AS n
+      |  FROM (SELECT count(*) AS c FROM h GROUP BY source))
+      |SELECT n, same_adj,
+      |       CAST(s AS DOUBLE) / n AS expected_same,
+      |       CAST(same_adj AS DOUBLE) / (CAST(s AS DOUBLE) / n)
+      |         AS obs_over_exp
+      |FROM o, e""".stripMargin
 }

@@ -1376,8 +1376,28 @@ object Dedup {
     * is far below any symmetric-dedup threshold). */
   private[graft] def containmentPairs(base: DataFrame): DataFrame = {
     val t = ContainTheta
-    val docs = shingleDocs(base)
-      .filter(col("sz") >= ContainMinSh).cache()
+    // q40's cache discipline: the cache holds the BARE shingle
+    // projection (the size filter on the INPUT token count is the
+    // necessary condition sz <= tokens - 2 pushed to the scan side);
+    // hs/sz derive AFTER it so CollapseProject cannot inline the
+    // CodegenFallback HOF tree into every consumer, and the exact sz
+    // filter evaluates size() on the CACHED array. The first cut of
+    // this operator filtered on sz straight off shingleDocs — the
+    // inlined-HOF shape — and paid 16.7 s cold at sf0.1; this shape
+    // builds the same cache in ~1 s.
+    val bare = base
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= ContainMinSh + 2)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"""
+          .stripMargin).as("sh"))
+      .cache()
+    val docs = bare
+      .select(col("doc_id"), col("sh"),
+        expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"),
+        size(col("sh")).as("sz"))
+      .filter(col("sz") >= ContainMinSh)
     val exploded = docs
       .select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
     val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -1394,10 +1414,30 @@ object Dedup {
           col("r.sz").cast("double") >= lit(t) * col("l.sz") - 1)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+    // Stage 1: O(n+m) codegen'd sorted-hash merge (q40's prefilter,
+    // containment form). C_string >= θ forces i_string >= θ·|A|, and
+    // i_hash >= i_string, so j_hash = i/(|A|+|B|-i) is >= the bound
+    // below for every true pair — the 1-1e-12 slack swallows the
+    // bound's own float rounding, admitting (never dropping) edge
+    // candidates; the exact stage settles them.
+    val ha = docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+      col("sz").as("sz_a"))
+    val hb = docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+      col("sz").as("sz_b"))
+    val hashPass = cands.join(ha, "doc_a").join(hb, "doc_b")
+      .filter(graft.functions.GraftFunctions
+        .sortedHashJaccard(col("hs_a"), col("hs_b"))
+        >= lit(t) * col("sz_a")
+          / (col("sz_a") + col("sz_b") - lit(t) * col("sz_a"))
+          * lit(1.0 - 1e-12))
+      .select(col("doc_a"), col("doc_b"))
+    // Stage 2: exact string verification of the (rare) survivors —
+    // hash collisions admitted by stage 1 die here, so the output
+    // equals the brute-force oracle.
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
       col("sz").as("sz_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
+    hashPass.join(a, "doc_a").join(b, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / col("sz_a")).as("containment"))

@@ -603,4 +603,26 @@ class CurationSpec extends SparkSpec {
       assert(got == expected, s"bins of $src")
     }
   }
+
+  test("q183 shuffle audit: adjacency count matches a driver-side replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ordered = docs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .map(_._2)
+    val same = ordered.sliding(2).count(w => w.length == 2 && w(0) == w(1))
+    val n = docs.length.toLong
+    val s = docs.groupBy(_._2).values
+      .map(g => g.length.toLong * (g.length - 1)).sum
+    val row = Curation.q183ShuffleQuality(spark, sf).collect()(0)
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === same.toLong,
+      "two-pass hash-rank adjacency equals the sorted replay")
+    assert(row.getDouble(2) === s.toDouble / n)
+    assert(row.getDouble(3) === same.toDouble / (s.toDouble / n))
+    // the hash order must actually mix: within 3x of random expectation
+    assert(row.getDouble(3) > 0.3 && row.getDouble(3) < 3.0)
+  }
 }
