@@ -202,6 +202,8 @@ object SparkEntry {
     "q181_assoc_rules"        -> (Relational.q181AssocRules _),
     "q182_spearman_drift"     -> (Relational.q182SpearmanDrift _),
     "q183_shuffle_quality"    -> (Curation.q183ShuffleQuality _),
+    "q184_agreement_kappa"    -> (TextAnalysis.q184AgreementKappa _),
+    "q185_classifier_metrics" -> (Similarity.q185ClassifierMetrics _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -446,5 +448,7 @@ object SparkEntry {
     "q181_assoc_rules"        -> Relational.q181Sql,
     "q182_spearman_drift"     -> Relational.q182Sql,
     "q183_shuffle_quality"    -> Curation.q183Sql,
+    "q184_agreement_kappa"    -> TextAnalysis.q184Sql,
+    "q185_classifier_metrics" -> Similarity.q185Sql,
   )
 }

@@ -1002,7 +1002,10 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  val q69Sql: String =
+  /** q69's brute-force kNN prediction as a CTE chain ending in `pred`
+    * — the common prefix of q69's per-anchor report and q185's
+    * classifier-metrics rollup. */
+  private val knnPredCtes: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
@@ -1023,14 +1026,95 @@ object Similarity {
        |  WHERE rank <= $TopK),
        |votes AS (
        |  SELECT anchor_id, true_label, nlabel, count(*) AS v
-       |  FROM top GROUP BY anchor_id, true_label, nlabel)
-       |SELECT anchor_id, true_label, nlabel AS pred_label, v AS votes,
-       |       CASE WHEN nlabel = true_label THEN 1 ELSE 0 END AS correct
-       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
-       |                                   ORDER BY v DESC, nlabel) AS pr
-       |      FROM votes)
-       |WHERE pr = 1
+       |  FROM top GROUP BY anchor_id, true_label, nlabel),
+       |pred AS (
+       |  SELECT anchor_id, true_label, nlabel AS pred_label, v AS votes,
+       |         CASE WHEN nlabel = true_label THEN 1 ELSE 0 END AS correct
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |                                     ORDER BY v DESC, nlabel) AS pr
+       |        FROM votes)
+       |  WHERE pr = 1)""".stripMargin
+
+  val q69Sql: String =
+    s"""$knnPredCtes
+       |SELECT anchor_id, true_label, pred_label, votes, correct
+       |FROM pred
        |ORDER BY anchor_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q185 — classifier evaluation metrics over q69's kNN predictions:
+  // per-class support, predicted count, true positives, precision,
+  // recall, and F1 — the eval rollup every labeling/distillation
+  // pipeline computes from a prediction frame. The class set is the
+  // union of gold and predicted labels (a class the classifier never
+  // predicts still reports its recall = 0 row).
+  //
+  // Shape: two |classes|-sized aggregates of the (anchor-sized)
+  // prediction frame + one outer-join rollup — nothing corpus-sized
+  // past q69's own machinery. precision/recall are single exact-int
+  // divisions; F1 = 2·p·r/(p+r) is one fixed chain over them with the
+  // zero-denominator case pinned to 0 (both engines), so every metric
+  // is bit-identical without rounding.
+  // ---------------------------------------------------------------------
+  def q185ClassifierMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = q69KnnClassify(spark, sfDir)
+      .select(col("true_label"), col("pred_label"), col("correct"))
+    val t = pred.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("correct").cast("long")).as("tp"))
+    val p = pred.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val classes = t.select(col("label")).unionAll(p.select(col("label")))
+      .distinct()
+    val base = classes
+      .join(t, Seq("label"), "left").join(p, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / col("n_pred"))
+          .as("precision"),
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / col("n_true"))
+          .as("recall"))
+    base
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        col("precision"), col("recall"),
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall"))).as("f1"))
+      .orderBy("label")
+  }
+
+  val q185Sql: String =
+    s"""$knnPredCtes,
+       |t AS (SELECT true_label AS label, COUNT(*) AS n_true,
+       |             CAST(SUM(correct) AS BIGINT) AS tp
+       |      FROM pred GROUP BY 1),
+       |p AS (SELECT pred_label AS label, COUNT(*) AS n_pred
+       |      FROM pred GROUP BY 1),
+       |cls AS (SELECT DISTINCT label
+       |        FROM (SELECT label FROM t UNION ALL SELECT label FROM p)),
+       |base AS (
+       |  SELECT cls.label,
+       |         COALESCE(n_true, 0) AS n_true,
+       |         COALESCE(n_pred, 0) AS n_pred,
+       |         COALESCE(tp, 0) AS tp,
+       |         CASE WHEN COALESCE(n_pred, 0) = 0 THEN 0e0
+       |              ELSE CAST(COALESCE(tp, 0) AS DOUBLE) / n_pred END
+       |           AS precision,
+       |         CASE WHEN COALESCE(n_true, 0) = 0 THEN 0e0
+       |              ELSE CAST(COALESCE(tp, 0) AS DOUBLE) / n_true END
+       |           AS recall
+       |  FROM cls LEFT JOIN t USING (label) LEFT JOIN p USING (label))
+       |SELECT label, n_true, n_pred, tp, precision, recall,
+       |       CASE WHEN precision + recall = 0e0 THEN 0e0
+       |            ELSE 2e0 * precision * recall / (precision + recall) END
+       |         AS f1
+       |FROM base
+       |ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------------------
   // q124 — exact embedding covariance matrix (population, upper

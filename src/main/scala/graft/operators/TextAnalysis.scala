@@ -1317,6 +1317,88 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------
+  // q184 — inter-rater agreement (Cohen's kappa) between the q18
+  // heuristic language classifier and the gold `lang` column: the
+  // weak-supervision audit every labeling pipeline runs — raw accuracy
+  // (p_o) overstates agreement whenever the class distribution is
+  // skewed, so the chance-corrected kappa = (p_o − p_e)/(1 − p_e) is
+  // the number a labeling-quality gate thresholds. The class set is
+  // the UNION of both raters' labels ('unknown' predictions enter p_e
+  // with a zero gold marginal, the textbook treatment).
+  //
+  // Shape: one corpus scan into a |classes|² confusion aggregate;
+  // marginals and totals are aggregates OF that aggregate. The chance
+  // term Σ row_c·col_c accumulates factor-cast DECIMAL(38,0) products
+  // (two 10^12-row marginals overflow an int64 product); p_o, p_e, and
+  // kappa are fixed single-op chains mirrored in the oracle.
+  // ---------------------------------------------------------------------
+  def q184AgreementKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val preds = q18LangId(spark, sfDir)
+      .select(col("lang").as("gold"), col("guess").as("pred"))
+    val conf = preds.groupBy(col("gold"), col("pred"))
+      .agg(count(lit(1)).as("c"))
+    val rows = conf.groupBy(col("gold").as("cls")).agg(sum(col("c")).as("row_n"))
+    val cols = conf.groupBy(col("pred").as("cls")).agg(sum(col("c")).as("col_n"))
+    val classes = rows.select(col("cls")).unionAll(cols.select(col("cls")))
+      .distinct()
+    val s = classes
+      .join(rows, Seq("cls"), "left").join(cols, Seq("cls"), "left")
+      .agg(sum(coalesce(col("row_n"), lit(0L)).cast("decimal(38,0)")
+        * coalesce(col("col_n"), lit(0L))).as("s"))
+    val t = conf.agg(sum(col("c")).as("n"),
+      sum(when(col("gold") === col("pred"), col("c")).otherwise(0L))
+        .as("agree"))
+    t.crossJoin(broadcast(s))
+      .select(col("n"), col("agree"),
+        (col("agree").cast("double") / col("n")).as("po"),
+        (col("s").cast("double")
+          / (col("n").cast("double") * col("n"))).as("pe"))
+      .select(col("n"), col("agree"), col("po"), col("pe"),
+        ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+  }
+
+  val q184Sql: String = {
+    val counts = markers.map { case (l, ws) =>
+      val pred = ws.map(w => s"t = '$w'").mkString(" OR ")
+      s"len(list_filter(toks, t -> $pred)) AS c_$l"
+    }.mkString(",\n           ")
+    val langs = markers.map(_._1)
+    val cases = langs.map { l =>
+      val conds = (langs.filter(_ != l).map(o => s"c_$l >= c_$o") :+ s"c_$l > 0")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n                ")
+    s"""WITH g AS (
+       |  SELECT lang AS gold,
+       |         CASE $cases
+       |              ELSE 'unknown' END AS pred
+       |  FROM (
+       |    SELECT lang,
+       |           $counts
+       |    FROM (SELECT lang, regexp_split_to_array(trim(text), ' +') AS toks
+       |          FROM documents))),
+       |conf AS (SELECT gold, pred, count(*) AS c FROM g GROUP BY 1, 2),
+       |r AS (SELECT gold AS cls, CAST(SUM(c) AS BIGINT) AS row_n
+       |      FROM conf GROUP BY 1),
+       |p AS (SELECT pred AS cls, CAST(SUM(c) AS BIGINT) AS col_n
+       |      FROM conf GROUP BY 1),
+       |cls AS (SELECT DISTINCT cls
+       |        FROM (SELECT cls FROM r UNION ALL SELECT cls FROM p)),
+       |s AS (SELECT SUM(CAST(COALESCE(row_n, 0) AS DECIMAL(38,0))
+       |                 * COALESCE(col_n, 0)) AS s
+       |      FROM cls LEFT JOIN r USING (cls) LEFT JOIN p USING (cls)),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |             CAST(SUM(CASE WHEN gold = pred THEN c ELSE 0 END)
+       |                  AS BIGINT) AS agree
+       |      FROM conf)
+       |SELECT n, agree, po, pe, (po - pe) / (1e0 - pe) AS kappa
+       |FROM (SELECT n, agree,
+       |             CAST(agree AS DOUBLE) / n AS po,
+       |             CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS pe
+       |      FROM t, s)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q160 — tokenizer fertility report per language: chars-per-BPE-token
   // and BPE-tokens-per-word — the metrics that decide whether a
   // tokenizer under-serves a language (high fertility = more tokens per

@@ -426,4 +426,24 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(maj - rows.map(_._3).max) < 1e-5)
     }
   }
+
+  test("q185 metrics: per-class P/R/F1 match a brute force over q69's preds") {
+    val preds = Similarity.q69KnnClassify(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    val classes = (preds.map(_._1) ++ preds.map(_._2)).distinct.sorted
+    val rows = Similarity.q185ClassifierMetrics(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq === classes, "class set = union of axes")
+    rows.foreach { case (c, nTrue, nPred, tp, p, r, f1) =>
+      assert(nTrue === preds.count(_._1 == c).toLong)
+      assert(nPred === preds.count(_._2 == c).toLong)
+      assert(tp === preds.count(x => x._1 == c && x._2 == c).toLong)
+      assert(p === (if (nPred == 0) 0.0 else tp.toDouble / nPred))
+      assert(r === (if (nTrue == 0) 0.0 else tp.toDouble / nTrue))
+      assert(f1 === (if (p + r == 0.0) 0.0 else 2.0 * p * r / (p + r)))
+    }
+    // micro-accuracy ties out: sum of tp over classes = correct preds
+    assert(rows.map(_._4).sum === preds.count(x => x._1 == x._2).toLong)
+  }
 }

@@ -387,6 +387,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q184 kappa: matches the confusion-matrix brute force, chance-corrected") {
+    val preds = TextAnalysis.q18LangId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(r.fieldIndex("guess"))))
+    val n = preds.length.toLong
+    val agree = preds.count { case (g, p) => g == p }.toLong
+    val classes = (preds.map(_._1) ++ preds.map(_._2)).distinct
+    val s = classes.map { c =>
+      preds.count(_._1 == c).toLong * preds.count(_._2 == c).toLong
+    }.sum
+    val po = agree.toDouble / n
+    val pe = s.toDouble / (n.toDouble * n)
+    val row = TextAnalysis.q184AgreementKappa(spark, sf).collect()(0)
+    assert(row.getLong(0) === n && row.getLong(1) === agree)
+    assert(row.getDouble(2) === po && row.getDouble(3) === pe)
+    assert(row.getDouble(4) === (po - pe) / (1.0 - pe))
+    assert(row.getDouble(4) < po,
+      "chance correction must bite on a skewed class distribution")
+    assert(row.getDouble(4) >= -1.0 && row.getDouble(4) <= 1.0)
+  }
+
   test("q178 Gini: matches the sorted-rank brute force and sits in [0, 1)") {
     val lens = Tables.documents(spark, sf)
       .select(size(split(trim(col("text")), " +")).as("v"))
