@@ -204,6 +204,7 @@ object SparkEntry {
     "q183_shuffle_quality"    -> (Curation.q183ShuffleQuality _),
     "q184_agreement_kappa"    -> (TextAnalysis.q184AgreementKappa _),
     "q185_classifier_metrics" -> (Similarity.q185ClassifierMetrics _),
+    "q186_ppl_buckets"        -> (TextAnalysis.q186PerplexityBuckets _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -450,5 +451,6 @@ object SparkEntry {
     "q183_shuffle_quality"    -> Curation.q183Sql,
     "q184_agreement_kappa"    -> TextAnalysis.q184Sql,
     "q185_classifier_metrics" -> Similarity.q185Sql,
+    "q186_ppl_buckets"        -> TextAnalysis.q186Sql,
   )
 }

@@ -1399,6 +1399,88 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------
+  // q186 — CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+  // every document by its cross-entropy under a corpus language model
+  // (here add-one-smoothed unigram — the oracle-checkable stand-in for
+  // CCNet's KenLM) and split the corpus into head/middle/tail TERCILES
+  // — the quality-prior partition CCNet feeds downstream filters. The
+  // tercile cuts are EXACT order statistics computed by q175's bounded
+  // bucket-narrowing selection, never a global ntile window (ntile is
+  // the single-task plan at corpus scale).
+  //
+  // Float discipline: per-instance -ln p(t) terms quantize to
+  // DECIMAL(18,6) (q55's trick) so the per-doc sum is order-insensitive
+  // and engine-identical; xent is ONE division; the rank rule
+  // k = ceil(n/3) / ceil(2n/3) is the same IEEE expression both
+  // engines evaluate, and bucketing compares against the exact cut
+  // values (raw data doubles).
+  // ---------------------------------------------------------------------
+  def q186PerplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(
+        split(lower(trim(col("text"))), " +")).as("w"))
+      .cache() // feeds vocabulary counts AND the scoring join
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).cache()
+    val vocab = uni.count()
+    val nTok = tok.count()
+    val denom = (nTok + vocab).toDouble
+    val perdoc = tok.join(uni, "w")
+      .select(col("doc_id"),
+        (-log((col("c") + lit(1.0)) / lit(denom)))
+          .cast("decimal(18,6)").as("nlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("nlp")).as("s"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("s").cast("double") / col("n_toks")).as("xent"))
+      .cache() // cut selection scans it repeatedly, bucketing once
+    val nDocs = perdoc.count()
+    val k1 = math.max(1L, math.ceil(nDocs / 3.0).toLong)
+    val k2 = math.max(1L, math.ceil(2.0 * nDocs / 3.0).toLong)
+    val xents = perdoc.select(col("xent").as("v"))
+    val c1 = Profiling.exactKth(xents, k1)
+    val c2 = Profiling.exactKth(xents, k2)
+    val out = perdoc
+      .select(col("doc_id"), col("n_toks"), col("xent"),
+        when(col("xent") <= c1, "head")
+          .when(col("xent") <= c2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+      .localCheckpoint(true) // materialize before releasing the caches
+    perdoc.unpersist(); uni.unpersist(); tok.unpersist()
+    out
+  }
+
+  val q186Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+      |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |m AS (SELECT (SELECT count(*) FROM tok) AS nn,
+      |             (SELECT count(*) FROM uni) AS vv),
+      |perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_toks,
+      |         CAST(SUM(nlp) AS DOUBLE) / COUNT(*) AS xent
+      |  FROM (SELECT doc_id,
+      |               CAST(-ln((c + 1e0) / (nn + vv)) AS DECIMAL(18,6)) AS nlp
+      |        FROM tok JOIN uni USING (w), m)
+      |  GROUP BY doc_id),
+      |nd AS (SELECT count(*) AS n FROM perdoc),
+      |r AS (SELECT xent, row_number() OVER (ORDER BY xent) AS rn FROM perdoc),
+      |cuts AS (
+      |  SELECT (SELECT xent FROM r, nd
+      |          WHERE rn = greatest(1, CAST(ceil(n / 3e0) AS BIGINT))) AS c1,
+      |         (SELECT xent FROM r, nd
+      |          WHERE rn = greatest(1, CAST(ceil(2e0 * n / 3e0) AS BIGINT)))
+      |           AS c2)
+      |SELECT doc_id, n_toks, xent,
+      |       CASE WHEN xent <= c1 THEN 'head'
+      |            WHEN xent <= c2 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM perdoc, cuts
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q160 — tokenizer fertility report per language: chars-per-BPE-token
   // and BPE-tokens-per-word — the metrics that decide whether a
   // tokenizer under-serves a language (high fertility = more tokens per

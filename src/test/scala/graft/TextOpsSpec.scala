@@ -407,6 +407,40 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getDouble(4) >= -1.0 && row.getDouble(4) <= 1.0)
   }
 
+  test("q186 perplexity buckets: xent recomputes and terciles split ~n/3") {
+    val toks = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "explode(split(lower(trim(text)), ' +')) AS w")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val uni = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val denom = (toks.length + uni.size).toDouble
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp = toks.groupBy(_._1).view.mapValues { ws =>
+      val s = ws.map { case (_, w) => q6(-math.log((uni(w) + 1.0) / denom)) }
+        .foldLeft(BigDecimal(0))(_ + _)
+      (ws.length.toLong, s.toDouble / ws.length)
+    }.toMap
+    val rows = TextAnalysis.q186PerplexityBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rows.length === exp.size)
+    rows.foreach { case (id, n, x, _) =>
+      assert((n, x) === exp(id), s"xent of doc $id")
+    }
+    val byBucket = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    val nd = rows.length
+    val k1 = math.ceil(nd / 3.0).toInt
+    val k2 = math.ceil(2.0 * nd / 3.0).toInt
+    // tercile sizes are exact up to ties at the cut values
+    val sorted = rows.map(_._3).sorted
+    val (c1, c2) = (sorted(k1 - 1), sorted(k2 - 1))
+    assert(byBucket("head") === rows.count(_._3 <= c1))
+    assert(byBucket.getOrElse("middle", 0) ===
+      rows.count(r => r._3 > c1 && r._3 <= c2))
+    assert(byBucket.getOrElse("tail", 0) === rows.count(_._3 > c2))
+    assert(byBucket("head") >= nd / 4 && byBucket("head") <= nd / 2,
+      "head is roughly a tercile")
+  }
+
   test("q178 Gini: matches the sorted-rank brute force and sits in [0, 1)") {
     val lens = Tables.documents(spark, sf)
       .select(size(split(trim(col("text")), " +")).as("v"))
