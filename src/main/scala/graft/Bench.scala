@@ -17,16 +17,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Hard budget for the final stdout line. The driver tail window is 2000
-    * chars and must also hold what follows the line: its newline plus
-    * sbt's epilogue (`[success] Total time: NNN s (MM:SS), completed
-    * <date>` — measured 73 chars, ≤ 84 at worst-case field widths;
-    * runMain stdout is NOT `[info]`-prefixed under -batch, verified
-    * against real bench logs). 1914 = 2000 − 84 epilogue − 1 line
-    * newline − 1 margin (pinned by BenchLineSpec). Raised from 1900 at
-    * the 178-query surface together with the zero-pad strip, the `s`
-    * stream key, and the whole-second total so the +15-query
-    * forward-headroom guard keeps holding. */
-  val DriverLineBudget = 1914
+    * chars and must also hold what follows the line: its newline, sbt's
+    * epilogue (`[success] Total time: ...`, ≤ ~84 chars at worst-case
+    * field widths), and any log-prefix bytes an sbt output strategy
+    * might add — 1900 keeps a 100-char margin for all of it. The
+    * [[BenchTopK]] cap makes the real line surface-independent
+    * (~1.1 KB), so the margin is genuinely free again. */
+  val DriverLineBudget = 1900
 
   /** Query-key shortening for the driver line:
     * "q01_sliding_window_agg" -> "1" (query number, zero-pad stripped —
@@ -49,8 +46,12 @@ object Bench {
     * stays fast is represented by the exact total — and the cap makes
     * the line length surface-independent for every future round. The
     * full per-query map (both raw runs, 3 dp) always rides the spread
-    * line; "nq" reports the measured surface size. */
-  val BenchTopK = 80
+    * line; "nq" reports the measured surface size. A regression BELOW
+    * the cutoff (e.g. 0.1 s -> 0.5 s) stays off the map — the 2-dp
+    * total still moves by it, and the spread line carries the
+    * per-query evidence; the cap is sized so the cutoff sits in the
+    * sub-second noise floor. */
+  val BenchTopK = 100
 
   /** Build the single driver-consumed JSON line. Query keys are
     * SHORTENED via [[shortKey]]: the full-name map grew past the tail
@@ -92,10 +93,7 @@ object Bench {
       // 175-query surface for line-budget headroom — the "stream" queries
       // key carries the same path's seconds). "cpus" (static 32) rides
       // the spread line since the same shave.
-      // whole-second total: the headline is a ~3-digit number whose
-      // 1-second resolution is 0.5% — per-query precision rides the
-      // spread line (3 dp) and the queries map (tiered).
-      f"""{"metric":"total","value":$total%.0f,"unit":"sec","nq":${queries.size},"queries":$qs,"sf":"${sf.split('/').last}","rps":$streamRowsPerSec%.0f}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${queries.size},"queries":$qs,"sf":"${sf.split('/').last}","rps":$streamRowsPerSec%.0f}"""
     require(line.length <= DriverLineBudget,
       s"driver line is ${line.length} chars > budget $DriverLineBudget: " +
         "trim keys/precision or move data to an earlier line, or the " +

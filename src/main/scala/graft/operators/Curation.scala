@@ -702,44 +702,28 @@ object Curation {
   //   pass 2: broadcast the per-partition prefix offsets; each partition
   //           assigns offset + local index over its sorted rows.
   //
-  // Correctness hinges on BOTH passes seeing the SAME partition
-  // boundaries. repartitionByRange samples its bounds per job with a
-  // seed derived from the materialized RDD's id — two separate actions
-  // re-sample and can split differently (observed at sf0.1: boundaries
-  // shifted by a few rows between the count pass and the assignment
-  // pass, corrupting every downstream offset). The layout is therefore
-  // FROZEN by caching the range-partitioned frame: the first pass
-  // materializes the blocks, the second reads the identical cached
-  // partitions. Rows are sorted by doc_id within each frozen partition,
-  // so offset + local rank == global rank, exactly the oracle's
-  // row_number. The per-partition loop is a mapPartitions — the one
-  // pattern where imperative iteration is the *scale-correct* choice,
-  // not a shortcut (no shuffle beyond the range exchange, no
+  // The frozen-layout machinery (and the boundary-resampling hazard it
+  // guards against) lives in [[TwoPass.frozenPrefix]], shared with
+  // q113/q177/q183. Rows are sorted by doc_id within each frozen
+  // partition, so offset + local rank == global rank, exactly the
+  // oracle's row_number. The per-partition loop is a mapPartitions —
+  // the one pattern where imperative iteration is the *scale-correct*
+  // choice, not a shortcut (no shuffle beyond the range exchange, no
   // single-task stage, no driver data path).
   // ---------------------------------------------------------------------
   private val IdParts = 8
 
   def q95ContiguousIds(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
-      .repartitionByRange(IdParts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .cache() // freeze the sampled range boundaries across both passes
-
-    // pass 1: partition histogram (P rows to the driver); materializes
-    // the cache, pinning the layout pass 2 will read
-    val counts = docs.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, n) =>
-      val o = pid -> acc; acc += n; o
-    }.toMap
+    val (docs, offsets, _) = TwoPass.frozenPrefix(
+      Tables.documents(spark, sfDir).select(col("doc_id")),
+      IdParts, Seq(col("doc_id")), Seq(count(lit(1))))
     val bc = spark.sparkContext.broadcast(offsets)
 
     // pass 2: offset + local index per cached partition
     val out = docs.as[Long].mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val off = bc.value.getOrElse(pid, 0L)
+      val off = bc.value.get(pid).map(_(0)).getOrElse(0L)
       var i = 0L
       it.map { d => val r = (d, off + i); i += 1; r }
     }.toDF("doc_id", "seq_id").orderBy("doc_id")
@@ -831,27 +815,17 @@ object Curation {
 
   def q113WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("n_chars").as("w"))
-      .repartitionByRange(IdParts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .cache() // freeze range boundaries across both passes (see q95)
-
-    // pass 1: per-partition weight totals (P longs to the driver)
-    val parts = docs.groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col("w")).as("pw"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = parts.map { case (pid, n) =>
-      val o = pid -> acc; acc += n; o
-    }.toMap
-    val totalW = acc
+    val (docs, offsets, totals) = TwoPass.frozenPrefix(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars").as("w")),
+      IdParts, Seq(col("doc_id")), Seq(sum(col("w"))))
+    val totalW = totals(0)
     val bc = spark.sparkContext.broadcast(offsets)
 
     // pass 2: running prefix per cached partition; integer mark count
     val out = docs.as[(Long, Long)].mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      var prefix = bc.value.getOrElse(pid, 0L)
+      var prefix = bc.value.get(pid).map(_(0)).getOrElse(0L)
       it.flatMap { case (id, w) =>
         val lo = prefix * SampleK / totalW
         val hi = (prefix + w) * SampleK / totalW
@@ -1484,24 +1458,16 @@ object Curation {
   // ---------------------------------------------------------------------
   def q183ShuffleQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        md5(col("doc_id").cast("string")).as("h"))
-      .repartitionByRange(IdParts, col("h"), col("doc_id"))
-      .sortWithinPartitions("h", "doc_id")
-      .cache() // freeze the sampled range boundaries across both passes
-
-    val counts = docs.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, n) =>
-      val o = pid -> acc; acc += n; o
-    }.toMap
+    val (docs, offsets, _) = TwoPass.frozenPrefix(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h")),
+      IdParts, Seq(col("h"), col("doc_id")), Seq(count(lit(1))))
     val bc = spark.sparkContext.broadcast(offsets)
 
     val seqd = docs.select(col("source")).as[String].mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val off = bc.value.getOrElse(pid, 0L)
+      val off = bc.value.get(pid).map(_(0)).getOrElse(0L)
       var i = 0L
       it.map { s => val r = (off + i, s); i += 1; r }
     }.toDF("seq", "source")
@@ -1511,8 +1477,9 @@ object Curation {
     val obs = a.join(b, "seq")
       .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L))
         .as("same_adj"))
+    // factor-cast: c·(c−1) overflows int64 past ~3e9 docs per source
     val exp = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - 1)).as("s"),
+      .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - 1)).as("s"),
         sum(col("c")).as("n"))
     val out = obs.crossJoin(broadcast(exp))
       .select(col("n"), col("same_adj"),
@@ -1536,7 +1503,7 @@ object Curation {
       |              AS BIGINT) AS same_adj
       |  FROM r a JOIN r b ON b.seq = a.seq + 1),
       |e AS (
-      |  SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS s,
+      |  SELECT SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS s,
       |         CAST(SUM(c) AS BIGINT) AS n
       |  FROM (SELECT count(*) AS c FROM h GROUP BY source))
       |SELECT n, same_adj,

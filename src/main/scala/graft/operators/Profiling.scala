@@ -357,7 +357,9 @@ object Profiling {
       .select(substring(floor(col("l_extendedprice")).cast("string"), 1, 1)
         .cast("int").as("digit"))
     val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    val total = digits.agg(count(lit(1)).as("total"))
+    // every row carries a digit, so the grand total is the sum of the
+    // 9-row aggregate — never a second corpus scan
+    val total = counts.agg(sum(col("n")).as("total"))
     val grid = BenfordExpected.toDF("digit", "expected")
     grid.join(counts, Seq("digit"), "left")
       .crossJoin(broadcast(total))
@@ -426,32 +428,20 @@ object Profiling {
     val tagged = Tables.lineitem(spark, sfDir)
       .select(col("l_extendedprice").as("v"),
         (pmod(col("l_orderkey"), lit(2)) === 0).as("a"))
-    val perValue = tagged.groupBy(col("v"))
-      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
-        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
-      .repartitionByRange(KsParts, col("v"))
-      .sortWithinPartitions("v")
-      .cache() // freeze the sampled range boundaries across both passes
-
-    // pass 1: per-partition mass (P rows to the driver); materializes
-    // the cache, pinning the layout pass 2 reads
-    val parts = perValue
-      .groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col("na")).as("sa"), sum(col("nb")).as("sb"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val nA = parts.map(_._2).sum
-    val nB = parts.map(_._3).sum
-    var (accA, accB) = (0L, 0L)
-    val offsets = parts.map { case (pid, sa, sb) =>
-      val o = pid -> ((accA, accB)); accA += sa; accB += sb; o
-    }.toMap
+    val (perValue, offsets, totals) = TwoPass.frozenPrefix(
+      tagged.groupBy(col("v"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("nb")),
+      KsParts, Seq(col("v")), Seq(sum(col("na")), sum(col("nb"))))
+    val (nA, nB) = (totals(0), totals(1))
     val bc = spark.sparkContext.broadcast(offsets)
 
     // pass 2: running CDF per frozen partition (rows are value-sorted)
     val cdf = perValue.as[(Double, Long, Long)].mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      var (ca, cb) = bc.value.getOrElse(pid, (0L, 0L))
+      val off = bc.value.get(pid)
+      var ca = off.map(_(0)).getOrElse(0L)
+      var cb = off.map(_(1)).getOrElse(0L)
       it.map { case (v, na, nb) =>
         ca += na; cb += nb
         (v, math.abs(ca.toDouble / nA - cb.toDouble / nB))

@@ -105,21 +105,30 @@ object TextAnalysis {
         col("punct_ratio"), col("len_sat"), col("quality"))
       .orderBy("doc_id")
 
-  val q17Sql: String = {
+  /** Per-doc quality-feature subquery + the score expression — the ONE
+    * SQL rendering of `qualityFrame`, shared by q17Sql and q179Sql so
+    * a weight/stopword change cannot silently diverge the two oracles
+    * (the Spark sides already share `qualityFrame`). */
+  private def qualityFeatureSql: String = {
     val duckStop = stopwords.map(w => s"t = '$w'").mkString(" OR ")
-    s"""SELECT doc_id, n_tokens, stop_ratio, punct_ratio, len_sat,
-       |       0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio) + 0.3 * len_sat AS quality
-       |FROM (
-       |  SELECT doc_id,
+    s"""SELECT doc_id,
        |         len(toks) AS n_tokens,
        |         CAST(len(list_filter(toks, t -> $duckStop)) AS DOUBLE) / len(toks) AS stop_ratio,
        |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
        |           / length(text) AS punct_ratio,
        |         LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_sat
        |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), ' +') AS toks
-       |        FROM documents))
-       |ORDER BY doc_id""".stripMargin
+       |        FROM documents)""".stripMargin
   }
+  private val qualityExprSql =
+    "0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio) + 0.3 * len_sat"
+
+  val q17Sql: String =
+    s"""SELECT doc_id, n_tokens, stop_ratio, punct_ratio, len_sat,
+       |       $qualityExprSql AS quality
+       |FROM (
+       |  $qualityFeatureSql)
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q18 — language identification via stopword-marker counts (n-gram
@@ -1253,7 +1262,6 @@ object TextAnalysis {
   }
 
   val q179Sql: String = {
-    val duckStop = stopwords.map(w => s"t = '$w'").mkString(" OR ")
     s"""WITH d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS toks
        |  FROM documents),
@@ -1288,20 +1296,9 @@ object TextAnalysis {
        |        FROM scored GROUP BY doc_id
        |        ORDER BY score DESC, doc_id LIMIT $RrfPool)),
        |q AS (
-       |  SELECT doc_id,
-       |         0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
-       |           + 0.3 * len_sat AS quality
+       |  SELECT doc_id, $qualityExprSql AS quality
        |  FROM (
-       |    SELECT doc_id,
-       |           CAST(len(list_filter(toks, t -> $duckStop)) AS DOUBLE)
-       |             / len(toks) AS stop_ratio,
-       |           CAST(length(text) - length(regexp_replace(text,
-       |             '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
-       |             AS punct_ratio,
-       |           LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_sat
-       |    FROM (SELECT doc_id, text,
-       |                 regexp_split_to_array(trim(text), ' +') AS toks
-       |          FROM documents))),
+       |  $qualityFeatureSql)),
        |b AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS rb
        |  FROM (SELECT doc_id, quality FROM q
@@ -2108,10 +2105,14 @@ object TextAnalysis {
       .agg(
         sum(col("c")).as("n_docs"),
         sum(col("v") * col("c")).as("total_tokens"),
-        sum(expr("CAST(v * (c * m + (c * (c + 1)) DIV 2) AS DECIMAL(38,0))"))
-          .as("s"))
+        // DOUBLED rank-mass 2·Σ rank·x per tie group = v·c·(2m+c+1),
+        // with the count factor cast to DECIMAL(38,0) BEFORE any
+        // multiplication — c·m alone overflows int64 at corpus scale
+        // (c ~ 1e8 docs of one length x m ~ 1e12 cumulative)
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (2 * m + c + 1) * v"))
+          .as("s2"))
       .select(col("n_docs"), col("total_tokens"),
-        ((lit(2.0) * col("s").cast("double")
+        ((col("s2").cast("double")
           - (col("n_docs").cast("double") + lit(1.0))
             * col("total_tokens").cast("double"))
           / (col("n_docs").cast("double")
@@ -2131,11 +2132,10 @@ object TextAnalysis {
       |a AS (
       |  SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
       |         CAST(SUM(v * c) AS BIGINT) AS total_tokens,
-      |         SUM(CAST(v * (c * m + (c * (c + 1)) // 2) AS DECIMAL(38,0)))
-      |           AS s
+      |         SUM(CAST(c AS DECIMAL(38,0)) * (2 * m + c + 1) * v) AS s2
       |  FROM w)
       |SELECT n_docs, total_tokens,
-      |       (2e0 * CAST(s AS DOUBLE)
+      |       (CAST(s2 AS DOUBLE)
       |          - (CAST(n_docs AS DOUBLE) + 1e0)
       |            * CAST(total_tokens AS DOUBLE))
       |         / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))

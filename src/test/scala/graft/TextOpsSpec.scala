@@ -447,8 +447,8 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getInt(0).toLong).sorted
     val n = lens.length.toLong
     val t = lens.sum
-    val s = lens.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
-    val brute = (2.0 * s.toDouble - (n.toDouble + 1.0) * t.toDouble) /
+    val s2 = 2L * lens.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val brute = (s2.toDouble - (n.toDouble + 1.0) * t.toDouble) /
       (n.toDouble * t.toDouble)
     val row = TextAnalysis.q178GiniTokenMass(spark, sf).collect()(0)
     assert(row.getLong(0) === n)
