@@ -205,6 +205,8 @@ object SparkEntry {
     "q184_agreement_kappa"    -> (TextAnalysis.q184AgreementKappa _),
     "q185_classifier_metrics" -> (Similarity.q185ClassifierMetrics _),
     "q186_ppl_buckets"        -> (TextAnalysis.q186PerplexityBuckets _),
+    "q187_token_waterfill"    -> (Curation.q187TokenWaterfill _),
+    "q188_dedup_sweep"        -> (Dedup.q188DedupSweep _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -452,5 +454,7 @@ object SparkEntry {
     "q184_agreement_kappa"    -> TextAnalysis.q184Sql,
     "q185_classifier_metrics" -> Similarity.q185Sql,
     "q186_ppl_buckets"        -> TextAnalysis.q186Sql,
+    "q187_token_waterfill"    -> Curation.q187Sql,
+    "q188_dedup_sweep"        -> Dedup.q188Sql,
   )
 }

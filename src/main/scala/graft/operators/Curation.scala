@@ -1440,6 +1440,92 @@ object Curation {
        |ORDER BY stage_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q187 — token-budget waterfilling allocator: split a training-token
+  // budget B across sources so no source exceeds its available cap and
+  // the unsaturated sources share EQUALLY — the max-min fair allocation
+  // (the waterfilling solution: alloc_s = min(cap_s, λ) with the water
+  // line λ chosen so Σ alloc = B). The budget-constrained complement of
+  // q99's temperature mixture (which reweights by size, unconstrained)
+  // and q67's fixed upsampling: this is what a data planner runs when
+  // the budget is smaller than the corpus and no source may repeat.
+  //
+  // Exact closed form, no iteration: sort sources by cap ascending;
+  // with exclusive prefix mass m_k and r_k sources remaining, the water
+  // line is λ = (B − m_{k*-1}) / r_{k*} at the FIRST k where that
+  // candidate fits under cap_k (such a k always exists: k = K works
+  // whenever B <= T, and B > T saturates everyone). All inputs to λ are
+  // exact integers; λ and each allocation are single/fixed IEEE ops.
+  //
+  // Shape: one |sources|-group aggregate; the prefix window runs over
+  // |sources| rows (bounded); the λ pick is a bounded top-1.
+  // ---------------------------------------------------------------------
+  private[graft] val WaterBudgetDiv = 2L // budget = total tokens DIV 2
+
+  def q187TokenWaterfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val caps = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(trim(col("text")), " +")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("cap"))
+    val W = org.apache.spark.sql.expressions.Window
+    val byCap = W.orderBy(col("cap"), col("source"))
+    val ranked = caps
+      .select(col("source"), col("cap"),
+        row_number().over(byCap).as("k"),
+        coalesce(sum(col("cap")).over(
+          byCap.rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("m"))
+      .crossJoin(broadcast(caps.agg(sum(col("cap")).as("total"))))
+      .select(col("source"), col("cap"), col("k"), col("m"), col("total"),
+        expr(s"total DIV $WaterBudgetDiv").as("budget"))
+      .cache() // feeds the λ pick and the allocation rollup
+    val count1 = ranked.agg(count(lit(1)).as("nsrc"))
+    val lam = ranked.crossJoin(broadcast(count1))
+      .select(col("k"), col("cap"),
+        ((col("budget") - col("m")).cast("double")
+          / (col("nsrc") - col("k") + 1)).as("lam"))
+      .filter(col("lam") <= col("cap").cast("double"))
+      .orderBy(col("k")).limit(1)
+      .select(col("lam"))
+    val out = ranked.crossJoin(broadcast(lam))
+      .select(col("source"), col("cap"), col("total"), col("budget"),
+        least(col("cap").cast("double"), col("lam")).as("allocation"),
+        (col("cap").cast("double") <= col("lam")).as("saturated"))
+      .orderBy("source")
+      .localCheckpoint(true)
+    ranked.unpersist()
+    out
+  }
+
+  val q187Sql: String =
+    s"""WITH caps AS (
+       |  SELECT source,
+       |         CAST(SUM(len(regexp_split_to_array(trim(text), ' +')))
+       |              AS BIGINT) AS cap
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(cap) AS BIGINT) AS total,
+       |               CAST(SUM(cap) AS BIGINT) // $WaterBudgetDiv AS budget
+       |        FROM caps),
+       |n AS (SELECT count(*) AS nsrc FROM caps),
+       |ranked AS (
+       |  SELECT source, cap,
+       |         row_number() OVER (ORDER BY cap, source) AS k,
+       |         CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS m
+       |  FROM caps),
+       |lam AS (
+       |  SELECT lam FROM (
+       |    SELECT k, CAST(budget - m AS DOUBLE) / (nsrc - k + 1) AS lam,
+       |           cap
+       |    FROM ranked, tot, n)
+       |  WHERE lam <= CAST(cap AS DOUBLE)
+       |  ORDER BY k LIMIT 1)
+       |SELECT source, cap, total, budget,
+       |       LEAST(CAST(cap AS DOUBLE), lam) AS allocation,
+       |       CAST(cap AS DOUBLE) <= lam AS saturated
+       |FROM ranked, tot, lam
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q183 — epoch-shuffle quality audit: how well does the deterministic
   // hash order (the q36/q135 seed-stable shuffle every dataloader here
   // derives) actually MIX sources? A poorly shuffled corpus feeds a

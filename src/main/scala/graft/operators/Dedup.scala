@@ -1341,6 +1341,67 @@ object Dedup {
        |ORDER BY doc_id, fp_pos""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q188 — dedup threshold-sensitivity sweep: how many near-dup pairs
+  // (and how many affected documents) would each Jaccard threshold
+  // remove? The tuning curve behind picking θ for q20/q40 — a cliff
+  // between two grid points means the threshold sits inside a dense
+  // similarity mode and small changes swing the corpus. Rides q40's
+  // EXACT pair set at its base threshold (0.5): the grid re-aggregates
+  // the verified pairs, so the sweep costs ONE similarity join for all
+  // five thresholds, not five.
+  //
+  // Shape: q40's plan + a broadcast 5-row grid theta-join (each pair
+  // lands on every threshold it clears) + one (theta) aggregate with a
+  // distinct-doc explode. Threshold compares are double-vs-double with
+  // DOUBLE-cast grid literals both engines.
+  // ---------------------------------------------------------------------
+  private[graft] val SweepThetas = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  def q188DedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val grid = SweepThetas.toDF("theta")
+    val hits = q40NgramJaccard(spark, sfDir)
+      .join(broadcast(grid), col("jaccard") >= col("theta"))
+      .select(col("theta"), col("doc_a"), col("doc_b"))
+      .cache() // pair counts and the distinct-doc explode share it
+    val np = hits.groupBy(col("theta")).agg(count(lit(1)).as("n_pairs"))
+    val nd = hits
+      .select(col("theta"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .groupBy(col("theta")).agg(count(lit(1)).as("n_docs"))
+    // grid-left: a threshold clearing zero pairs still reports its row
+    grid.join(np, Seq("theta"), "left").join(nd, Seq("theta"), "left")
+      .select(col("theta"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("theta")
+  }
+
+  val q188Sql: String =
+    s"""WITH pairs AS (
+       |${q40Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |grid AS (SELECT CAST(theta AS DOUBLE) AS theta
+       |         FROM (VALUES ${SweepThetas.map(t => s"($t)").mkString(", ")})
+       |           t(theta)),
+       |hits AS (
+       |  SELECT theta, doc_a, doc_b
+       |  FROM pairs JOIN grid ON jaccard >= theta)
+       |SELECT g.theta,
+       |       COALESCE(p.n_pairs, 0) AS n_pairs,
+       |       COALESCE(d.n_docs, 0) AS n_docs
+       |FROM grid g
+       |LEFT JOIN (SELECT theta, count(*) AS n_pairs
+       |           FROM hits GROUP BY theta) p ON g.theta = p.theta
+       |LEFT JOIN (SELECT theta, count(*) AS n_docs
+       |           FROM (SELECT DISTINCT theta, doc_id
+       |                 FROM (SELECT theta, unnest([doc_a, doc_b]) AS doc_id
+       |                       FROM hits)) GROUP BY theta) d
+       |  ON g.theta = d.theta
+       |ORDER BY g.theta""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q174 — asymmetric shingle CONTAINMENT (doc-in-doc detection):
   // ordered pairs (a, b) where C(a,b) = |S(a) ∩ S(b)| / |S(a)| >= θ —
   // document a is (nearly) a subset of document b. The near-SUPERSET

@@ -604,6 +604,64 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("TwoPass.frozenPrefix: offsets + totals reproduce the global order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    // adversarial order: keys arrive reversed with a skewed weight
+    val df = (1 to 997).reverse.map(i => (i.toLong, (i % 13 + 1).toLong))
+      .toDF("k", "w")
+    val (frozen, offsets, totals) = graft.operators.TwoPass.frozenPrefix(
+      df, 7, Seq($"k"), Seq(count(lit(1)), sum($"w")))
+    assert(totals(0) === 997L)
+    assert(totals(1) === (1 to 997).map(i => (i % 13 + 1).toLong).sum)
+    // pass 2: global sequence ids from offset + local index must equal
+    // the rank in ascending-k order — the q95 contract
+    val bc = spark.sparkContext.broadcast(offsets)
+    val seqd = frozen.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val off = bc.value.get(pid).map(_(0)).getOrElse(0L)
+      var i = 0L
+      it.map { case (k, _) => val r = (k, off + i); i += 1; r }
+    }.collect().toMap
+    frozen.unpersist()
+    (1 to 997).foreach { k =>
+      assert(seqd(k.toLong) === (k - 1).toLong, s"rank of key $k")
+    }
+  }
+
+  test("q187 waterfilling: allocations match the closed form and fill B") {
+    val caps = Tables.documents(spark, sf)
+      .selectExpr("source", "size(split(trim(text), ' +')) AS t")
+      .groupBy("source").agg(sum("t").as("cap")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(x => (x._2, x._1))
+    val total = caps.map(_._2).sum
+    val budget = total / Curation.WaterBudgetDiv
+    // brute waterline: first k (asc) whose equal-share fits under cap_k
+    var m = 0L
+    var lam = Double.NaN
+    var found = false
+    caps.zipWithIndex.foreach { case ((_, c), i) =>
+      if (!found) {
+        val cand = (budget - m).toDouble / (caps.length - i)
+        if (cand <= c.toDouble) { lam = cand; found = true } else m += c
+      }
+    }
+    val rows = Curation.q187TokenWaterfill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.length === caps.length)
+    val capOf = caps.toMap
+    rows.foreach { case (s, cap, t, b, alloc, sat) =>
+      assert(cap === capOf(s) && t === total && b === budget)
+      assert(alloc === math.min(cap.toDouble, lam), s"allocation of $s")
+      assert(sat === (cap.toDouble <= lam))
+      assert(alloc <= cap.toDouble, "never exceeds the available tokens")
+    }
+    // the unsaturated sources share equally and the budget is exhausted
+    assert(math.abs(rows.map(_._5).sum - budget.toDouble) < 1e-6 * budget,
+      "sum of allocations equals the budget")
+  }
+
   test("q183 shuffle audit: adjacency count matches a driver-side replay") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -781,6 +781,25 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("q188 sweep: monotone in theta and consistent with q40's pair set") {
+    val pairs = Dedup.q40NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rows = Dedup.q188DedupSweep(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Dedup.SweepThetas)
+    rows.foreach { case (th, np, nd) =>
+      val exp = pairs.filter(_._3 >= th)
+      assert(np === exp.length.toLong, s"pairs at $th")
+      assert(nd === exp.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"docs at $th")
+      assert(nd <= 2 * np, "affected docs bounded by pair endpoints")
+    }
+    assert(rows.sliding(2).forall(w => w(0)._2 >= w(1)._2),
+      "pair count is non-increasing in theta")
+    assert(rows.head._2 === pairs.length.toLong,
+      "the base threshold row IS q40's pair set")
+  }
+
   test("q174 containment equals brute force over every ordered pair") {
     import org.apache.spark.sql.functions.{col, split, trim}
     val sets = Tables.documents(spark, sf)
