@@ -207,6 +207,7 @@ object SparkEntry {
     "q186_ppl_buckets"        -> (TextAnalysis.q186PerplexityBuckets _),
     "q187_token_waterfill"    -> (Curation.q187TokenWaterfill _),
     "q188_dedup_sweep"        -> (Dedup.q188DedupSweep _),
+    "q189_snm_dedup"          -> (Dedup.q189SnmDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -456,5 +457,6 @@ object SparkEntry {
     "q186_ppl_buckets"        -> TextAnalysis.q186Sql,
     "q187_token_waterfill"    -> Curation.q187Sql,
     "q188_dedup_sweep"        -> Dedup.q188Sql,
+    "q189_snm_dedup"          -> Dedup.q189Sql,
   )
 }

@@ -1402,6 +1402,113 @@ object Dedup {
        |ORDER BY g.theta""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q189 — sorted-neighborhood (SNM) dedup (Hernández & Stolfo 1995):
+  // the THIRD blocking strategy of the family — sort the corpus by a
+  // locality-preserving key (here the lowercased first SnmKeyTok
+  // tokens: shared openings sort adjacent), slide a SnmW-row window,
+  // and verify only pairs within the window. Complements the inverted
+  // index (q40: recall-complete, cost scales with df) and LSH banding
+  // (q20: probabilistic recall, constant cost): SNM's candidate count
+  // is EXACTLY n·w regardless of similarity structure — the
+  // predictable-budget blocker a production linkage pipeline runs
+  // first — at the price of missing near-dups whose keys sort apart
+  // (the spec measures that recall against q40's complete set; the
+  // ORACLE pins SNM's own deterministic semantics, so the gate stays
+  // exact).
+  //
+  // Shape: the global sort RANK comes from the q95 frozen two-pass
+  // scaffold (TwoPass.frozenPrefix — never a single-task window);
+  // window pairs come from ONE equi-join on the SnmW-sized block id
+  // (same + adjacent block, |seq diff| <= SnmW filter inside), so
+  // join fan-out is bounded by 2·SnmW per row; survivors verify with
+  // exact string-shingle Jaccard (q40's final stage).
+  // ---------------------------------------------------------------------
+  private[graft] val SnmW      = 10 // neighborhood window (rows)
+  private[graft] val SnmKeyTok = 5  // sort-key prefix tokens
+
+  def q189SnmDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = JaccardThreshold
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"""array_join(slice(split(lower(trim(text)), ' +'),
+                 1, $SnmKeyTok), ' ')""").as("k"))
+    val (frozen, offsets, _) = TwoPass.frozenPrefix(
+      keyed, 8, Seq(col("k"), col("doc_id")), Seq(count(lit(1))))
+    val bc = spark.sparkContext.broadcast(offsets)
+    val seqd = frozen.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val off = bc.value.get(pid).map(_(0)).getOrElse(0L)
+      var i = 0L
+      it.map { d => val r = (d, off + i); i += 1; r }
+    }.toDF("doc_id", "seq")
+      .localCheckpoint(true) // pin ids before releasing the layout
+    frozen.unpersist()
+
+    // windowed candidates: same or adjacent SnmW-block, 0 < diff <= w
+    val a = seqd.select(col("doc_id").as("id_a"), col("seq").as("sa"),
+      expr(s"seq DIV $SnmW").as("b"))
+    val bset = seqd.select(col("doc_id").as("id_b"), col("seq").as("sb"),
+      explode(expr(s"array(seq DIV $SnmW, seq DIV $SnmW - 1)")).as("b"))
+    val cands = a.join(bset, "b")
+      .filter(col("sb") - col("sa") > 0 && col("sb") - col("sa") <= SnmW)
+      .select(col("id_a"), col("id_b")).distinct()
+
+    // exact verification on string shingles (q40's final stage)
+    val docs = shingleDocs(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")))
+    val da = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val db = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(da, "id_a").join(db, "id_b")
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle pins SNM's own deterministic semantics: the identical sort
+    * rank, window rule, and exact-Jaccard verify. */
+  val q189Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |         array_to_string(
+       |           regexp_split_to_array(lower(trim(text)), ' +')[1:$SnmKeyTok],
+       |           ' ') AS k
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS seq
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM r a JOIN r b
+       |    ON b.seq > a.seq AND b.seq <= a.seq + $SnmW),
+       |t AS (
+       |  SELECT doc_id,
+       |         list_distinct(CASE WHEN len(toks) >= 3
+       |           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                 for i in range(1, len(toks) - 1)]
+       |           ELSE [] END) AS sh
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |        FROM documents))
+       |SELECT DISTINCT
+       |       LEAST(id_a, id_b) AS doc_a,
+       |       GREATEST(id_a, id_b) AS doc_b,
+       |       CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+       |         / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+       |FROM cand
+       |JOIN t ta ON cand.id_a = ta.doc_id
+       |JOIN t tb ON cand.id_b = tb.doc_id
+       |WHERE len(ta.sh) > 0 AND len(tb.sh) > 0
+       |  AND CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(ta.sh, tb.sh)))
+       |        >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q174 — asymmetric shingle CONTAINMENT (doc-in-doc detection):
   // ordered pairs (a, b) where C(a,b) = |S(a) ∩ S(b)| / |S(a)| >= θ —
   // document a is (nearly) a subset of document b. The near-SUPERSET

@@ -800,6 +800,36 @@ class TrainingDataSpec extends SparkSpec {
       "the base threshold row IS q40's pair set")
   }
 
+  test("q189 SNM: equals the sorted-window brute replay, subset of q40") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val key = docs.map { case (id, tx) =>
+      id -> tx.trim.toLowerCase.split(" +").take(Dedup.SnmKeyTok).mkString(" ")
+    }.toMap
+    val order = docs.map(_._1).sortBy(id => (key(id), id))
+    val sh = docs.map { case (id, tx) =>
+      val toks = tx.trim.split(" +")
+      id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val expected = (for {
+      i <- order.indices; j <- (i + 1) to math.min(i + Dedup.SnmW, order.length - 1)
+      a = order(i); b = order(j)
+      if sh(a).nonEmpty && sh(b).nonEmpty
+      jac = sh(a).intersect(sh(b)).size.toDouble /
+        (sh(a) union sh(b)).size
+      if jac >= 0.5
+    } yield (math.min(a, b), math.max(a, b), jac)).toSet
+    val got = Dedup.q189SnmDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected, "frozen-rank window must equal the sorted replay")
+    assert(got.nonEmpty, "shared openings put near-dups in the window")
+    val complete = Dedup.q40NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.subsetOf(complete),
+      "SNM verifies with the same exact Jaccard — it can only MISS pairs")
+  }
+
   test("q174 containment equals brute force over every ordered pair") {
     import org.apache.spark.sql.functions.{col, split, trim}
     val sets = Tables.documents(spark, sf)
