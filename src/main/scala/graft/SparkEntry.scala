@@ -208,6 +208,7 @@ object SparkEntry {
     "q187_token_waterfill"    -> (Curation.q187TokenWaterfill _),
     "q188_dedup_sweep"        -> (Dedup.q188DedupSweep _),
     "q189_snm_dedup"          -> (Dedup.q189SnmDedup _),
+    "q190_contam_spans"       -> (Curation.q190ContamSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -458,5 +459,6 @@ object SparkEntry {
     "q187_token_waterfill"    -> Curation.q187Sql,
     "q188_dedup_sweep"        -> Dedup.q188Sql,
     "q189_snm_dedup"          -> Dedup.q189Sql,
+    "q190_contam_spans"       -> Curation.q190Sql,
   )
 }

@@ -1440,6 +1440,101 @@ object Curation {
        |ORDER BY stage_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q190 — contamination SPAN forensics: where exactly does benchmark
+  // text sit inside a training document? q41 answers the BINARY
+  // question (drop/keep) from distinct shared 4-grams; this keeps every
+  // matched window's POSITION and merges coverage-overlapping windows
+  // (gap <= DeconN tokens) into maximal spans per (train doc, test
+  // doc) — the evidence a contamination review actually reads (and the
+  // input to span-level scrubbing, where only the quoted run is cut
+  // instead of the whole document).
+  //
+  // Shape: the positional gram explode is the same scan as q41's (no
+  // distinct — positions matter); the join stays keyed on the 16-byte
+  // gram hash; the run-merge is a lag + running-flag-sum window
+  // PARTITIONED by (doc, test_doc) — partitions are document-sized,
+  // never corpus-sized. All outputs are exact integers.
+  // ---------------------------------------------------------------------
+  def q190ContamSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), splitBucket, toks.as("toks"))
+    val posGrams = d
+      .filter(size(col("toks")) >= DeconN)
+      .select(col("doc_id"), col("bucket"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $DeconN),
+           |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3]))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("bucket"), col("pos"),
+        md5(col("col")).as("gh"))
+    val train = posGrams.filter(col("bucket") < 90)
+      .select(col("doc_id"), col("pos"), col("gh"))
+    val test = posGrams.filter(col("bucket") >= 95)
+      .select(col("doc_id").as("test_doc"), col("gh")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("test_doc")).orderBy(col("pos"))
+    train.join(test, "gh")
+      .select(col("doc_id"), col("test_doc"), col("pos")).distinct()
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > DeconN, 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("test_doc"), col("run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(DeconN - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("test_doc"), col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+      .orderBy("doc_id", "test_doc", "span_start")
+  }
+
+  val q190Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT AS BIGINT)
+       |           % 100 AS bucket,
+       |         regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, bucket, (u).p AS pos, md5((u).g) AS gh FROM (
+       |    SELECT doc_id, bucket,
+       |           unnest([{'p': i - 1,
+       |                    'g': toks[i] || ' ' || toks[i+1] || ' ' ||
+       |                         toks[i+2] || ' ' || toks[i+3]}
+       |                   for i in range(1, len(toks) - ${DeconN - 2})]) AS u
+       |    FROM d WHERE len(toks) >= $DeconN)),
+       |tr AS (SELECT doc_id, pos, gh FROM g WHERE bucket < 90),
+       |te AS (SELECT DISTINCT doc_id AS test_doc, gh FROM g
+       |       WHERE bucket >= 95),
+       |m AS (
+       |  SELECT DISTINCT tr.doc_id, te.test_doc, tr.pos
+       |  FROM tr JOIN te USING (gh)),
+       |flagged AS (
+       |  SELECT doc_id, test_doc, pos,
+       |         CASE WHEN pos - lag(pos) OVER
+       |               (PARTITION BY doc_id, test_doc ORDER BY pos)
+       |               > $DeconN THEN 1 ELSE 0 END AS brk
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_id, test_doc, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id, test_doc ORDER BY pos
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING
+       |                        AND CURRENT ROW) AS run
+       |  FROM flagged)
+       |SELECT doc_id, test_doc,
+       |       CAST(MIN(pos) AS BIGINT) AS span_start,
+       |       CAST(MAX(pos) + ${DeconN - 1} AS BIGINT) AS span_end,
+       |       CAST(MAX(pos) + ${DeconN - 1} - MIN(pos) + 1 AS BIGINT)
+       |         AS span_tokens,
+       |       COUNT(*) AS n_windows
+       |FROM runs
+       |GROUP BY doc_id, test_doc, run
+       |ORDER BY doc_id, test_doc, span_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q187 — token-budget waterfilling allocator: split a training-token
   // budget B across sources so no source exceeds its available cap and
   // the unsaturated sources share EQUALLY — the max-min fair allocation

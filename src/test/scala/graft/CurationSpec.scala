@@ -629,6 +629,52 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q190 spans: brute-force run merge, and doc set equals q41's flags") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = 4
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(tx: String): Long =
+      java.lang.Long.parseLong(md5hex(tx).take(8), 16) % 100
+    def grams(tx: String): Seq[(Int, String)] = {
+      val t = tx.trim.split(" +")
+      if (t.length < n) Seq.empty
+      else (0 to t.length - n).map(i => i -> t.slice(i, i + n).mkString(" "))
+    }
+    val testGrams: Map[String, Seq[Long]] = docs
+      .filter(d => bucket(d._2) >= 95)
+      .flatMap { case (id, tx) => grams(tx).map(g => g._2 -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    val expected = docs.filter(d => bucket(d._2) < 90).flatMap { case (id, tx) =>
+      val hits = grams(tx).flatMap { case (p, g) =>
+        testGrams.getOrElse(g, Seq.empty[Long]).map(td => (td, p)) }
+      hits.groupBy(_._1).toSeq.flatMap { case (td, ps) =>
+        val sorted = ps.map(_._2).distinct.sorted
+        // merge positions whose coverage overlaps or abuts (gap <= n)
+        val runs = sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && p - acc.head.head <= n =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }.map(_.reverse).reverse
+        runs.map { r =>
+          (id, td, r.head.toLong, (r.last + n - 1).toLong,
+            (r.last + n - 1 - r.head + 1).toLong, r.length.toLong)
+        }
+      }
+    }.toSet
+    val got = Curation.q190ContamSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+        r.getInt(3).toLong, r.getInt(4).toLong, r.getLong(5))).toSet
+    assert(got === expected, "span merge must equal the brute replay")
+    assert(got.nonEmpty, "the synthetic corpus contains quoted spans")
+    val flagged = Curation.q41Decontamination(spark, sf).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(got.map(_._1) === flagged,
+      "span forensics covers exactly q41's contaminated documents")
+  }
+
   test("q187 waterfilling: allocations match the closed form and fill B") {
     val caps = Tables.documents(spark, sf)
       .selectExpr("source", "size(split(trim(text), ' +')) AS t")
