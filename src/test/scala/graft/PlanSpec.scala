@@ -111,6 +111,20 @@ class PlanSpec extends SparkSpec {
       "the asymmetric prefix x full-index join must stay hash-keyed")
   }
 
+  test("q189: SNM window pairs ride the block-id equi-join — no cross product") {
+    val plan = finalPlan(Dedup.q189SnmDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the w-row neighborhood must come from the block-id join")
+  }
+
+  test("q190: span matches stay keyed on the gram hash — no cross product") {
+    val plan = finalPlan(graft.operators.Curation.q190ContamSpans(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "positional gram matching must stay an equi-join")
+  }
+
   test("q54: substring-run stats stay equi-keyed — no cross product, pruned scan") {
     val plan = finalPlan(Dedup.q54SubstringRuns(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
