@@ -1454,9 +1454,18 @@ object Dedup {
       .filter(col("sb") - col("sa") > 0 && col("sb") - col("sa") <= SnmW)
       .select(col("id_a"), col("id_b")).distinct()
 
-    // exact verification on string shingles (q40's final stage)
-    val docs = shingleDocs(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text")))
+    // exact verification on string shingles (q40's final stage). The
+    // BARE shingle projection is cached once for both join sides —
+    // shingleDocs' collapsed three-column projection would re-evaluate
+    // the interpreted HOF tree per consumer (q174's lesson).
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"""
+          .stripMargin).as("sh"))
+      .cache()
     val da = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val db = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.join(da, "id_a").join(db, "id_b")
