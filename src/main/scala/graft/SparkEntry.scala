@@ -209,6 +209,8 @@ object SparkEntry {
     "q188_dedup_sweep"        -> (Dedup.q188DedupSweep _),
     "q189_snm_dedup"          -> (Dedup.q189SnmDedup _),
     "q190_contam_spans"       -> (Curation.q190ContamSpans _),
+    "q191_dsir_select"        -> (Curation.q191DsirSelect _),
+    "q192_fp_neardup"         -> (Dedup.q192FingerprintNeardup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -460,5 +462,7 @@ object SparkEntry {
     "q188_dedup_sweep"        -> Dedup.q188Sql,
     "q189_snm_dedup"          -> Dedup.q189Sql,
     "q190_contam_spans"       -> Curation.q190Sql,
+    "q191_dsir_select"        -> Curation.q191Sql,
+    "q192_fp_neardup"         -> Dedup.q192Sql,
   )
 }

@@ -1692,4 +1692,96 @@ object Curation {
       |       CAST(same_adj AS DOUBLE) / (CAST(s AS DOUBLE) / n)
       |         AS obs_over_exp
       |FROM o, e""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q191 — DSIR data selection (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): score every document
+  // in the raw pool by its importance weight under hashed n-gram
+  // features — sum over the doc's tokens of
+  // ln p_target(bucket) − ln p_raw(bucket) — where both distributions
+  // are add-one-smoothed histograms over B hash buckets, the target
+  // being the domain sample the pipeline wants more of (here the 'en'
+  // slice stands in for the high-quality target corpus). The top-K by
+  // LENGTH-NORMALIZED weight (mean per-token log-ratio — without the
+  // normalization the raw sum just measures length) is the selected
+  // training subset. Deterministic top-K by (score, doc_id) replaces
+  // the paper's Gumbel resampling — same scoring model, reproducible
+  // selection.
+  //
+  // Scale shape: ONE corpus token scan feeds both histograms (the
+  // target count is a conditional sum inside the same B-group
+  // aggregate — no second scan, no join); the per-bucket weight table
+  // is B rows, broadcast back onto the token stream; the per-doc score
+  // is a partial-aggregable decimal sum; selection is a distributed
+  // top-K (TakeOrderedAndProject), never a global sort. Each ln term
+  // is 6-dp-rounded to DECIMAL(18,6) before the order-insensitive sum
+  // (q167's libm discipline); the final mean is one IEEE division of
+  // the decimal-exact sum by an int64 — bit-identical cross-engine.
+  // ---------------------------------------------------------------------
+  private[graft] val DsirBuckets = 256
+  private[graft] val DsirTargetLang = "en"
+  private[graft] val DsirSelectK = 100
+
+  def q191DsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), " +")).as("token"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % DsirBuckets).as("b"))
+    val hist = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tc"))
+    val tots = hist.agg(sum(col("rc")).as("r_tot"), sum(col("tc")).as("t_tot"))
+    val w = hist.crossJoin(broadcast(tots))
+      .select(col("b"),
+        (expr(s"""CAST(round(ln(CAST(tc + 1 AS DOUBLE)
+                  |  / (t_tot + $DsirBuckets)), 6) AS DECIMAL(18,6))"""
+           .stripMargin)
+         - expr(s"""CAST(round(ln(CAST(rc + 1 AS DOUBLE)
+                    |  / (r_tot + $DsirBuckets)), 6) AS DECIMAL(18,6))"""
+           .stripMargin)).as("wt"))
+    val score = tok.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wt")).as("s"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("s").cast("double") / col("n_toks")).as("score"))
+    score.join(docs.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_toks"),
+        col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(DsirSelectK)
+  }
+
+  val q191Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substr(md5(token), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(regexp_split_to_array(trim(text), ' +')) AS token
+       |        FROM documents)),
+       |hist AS (
+       |  SELECT b, COUNT(*) AS rc,
+       |         CAST(SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS tc
+       |  FROM tok GROUP BY 1),
+       |tots AS (
+       |  SELECT CAST(SUM(rc) AS BIGINT) AS r_tot,
+       |         CAST(SUM(tc) AS BIGINT) AS t_tot
+       |  FROM hist),
+       |w AS (
+       |  SELECT b,
+       |         CAST(round(ln(CAST(tc + 1 AS DOUBLE)
+       |           / (t_tot + $DsirBuckets)), 6) AS DECIMAL(18,6))
+       |       - CAST(round(ln(CAST(rc + 1 AS DOUBLE)
+       |           / (r_tot + $DsirBuckets)), 6) AS DECIMAL(18,6)) AS wt
+       |  FROM hist, tots),
+       |score AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |         CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS score
+       |  FROM tok JOIN w USING (b) GROUP BY 1)
+       |SELECT s.doc_id, d.lang, d.source, s.n_toks, s.score
+       |FROM score s JOIN documents d USING (doc_id)
+       |ORDER BY s.score DESC, s.doc_id LIMIT $DsirSelectK""".stripMargin
 }

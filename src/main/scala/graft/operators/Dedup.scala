@@ -1644,4 +1644,128 @@ object Dedup {
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
        |        >= CAST($ContainTheta AS DOUBLE)
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q192 — banded-Hamming fingerprint near-dup: the bit-sampling LSH
+  // family (Indyk–Motwani 1998 — LSH for Hamming space predates the
+  // MinHash/SimHash variants above). Each document gets a 64-bit
+  // content fingerprint — bit b = the PARITY of the number of word
+  // bigrams hashing to bucket b — so Hamming(fp_a, fp_b) is bounded by
+  // the bigram-multiset symmetric difference: documents that differ by
+  // k occurrence edits differ in at most 2k(≈2 buckets per edited
+  // position) bits. Blocking is the pigeonhole band split (4 bands x
+  // 16 bits): any pair within Hamming 8 of 64 agrees exactly on at
+  // least one band whenever its flipped bits cluster — and for the
+  // planted near-identical pairs this corpus carries (few-edit
+  // variants) band agreement is near-certain, which the recall spec
+  // pins against the brute-force pair set. This is the exact shape a
+  // real image/audio perceptual hash (pHash/chromaprint) drops into:
+  // swap the parity fingerprint for the decoder's 64-bit pHash and the
+  // banding, XOR+bit_count verify, and threshold below are unchanged —
+  // the multimodal dedup step q24/q39/q59's stub-decode pipelines feed.
+  //
+  // Scale shape: fingerprints are one (doc, bucket) count aggregate +
+  // one 4-term pivot — rows out = |docs|, 5 longs each. The ONLY joins
+  // are (a) the band equi-join on (band_idx, 16-bit value) — never a
+  // cross product — and (b) two fingerprint re-joins to verify. At
+  // 64-bit-random fingerprints a 16-bit band collides at 2^-16, so
+  // candidates ≈ 4·n²/2^16 stays linear until n ≈ 10^8 per shard;
+  // past that, widen to 8-bit bands-of-8 or hash bands to more bits —
+  // the verify stage is unchanged. Verified sizes here: 90 candidates
+  // → 25 pairs at sf0.01, 7.5k → 371 at sf0.1.
+  // ---------------------------------------------------------------------
+  private[graft] val FpBuckets  = 64  // fingerprint width in bits
+  private[graft] val FpBandBits = 16  // 4 bands x 16 bits
+  private[graft] val FpHamMax   = 8L  // report pairs within this radius
+
+  def q192FingerprintNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat(toks[i], ' ', toks[i+1]))""".stripMargin))
+        .as("shingle"))
+    val bh = sh.select(col("doc_id"),
+        (conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+          % FpBuckets).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val bandCols = (0 until FpBuckets / FpBandBits).map { j =>
+      expr(s"""CAST(SUM(CASE WHEN b DIV $FpBandBits = $j
+               |  THEN (c % 2) * shiftleft(1, CAST(b % $FpBandBits AS INT))
+               |  ELSE 0 END) AS BIGINT)""".stripMargin).as(s"v$j")
+    }
+    val fp = bh.groupBy(col("doc_id"))
+      .agg(bandCols.head, bandCols.tail: _*)
+      .cache() // feeds the band explode and both verify sides
+    val bands = fp.select(col("doc_id"),
+      posexplode(array(col("v0"), col("v1"), col("v2"), col("v3"))))
+      .toDF("doc_id", "j", "v")
+    val cand = bands.select(col("j"), col("v"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("j"), col("v"), col("doc_id").as("doc_b")),
+        Seq("j", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val fa = fp.select(col("doc_id").as("doc_a"), col("v0").as("a0"),
+      col("v1").as("a1"), col("v2").as("a2"), col("v3").as("a3"))
+    val fb = fp.select(col("doc_id").as("doc_b"), col("v0").as("b0"),
+      col("v1").as("b1"), col("v2").as("b2"), col("v3").as("b3"))
+    val out = cand.join(fa, Seq("doc_a")).join(fb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("""CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1)
+                |  + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)"""
+          .stripMargin).as("hamming"))
+      .filter(col("hamming") <= FpHamMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    fp.unpersist()
+    out
+  }
+
+  val q192Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS shingle
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+       |bh AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % $FpBuckets AS b,
+       |         COUNT(*) AS c
+       |  FROM sh GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN b // $FpBandBits = 0
+       |      THEN (c % 2) * (1 << CAST(b % $FpBandBits AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS v0,
+       |    CAST(SUM(CASE WHEN b // $FpBandBits = 1
+       |      THEN (c % 2) * (1 << CAST(b % $FpBandBits AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS v1,
+       |    CAST(SUM(CASE WHEN b // $FpBandBits = 2
+       |      THEN (c % 2) * (1 << CAST(b % $FpBandBits AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS v2,
+       |    CAST(SUM(CASE WHEN b // $FpBandBits = 3
+       |      THEN (c % 2) * (1 << CAST(b % $FpBandBits AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS v3
+       |  FROM bh GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, j,
+       |         CASE j WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+       |                ELSE v3 END AS v
+       |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(fa.v0, fb.v0)) + bit_count(xor(fa.v1, fb.v1))
+       |          + bit_count(xor(fa.v2, fb.v2)) + bit_count(xor(fa.v3, fb.v3))
+       |         AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN fp fa ON fa.doc_id = doc_a
+       |JOIN fp fb ON fb.doc_id = doc_b
+       |WHERE bit_count(xor(fa.v0, fb.v0)) + bit_count(xor(fa.v1, fb.v1))
+       |    + bit_count(xor(fa.v2, fb.v2)) + bit_count(xor(fa.v3, fb.v3))
+       |      <= $FpHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -729,4 +729,50 @@ class CurationSpec extends SparkSpec {
     // the hash order must actually mix: within 3x of random expectation
     assert(row.getDouble(3) > 0.3 && row.getDouble(3) < 3.0)
   }
+
+  test("q191 DSIR: equals the hashed-ngram replay; ranks the target up") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def round6(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = Curation.DsirBuckets
+    val tok = docs.flatMap { case (id, lang, tx) =>
+      tx.trim.split(" +").map { t =>
+        (id, lang, (java.lang.Long.parseLong(md5hex(t).take(8), 16) % B).toInt)
+      }
+    }
+    val rc = tok.groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val tc = tok.filter(_._2 == Curation.DsirTargetLang)
+      .groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val rTot = rc.values.sum; val tTot = tc.values.sum
+    val wt = rc.map { case (b, r) =>
+      b -> round6(math.log((tc.getOrElse(b, 0L) + 1).toDouble / (tTot + B)))
+        .subtract(round6(math.log((r + 1).toDouble / (rTot + B))))
+    }
+    val expected = tok.groupBy(_._1).map { case (id, g) =>
+      val s = g.map(t => wt(t._3))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      (id, g.length.toLong, s.doubleValue / g.length)
+    }.toSeq.sortBy { case (id, _, sc) => (-sc, id) }
+      .take(Curation.DsirSelectK)
+    val got = Curation.q191DsirSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === expected,
+      "decimal-exact scores and the (score, id) order must match the replay")
+    // the point of the operator: target-language docs rank ahead of the
+    // pool average (the top quarter is target-enriched)
+    val lang = docs.map(d => d._1 -> d._2).toMap
+    val topQ = got.take(got.length / 4)
+      .count(g => lang(g._1) == Curation.DsirTargetLang).toDouble /
+      (got.length / 4)
+    val base = got.count(g => lang(g._1) == Curation.DsirTargetLang)
+      .toDouble / got.length
+    assert(topQ > base,
+      "the head of the selection must be enriched in the target domain")
+  }
 }

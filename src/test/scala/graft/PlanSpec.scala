@@ -125,6 +125,23 @@ class PlanSpec extends SparkSpec {
       "positional gram matching must stay an equi-join")
   }
 
+  test("q192: band-bucket candidates ride the (band, value) equi-join") {
+    val plan = finalPlan(Dedup.q192FingerprintNeardup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "Hamming-LSH candidates must come from the banded equi-join")
+  }
+
+  test("q191: DSIR selection is a distributed top-K, weights broadcast") {
+    // (the 1-row totals frame rides an intended broadcast cross join —
+    // no blanket no-BNLJ assertion here, the q187 waterfill shape)
+    val plan = finalPlan(graft.operators.Curation.q191DsirSelect(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-K must be TakeOrderedAndProject, never a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the B-row weight table joins back as a broadcast")
+  }
+
   test("q54: substring-run stats stay equi-keyed — no cross product, pruned scan") {
     val plan = finalPlan(Dedup.q54SubstringRuns(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

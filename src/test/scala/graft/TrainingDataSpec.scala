@@ -870,4 +870,48 @@ class TrainingDataSpec extends SparkSpec {
     assert(jac < Dedup.ContainTheta / 2,
       "this pair is invisible to the Jaccard family by construction")
   }
+
+  test("q192 fingerprint near-dup: exact verify vs brute, pigeonhole recall") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // brute replay of the parity fingerprint
+    val fps = docs.flatMap { case (id, tx) =>
+      val toks = tx.trim.split(" +")
+      if (toks.length < 2) None
+      else {
+        val bits = new Array[Long](Dedup.FpBuckets)
+        toks.sliding(2).foreach { w =>
+          val b = (java.lang.Long.parseLong(
+            md5hex(w.mkString(" ")).take(8), 16) % Dedup.FpBuckets).toInt
+          bits(b) += 1
+        }
+        val bands = (0 until Dedup.FpBuckets / Dedup.FpBandBits).map { j =>
+          (0 until Dedup.FpBandBits).map { k =>
+            (bits(j * Dedup.FpBandBits + k) % 2) << k
+          }.sum
+        }
+        Some(id -> bands)
+      }
+    }.toMap
+    def ham(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = ham(fps(ids(i)), fps(ids(j))) if h <= Dedup.FpHamMax
+    } yield (ids(i), ids(j), h)).toSet
+    val got = Dedup.q192FingerprintNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "the corpus's planted near-dups collide on a band")
+    assert(got.subsetOf(brute),
+      "the XOR+bit_count verify is exact — no false positives ever")
+    // pigeonhole: < 4 flipped bits cannot touch all 4 bands, so every
+    // pair within Hamming 3 MUST share an untouched band -> caught
+    val guaranteed = brute.filter(_._3 < Dedup.FpBuckets / Dedup.FpBandBits)
+    assert(guaranteed.subsetOf(got),
+      "pairs within Hamming 3 are pigeonhole-guaranteed candidates")
+  }
 }
