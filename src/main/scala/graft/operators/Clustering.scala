@@ -590,4 +590,98 @@ object Clustering {
       |       COALESCE(reps.rep_id, lab.doc_id) = lab.doc_id AS is_kept
       |FROM lab LEFT JOIN reps ON lab.component = reps.component
       |ORDER BY lab.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q193 — fixed-iteration weighted PageRank over the nation trade graph
+  // (supplier-nation -> customer-nation, edge weight = lineitem flow).
+  // The iterative-graph-analytics shape missing from the surface so far
+  // (q46's components converge by min-propagation; PageRank is the
+  // weighted-stationary-mass counterpart a crawl-curation pipeline uses
+  // to quality-weight sources, cf. the CommonCrawl-derived corpora).
+  //
+  // EXACT integer arithmetic for cross-engine parity: rank mass lives in
+  // int64 NANO-units (1.0 == 1e9), every step is integer multiply +
+  // integer div — pr*w div outw per edge, base + (85*sum) div 100 per
+  // node (d = 0.85) — so Spark and DuckDB agree bit-for-bit with no
+  // float summation-order or round() boundary hazard anywhere
+  // (truncating div == floor for the all-positive masses here).
+  //
+  // Scale shape: the expensive part is building the edge list — one pass
+  // over lineitem joining orders (shuffle on orderkey), then
+  // BROADCAST-joining the two small dimension maps — after which the
+  // graph aggregate is |nations|^2-sized and each of the K iterations is
+  // a broadcast-join + 4096-group aggregate over the cached edge frame.
+  // At a web-graph scale the same loop holds with edges shuffled on src
+  // (contributions are map-side combinable per dst); K is fixed, so the
+  // lineage stays bounded without checkpointing.
+  // ---------------------------------------------------------------------
+  private val PrIters = 3
+
+  def q193Pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val s  = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val c  = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val nations = Tables.nation(spark, sfDir).select(col("n_nationkey").as("node"))
+    val n = nations.count() // 25-row dimension; exact base terms need N
+
+    // edge list: one heavy shuffle (orderkey), dims broadcast, then a
+    // |N|^2-bounded aggregate. Cached: reused by outw + every iteration.
+    val edges = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .cache()
+    val outw = edges.groupBy(col("src").as("ou")).agg(sum(col("w")).as("outw"))
+    val g = edges.join(outw, col("src") === col("ou")).drop("ou").cache()
+
+    var pr = nations.withColumn("pr", lit(1000000000L / n))
+    for (_ <- 1 to PrIters) {
+      val contrib = g.join(broadcast(pr), col("src") === col("node"))
+        .select(col("dst"), expr("(pr * w) div outw").as("m"))
+        .groupBy("dst").agg(sum("m").as("s"))
+      pr = nations.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000000L / n) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+    }
+    // caches stay live for the consumer's single materialization — the
+    // Verify/Bench harness clearCache()s between queries (repo-wide
+    // convention for lazily-returned cached plans).
+    pr.withColumnRenamed("pr", "pr_nano").orderBy("node")
+  }
+
+  val q193Sql: String =
+    """WITH nn AS (SELECT COUNT(*) AS n FROM nation),
+      |e AS (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT e.src, e.dst, e.w, ow.outw
+      |  FROM e JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+      |               FROM e GROUP BY src) ow ON ow.src = e.src),
+      |p0 AS (SELECT n_nationkey AS node, CAST(1000000000 // n AS BIGINT) AS pr
+      |       FROM nation CROSS JOIN nn),
+      |s1 AS (SELECT g.dst, CAST(SUM((p.pr * g.w) // g.outw) AS BIGINT) AS s
+      |       FROM g JOIN p0 p ON p.node = g.src GROUP BY g.dst),
+      |p1 AS (SELECT p.node,
+      |              CAST(150000000 // n + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS pr
+      |       FROM p0 p CROSS JOIN nn LEFT JOIN s1 ON s1.dst = p.node),
+      |s2 AS (SELECT g.dst, CAST(SUM((p.pr * g.w) // g.outw) AS BIGINT) AS s
+      |       FROM g JOIN p1 p ON p.node = g.src GROUP BY g.dst),
+      |p2 AS (SELECT p.node,
+      |              CAST(150000000 // n + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS pr
+      |       FROM p1 p CROSS JOIN nn LEFT JOIN s2 ON s2.dst = p.node),
+      |s3 AS (SELECT g.dst, CAST(SUM((p.pr * g.w) // g.outw) AS BIGINT) AS s
+      |       FROM g JOIN p2 p ON p.node = g.src GROUP BY g.dst),
+      |p3 AS (SELECT p.node,
+      |              CAST(150000000 // n + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS pr
+      |       FROM p2 p CROSS JOIN nn LEFT JOIN s3 ON s3.dst = p.node)
+      |SELECT node, pr AS pr_nano FROM p3 ORDER BY node""".stripMargin
 }

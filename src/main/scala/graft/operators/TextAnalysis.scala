@@ -2141,4 +2141,76 @@ object TextAnalysis {
       |         / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))
       |         AS gini
       |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q194 — Count-Min sketch (Cormode–Muthukrishnan 2005) over the token
+  // stream, probed at the 20 most frequent tokens against their exact
+  // counts. The mergeable-sketch shape the surface lacked: q34 (HLL
+  // distinct) and q57 (quantile sketch) cover cardinality and rank; CMS
+  // covers POINT-FREQUENCY estimation under fixed memory — the
+  // substitute for a full token histogram when the vocabulary itself is
+  // too large to shuffle (ppl/quality-filter lexicons at web scale).
+  //
+  // DETERMINISTIC parity: the d=4 hash rows are md5-derived ("j:token"
+  // -> first 8 hex chars -> int64 % W, the q36 split-bucket idiom), all
+  // counts integer — the estimate is a pure function of the corpus, so
+  // the DuckDB oracle reproduces it exactly, and the one-sided error
+  // guarantee (est >= true, over-count only) is spec-asserted.
+  //
+  // Scale shape: the sketch build is ONE pass — explode tokens x 4 rows,
+  // then a d*W = 4096-group aggregate, the textbook map-side-combinable
+  // reduction (each partition folds its stream into a local 4096-cell
+  // grid; merge is cell-wise +). Probe lookups broadcast the 20-row
+  // probe set against the 4096-row sketch. Nothing here grows with the
+  // corpus except the single token scan.
+  // ---------------------------------------------------------------------
+  private val CmW      = 1024 // buckets per hash row
+  private val CmProbes = 20
+
+  private def cmBucket(j: Column, t: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"), t)), 1, 8), 16, 10)
+      .cast("long") % CmW
+
+  def q194Countmin(spark: SparkSession, sfDir: String): DataFrame = {
+    val toksDf = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), " +")).as("t"))
+      .cache() // one token scan feeds sketch build AND exact probe counts
+    val hashed = toksDf
+      .select(col("t"), explode(lit((0 until 4).toArray)).as("j"))
+      .withColumn("b", cmBucket(col("j"), col("t")))
+    val sketch = hashed.groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val probes = toksDf.groupBy("t").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("t")).limit(CmProbes)
+    val probeCells = probes
+      .select(col("t"), col("true_cnt"), explode(lit((0 until 4).toArray)).as("j"))
+      .withColumn("b", cmBucket(col("j"), col("t")))
+    broadcast(probeCells).join(sketch, Seq("j", "b"))
+      .groupBy("t", "true_cnt").agg(min(col("c")).as("est_cnt"))
+      .select(col("t").as("token"), col("true_cnt"), col("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("token"))
+  }
+
+  val q194Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS t
+       |  FROM documents),
+       |j4 AS (SELECT j FROM (VALUES (0), (1), (2), (3)) AS d(j)),
+       |h AS (
+       |  SELECT t, j,
+       |         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 8))::BIGINT
+       |           % $CmW AS b
+       |  FROM toks CROSS JOIN j4),
+       |sk AS (SELECT j, b, COUNT(*) AS c FROM h GROUP BY j, b),
+       |pr AS (
+       |  SELECT t, COUNT(*) AS true_cnt FROM toks GROUP BY t
+       |  ORDER BY true_cnt DESC, t LIMIT $CmProbes),
+       |ph AS (
+       |  SELECT pr.t, pr.true_cnt, j4.j,
+       |         ('0x' || substr(md5(CAST(j4.j AS VARCHAR) || ':' || pr.t), 1, 8))::BIGINT
+       |           % $CmW AS b
+       |  FROM pr CROSS JOIN j4)
+       |SELECT ph.t AS token, ph.true_cnt, CAST(MIN(sk.c) AS BIGINT) AS est_cnt
+       |FROM ph JOIN sk ON sk.j = ph.j AND sk.b = ph.b
+       |GROUP BY ph.t, ph.true_cnt
+       |ORDER BY true_cnt DESC, token""".stripMargin
 }

@@ -162,4 +162,45 @@ class ClusteringSpec extends SparkSpec {
       comp.select("component").distinct().count())
     j.unpersist()
   }
+
+  test("q193 pagerank: every nation ranked, mass conserved up to div truncation") {
+    val df = Clustering.q193Pagerank(spark, sf).cache()
+    val n = Tables.nation(spark, sf).count()
+    assert(df.count() === n)
+    val prs = df.collect().map(_.getLong(1))
+    // every node holds at least the teleport base and less than all mass
+    assert(prs.forall(p => p >= 150000000L / n && p < 1000000000L))
+    // the damped map is substochastic (dangling nations evaporate mass;
+    // truncating divs only lose): total never exceeds the initial 1.0,
+    // and never falls under the teleport floor N * base
+    assert(prs.sum <= 1000000000L && prs.sum >= n * (150000000L / n))
+    df.unpersist()
+  }
+
+  test("q193 pagerank matches an exact driver-side integer replay") {
+    import spark.implicits._
+    val n = Tables.nation(spark, sf).count()
+    val edges = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .count()
+      .as[(Long, Long, Long)].collect()
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = Tables.nation(spark, sf).select("n_nationkey")
+      .as[Long].collect().sorted
+    var pr = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val s = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, v, w) <- edges) s(v) += pr(u) * w / outw(u)
+      pr = nodes.map(v => v -> (150000000L / n + 85L * s(v) / 100L)).toMap
+    }
+    val got = Clustering.q193Pagerank(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    assert(got === pr, "bit-exact integer PageRank parity with the replay")
+  }
 }

@@ -600,6 +600,20 @@ class PlanSpec extends SparkSpec {
     assert(!p158.contains("CartesianProduct"))
   }
 
+  test("q193/q194: graph iterations and sketch probes broadcast, never cartesian") {
+    val p193 = finalPlan(Clustering.q193Pagerank(spark, sf))
+    assert(!p193.contains("CartesianProduct"))
+    assert(p193.contains("BroadcastHashJoin"),
+      "dimension maps and the 25-row rank frame must ride the broadcast " +
+        "side of every join — only the lineitem-orders join may shuffle")
+    val p194 = finalPlan(TextAnalysis.q194Countmin(spark, sf))
+    assert(!p194.contains("CartesianProduct"))
+    assert(p194.contains("BroadcastHashJoin"),
+      "the 80-cell probe set must broadcast against the 4096-cell sketch")
+    assert(p194.contains("partial"),
+      "the sketch build must fold map-side into the fixed 4x1024 grid")
+  }
+
   test("q132: table checksum is one scan + one partial-aggregable shuffle") {
     val plan = finalPlan(Relational.q132TableChecksum(spark, sf))
     assert(!plan.contains("Join"), "checksum must not join")

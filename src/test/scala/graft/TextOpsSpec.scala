@@ -456,4 +456,30 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getDouble(2) === brute, "tie-grouped rank sum is exact")
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 1.0)
   }
+
+  test("q194 count-min: one-sided error, exact match vs a driver-side sketch") {
+    val rows = TextAnalysis.q194Countmin(spark, sf).collect()
+    assert(rows.length === 20)
+    // CMS never under-counts: collisions only ADD mass to a cell
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+    // independent replay: same tokenization, same md5-row hashes, a
+    // mutable 4x1024 grid on the driver
+    val tokens = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => r.getString(0).trim.split(" +"))
+    def bucket(j: Int, t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest((s"$j:$t").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % 1024L).toInt
+    }
+    val grid = Array.ofDim[Long](4, 1024)
+    for (t <- tokens; j <- 0 until 4) grid(j)(bucket(j, t)) += 1L
+    val truth = tokens.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val probes = truth.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val expect = probes.map { case (t, c) =>
+      (t, c, (0 until 4).map(j => grid(j)(bucket(j, t))).min)
+    }.toSet
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect, "sketch cells and probe estimates are bit-exact")
+  }
 }
