@@ -684,4 +684,104 @@ object Clustering {
       |              CAST(150000000 // n + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS pr
       |       FROM p2 p CROSS JOIN nn LEFT JOIN s3 ON s3.dst = p.node)
       |SELECT node, pr AS pr_nano FROM p3 ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q195 — triangle counting + local clustering coefficient over the
+  // part co-purchase graph (parts are adjacent iff they share an order).
+  // Triadic closure is the community-structure audit of an association
+  // graph — q138/q181 mine the EDGES (itemset pairs / rules); this
+  // measures how clustered the neighborhood of each node is, the
+  // standard pre-partitioning signal for community detection.
+  //
+  // Enumeration uses the DEGREE-ORDERED ORIENTATION (Schank–Wagner /
+  // "compact-forward"): every undirected edge points from its lower
+  // (deg, node) endpoint to the higher, so each triangle is generated
+  // exactly once from its lowest-rank corner and the wedge join fans
+  // out by OUT-degree, which the orientation bounds by O(sqrt(|E|))
+  // even on skewed graphs — the plan survives a power-law co-purchase
+  // graph where a naive value-ordered self-join explodes on the hub
+  // nodes. Ranks are packed into one int64 (deg*2^32 + node) so the
+  // wedge join and the closing edge probe stay single-column equi-joins.
+  // All counts are exact integers; the only double is the final
+  // 6-dp-rounded coefficient (repo-wide cross-engine rounding idiom).
+  //
+  // Scale shape: basket self-join shuffles on orderkey (fan-out bounded
+  // by basket size squared), edge dedup + degree are one shuffle each,
+  // the 25k-row degree map broadcasts, wedges/closures are rank-keyed
+  // equi-joins — no cartesian anywhere (plan-gated).
+  // ---------------------------------------------------------------------
+  def q195Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val po = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = po.as("a").join(po.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .cache() // feeds degree, orientation, and the closing-edge probe
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .cache()
+    val rank = (c: String) => col(s"d$c").cast("long") * 4294967296L + col(c)
+    val ranked = e
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      .select(rank("u").as("ru"), rank("v").as("rv"))
+    val dir = ranked.select(
+        least(col("ru"), col("rv")).as("lo"),
+        greatest(col("ru"), col("rv")).as("hi"))
+      .cache()
+    // triangle (x,a,b): wedge a<b out of x, closed by oriented edge a->b.
+    // The closing probe BROADCASTS the |E|-row edge list so the wedge
+    // stream (out-deg² >> |E| rows) pipelines through a map-side hash
+    // probe instead of shuffling — wedges are produced and consumed
+    // inside one stage. At edge counts past broadcast reach (~10^8+),
+    // drop the hint and AQE falls back to a shuffled join on (ra, rb);
+    // the orientation bound on wedge volume is what matters at scale.
+    val tri = dir.as("e1").join(dir.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("rx"), col("e1.hi").as("ra"), col("e2.hi").as("rb"))
+      .join(broadcast(dir.as("e3")),
+        col("ra") === col("e3.lo") && col("rb") === col("e3.hi"))
+      .select(col("rx"), col("ra"), col("rb"))
+    val triPerNode = tri.select(explode(array(col("rx"), col("ra"), col("rb"))).as("r"))
+      .select(pmod(col("r"), lit(4294967296L)).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node").as("part"),
+        col("deg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1))), 6)).as("clustering"))
+      .orderBy("part")
+  }
+
+  /** Oracle enumerates by part-key value order (u<v edges chained
+    * u<v<w) — a different generation order over the SAME triangle set,
+    * so per-node counts must match the orientation-based plan exactly. */
+  val q195Sql: String =
+    """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+      |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |      FROM e e1
+      |      JOIN e e2 ON e2.u = e1.v
+      |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tn AS (SELECT node, COUNT(*) AS tri FROM (
+      |         SELECT x AS node FROM t
+      |         UNION ALL SELECT y FROM t
+      |         UNION ALL SELECT z FROM t) u GROUP BY node),
+      |d AS (SELECT node, COUNT(*) AS deg FROM (
+      |         SELECT u AS node FROM e
+      |         UNION ALL SELECT v FROM e) w GROUP BY node)
+      |SELECT d.node AS part,
+      |       CAST(d.deg AS BIGINT) AS degree,
+      |       CAST(COALESCE(tn.tri, 0) AS BIGINT) AS triangles,
+      |       CASE WHEN d.deg < 2 THEN 0.0
+      |            ELSE ROUND(2.0 * COALESCE(tn.tri, 0)
+      |                       / (d.deg * (d.deg - 1.0)), 6) END AS clustering
+      |FROM d LEFT JOIN tn ON tn.node = d.node
+      |ORDER BY part""".stripMargin
 }

@@ -203,4 +203,35 @@ class ClusteringSpec extends SparkSpec {
       .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
     assert(got === pr, "bit-exact integer PageRank parity with the replay")
   }
+
+  test("q195 triangles match a driver-side adjacency-set replay") {
+    import spark.implicits._
+    // undirected co-purchase edges, value-ordered, from first principles
+    val po = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = po.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    for ((u, v) <- edges) { adj(u) += v; adj(v) += u }
+    val tri = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((u, v) <- edges; w <- adj(u) if w > v && adj(v).contains(w)) {
+      tri(u) += 1; tri(v) += 1; tri(w) += 1
+    }
+    val expect = adj.keys.toSeq.sorted.map { n =>
+      val d = adj(n).size.toLong
+      val c = if (d < 2) 0.0
+              else BigDecimal(2.0 * tri(n) / (d * (d - 1)))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, d, tri(n), c)
+    }
+    val got = Clustering.q195Triangles(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expect, "degree/triangle/coefficient parity per node")
+    // sanity: a dense co-purchase graph at this SF has real triangles
+    assert(got.map(_._3).sum > 0, "graph must contain triangles")
+  }
 }

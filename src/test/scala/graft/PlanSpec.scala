@@ -614,6 +614,14 @@ class PlanSpec extends SparkSpec {
       "the sketch build must fold map-side into the fixed 4x1024 grid")
   }
 
+  test("q195: triangle enumeration is equi-joins only, degree map broadcasts") {
+    val plan = finalPlan(Clustering.q195Triangles(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "wedge and closing-edge probes must stay rank-keyed equi-joins")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |V|-row degree map must broadcast onto the edge list")
+  }
+
   test("q132: table checksum is one scan + one partial-aggregable shuffle") {
     val plan = finalPlan(Relational.q132TableChecksum(spark, sf))
     assert(!plan.contains("Join"), "checksum must not join")
