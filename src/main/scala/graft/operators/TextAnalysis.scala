@@ -2213,4 +2213,82 @@ object TextAnalysis {
        |FROM ph JOIN sk ON sk.j = ph.j AND sk.b = ph.b
        |GROUP BY ph.t, ph.true_cnt
        |ORDER BY true_cnt DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q196 — closed-form OLS linear probe: regress per-document lexical
+  // diversity (type-token ratio — the Heaps-law quality proxy q17-class
+  // filters use) on two cheap surface features (log length, vowel
+  // ratio) by solving the 3x3 normal equations with Cramer's rule. The
+  // "fit a linear probe on corpus features" step of curation pipelines
+  // (fastText-style quality probes), reduced to its exactly-reproducible
+  // linear core: the full fit is NINE Gram sums — one scan, map-side
+  // combinable, O(1) state per partition — so at 100 TB the "training"
+  // costs exactly one pass and a 10-scalar reduce.
+  //
+  // Cross-engine parity: features are 6-dp-rounded DECIMAL(18,6) (the
+  // repo's decimal-rounded-log idiom), so every Gram sum is EXACT and
+  // order-insensitive; the Cramer solve then runs on doubles through
+  // THE SAME expression strings (q196SolveCols) in Spark and DuckDB —
+  // identical IEEE expression trees on identical inputs give identical
+  // coefficients before the final 6-dp rounding.
+  // ---------------------------------------------------------------------
+  /** Cramer-solve select list over the Gram-sum columns (nd, sx1, sx2,
+    * s11, s12, s22, sy, s1y, s2y, syy — all DOUBLE, plus BIGINT n).
+    * Shared verbatim with the oracle so the double arithmetic is
+    * bit-identical in both engines. */
+  private val q196Da =
+    "(nd*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2))"
+  private val q196D0 =
+    "(sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))"
+  private val q196D1 =
+    "(nd*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))"
+  private val q196D2 =
+    "(nd*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))"
+  private val q196SolveCols: Seq[String] = Seq(
+    "n AS n_docs",
+    s"ROUND($q196D0 / $q196Da, 6) AS b_intercept",
+    s"ROUND($q196D1 / $q196Da, 6) AS b_log_len",
+    s"ROUND($q196D2 / $q196Da, 6) AS b_vowel",
+    // R^2 from the unrounded solution: SSE = syy - b.(sy, s1y, s2y)
+    s"ROUND(1.0 - (syy - ($q196D0*sy + $q196D1*s1y + $q196D2*s2y) / $q196Da)" +
+      " / (syy - sy*sy / nd), 6) AS r2")
+
+  def q196LinearProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.documents(spark, sfDir).selectExpr(
+      "CAST(ROUND(ln(1.0D + n_chars), 6) AS DECIMAL(18,6)) AS x1",
+      "CAST(ROUND(CAST(length(regexp_replace(text, '[^aeiou]', '')) AS DOUBLE)" +
+        " / CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END, 6)" +
+        " AS DECIMAL(18,6)) AS x2",
+      "CAST(ROUND(CAST(size(array_distinct(split(trim(text), ' +'))) AS DOUBLE)" +
+        " / size(split(trim(text), ' +')), 6) AS DECIMAL(18,6)) AS y")
+    val gram = feats.selectExpr(
+      "COUNT(*) AS n", "CAST(COUNT(*) AS DOUBLE) AS nd",
+      "CAST(SUM(x1) AS DOUBLE) AS sx1", "CAST(SUM(x2) AS DOUBLE) AS sx2",
+      "CAST(SUM(x1*x1) AS DOUBLE) AS s11", "CAST(SUM(x1*x2) AS DOUBLE) AS s12",
+      "CAST(SUM(x2*x2) AS DOUBLE) AS s22", "CAST(SUM(y) AS DOUBLE) AS sy",
+      "CAST(SUM(x1*y) AS DOUBLE) AS s1y", "CAST(SUM(x2*y) AS DOUBLE) AS s2y",
+      "CAST(SUM(y*y) AS DOUBLE) AS syy")
+    gram.selectExpr(q196SolveCols: _*)
+  }
+
+  val q196Sql: String =
+    s"""WITH feats AS (
+       |  SELECT CAST(ROUND(ln(1.0 + n_chars), 6) AS DECIMAL(18,6)) AS x1,
+       |         CAST(ROUND(CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+       |                    / CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END, 6)
+       |              AS DECIMAL(18,6)) AS x2,
+       |         CAST(ROUND(CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS DOUBLE)
+       |                    / len(regexp_split_to_array(trim(text), ' +')), 6)
+       |              AS DECIMAL(18,6)) AS y
+       |  FROM documents),
+       |gram AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+       |         CAST(SUM(x1) AS DOUBLE) AS sx1, CAST(SUM(x2) AS DOUBLE) AS sx2,
+       |         CAST(SUM(x1*x1) AS DOUBLE) AS s11, CAST(SUM(x1*x2) AS DOUBLE) AS s12,
+       |         CAST(SUM(x2*x2) AS DOUBLE) AS s22, CAST(SUM(y) AS DOUBLE) AS sy,
+       |         CAST(SUM(x1*y) AS DOUBLE) AS s1y, CAST(SUM(x2*y) AS DOUBLE) AS s2y,
+       |         CAST(SUM(y*y) AS DOUBLE) AS syy
+       |  FROM feats)
+       |SELECT ${q196SolveCols.mkString(",\n       ")}
+       |FROM gram""".stripMargin
 }

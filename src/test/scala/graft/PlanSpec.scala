@@ -614,6 +614,18 @@ class PlanSpec extends SparkSpec {
       "the sketch build must fold map-side into the fixed 4x1024 grid")
   }
 
+  test("q196: the probe fit is one scan and one partial-aggregable reduce") {
+    val plan = finalPlan(TextAnalysis.q196LinearProbe(spark, sf))
+    assert(!plan.contains("Join"), "normal-equation sums must not join")
+    assert(plan.contains("partial"),
+      "the nine Gram sums must fold map-side — O(1) state per partition")
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // scans in the final section only
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.split("Scan parquet").length <= 2,
+      "one documents scan only")
+  }
+
   test("q195: triangle enumeration is equi-joins only, degree map broadcasts") {
     val plan = finalPlan(Clustering.q195Triangles(spark, sf))
     assert(!plan.contains("CartesianProduct"),

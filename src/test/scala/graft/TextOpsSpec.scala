@@ -482,4 +482,39 @@ class TextOpsSpec extends SparkSpec {
     val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expect, "sketch cells and probe estimates are bit-exact")
   }
+
+  test("q196 linear probe matches a driver-side exact-Gram Cramer solve") {
+    val row = TextAnalysis.q196LinearProbe(spark, sf).collect().head
+    // independent replay: same 6-dp decimal features, exact BigDecimal
+    // Gram sums, the same double Cramer expressions
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val docs = Tables.documents(spark, sf)
+      .select("text", "lang", "n_chars").collect()
+    val feats = docs.map { r =>
+      val nch = r.getAs[Number]("n_chars").longValue
+      val vowels = r.getString(0).count("aeiou".contains(_))
+      val toks = r.getString(0).trim.split(" +")
+      (d6(math.log(1.0 + nch)),
+        d6(vowels.toDouble / (if (nch == 0) 1L else nch)),
+        d6(toks.distinct.length.toDouble / toks.length))
+    }
+    val n = feats.length.toDouble
+    def s(f: ((BigDecimal, BigDecimal, BigDecimal)) => BigDecimal): Double =
+      feats.map(f).sum.toDouble
+    val (sx1, sx2, sy) = (s(_._1), s(_._2), s(_._3))
+    val (s11, s12, s22) = (s(t => t._1 * t._1), s(t => t._1 * t._2), s(t => t._2 * t._2))
+    val (s1y, s2y, syy) = (s(t => t._1 * t._3), s(t => t._2 * t._3), s(t => t._3 * t._3))
+    val da = n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)
+    val d0 = sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y)
+    val d1 = n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2)
+    val d2 = n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2)
+    val r2 = 1.0 - (syy - (d0*sy + d1*s1y + d2*s2y) / da) / (syy - sy*sy / n)
+    assert(row.getLong(0) === feats.length.toLong)
+    assert(row.getDouble(1) === d6(d0 / da).toDouble, "intercept")
+    assert(row.getDouble(2) === d6(d1 / da).toDouble, "log-length coefficient")
+    assert(row.getDouble(3) === d6(d2 / da).toDouble, "vowel-ratio coefficient")
+    assert(row.getDouble(4) === d6(r2).toDouble, "r2")
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+  }
 }
