@@ -710,19 +710,28 @@ object Clustering {
   // the 25k-row degree map broadcasts, wedges/closures are rank-keyed
   // equi-joins — no cartesian anywhere (plan-gated).
   // ---------------------------------------------------------------------
-  def q195Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Undirected co-purchase edge list (u < v): parts adjacent iff they
+    * share an order. One orderkey shuffle + one 16-byte-pair dedup. */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val po = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = po.as("a").join(po.as("b"),
+    po.as("a").join(po.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
-      .cache() // feeds degree, orientation, and the closing-edge probe
-    val deg = e.select(col("u").as("node"))
+  }
+
+  /** Per-node degree of a (u, v) edge list. */
+  private def degreeOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .cache()
+
+  def q195Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, sfDir)
+      .cache() // feeds degree, orientation, and the closing-edge probe
+    val deg = degreeOf(e).cache()
     val rank = (c: String) => col(s"d$c").cast("long") * 4294967296L + col(c)
     val ranked = e
       .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
@@ -784,4 +793,54 @@ object Clustering {
       |                       / (d.deg * (d.deg - 1.0)), 6) END AS clustering
       |FROM d LEFT JOIN tn ON tn.node = d.node
       |ORDER BY part""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q197 — degree assortativity (Newman 2002, eq. 4) of the co-purchase
+  // graph: the Pearson correlation of endpoint degrees over edges — THE
+  // single-number structure audit (hub-to-hub vs hub-to-leaf wiring)
+  // read before choosing a graph partitioning / skew strategy.
+  //
+  // r = [ S_jk/M − (S_j2k2h/M)² ] / [ S_jjkk/M − (S_j2k2h/M)² ] with
+  // M=|E|, S_jk=Σ j·k, S_j2k2h=Σ (j+k)/2, S_jjkk=Σ (j²+k²)/2 — every
+  // sum an exact BIGINT (halves handled by keeping Σ(j+k), Σ(j²+k²)
+  // whole and dividing by 2M in the double step), so both engines agree
+  // exactly; the one double expression is SHARED verbatim (q196 idiom).
+  //
+  // Scale shape: edge build as q195; the degree map broadcasts onto the
+  // edge list; the reduce is 4 integer sums — map-side combinable, O(1)
+  // state. Nothing grows with |V| or |E| past the one edge scan.
+  // ---------------------------------------------------------------------
+  private val q197RExpr: String =
+    "ROUND((CAST(sjk AS DOUBLE) / m - (CAST(sjk2 AS DOUBLE) / (2.0 * m)) *" +
+      " (CAST(sjk2 AS DOUBLE) / (2.0 * m))) /" +
+      " (CAST(sq AS DOUBLE) / (2.0 * m) - (CAST(sjk2 AS DOUBLE) / (2.0 * m)) *" +
+      " (CAST(sjk2 AS DOUBLE) / (2.0 * m))), 6) AS assortativity"
+
+  def q197Assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, sfDir).cache()
+    val deg = degreeOf(e)
+    val withDeg = e
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("j"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("k"))), "v")
+    withDeg.selectExpr(
+        "COUNT(*) AS n_edges", "CAST(COUNT(*) AS DOUBLE) AS m",
+        "SUM(j * k) AS sjk", "SUM(j + k) AS sjk2", "SUM(j*j + k*k) AS sq")
+      .selectExpr("n_edges", q197RExpr)
+  }
+
+  val q197Sql: String =
+    s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+       |d AS (SELECT node, COUNT(*) AS deg FROM (
+       |         SELECT u AS node FROM e
+       |         UNION ALL SELECT v FROM e) w GROUP BY node),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |             CAST(COUNT(*) AS DOUBLE) AS m,
+       |             CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sjk,
+       |             CAST(SUM(dj.deg + dk.deg) AS BIGINT) AS sjk2,
+       |             CAST(SUM(dj.deg*dj.deg + dk.deg*dk.deg) AS BIGINT) AS sq
+       |      FROM e JOIN d dj ON dj.node = e.u JOIN d dk ON dk.node = e.v)
+       |SELECT n_edges, $q197RExpr
+       |FROM g""".stripMargin
 }

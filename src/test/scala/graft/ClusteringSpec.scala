@@ -234,4 +234,31 @@ class ClusteringSpec extends SparkSpec {
     // sanity: a dense co-purchase graph at this SF has real triangles
     assert(got.map(_._3).sum > 0, "graph must contain triangles")
   }
+
+  test("q197 assortativity matches a driver-side exact-sum replay") {
+    import spark.implicits._
+    val po = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = po.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val deg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((u, v) <- edges) { deg(u) += 1; deg(v) += 1 }
+    val m = edges.size.toDouble
+    var (sjk, sjk2, sq) = (0L, 0L, 0L)
+    for ((u, v) <- edges) {
+      val (j, k) = (deg(u), deg(v))
+      sjk += j * k; sjk2 += j + k; sq += j * j + k * k
+    }
+    // the same double expression tree as q197RExpr
+    val half = sjk2.toDouble / (2.0 * m)
+    val r = (sjk.toDouble / m - half * half) / (sq.toDouble / (2.0 * m) - half * half)
+    val expect = BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Clustering.q197Assortativity(spark, sf).collect().head
+    assert(row.getLong(0) === edges.size.toLong)
+    assert(row.getDouble(1) === expect, "exact-sum assortativity parity")
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
 }

@@ -634,6 +634,15 @@ class PlanSpec extends SparkSpec {
       "the |V|-row degree map must broadcast onto the edge list")
   }
 
+  test("q197: assortativity reduce folds map-side, degree map broadcasts") {
+    val plan = finalPlan(Clustering.q197Assortativity(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "both degree lookups must ride the broadcast side")
+    assert(plan.contains("partial_sum"),
+      "the four edge-degree sums must combine map-side — O(1) state")
+  }
+
   test("q132: table checksum is one scan + one partial-aggregable shuffle") {
     val plan = finalPlan(Relational.q132TableChecksum(spark, sf))
     assert(!plan.contains("Join"), "checksum must not join")
