@@ -1435,6 +1435,71 @@ object Relational {
       |ORDER BY from_type, to_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q198 — 3-step transition probabilities: the cube of q119's Markov
+  // matrix — where an event chain lands three transitions out, the
+  // lookahead read for funnel design (does 'view' still reach
+  // 'purchase' within 3 hops, and with what mass?).
+  //
+  // EXACT integer arithmetic end-to-end (the q193 nano-unit trick, here
+  // in MICRO-units): P entries are n*1e6 div row_n, each matrix-multiply
+  // step is integer multiply + sum + div-1e6 rescale — floor division
+  // is deterministic and identical in both engines, so the oracle
+  // reproduces every entry bit-for-bit with no float product anywhere.
+  // (Decimal multiplication is deliberately avoided: Spark's
+  // precision-loss rescaling on DECIMAL(38,_) products is engine-
+  // specific; int64 micro-units are not.)
+  //
+  // Scale shape: all the data-sized work is q119's pair extraction (one
+  // user-keyed shuffle for the lag window); the matrix algebra runs on
+  // a |types|²-row frame — two broadcast self-joins of constant size.
+  // At 100 TB the event scan dominates and the chain algebra is free.
+  // ---------------------------------------------------------------------
+  def q198MarkovPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type").as("f"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = counts.groupBy(col("f")).agg(sum(col("n")).as("row_n"))
+    val p = counts.join(broadcast(rowTotals), Seq("f"))
+      .select(col("f"), col("t"), expr("(n * 1000000L) div row_n").as("pu"))
+      .cache() // |types|^2 rows; feeds both multiply steps
+    def step(m: DataFrame): DataFrame =
+      m.as("x").join(broadcast(p.as("y")), col("x.t") === col("y.f"))
+        .groupBy(col("x.f").as("f"), col("y.t").as("t"))
+        .agg(sum(col("x.pu") * col("y.pu")).as("s"))
+        .select(col("f"), col("t"), expr("s div 1000000L").as("pu"))
+    val p3 = step(step(p))
+    p3.select(col("f").as("from_type"), col("t").as("to_type"),
+        col("pu").as("p3_micro"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q198Sql: String =
+    """WITH pairs AS (
+      |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS f,
+      |         event_type AS t
+      |  FROM events),
+      |c AS (SELECT f, t, COUNT(*) AS n
+      |      FROM pairs WHERE f IS NOT NULL GROUP BY f, t),
+      |rt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY f),
+      |p AS (SELECT c.f, c.t, (c.n * 1000000) // rt.row_n AS pu
+      |      FROM c JOIN rt USING (f)),
+      |p2 AS (SELECT x.f, y.t,
+      |              CAST(SUM(x.pu * y.pu) AS BIGINT) // 1000000 AS pu
+      |       FROM p x JOIN p y ON x.t = y.f GROUP BY x.f, y.t),
+      |p3 AS (SELECT x.f, y.t,
+      |              CAST(SUM(x.pu * y.pu) AS BIGINT) // 1000000 AS pu
+      |       FROM p2 x JOIN p y ON x.t = y.f GROUP BY x.f, y.t)
+      |SELECT f AS from_type, t AS to_type, CAST(pu AS BIGINT) AS p3_micro
+      |FROM p3 ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q121 — concurrent-session timeline (sweep line): how many 300s-gap
   // user sessions are active in each minute — the load-curve / capacity
   // metric ("peak concurrency") and, over a corpus pipeline, the

@@ -634,6 +634,13 @@ class PlanSpec extends SparkSpec {
       "the |V|-row degree map must broadcast onto the edge list")
   }
 
+  test("q198: matrix power stays on broadcast joins of the tiny P frame") {
+    val plan = finalPlan(Relational.q198MarkovPower(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |types|^2 transition frame must broadcast in both multiply steps")
+  }
+
   test("q197: assortativity reduce folds map-side, degree map broadcasts") {
     val plan = finalPlan(Clustering.q197Assortativity(spark, sf))
     assert(!plan.contains("CartesianProduct"))

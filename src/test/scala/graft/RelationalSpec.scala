@@ -1052,4 +1052,43 @@ class RelationalSpec extends SparkSpec {
       assert(v === sorted(k.toInt - 1), s"value at $q")
     }
   }
+
+  test("q198 markov power matches a driver-side integer matrix cube") {
+    // independent replay: per-user chains sorted by (ts, event_id),
+    // pair counts, micro-unit rows, two integer multiply-rescale steps
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select(col("user_id"),
+        Tables.tsMicrosCol(ev).as("tsu"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getString(3)))
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    rows.groupBy(_._1).values.foreach { chain =>
+      val types = chain.sortBy(e => (e._2, e._3)).map(_._4)
+      types.sliding(2).foreach {
+        case Array(a, b) => counts((a, b)) += 1
+        case _           =>
+      }
+    }
+    val rowN = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p = counts.map { case ((a, b), n) => (a, b) -> n * 1000000L / rowN(a) }
+    def mul(x: Map[(String, String), Long], y: Map[(String, String), Long]) = {
+      val s = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for (((a, m), pv) <- x; ((m2, b), qv) <- y if m == m2)
+        s((a, b)) += pv * qv
+      s.map { case (k, v) => k -> v / 1000000L }.toMap
+    }
+    val expect = mul(mul(p.toMap, p.toMap), p.toMap)
+    val got = Relational.q198MarkovPower(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect, "bit-exact micro-unit matrix cube")
+    // after rescaling, every row's 3-step mass stays near 1.0 (floor
+    // division only loses mass, never gains)
+    got.groupBy(_._1._1).values.foreach { row =>
+      val mass = row.values.sum
+      assert(mass <= 1000000L && mass > 900000L, s"row mass $mass")
+    }
+  }
 }
