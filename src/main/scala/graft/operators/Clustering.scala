@@ -843,4 +843,84 @@ object Clustering {
        |      FROM e JOIN d dj ON dj.node = e.u JOIN d dk ON dk.node = e.v)
        |SELECT n_edges, $q197RExpr
        |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q199 — k-core peeling (k = 64, FIXED 8 rounds): repeatedly drop
+  // nodes whose degree fell under k and re-derive degrees on the induced
+  // subgraph. The k-core is the dense backbone a curation pipeline
+  // keeps when pruning a similarity/co-occurrence graph to its stable
+  // community structure (and the standard pre-step before expensive
+  // per-node work like q195's triangles on web-scale graphs).
+  //
+  // DETERMINISM contract: both engines peel EXACTLY KCorePeels rounds —
+  // the unrolled-iteration idiom of q193 — so the outputs are identical
+  // whether or not the peel has reached its fixpoint (the spec replay
+  // reports convergence; on this graph family 8 rounds converge).
+  //
+  // Scale shape: each round is one degree aggregation (map-side
+  // combinable) plus two broadcast semi-joins of the shrinking keep
+  // set; intermediate edge frames are cached so round i+1 reads round
+  // i's result instead of re-deriving the chain. At web scale the keep
+  // set rides a bloom/semi-join instead of a broadcast (q84's shape).
+  // ---------------------------------------------------------------------
+  private[graft] val KCoreK     = 64
+  private[graft] val KCorePeels = 8
+
+  /** One peel round: recompute degrees on `e`, keep nodes with deg >= k,
+    * induce the subgraph. The keep set rides the broadcast side of both
+    * semi-joins (plan-gated on this method directly, since the full
+    * q199 plan is lineage-truncated). */
+  private[graft] def kCorePeelOnce(e: DataFrame): DataFrame = {
+    val keep = degreeOf(e).filter(col("deg") >= KCoreK).select(col("node"))
+    e.join(broadcast(keep.select(col("node").as("u"))), "u")
+      .join(broadcast(keep.select(col("node").as("v"))), "v")
+      .select(col("u"), col("v"))
+  }
+
+  /** Co-purchase edges, exposed for the peel-round plan gate. */
+  private[graft] def kCoreEdgeList(spark: SparkSession, sfDir: String): DataFrame =
+    coPurchaseEdges(spark, sfDir)
+
+  def q199KCore(spark: SparkSession, sfDir: String): DataFrame = {
+    // Each round's edge frame is EAGERLY localCheckpointed (q46's
+    // iterative idiom): keep_i's plan embeds e_i, so a lazy chain would
+    // double the logical plan every round — 2^8 copies of the base scan
+    // by round 8, which stalls Catalyst. Truncating lineage keeps plan
+    // size constant per round. (localCheckpoint trades fault tolerance
+    // for speed; a cluster deployment swaps in reliable checkpoint().)
+    var e = coPurchaseEdges(spark, sfDir).localCheckpoint(true)
+    for (_ <- 1 to KCorePeels)
+      e = kCorePeelOnce(e).localCheckpoint(true)
+    degreeOf(e)
+      .select(col("node").as("part"), col("deg").as("core_deg"))
+      .orderBy("part")
+  }
+
+  /** Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and the
+    * unrolled peel references e_{i-1} three times per round — inlined,
+    * that's 3^8 copies of the base scan (the same blowup the Spark side
+    * avoids with per-round localCheckpoint). */
+  val q199Sql: String = {
+    val sb = new StringBuilder(
+      """WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM po a JOIN po b ON a.o = b.o AND a.p < b.p)""".stripMargin)
+    for (i <- 1 to KCorePeels) sb ++=
+      s""",
+         |d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+         |          SELECT u AS node FROM e${i - 1}
+         |          UNION ALL SELECT v FROM e${i - 1}) w GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KCoreK),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |        WHERE u IN (SELECT node FROM k$i)
+         |          AND v IN (SELECT node FROM k$i))""".stripMargin
+    sb ++=
+      s"""
+         |SELECT node AS part, CAST(deg AS BIGINT) AS core_deg FROM (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM e$KCorePeels
+         |    UNION ALL SELECT v FROM e$KCorePeels) w GROUP BY node) d
+         |ORDER BY part""".stripMargin
+    sb.toString
+  }
 }

@@ -1784,4 +1784,43 @@ object Curation {
        |SELECT s.doc_id, d.lang, d.source, s.n_toks, s.score
        |FROM score s JOIN documents d USING (doc_id)
        |ORDER BY s.score DESC, s.doc_id LIMIT $DsirSelectK""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q200 — one-pass weighted sampling WITHOUT replacement (Efraimidis–
+  // Spirakis 2006, algorithm A-ES): each row gets key ln(u)/w for a
+  // per-row uniform u and weight w; the K rows with the largest keys
+  // are a weighted sample without replacement. THE distributed weighted
+  // sampler: unlike q113's systematic sampler (two passes for the
+  // prefix offsets), A-ES needs ZERO coordination — every partition
+  // keeps its local top-K and the merge is a top-K of tops, which is
+  // exactly Spark's TakeOrderedAndProject (plan-gated). Weight here is
+  // n_chars: sample docs proportional to length, the token-budget-fair
+  // doc sample.
+  //
+  // DETERMINISTIC parity: u is md5-derived (first 12 hex chars of
+  // md5(doc_id) -> v, u = (v+1)/(2^48+1) in (0,1), exact in double),
+  // the key is rounded to 9 dp BEFORE ordering so a last-ulp ln
+  // divergence cannot flip the order, and ties break on doc_id.
+  // ---------------------------------------------------------------------
+  private val AesSampleK = 100
+
+  def q200WeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where("n_chars > 0") // guard BEFORE the projection: ANSI double
+      .selectExpr(          // division by zero throws, never returns inf
+        "doc_id",
+        "n_chars AS w",
+        "ROUND(ln((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS DOUBLE) + 1.0D)" +
+          " / 281474976710657.0D) / n_chars, 9) AS es_key")
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(AesSampleK)
+
+  val q200Sql: String =
+    s"""SELECT doc_id, n_chars AS w,
+       |       ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE) + 1.0)
+       |             / 281474976710657.0) / n_chars, 9) AS es_key
+       |FROM documents
+       |WHERE n_chars > 0
+       |ORDER BY es_key DESC, doc_id
+       |LIMIT $AesSampleK""".stripMargin
 }

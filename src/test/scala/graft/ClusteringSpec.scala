@@ -261,4 +261,33 @@ class ClusteringSpec extends SparkSpec {
     assert(row.getDouble(1) === expect, "exact-sum assortativity parity")
     assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
   }
+
+  test("q199 k-core: 8 peels match a driver replay; peeling monotone") {
+    import spark.implicits._
+    val po = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    var edges = po.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sizes = scala.collection.mutable.ArrayBuffer(edges.size)
+    for (_ <- 1 to Clustering.KCorePeels) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= Clustering.KCoreK).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      sizes += edges.size
+    }
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = deg.toSeq.sorted
+    val got = Clustering.q199KCore(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSeq
+    assert(got === expect, "node/degree parity after exactly 8 peels")
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b <= a },
+      "peeling never adds edges")
+    // the surviving core, if any, genuinely satisfies the k bound
+    assert(deg.values.forall(_ >= Clustering.KCoreK.toLong) || deg.isEmpty)
+  }
 }

@@ -775,4 +775,27 @@ class CurationSpec extends SparkSpec {
     assert(topQ > base,
       "the head of the selection must be enriched in the target domain")
   }
+
+  test("q200 A-ES sample matches a driver replay and is length-biased") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    def key(docId: Long, w: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(docId.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 281474976710657.0
+      BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = docs.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(100).toSeq
+    val got = Curation.q200WeightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expect, "exact top-100 by rounded E-S key")
+    // weighted-without-replacement sampling by n_chars is length-biased:
+    // the sample's mean length exceeds the corpus mean
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean, s"$sampleMean vs corpus $corpusMean")
+  }
 }

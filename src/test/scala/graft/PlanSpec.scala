@@ -634,6 +634,21 @@ class PlanSpec extends SparkSpec {
       "the |V|-row degree map must broadcast onto the edge list")
   }
 
+  test("q199/q200: peel rounds broadcast; the weighted sample is a top-K") {
+    // gate one peel round directly: the full q199 truncates lineage per
+    // round, so its final plan is just the degree aggregate
+    val p199 = finalPlan(
+      Clustering.kCorePeelOnce(Clustering.kCoreEdgeList(spark, sf)))
+    assert(!p199.contains("CartesianProduct"))
+    assert(p199.contains("BroadcastHashJoin"),
+      "every peel round's keep set must ride the broadcast side")
+    val p200 = finalPlan(graft.operators.Curation.q200WeightedSample(spark, sf))
+    assert(p200.contains("TakeOrderedAndProject"),
+      "A-ES sampling must be per-partition top-K + merge, never a global sort")
+    assert(!p200.contains("Exchange rangepartitioning"),
+      "no range-partitioned global sort for a bounded sample")
+  }
+
   test("q198: matrix power stays on broadcast joins of the tiny P frame") {
     val plan = finalPlan(Relational.q198MarkovPower(spark, sf))
     assert(!plan.contains("CartesianProduct"))
