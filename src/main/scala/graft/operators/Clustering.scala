@@ -711,11 +711,13 @@ object Clustering {
   // equi-joins — no cartesian anywhere (plan-gated).
   // ---------------------------------------------------------------------
   /** Undirected co-purchase edge list (u < v): parts adjacent iff they
-    * share an order. One orderkey shuffle + one 16-byte-pair dedup. */
+    * share an order. One orderkey shuffle + one 16-byte-pair dedup.
+    * No pre-dedup of (order, part): the strict u < v pair-level distinct
+    * already collapses any repeated part within an order, so the extra
+    * 600k-row shuffle would buy nothing. */
   private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val po = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
     po.as("a").join(po.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
