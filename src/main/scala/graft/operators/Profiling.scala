@@ -503,4 +503,66 @@ object Profiling {
        |FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $ct GROUP BY 1) c
        |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $pt) p USING (k)""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+
+  // ---------------------------------------------------------------------
+  // q201 — Poisson bootstrap (Chamandy et al. 2012, "Estimating
+  // Uncertainty for Massive Data Streams"): B resample estimates of the
+  // mean document length WITHOUT materializing resamples — each row
+  // contributes a deterministic Poisson(1) weight per resample, so the
+  // whole bootstrap is ONE scan with a B-way explode folding into B
+  // groups. The uncertainty-quantification op a 100 TB pipeline runs
+  // where classic bootstrap (shuffle n rows B times) is impossible:
+  // per-partition state is B running (Σwx, Σw) pairs, map-side
+  // combinable, and B=32 means 64 longs of state.
+  //
+  // DETERMINISTIC parity: weights come from an md5-uniform (q200 idiom)
+  // pushed through the exact Poisson(1) inverse CDF — the threshold
+  // CASE expression is ONE string shared verbatim with the oracle
+  // (q196 idiom), every sum is an exact BIGINT, and the only double is
+  // the final 6-dp-rounded resample mean.
+  // ---------------------------------------------------------------------
+  private[graft] val BootB = 32
+
+  /** Poisson(1) inverse CDF over a uniform column `u` — cumulative
+    * probabilities e^{-1} Σ 1/k!, written once for both engines. */
+  private val bootWExpr: String =
+    """CASE WHEN u < 0.36787944117144233 THEN 0
+      |     WHEN u < 0.7357588823428847  THEN 1
+      |     WHEN u < 0.9196986029286058  THEN 2
+      |     WHEN u < 0.9810118431238462  THEN 3
+      |     WHEN u < 0.9963401531726563  THEN 4
+      |     WHEN u < 0.9994058151824183  THEN 5
+      |     WHEN u < 0.9999167588507119  THEN 6
+      |     ELSE 7 END""".stripMargin.replace('\n', ' ').replaceAll(" +", " ")
+
+  def q201PoissonBoot(spark: SparkSession, sfDir: String): DataFrame = {
+    val weighted = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(lit((0 until BootB).toArray)).as("b"))
+      .selectExpr("b", "n_chars",
+        "(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 12), 16, 10) AS DOUBLE) + 1.0D)" +
+          " / 281474976710657.0D AS u")
+      .selectExpr("b", "n_chars", s"$bootWExpr AS w")
+    weighted.groupBy(col("b").as("resample"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("n_chars")).as("swx"))
+      .selectExpr("CAST(resample AS BIGINT) AS resample",
+        "CAST(n_eff AS BIGINT) AS n_eff",
+        "ROUND(CAST(swx AS DOUBLE) / n_eff, 6) AS boot_mean")
+      .orderBy("resample")
+  }
+
+  val q201Sql: String =
+    s"""WITH j AS (SELECT UNNEST(RANGE(0, $BootB)) AS b),
+       |u0 AS (
+       |  SELECT j.b, d.n_chars,
+       |         (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.b AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE) + 1.0)
+       |           / 281474976710657.0 AS u
+       |  FROM documents d CROSS JOIN j),
+       |w AS (SELECT b, n_chars, $bootWExpr AS w FROM u0)
+       |SELECT CAST(b AS BIGINT) AS resample,
+       |       CAST(SUM(w) AS BIGINT) AS n_eff,
+       |       ROUND(CAST(CAST(SUM(w * n_chars) AS BIGINT) AS DOUBLE)
+       |             / CAST(SUM(w) AS BIGINT), 6) AS boot_mean
+       |FROM w GROUP BY b ORDER BY resample""".stripMargin
 }

@@ -649,6 +649,14 @@ class PlanSpec extends SparkSpec {
       "no range-partitioned global sort for a bounded sample")
   }
 
+  test("q201: the bootstrap is one scan, B-way generate, partial fold") {
+    val plan = finalPlan(graft.operators.Profiling.q201PoissonBoot(spark, sf))
+    assert(!plan.contains("Join"), "no join — resamples are weight streams")
+    assert(plan.contains("Generate"), "the B-way explode feeds the fold")
+    assert(plan.contains("partial_sum"),
+      "B (sum_wx, sum_w) pairs must fold map-side — 64 longs of state")
+  }
+
   test("q198: matrix power stays on broadcast joins of the tiny P frame") {
     val plan = finalPlan(Relational.q198MarkovPower(spark, sf))
     assert(!plan.contains("CartesianProduct"))

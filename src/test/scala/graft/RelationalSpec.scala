@@ -1091,4 +1091,33 @@ class RelationalSpec extends SparkSpec {
       assert(mass <= 1000000L && mass > 900000L, s"row mass $mass")
     }
   }
+
+  test("q201 poisson bootstrap matches a driver replay; CI brackets the mean") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cdf = Array(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588507119)
+    def w(docId: Long, b: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$docId:$b".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 281474976710657.0
+      cdf.indexWhere(u < _) match { case -1 => 7L; case k => k.toLong }
+    }
+    val expect = (0 until operators.Profiling.BootB).map { b =>
+      var (sw, swx) = (0L, 0L)
+      for ((id, x) <- docs) { val wi = w(id, b); sw += wi; swx += wi * x }
+      (b.toLong, sw, BigDecimal(swx.toDouble / sw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = operators.Profiling.q201PoissonBoot(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expect, "bit-exact resample weights and means")
+    // the bootstrap distribution brackets the true mean
+    val trueMean = docs.map(_._2).sum.toDouble / docs.length
+    val means = got.map(_._3).sorted
+    assert(means.head <= trueMean && trueMean <= means.last,
+      s"true mean $trueMean outside [${means.head}, ${means.last}]")
+  }
 }
