@@ -552,6 +552,96 @@ object Profiling {
       .orderBy("resample")
   }
 
+  // ---------------------------------------------------------------------
+  // q202 — CUSUM changepoint localization per source: where, in doc_id
+  // (ingestion) order, did a source's document-length level shift? The
+  // drift-monitoring read a curation pipeline runs per ingest batch —
+  // CUSUM's argmax is the classic single-changepoint estimator.
+  //
+  // EXACT arithmetic: the centered cusum Σ_{i<=k}(x_i − μ) is kept in
+  // SCALED integer form n·prefix_k − k·S (multiply through by n to
+  // clear μ = S/n), so the peak and its argmax are exact BIGINTs and
+  // ties resolve to the smallest doc_id in both engines. The only
+  // double is the final normalized drift = peak / (n·S).
+  //
+  // Scale shape: per-source running sums are the q95 FROZEN TWO-PASS
+  // prefix scan — range-partition by (source, doc_id), per-partition
+  // per-source partials to the driver (2·S·P longs), then a
+  // mapPartitions pass adds offsets — never an ORDER BY-without-
+  // PARTITION window (single-task at 100 TB, per-source partitions are
+  // corpus-sized there). The argmax is max-then-equi-join, no sort.
+  // ---------------------------------------------------------------------
+  private val CusumParts = 8
+
+  def q202SourceCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val sources = base.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val sIdx = sources.zipWithIndex.toMap
+    val weights = sources.toSeq.flatMap { s =>
+      Seq(sum(when(col("source") === s, col("n_chars")).otherwise(0L)),
+        sum(when(col("source") === s, 1L).otherwise(0L)))
+    }
+    val (frozen, offsets, totals) = TwoPass.frozenPrefix(
+      base, CusumParts, Seq(col("source"), col("doc_id")), weights)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcIdx = spark.sparkContext.broadcast(sIdx)
+    // pass 2: per-source running (Σx, k) within each frozen partition
+    val cusum = frozen.as[(String, Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val idx = bcIdx.value
+      val off = bcOff.value.getOrElse(pid, Array.fill(2 * idx.size)(0L))
+      val runX = off.indices.collect { case i if i % 2 == 0 => off(i) }.toArray
+      val runK = off.indices.collect { case i if i % 2 == 1 => off(i) }.toArray
+      it.map { case (src, docId, x) =>
+        val i = idx(src)
+        runX(i) += x; runK(i) += 1
+        (src, docId, runX(i), runK(i))
+      }
+    }.toDF("source", "doc_id", "px", "k")
+      .localCheckpoint(true) // materialize before releasing the layout
+    frozen.unpersist()
+    val tot = sources.toSeq.map(s =>
+      (s, totals(2 * sIdx(s) + 1), totals(2 * sIdx(s)))).toDF("source", "n", "s")
+    val a = cusum.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("doc_id"),
+        abs(col("n") * col("px") - col("k") * col("s")).as("a"))
+    val peaks = a.groupBy("source").agg(max(col("a")).as("peak"))
+    a.join(broadcast(peaks), Seq("source"))
+      .filter(col("a") === col("peak"))
+      .groupBy(col("source"), col("peak"))
+      .agg(min(col("doc_id")).as("cp_doc_id"))
+      .join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("n").as("n_docs"), col("cp_doc_id"),
+        col("peak").as("peak_scaled"),
+        round(col("peak").cast("double") /
+          (col("n") * col("s").cast("double")), 9).as("drift"))
+      .orderBy("source")
+  }
+
+  val q202Sql: String =
+    """WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |                  CAST(SUM(n_chars) AS BIGINT) AS s
+      |           FROM documents GROUP BY source),
+      |c AS (SELECT d.source, d.doc_id,
+      |             ABS(t.n * CAST(SUM(d.n_chars) OVER (PARTITION BY d.source
+      |                              ORDER BY d.doc_id) AS BIGINT)
+      |                 - ROW_NUMBER() OVER (PARTITION BY d.source
+      |                                      ORDER BY d.doc_id) * t.s) AS a
+      |      FROM documents d JOIN t USING (source)),
+      |p AS (SELECT source, MAX(a) AS peak FROM c GROUP BY source),
+      |cp AS (SELECT c.source, p.peak, MIN(c.doc_id) AS cp_doc_id
+      |       FROM c JOIN p ON p.source = c.source AND c.a = p.peak
+      |       GROUP BY 1, 2)
+      |SELECT cp.source, t.n AS n_docs, cp.cp_doc_id,
+      |       CAST(cp.peak AS BIGINT) AS peak_scaled,
+      |       ROUND(CAST(cp.peak AS DOUBLE) / (t.n * CAST(t.s AS DOUBLE)), 9)
+      |         AS drift
+      |FROM cp JOIN t USING (source)
+      |ORDER BY source""".stripMargin
+
   val q201Sql: String =
     s"""WITH j AS (SELECT UNNEST(RANGE(0, $BootB)) AS b),
        |u0 AS (

@@ -649,6 +649,15 @@ class PlanSpec extends SparkSpec {
       "no range-partitioned global sort for a bounded sample")
   }
 
+  test("q202: cusum never uses an unpartitioned global-order window") {
+    val plan = finalPlan(graft.operators.Profiling.q202SourceCusum(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    // the prefix scan must be the frozen two-pass shape: range exchange +
+    // mapPartitions, never a Window over a whole source
+    assert(!plan.contains("Window"),
+      "per-source running sums must come from the two-pass prefix scan")
+  }
+
   test("q201: the bootstrap is one scan, B-way generate, partial fold") {
     val plan = finalPlan(graft.operators.Profiling.q201PoissonBoot(spark, sf))
     assert(!plan.contains("Join"), "no join — resamples are weight streams")

@@ -1120,4 +1120,29 @@ class RelationalSpec extends SparkSpec {
     assert(means.head <= trueMean && trueMean <= means.last,
       s"true mean $trueMean outside [${means.head}, ${means.last}]")
   }
+
+  test("q202 CUSUM changepoints match an exact driver-side scan") {
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val xs = rows.sortBy(_._2)
+      val n = xs.length.toLong
+      val s = xs.map(_._3).sum
+      var (px, k) = (0L, 0L)
+      var (peak, cp) = (-1L, 0L)
+      for ((_, docId, x) <- xs) {
+        px += x; k += 1
+        val a = math.abs(n * px - k * s)
+        if (a > peak) { peak = a; cp = docId } // first (smallest doc_id) wins
+      }
+      (src, n, cp, peak, BigDecimal(peak.toDouble / (n * s.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = operators.Profiling.q202SourceCusum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expect, "exact scaled-integer CUSUM peak and argmax")
+    // the normalized drift lives in [0, 1) by construction
+    assert(got.forall(t => t._5 >= 0.0 && t._5 < 1.0))
+  }
 }
