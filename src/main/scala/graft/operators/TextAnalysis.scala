@@ -2253,6 +2253,74 @@ object TextAnalysis {
     s"ROUND(1.0 - (syy - ($q196D0*sy + $q196D1*s1y + $q196D2*s2y) / $q196Da)" +
       " / (syy - sy*sy / nd), 6) AS r2")
 
+  // ---------------------------------------------------------------------
+  // q203 — KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002;
+  // Beyer et al. SIGMOD'07 estimator): keep the k smallest normalized
+  // hashes of the distinct word-3-gram shingles; estimate the shingle-
+  // universe size as (k-1)/u_(k) — the number that SIZES an LSH dedup
+  // run (band arithmetic, q20/q188) before paying for the exact count.
+  // Third sketch family next to q34's HLL cardinality and q194's CMS
+  // frequencies — and the one whose estimate is ORACLE-EXACT: the hash
+  // is md5-derived, so both engines compute the identical k-th order
+  // statistic and the identical estimate, unlike HLL where the sketch
+  // layout is engine-internal. KMV also has the trivial distributed
+  // union: each partition keeps its local bottom-k and the merge is a
+  // bottom-k of tops = TakeOrderedAndProject (plan-gated).
+  //
+  // Output pins the estimate against the exact distinct count with its
+  // measured relative error — the in-query quality floor.
+  // ---------------------------------------------------------------------
+  private val KmvK = 256
+
+  def q203KmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))""".stripMargin))
+        .as("g"))
+      .distinct()
+      .cache() // one shingle dedup feeds the sketch AND the exact count
+    val hashed = grams.selectExpr(
+      "(CAST(conv(substring(md5(g), 1, 12), 16, 10) AS DOUBLE) + 1.0D)" +
+        " / 281474976710657.0D AS u")
+    val kth = hashed.orderBy(col("u")).limit(KmvK)
+      .agg(max(col("u")).as("uk"), count(lit(1)).as("kk"))
+    val exact = grams.agg(count(lit(1)).as("n_exact"))
+    kth.crossJoin(exact) // 1 row x 1 row
+      .selectExpr(
+        "kk AS k",
+        "ROUND(uk, 9) AS kth_u",
+        "CAST(FLOOR((kk - 1) / uk) AS BIGINT) AS est_distinct",
+        "n_exact",
+        "ROUND(ABS((kk - 1) / uk - CAST(n_exact AS DOUBLE)) / n_exact, 6)" +
+          " AS rel_err")
+  }
+
+  val q203Sql: String =
+    s"""WITH toks AS (
+       |  SELECT regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                          for i in range(1, len(toks) - 1)]) AS g
+       |  FROM toks WHERE len(toks) >= 3),
+       |h AS (
+       |  SELECT (CAST(('0x' || substr(md5(g), 1, 12))::BIGINT AS DOUBLE) + 1.0)
+       |           / 281474976710657.0 AS u
+       |  FROM grams),
+       |kth AS (SELECT MAX(u) AS uk, CAST(COUNT(*) AS BIGINT) AS kk
+       |        FROM (SELECT u FROM h ORDER BY u LIMIT $KmvK) b),
+       |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM grams)
+       |SELECT kk AS k,
+       |       ROUND(uk, 9) AS kth_u,
+       |       CAST(FLOOR((kk - 1) / uk) AS BIGINT) AS est_distinct,
+       |       n_exact,
+       |       ROUND(ABS((kk - 1) / uk - CAST(n_exact AS DOUBLE)) / n_exact, 6)
+       |         AS rel_err
+       |FROM kth CROSS JOIN ex""".stripMargin
+
   def q196LinearProbe(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = Tables.documents(spark, sfDir).selectExpr(
       "CAST(ROUND(ln(1.0D + n_chars), 6) AS DECIMAL(18,6)) AS x1",

@@ -649,6 +649,14 @@ class PlanSpec extends SparkSpec {
       "no range-partitioned global sort for a bounded sample")
   }
 
+  test("q203: the bottom-k sketch is a TakeOrdered merge, not a sort") {
+    val plan = finalPlan(TextAnalysis.q203KmvDistinct(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bottom-k must be per-partition top-K + merge")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "no global sort for a k-bounded order statistic")
+  }
+
   test("q202: cusum never uses an unpartitioned global-order window") {
     val plan = finalPlan(graft.operators.Profiling.q202SourceCusum(spark, sf))
     assert(!plan.contains("CartesianProduct"))

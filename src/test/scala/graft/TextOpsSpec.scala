@@ -517,4 +517,31 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getDouble(4) === d6(r2).toDouble, "r2")
     assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
   }
+
+  test("q203 KMV sketch matches a driver replay; estimate inside 3/sqrt(k)") {
+    val grams = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.split(" +"))
+      .filter(_.length >= 3)
+      .flatMap(t => t.sliding(3).map(_.mkString(" ")))
+      .distinct
+    def u(g: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) + 1.0) / 281474976710657.0
+    }
+    val us = grams.map(u).sorted.take(256)
+    val (uk, kk) = (us.last, us.length.toLong)
+    val est = math.floor((kk - 1) / uk).toLong
+    val row = TextAnalysis.q203KmvDistinct(spark, sf).collect().head
+    assert(row.getLong(0) === kk)
+    assert(row.getDouble(1) === BigDecimal(uk)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getLong(2) === est, "identical k-th order statistic estimate")
+    assert(row.getLong(3) === grams.length.toLong)
+    // KMV concentration: relative error within 3/sqrt(k) whp when the
+    // universe genuinely exceeds k
+    if (grams.length > 4 * 256)
+      assert(row.getDouble(4) <= 3.0 / math.sqrt(256.0),
+        s"rel_err ${row.getDouble(4)}")
+  }
 }
