@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -1493,4 +1494,93 @@ object Similarity {
       |FROM e
       |GROUP BY dim
       |ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q204 — Matryoshka truncation-distortion audit (Kusupati et al. 2022):
+  // how much does cosine similarity move when embeddings are truncated
+  // to their first k dims? The go/no-go read before serving truncated
+  // vectors from an MRL-style index (k-dim coarse search, full-dim
+  // re-rank — q30/q53's shape with k picked BY THIS AUDIT).
+  //
+  // Probe pairs are consecutive vec_ids — a deterministic, corpus-sized
+  // sample needing one equi-join (vec_id+1), no sampling state. Per
+  // pair and k in {4,8,16}: |cos_k - cos_full|, 6-dp-rounded to
+  // DECIMAL so the per-k mean aggregates exactly (order-insensitive);
+  // dot products run through the codegen'd sequential-fold DotProduct,
+  // whose bit-parity with DuckDB's list_dot_product q22 established.
+  // Output per k: pair count, mean/max distortion, and the count of
+  // retrieval-unsafe pairs (distortion > 0.05).
+  // ---------------------------------------------------------------------
+  private val MrlDims   = Seq(4, 8, 16)
+  private val MrlUnsafe = 0.05
+
+  def q204MatryoshkaAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ida") + 1 === col("idb"))
+    def cosAt(k: Int): Column = {
+      val (sa, sb) = (slice(col("ea"), 1, k), slice(col("eb"), 1, k))
+      dot(sa, sb) / (sqrt(dot(sa, sa)) * sqrt(dot(sb, sb)))
+    }
+    val cosFull = dot(col("ea"), col("eb")) /
+      (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb"))))
+    // guard every truncated norm before any division (ANSI /0 throws);
+    // random float embeddings never have an all-zero prefix, but the
+    // predicate must exist and must match the oracle's
+    val guarded = MrlDims.map { k =>
+      dot(slice(col("ea"), 1, k), slice(col("ea"), 1, k)) > 0 &&
+        dot(slice(col("eb"), 1, k), slice(col("eb"), 1, k)) > 0
+    }.reduce(_ && _) && dot(col("ea"), col("ea")) > 0 && dot(col("eb"), col("eb")) > 0
+    val withD = pairs.filter(guarded)
+      .withColumn("cf", cosFull)
+      .select(MrlDims.map(k =>
+        round(abs(cosAt(k) - col("cf")), 6).cast(DecimalType(18, 6)).as(s"d$k")): _*)
+    val long = withD.select(explode(array(MrlDims.map(k =>
+        struct(lit(k).as("dim"), col(s"d$k").as("d"))): _*)).as("x"))
+      .select(col("x.dim").as("dim"), col("x.d").as("d"))
+    long.groupBy("dim")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d")).as("sd"),
+        max(col("d")).as("md"),
+        sum(when(col("d") > MrlUnsafe, 1L).otherwise(0L)).as("n_unsafe"))
+      .select(col("dim").cast("long").as("dim"), col("n_pairs"),
+        round(col("sd").cast("double") / col("n_pairs"), 6).as("mean_dist"),
+        col("md").cast("double").as("max_dist"),
+        col("n_unsafe"))
+      .orderBy("dim")
+  }
+
+  val q204Sql: String = {
+    val perK = MrlDims.map { k =>
+      s"""  SELECT $k AS dim,
+         |         CAST(ROUND(ABS(list_dot_product(ea[1:$k], eb[1:$k])
+         |                / (sqrt(list_dot_product(ea[1:$k], ea[1:$k]))
+         |                   * sqrt(list_dot_product(eb[1:$k], eb[1:$k]))) - cf), 6)
+         |              AS DECIMAL(18,6)) AS d
+         |  FROM c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |p AS (SELECT a.emb AS ea, b.emb AS eb
+       |      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+       |g AS (SELECT ea, eb FROM p
+       |      WHERE ${MrlDims.map(k =>
+                s"list_dot_product(ea[1:$k], ea[1:$k]) > 0 AND " +
+                  s"list_dot_product(eb[1:$k], eb[1:$k]) > 0").mkString(" AND ")}
+       |        AND list_dot_product(ea, ea) > 0 AND list_dot_product(eb, eb) > 0),
+       |c AS (SELECT ea, eb,
+       |             list_dot_product(ea, eb)
+       |               / (sqrt(list_dot_product(ea, ea))
+       |                  * sqrt(list_dot_product(eb, eb))) AS cf
+       |      FROM g),
+       |d AS (
+       |$perK)
+       |SELECT CAST(dim AS BIGINT) AS dim,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS mean_dist,
+       |       CAST(MAX(d) AS DOUBLE) AS max_dist,
+       |       CAST(SUM(CASE WHEN d > $MrlUnsafe THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_unsafe
+       |FROM d GROUP BY dim ORDER BY dim""".stripMargin
+  }
 }

@@ -649,6 +649,14 @@ class PlanSpec extends SparkSpec {
       "no range-partitioned global sort for a bounded sample")
   }
 
+  test("q204: the distortion audit is one id-keyed join + a partial fold") {
+    val plan = finalPlan(Similarity.q204MatryoshkaAudit(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "probe pairs come from the vec_id+1 equi-join, never all pairs")
+    assert(plan.contains("partial"),
+      "per-k distortion aggregates must fold map-side")
+  }
+
   test("q203: the bottom-k sketch is a TakeOrdered merge, not a sort") {
     val plan = finalPlan(TextAnalysis.q203KmvDistinct(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),

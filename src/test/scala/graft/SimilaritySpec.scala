@@ -446,4 +446,39 @@ class SimilaritySpec extends SparkSpec {
     // micro-accuracy ties out: sum of tp over classes = correct preds
     assert(rows.map(_._4).sum === preds.count(x => x._1 == x._2).toLong)
   }
+
+  test("q204 matryoshka audit matches a driver-side sequential-fold replay") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def dotD(a: Array[Float], b: Array[Float], k: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < k) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float], k: Int): Double =
+      dotD(a, b, k) / (math.sqrt(dotD(a, a, k)) * math.sqrt(dotD(b, b, k)))
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val byId = vecs.toMap
+    val pairs = vecs.flatMap { case (id, a) => byId.get(id + 1).map(b => (a, b)) }
+    val dims = Seq(4, 8, 16)
+    val expect = dims.map { k =>
+      val ds = pairs.map { case (a, b) =>
+        d6(math.abs(cos(a, b, k) - cos(a, b, a.length)))
+      }
+      (k.toLong, ds.length.toLong,
+        d6(ds.sum.toDouble / ds.length).toDouble, // double division, as the engines do
+        ds.max.toDouble,
+        ds.count(_ > BigDecimal(0.05)).toLong)
+    }
+    val got = Similarity.q204MatryoshkaAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got === expect, "exact per-k distortion aggregates")
+    // truncating harder cannot help on average: mean distortion at k=4
+    // is at least the mean at k=16
+    assert(got.head._3 >= got.last._3)
+  }
 }
