@@ -106,7 +106,11 @@ object StreamParity {
     val query = agg.writeStream.outputMode("append")
       .format("memory").queryName(table).start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // output lives in the memory sink
+      deleteRecursively(sentinelDir.toFile)
+    }
 
     spark.table(table)
       .filter(col("event_type") =!= "zzz_sentinel")
@@ -300,9 +304,14 @@ object StreamParity {
     // the ones that exist (never the case with this 4-file layout, but an
     // empty trailing trigger must not fail the read).
     val existingDirs = verdictDirs.filter(d => new java.io.File(d).isDirectory)
-    spark.read.parquet(existingDirs.toSeq: _*)
+    // materialize eagerly so the verdict/incoming temp trees can go
+    val out = spark.read.parquet(existingDirs.toSeq: _*)
       .select(col("doc_id"), col("verdict"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    deleteRecursively(dir.toFile)
+    deleteRecursively(new java.io.File(ioRoot))
+    out
   }
 
   /** q71 — SESSION windows through the REAL streaming engine: the q08
@@ -374,7 +383,11 @@ object StreamParity {
     val query = agg.writeStream.outputMode("append")
       .format("memory").queryName(table).start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // output lives in the memory sink
+      deleteRecursively(sentinelDir.toFile)
+    }
 
     spark.table(table)
       .filter(col("user_id") =!= -1L)
@@ -415,7 +428,10 @@ object StreamParity {
     val query = agg.writeStream.outputMode("complete")
       .format("memory").queryName(table).start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // output lives in the memory sink
+    }
 
     spark.table(table).orderBy("keep_id")
   }
@@ -475,7 +491,10 @@ object StreamParity {
         ()
       }.start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // sketch lives on the driver
+    }
 
     // exact verification of the k-bounded candidate set (q61's gate)
     import spark.implicits._
@@ -592,8 +611,10 @@ object StreamParity {
       .select(col("window_start"), col("event_type"), col("cnt"),
         col("mean"), col("z"))
       .orderBy("window_start", "event_type")
-      .cache()
-    out.count() // materialize before the temp snapshot is eligible for GC
+      .localCheckpoint(true) // sever lineage to the temp snapshot parquet
+    agg.unpersist()
+    deleteRecursively(dir.toFile)
+    deleteRecursively(new java.io.File(snapRoot))
     out
   }
 
@@ -885,6 +906,7 @@ object StreamParity {
         Files.copy(p, dst)
         require(dst.toFile.setLastModified(t0 + i * 10000L))
       }
+      deleteRecursively(tmp.toFile) // staging copy, already in the feed
     }
 
     val snapRoot = Files.createTempDirectory("q80_snap").toString
@@ -925,8 +947,9 @@ object StreamParity {
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_price"))
       .orderBy("o_orderstatus")
-      .cache()
-    out.count() // materialize before the temp snapshot is eligible for GC
+      .localCheckpoint(true) // sever lineage to the temp snapshot parquet
+    deleteRecursively(dir.toFile)
+    deleteRecursively(new java.io.File(snapRoot))
     out
   }
 
@@ -1066,7 +1089,11 @@ object StreamParity {
     val query = out.toDF().writeStream.outputMode("append")
       .format("memory").queryName(table).start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // output lives in the memory sink
+      deleteRecursively(sentinelDir.toFile)
+    }
 
     spark.table(table)
       .filter(col("user_id") =!= -1L)
@@ -1136,7 +1163,10 @@ object StreamParity {
     val query = result.writeStream.outputMode("complete")
       .format("memory").queryName(table).start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // output lives in the memory sink
+    }
     // progress events arrive on an async bus: poll until the listener
     // has folded every processed row (bounded — the events were all
     // committed before processAllAvailable returned)
@@ -1204,7 +1234,11 @@ object StreamParity {
     val query = counts.writeStream.outputMode("append")
       .format("memory").queryName(table).start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // output lives in the memory sink
+      deleteRecursively(sentinelDir.toFile)
+    }
 
     spark.table(table)
       .select(col("window.start").cast("long").as("window_start"),
@@ -1263,7 +1297,10 @@ object StreamParity {
     val query = deduped.writeStream.outputMode("append")
       .format("memory").queryName(table).start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // output lives in the memory sink
+    }
 
     spark.table(table).orderBy("user_id", "minute_start")
   }

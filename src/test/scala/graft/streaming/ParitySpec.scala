@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions.{col, unix_micros}
 /** q25 through the file-stream source must equal the batch flagship q01
   * row-for-row (same oracle). */
 class ParitySpec extends SparkSpec {
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(); ()
+    }
+    rec(p.toFile)
+  }
+
   test("q25 file-stream parity equals batch q01") {
     val streamed = StreamParity.q25StreamBatchParity(spark, sf).collect().toSeq
     val batch = graft.operators.Relational.q01SlidingWindowAgg(spark, sf)
@@ -63,6 +71,7 @@ class ParitySpec extends SparkSpec {
         // one file per trigger, consumed oldest-first: pin the order
         dst.toFile.setLastModified(1000000000000L + i * 10000L)
       }
+      deleteDir(tmp) // staging copy, already in the feed
     }
 
     val agg = graft.Tables.normalizeTs(spark.readStream.schema(schema)
@@ -100,9 +109,13 @@ class ParitySpec extends SparkSpec {
           Files.copy(p, dst)
           dst.toFile.setLastModified(1000000000000L + nFiles * 10000L)
         }
+        deleteDir(tmp)
         query.processAllAvailable()
         n
-      } finally query.stop()
+      } finally {
+        query.stop()
+        deleteDir(dir) // output lives in the memory sink
+      }
 
     val streamed = spark.table("q25_multi")
       .filter(col("event_type") =!= "zzz_sentinel")
