@@ -1823,4 +1823,252 @@ object Curation {
        |WHERE n_chars > 0
        |ORDER BY es_key DESC, doc_id
        |LIMIT $AesSampleK""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q205 — iterative mixture-weight rebalancing via multiplicative
+  // weights (the DoReMi family, Xie et al. 2023, inverted to CURATE:
+  // downweight sources whose quality deficit exceeds the current
+  // mixture's weighted mean). Unlike q99's one-shot temperature mixture
+  // and q42's fixed quotas, the rounds genuinely interact: each round's
+  // reference point is the WEIGHTED mean deficit under the current
+  // weights, so as bad sources shrink the bar tightens on the rest.
+  //
+  // Exact-integer arithmetic throughout (the q193/q198 technique):
+  // deficits, weights, and means live in ppm-scaled BIGINTs, every
+  // division is integer division, and each round renormalizes weights
+  // back to ppm so three rounds of products stay far inside int64
+  // (max intermediate: raw*1e6 <= 1e18 < 2^63). Both engines therefore
+  // produce bit-identical trajectories — no float anywhere.
+  //
+  // 100 TB: the corpus-sized pass is the ONE per-source aggregate; the
+  // MW rounds run on an |sources|-row frame, so the unpartitioned
+  // windows below are bounded by the source catalog, not the data.
+  // ---------------------------------------------------------------------
+  private val MwEtaDiv = 2L // eta = 1/2: excess halves into the multiplier
+
+  def q205MixtureRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    // per-doc quality deficit in ppm: 1 - type/token ratio (repetitive
+    // docs score high), exact integers only
+    val perSrc = Tables.documents(spark, sfDir)
+      .selectExpr("source",
+        "size(array_distinct(split(trim(text), ' +'))) AS d",
+        "size(split(trim(text), ' +')) AS n")
+      .selectExpr("source", "1000000L - (1000000L * d) div n AS d_ppm")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d_ppm")).as("sd"))
+      .selectExpr("source", "n_docs", "sd div n_docs AS loss_ppm")
+
+    def mwRound(df: org.apache.spark.sql.DataFrame, wIn: String,
+        wOut: String): org.apache.spark.sql.DataFrame =
+      df.withColumn("mean_ppm",
+          expr(s"sum($wIn * loss_ppm) over () div (sum($wIn) over ())"))
+        .withColumn("raw", expr(
+          s"$wIn * (1000000L - greatest(0L, loss_ppm - mean_ppm) div $MwEtaDiv)"))
+        .withColumn(wOut, expr("raw * 1000000L div (sum(raw) over ())"))
+        .drop("mean_ppm", "raw")
+
+    val r0 = perSrc.withColumn("w0", expr("1000000L div count(1) over ()"))
+    mwRound(mwRound(mwRound(r0, "w0", "w1"), "w1", "w2"), "w2", "w3")
+      .orderBy("source")
+  }
+
+  val q205Sql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |         1000000 - (1000000 * len(list_distinct(regexp_split_to_array(trim(text), ' +'))))
+       |           // len(regexp_split_to_array(trim(text), ' +')) AS d_ppm
+       |  FROM documents),
+       |src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(d_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS loss_ppm
+       |  FROM per_doc GROUP BY source),
+       |r0 AS (
+       |  SELECT source, n_docs, loss_ppm,
+       |         1000000 // (COUNT(*) OVER ()) AS w0
+       |  FROM src),
+       |r1a AS (
+       |  SELECT *, w0 * (1000000 - GREATEST(0,
+       |           loss_ppm - CAST(SUM(w0 * loss_ppm) OVER () AS BIGINT)
+       |             // CAST(SUM(w0) OVER () AS BIGINT)) // $MwEtaDiv) AS raw
+       |  FROM r0),
+       |r1 AS (
+       |  SELECT source, n_docs, loss_ppm, w0,
+       |         raw * 1000000 // CAST(SUM(raw) OVER () AS BIGINT) AS w1
+       |  FROM r1a),
+       |r2a AS (
+       |  SELECT *, w1 * (1000000 - GREATEST(0,
+       |           loss_ppm - CAST(SUM(w1 * loss_ppm) OVER () AS BIGINT)
+       |             // CAST(SUM(w1) OVER () AS BIGINT)) // $MwEtaDiv) AS raw
+       |  FROM r1),
+       |r2 AS (
+       |  SELECT source, n_docs, loss_ppm, w0, w1,
+       |         raw * 1000000 // CAST(SUM(raw) OVER () AS BIGINT) AS w2
+       |  FROM r2a),
+       |r3a AS (
+       |  SELECT *, w2 * (1000000 - GREATEST(0,
+       |           loss_ppm - CAST(SUM(w2 * loss_ppm) OVER () AS BIGINT)
+       |             // CAST(SUM(w2) OVER () AS BIGINT)) // $MwEtaDiv) AS raw
+       |  FROM r2)
+       |SELECT source, n_docs, loss_ppm, w0, w1, w2,
+       |       raw * 1000000 // CAST(SUM(raw) OVER () AS BIGINT) AS w3
+       |FROM r3a
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q206 — pairwise source-overlap ESTIMATION from KMV sketches (Beyer
+  // et al. SIGMOD'07 §4: the k-th-order-statistic sketch supports set
+  // operations): per source keep the K smallest md5-derived hashes of
+  // its word-3-gram shingles; for a pair, the bottom-k' of the merged
+  // sketch is a uniform sample of the UNION, so the fraction of those
+  // elements present in BOTH sketches estimates Jaccard. This is the
+  // sketch form of q64's exact contamination matrix — the 100 TB shape:
+  // the corpus-sized work is ONE bottom-K per source (|S|·K rows total,
+  // merged map-side), after which all |S|² pair estimates are
+  // catalog-sized, where the exact matrix pays a full gram-level
+  // self-join that grows with the corpus. The exact Jaccard is computed
+  // alongside (q64's join shape) so the estimate's error is pinned
+  // in-query, q203's pattern — at production scale you would publish
+  // the estimate column alone.
+  //
+  // Hashes are md5-derived (q203's technique) and every output is an
+  // exact ppm-scaled integer, so both engines compute identical
+  // sketches, identical estimates, and identical errors.
+  // ---------------------------------------------------------------------
+  private val KmvPairK = 128
+
+  def q206SourceOverlapSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distinct (source, 3-gram) — shared by the sketch AND the exact side
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))""".stripMargin))
+        .as("g"))
+      .distinct()
+      .cache()
+
+    // per-source bottom-K of the 48-bit md5 order statistic
+    val uh = grams.selectExpr("source",
+        "CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) AS u")
+      .distinct()
+    val sk = uh.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("u")))
+      .filter(col("rn") <= KmvPairK)
+      .select(col("source"), col("u"))
+      .cache()
+    val nsk = sk.groupBy(col("source")).agg(count(lit(1)).as("nsk"))
+
+    // catalog-sized pair grid (|S|^2 rows)
+    val srcs = grams.select(col("source")).distinct()
+    val pairs = srcs.toDF("src_a")
+      .crossJoin(srcs.toDF("src_b")).filter(col("src_a") < col("src_b"))
+
+    // merged-sketch membership per (pair, u), ranked by u
+    val mem = pairs.join(sk.toDF("src_a", "u"), Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("u"),
+          lit(1).as("fa"), lit(0).as("fb"))
+      .unionByName(pairs.join(sk.toDF("src_b", "u"), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("u"),
+          lit(0).as("fa"), lit(1).as("fb")))
+      .groupBy(col("src_a"), col("src_b"), col("u"))
+      .agg(max(col("fa")).as("in_a"), max(col("fb")).as("in_b"))
+    val ranked = mem.withColumn("rn", row_number().over(
+      Window.partitionBy("src_a", "src_b").orderBy("u")))
+    val est = ranked
+      .join(nsk.toDF("src_a", "nsk_a"), Seq("src_a"))
+      .join(nsk.toDF("src_b", "nsk_b"), Seq("src_b"))
+      .withColumn("k_ab", least(lit(KmvPairK.toLong), col("nsk_a"), col("nsk_b")))
+      .filter(col("rn") <= col("k_ab"))
+      .groupBy(col("src_a"), col("src_b"), col("k_ab"))
+      .agg(sum((col("in_a") * col("in_b")).cast("long")).as("matches"))
+
+    // exact side (q64's join shape) pins the estimate's error in-query
+    val ng = grams.groupBy(col("source")).agg(count(lit(1)).as("n_g"))
+    val gh = grams.select(col("source"), unhex(md5(col("g"))).as("gh"))
+    val inter = gh.toDF("src_a", "gh")
+      .join(gh.toDF("src_b", "gh"), Seq("gh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(ng.toDF("src_a", "ng_a"), Seq("src_a"))
+      .join(ng.toDF("src_b", "ng_b"), Seq("src_b"))
+      .selectExpr("src_a", "src_b", "k_ab", "matches",
+        "1000000L * matches div k_ab AS est_j_ppm",
+        "1000000L * coalesce(inter, 0L)" +
+          " div (ng_a + ng_b - coalesce(inter, 0L)) AS exact_j_ppm")
+      .selectExpr("src_a", "src_b", "k_ab", "matches", "est_j_ppm",
+        "exact_j_ppm", "abs(est_j_ppm - exact_j_ppm) AS err_ppm")
+      .orderBy("src_a", "src_b")
+  }
+
+  val q206Sql: String =
+    s"""WITH toksrc AS (
+       |  SELECT source, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT source,
+       |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                 for i in range(1, len(toks) - 1)]) AS g
+       |  FROM toksrc WHERE len(toks) >= 3),
+       |uh AS (
+       |  SELECT DISTINCT source,
+       |         ('0x' || substr(md5(g), 1, 12))::BIGINT AS u
+       |  FROM grams),
+       |sk AS (
+       |  SELECT source, u FROM (
+       |    SELECT source, u,
+       |           row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+       |    FROM uh) WHERE rn <= $KmvPairK),
+       |nsk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nsk
+       |        FROM sk GROUP BY source),
+       |srcs AS (SELECT DISTINCT source FROM grams),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+       |          FROM srcs a, srcs b WHERE a.source < b.source),
+       |mem AS (
+       |  SELECT p.src_a, p.src_b, s.u, 1 AS fa, 0 AS fb
+       |  FROM pairs p JOIN sk s ON s.source = p.src_a
+       |  UNION ALL
+       |  SELECT p.src_a, p.src_b, s.u, 0 AS fa, 1 AS fb
+       |  FROM pairs p JOIN sk s ON s.source = p.src_b),
+       |per AS (
+       |  SELECT src_a, src_b, u, MAX(fa) AS in_a, MAX(fb) AS in_b
+       |  FROM mem GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY u) AS rn
+       |  FROM per),
+       |est AS (
+       |  SELECT r.src_a, r.src_b,
+       |         LEAST($KmvPairK, na.nsk, nb.nsk) AS k_ab,
+       |         CAST(SUM(r.in_a * r.in_b) AS BIGINT) AS matches
+       |  FROM rk r
+       |  JOIN nsk na ON na.source = r.src_a
+       |  JOIN nsk nb ON nb.source = r.src_b
+       |  WHERE r.rn <= LEAST($KmvPairK, na.nsk, nb.nsk)
+       |  GROUP BY 1, 2, 3),
+       |ng AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g
+       |       FROM grams GROUP BY source),
+       |ex AS (
+       |  SELECT ga.source AS src_a, gb.source AS src_b,
+       |         CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM grams ga JOIN grams gb
+       |    ON ga.g = gb.g AND ga.source < gb.source
+       |  GROUP BY 1, 2),
+       |fin AS (
+       |  SELECT e.src_a, e.src_b, e.k_ab, e.matches,
+       |         1000000 * e.matches // e.k_ab AS est_j_ppm,
+       |         1000000 * COALESCE(x.inter, 0)
+       |           // (na.n_g + nb.n_g - COALESCE(x.inter, 0)) AS exact_j_ppm
+       |  FROM est e
+       |  LEFT JOIN ex x ON x.src_a = e.src_a AND x.src_b = e.src_b
+       |  JOIN ng na ON na.source = e.src_a
+       |  JOIN ng nb ON nb.source = e.src_b)
+       |SELECT src_a, src_b, k_ab, matches, est_j_ppm, exact_j_ppm,
+       |       ABS(est_j_ppm - exact_j_ppm) AS err_ppm
+       |FROM fin
+       |ORDER BY src_a, src_b""".stripMargin
 }

@@ -798,4 +798,96 @@ class CurationSpec extends SparkSpec {
     val sampleMean = got.map(_._2).sum.toDouble / got.length
     assert(sampleMean > corpusMean, s"$sampleMean vs corpus $corpusMean")
   }
+
+  test("q205 MW rebalance matches an exact integer replay; mass conserved") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val loss: Map[String, Long] = docs.groupBy(_._1).map { case (s, ds) =>
+      val dppm = ds.map { case (_, t) =>
+        val toks = t.trim.split(" +")
+        1000000L - (1000000L * toks.distinct.length) / toks.length
+      }
+      s -> dppm.sum / ds.length
+    }
+    val srcs = loss.keys.toSeq.sorted
+    var w: Map[String, Long] = srcs.map(_ -> 1000000L / srcs.length).toMap
+    val traj = Seq.newBuilder[Map[String, Long]]
+    traj += w
+    for (_ <- 1 to 3) {
+      val sw = w.values.sum
+      val swl = srcs.map(s => w(s) * loss(s)).sum
+      val mean = swl / sw
+      val raw = srcs.map(s =>
+        s -> w(s) * (1000000L - math.max(0L, loss(s) - mean) / 2)).toMap
+      val sr = raw.values.sum
+      w = srcs.map(s => s -> raw(s) * 1000000L / sr).toMap
+      traj += w
+    }
+    val Seq(w0, w1, w2, w3) = traj.result()
+    val got = Curation.q205MixtureRebalance(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq === srcs)
+    got.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(2) === loss(s), s"loss_ppm($s)")
+      assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ===
+        ((w0(s), w1(s), w2(s), w3(s))), s"MW trajectory($s)")
+    }
+    // ppm mass is conserved up to the per-source floor truncation
+    val sum3 = got.map(_.getLong(6)).sum
+    assert(sum3 <= 1000000L && sum3 >= 1000000L - srcs.length, s"$sum3")
+    // the rounds act: the worst source ends strictly below uniform and
+    // below or at every other source's final weight
+    val worst = srcs.maxBy(loss)
+    assert(w3(worst) < 1000000L / srcs.length)
+    assert(srcs.forall(s => w3(worst) <= w3(s)))
+  }
+
+  test("q206 KMV overlap sketch matches a driver merge replay; error bounded") {
+    import scala.collection.immutable.SortedSet
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val grams: Map[String, Set[String]] = docs.groupBy(_._1).map {
+      case (s, ds) =>
+        s -> ds.flatMap { case (_, t) =>
+          val toks = t.trim.split(" +")
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+          else Seq.empty
+        }.toSet
+    }.filter(_._2.nonEmpty)
+    def u(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    val K = 128
+    val sk: Map[String, SortedSet[Long]] = grams.map { case (s, gs) =>
+      s -> SortedSet.from(gs.map(u)).take(K)
+    }
+    val srcs = grams.keys.toSeq.sorted
+    val expect = for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val (sa, sb) = (sk(a), sk(b))
+      val kab = math.min(K, math.min(sa.size, sb.size)).toLong
+      val bottom = SortedSet.from(sa ++ sb).take(kab.toInt)
+      val matches = bottom.count(v => sa.contains(v) && sb.contains(v)).toLong
+      val inter = (grams(a) & grams(b)).size.toLong
+      val union = grams(a).size + grams(b).size - inter
+      val est = 1000000L * matches / kab
+      val exact = 1000000L * inter / union
+      (a, b, kab, matches, est, exact, math.abs(est - exact))
+    }
+    val got = Curation.q206SourceOverlapSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expect, "sketch-merge estimates replay exactly")
+    // estimator quality on this corpus: every pair inside the 1/sqrt(k)
+    // scale (measured max 0.038 at k=128), mean far inside it
+    got.foreach { case (a, b, kab, _, _, _, err) =>
+      assert(err <= (1000000.0 / math.sqrt(kab.toDouble)).toLong,
+        s"err($a,$b) $err at k=$kab")
+    }
+    val meanErr = got.map(_._7).sum.toDouble / got.length
+    assert(meanErr <= 50000.0, s"mean err_ppm $meanErr")
+  }
 }

@@ -657,6 +657,31 @@ class PlanSpec extends SparkSpec {
       "per-k distortion aggregates must fold map-side")
   }
 
+  test("q205: the MW rounds never touch the corpus — one aggregate, no join") {
+    val plan = finalPlan(
+      graft.operators.Curation.q205MixtureRebalance(spark, sf))
+    assert(!plan.contains("Join"),
+      "the corpus-sized work is ONE per-source aggregate; the MW rounds " +
+        "run on the catalog-sized frame via windows, never a join")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "the deficit aggregate must combine map-side")
+  }
+
+  test("q206: the corpus-sized frames join equi-keyed; the only non-equi " +
+      "join is the catalog pair grid") {
+    val plan = finalPlan(
+        graft.operators.Curation.q206SourceOverlapSketch(spark, sf))
+      .split("== Initial Plan ==").head
+    // q64's gate shape: the deliberate cartesian is srcs x srcs (a
+    // |catalog|^2 grid of two tiny aggregates); sketches, membership
+    // unions, and the exact gram self-join must all meet on equi-keys
+    val nonEqui = "CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size
+    assert(nonEqui <= 1, s"expected at most the pair-grid join, got $nonEqui")
+    assert(plan.contains("Exchange hashpartitioning"),
+      "gram/sketch sets must co-locate by hash, never replicate")
+  }
+
   test("q203: the bottom-k sketch is a TakeOrdered merge, not a sort") {
     val plan = finalPlan(TextAnalysis.q203KmvDistinct(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
