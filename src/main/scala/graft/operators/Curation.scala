@@ -2071,4 +2071,67 @@ object Curation {
        |       ABS(est_j_ppm - exact_j_ppm) AS err_ppm
        |FROM fin
        |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q207 — Neyman-optimal eval-budget allocation (Neyman 1934: for a
+  // fixed sample budget B, the stratified allocation minimizing the
+  // estimator variance is n_h ∝ N_h·σ_h) across sources, with the
+  // naive proportional allocation alongside — the audit that decides
+  // how many eval docs each source deserves: high-variance sources earn
+  // MORE than their headcount share, uniform ones less. Complements
+  // q77 (proportional stratified sample) and q187 (budget waterfill).
+  //
+  // Determinism: the per-source moment sums are exact BIGINTs, and
+  // N_h·σ_h collapses to sqrt(N_h·Σx² − Σx·Σx) — sqrt is a correctly-
+  // rounded IEEE op, so both engines produce the BIT-IDENTICAL double,
+  // which is 6-dp-rounded into DECIMAL so the budget-share denominator
+  // sums exactly and order-insensitively (the q191/q196 pattern). One
+  // corpus scan, catalog-sized frame after; map-side-combinable sums.
+  // ---------------------------------------------------------------------
+  private val NeymanBudget = 10000L
+
+  def q207NeymanAlloc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .selectExpr("source", "n_docs",
+        // N_h*sigma_h = sqrt(N*Sxx - Sx^2); exact integer argument
+        "CAST(ROUND(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)), 6)" +
+          " AS DECIMAL(24,6)) AS a6",
+        "ROUND(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))" +
+          " / CAST(n_docs AS DOUBLE), 6) AS sd_chars")
+      .selectExpr("source", "n_docs", "sd_chars",
+        s"CAST(FLOOR($NeymanBudget * CAST(a6 AS DOUBLE)" +
+          " / CAST(SUM(a6) OVER () AS DOUBLE)) AS BIGINT) AS alloc_neyman",
+        s"($NeymanBudget * n_docs) div (SUM(n_docs) OVER ()) AS alloc_prop")
+      .selectExpr("source", "n_docs", "sd_chars", "alloc_neyman",
+        "alloc_prop", "alloc_neyman - alloc_prop AS delta")
+      .orderBy("source")
+
+  val q207Sql: String =
+    s"""WITH m AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_chars) AS BIGINT) AS sx,
+       |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY source),
+       |a AS (
+       |  SELECT source, n_docs,
+       |         CAST(ROUND(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)), 6)
+       |           AS DECIMAL(24,6)) AS a6,
+       |         ROUND(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+       |           / CAST(n_docs AS DOUBLE), 6) AS sd_chars
+       |  FROM m),
+       |al AS (
+       |  SELECT source, n_docs, sd_chars,
+       |         CAST(FLOOR($NeymanBudget * CAST(a6 AS DOUBLE)
+       |           / CAST(SUM(a6) OVER () AS DOUBLE)) AS BIGINT) AS alloc_neyman,
+       |         ($NeymanBudget * n_docs)
+       |           // CAST(SUM(n_docs) OVER () AS BIGINT) AS alloc_prop
+       |  FROM a)
+       |SELECT source, n_docs, sd_chars, alloc_neyman, alloc_prop,
+       |       alloc_neyman - alloc_prop AS delta
+       |FROM al
+       |ORDER BY source""".stripMargin
 }

@@ -890,4 +890,37 @@ class CurationSpec extends SparkSpec {
     val meanErr = got.map(_._7).sum.toDouble / got.length
     assert(meanErr <= 50000.0, s"mean err_ppm $meanErr")
   }
+
+  test("q207 Neyman allocation matches an exact replay; budget conserved") {
+    val docs = Tables.documents(spark, sf).select("source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val B = 10000L
+    val m = docs.groupBy(_._1).map { case (s, ds) =>
+      val xs = ds.map(_._2)
+      val (n, sx, sxx) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+      s -> (n, math.sqrt((n * sxx - sx * sx).toDouble))
+    }
+    val srcs = m.keys.toSeq.sorted
+    def d6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val aSum = srcs.map(s => d6(m(s)._2)).sum
+    val nSum = srcs.map(s => m(s)._1).sum
+    val expect = srcs.map { s =>
+      val (n, a) = m(s)
+      val ney = math.floor(B * d6(a).toDouble / aSum.toDouble).toLong
+      val prop = B * n / nSum
+      (s, n, d6(a / n).toDouble, ney, prop, ney - prop)
+    }
+    val got = Curation.q207NeymanAlloc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect, "exact Neyman/proportional allocations")
+    // floor allocation never overshoots and loses at most one per stratum
+    val tot = got.map(_._4).sum
+    assert(tot <= B && tot >= B - srcs.length, s"$tot")
+    // the corpus is length-heterogeneous: the variance-aware allocation
+    // must actually move budget in both directions vs headcount
+    assert(got.exists(_._6 > 0) && got.exists(_._6 < 0),
+      "expected reallocation both ways")
+  }
 }

@@ -657,14 +657,17 @@ class PlanSpec extends SparkSpec {
       "per-k distortion aggregates must fold map-side")
   }
 
-  test("q205: the MW rounds never touch the corpus — one aggregate, no join") {
-    val plan = finalPlan(
-      graft.operators.Curation.q205MixtureRebalance(spark, sf))
-    assert(!plan.contains("Join"),
-      "the corpus-sized work is ONE per-source aggregate; the MW rounds " +
-        "run on the catalog-sized frame via windows, never a join")
-    assert(plan.contains("partial_count") || plan.contains("partial"),
-      "the deficit aggregate must combine map-side")
+  test("q205/q207: one per-source aggregate, no join, map-side combine") {
+    for (df <- Seq(graft.operators.Curation.q205MixtureRebalance(spark, sf),
+        graft.operators.Curation.q207NeymanAlloc(spark, sf))) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("Join"),
+        "the corpus-sized work is ONE per-source aggregate; the " +
+          "rebalance/allocation math runs on the catalog-sized frame " +
+          "via windows, never a join")
+      assert(plan.contains("partial_count") || plan.contains("partial"),
+        "the per-source aggregate must combine map-side")
+    }
   }
 
   test("q206: the corpus-sized frames join equi-keyed; the only non-equi " +
