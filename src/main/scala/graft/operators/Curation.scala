@@ -2134,4 +2134,102 @@ object Curation {
        |       alloc_neyman - alloc_prop AS delta
        |FROM al
        |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q208 — greedy max-coverage coreset selection (facility location:
+  // Nemhauser–Wolsey–Fisher 1978 gives the greedy a (1−1/e) guarantee
+  // for monotone submodular objectives): pick K docs that together
+  // cover the most distinct 3-gram shingles — the classic coreset /
+  // prototype-selection objective for choosing a small, maximally
+  // representative eval or seed set. Each round scores every remaining
+  // doc by its MARGINAL gain (shingles not yet covered), takes the
+  // argmax (doc_id tie-break), and folds the winner's shingles into
+  // the covered set.
+  //
+  // Distribution shape per round: one anti-join of the shingle frame
+  // against the covered set (hash equi-join on the 16-byte gram hash),
+  // a map-side-combinable count, and a TakeOrdered(1) winner pick —
+  // the ONE driver-sized scalar per round. The covered frame is
+  // localCheckpoint'ed each round (q199's lesson: the lazy union chain
+  // would stack K plans); the oracle MATERIALIZEs every CTE for the
+  // same reason. Gains are exact integers, so both engines trace the
+  // identical greedy path.
+  // ---------------------------------------------------------------------
+  private val CoresetK = 10
+
+  /** One greedy round: marginal gains via an anti-join against the
+    * covered set, argmax as a TakeOrdered(1) — the only driver-sized
+    * scalar per round. Exposed for the plan gate. */
+  private[graft] def coresetRound(sh: DataFrame, covered: DataFrame): DataFrame =
+    sh.join(covered, Seq("gh"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+      .orderBy(col("gain").desc, col("doc_id")).limit(1)
+
+  def q208CoresetGreedy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), unhex(md5(col("g"))).as("gh"))
+      .distinct()
+      .cache()
+
+    var covered: DataFrame = sh.select(col("gh")).limit(0)
+    var coveredN = 0L
+    val picks = Seq.newBuilder[(Long, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= CoresetK && !exhausted) {
+      val winner = coresetRound(sh, covered).collect()
+      if (winner.isEmpty) exhausted = true // whole universe covered
+      else {
+        val (docId, gain) = (winner(0).getLong(0), winner(0).getLong(1))
+        coveredN += gain
+        picks += ((r.toLong, docId, gain, coveredN))
+        covered = covered
+          .unionByName(sh.filter(col("doc_id") === docId).select(col("gh")))
+          .distinct()
+          .localCheckpoint(true) // keep the plan flat across rounds
+        r += 1
+      }
+    }
+    picks.result()
+      .toDF("round", "doc_id", "gain", "covered_total")
+      .orderBy("round")
+  }
+
+  val q208Sql: String = {
+    val head =
+      """WITH sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                 for i in range(1, len(toks) - 1)]) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |w1 AS MATERIALIZED (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+        |  FROM sh GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT DISTINCT g FROM sh WHERE doc_id = (SELECT doc_id FROM w1))""".stripMargin
+    val rounds = (2 to CoresetK).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+         |  FROM sh s ANTI JOIN c${i - 1} c ON s.g = c.g
+         |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT g FROM c${i - 1}
+         |  UNION
+         |  SELECT g FROM sh WHERE doc_id = (SELECT doc_id FROM w$i))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val sel = (1 to CoresetK).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS round, doc_id, gain," +
+        s" (SELECT CAST(COUNT(*) AS BIGINT) FROM c$i) AS covered_total FROM w$i"
+    }.mkString("\nUNION ALL\n")
+    s"$head$rounds\n$sel\nORDER BY round"
+  }
 }

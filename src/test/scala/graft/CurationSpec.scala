@@ -923,4 +923,29 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(_._6 > 0) && got.exists(_._6 < 0),
       "expected reallocation both ways")
   }
+
+  test("q208 greedy coreset matches a driver replay; gains non-increasing") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.split(" +")
+        r.getLong(0) -> (if (toks.length >= 3)
+          toks.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String])
+      }.filter(_._2.nonEmpty).toMap
+    var covered = Set.empty[String]
+    val expect = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to 10) {
+      val (docId, gain) = docs.view
+        .map { case (id, gs) => (id, (gs -- covered).size.toLong) }
+        .maxBy { case (id, g) => (g, -id) } // gain desc, doc_id asc
+      covered ++= docs(docId)
+      expect += ((r.toLong, docId, gain, covered.size.toLong))
+    }
+    val got = Curation.q208CoresetGreedy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect.result(), "identical greedy trajectory")
+    // coverage is submodular, so greedy marginal gains never increase
+    val gains = got.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"non-increasing gains: $gains")
+  }
 }
