@@ -2232,4 +2232,125 @@ object Curation {
     }.mkString("\nUNION ALL\n")
     s"$head$rounds\n$sel\nORDER BY round"
   }
+
+  // ---------------------------------------------------------------------
+  // q209 — UCB1 bandit source selection (Auer–Cesa-Bianchi–Fischer
+  // 2002): treat each source as an arm whose pulls yield its next doc's
+  // quality (type-token ratio, ppm); after one initialization pull per
+  // arm, each round pulls argmax of mean + sqrt(2·ln t / n) — the
+  // online data-selection loop that LEARNS which sources pay off,
+  // closing the selection trilogy: q205 rebalances offline (MW), q208
+  // picks a coverage coreset, q209 explores/exploits online.
+  //
+  // 100 TB: the corpus-sized work is ONE ranked projection (per-source
+  // doc rank + integer quality), pruned to the ≤(R+1) pulls any arm can
+  // receive — the bandit state is CATALOG-sized by construction, so the
+  // simulation runs on the driver over |S|·(R+1) rows, exactly like the
+  // oracle's unrolled CTE rounds.
+  //
+  // Determinism across engines: rewards/means come from exact integers;
+  // sqrt is correctly rounded IEEE; and ln t — the one libm call, NOT
+  // correctly rounded and allowed to differ between Java and C — is
+  // pre-tabulated: the SAME Double literals (shortest-repr round-trip)
+  // are used by the Scala simulation and embedded in the oracle SQL, so
+  // every UCB score is bit-identical and the argmax path cannot fork.
+  // ---------------------------------------------------------------------
+  private val UcbRounds = 12
+  private val UcbMaxT = 64 // lookup-table bound on S + R total pulls
+  /** ln(1..UcbMaxT) as shortest-repr literals shared with the oracle. */
+  private val UcbLnTable: IndexedSeq[Double] =
+    (1 to UcbMaxT).map(t => math.log(t.toDouble))
+
+  def q209UcbSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // corpus-sized pass: per-source doc rank (pull order) + integer
+    // quality, pruned to the pulls any arm can possibly receive
+    val pq = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        expr("(1000000L * size(array_distinct(split(trim(text), ' +'))))" +
+          " div size(split(trim(text), ' +'))").as("q_ppm"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")))
+      .filter(col("k") <= UcbRounds + 1)
+      .select(col("source"), col("k").cast("long").as("k"), col("q_ppm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val srcs = pq.keys.map(_._1).toSeq.distinct.sorted
+    require(srcs.size + UcbRounds <= UcbMaxT,
+      s"ln lookup table covers t <= $UcbMaxT")
+    require(srcs.forall(s => pq.contains((s, (UcbRounds + 1).toLong))),
+      "every source needs at least R+1 docs to keep pulls in range")
+    // init: one pull per arm, in source order
+    var n = srcs.map(_ -> 1L).toMap
+    var sum = srcs.map(s => s -> pq((s, 1L))).toMap
+    val log = Seq.newBuilder[(Long, String, Long, Long, Double)]
+    for (i <- 1 to UcbRounds) {
+      val t = srcs.size + i // this pull's index; bonus uses ln(t-1)
+      val lnT = UcbLnTable(t - 2)
+      // UCB1 on ppm-scaled rewards: normalizing to [0,1] and rescaling
+      // by 1e6 leaves the argmax unchanged, so the bonus rides at the
+      // same ppm scale as the means — the exploration term must BITE
+      val ucb: Map[String, Double] = srcs.map { s =>
+        s -> (sum(s).toDouble / n(s) +
+          1000000.0 * math.sqrt(2.0 * lnT / n(s)))
+      }.toMap
+      val w = srcs.minBy(s => (-ucb(s), s)) // ucb desc, source asc
+      val k = n(w) + 1
+      val reward = pq((w, k))
+      log += ((t.toLong, w, k, reward, ucb(w)))
+      n += w -> k
+      sum += w -> (sum(w) + reward)
+    }
+    log.result()
+      .toDF("t", "source", "pull_k", "reward_ppm", "ucb")
+      .orderBy("t")
+  }
+
+  val q209Sql: String = {
+    val lnVals = UcbLnTable.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    val head =
+      s"""WITH lnt(t, v) AS (SELECT * FROM (VALUES $lnVals)),
+         |pq AS MATERIALIZED (
+         |  SELECT source, k, q_ppm FROM (
+         |    SELECT source,
+         |           CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |             AS BIGINT) AS k,
+         |           (1000000 * len(list_distinct(regexp_split_to_array(trim(text), ' +'))))
+         |             // len(regexp_split_to_array(trim(text), ' +')) AS q_ppm
+         |    FROM documents)
+         |  WHERE k <= ${UcbRounds + 1}),
+         |st0 AS MATERIALIZED (
+         |  SELECT source, CAST(1 AS BIGINT) AS n, q_ppm AS s
+         |  FROM pq WHERE k = 1),
+         |ns(sn) AS (SELECT CAST(COUNT(*) AS BIGINT) FROM st0)""".stripMargin
+    val rounds = (1 to UcbRounds).map { i =>
+      s"""u$i AS (
+         |  SELECT st.source, st.n, st.s,
+         |         CAST(st.s AS DOUBLE) / st.n
+         |           + 1000000.0 * sqrt(2.0 * l.v / st.n) AS ucb
+         |  FROM st${i - 1} st JOIN lnt l
+         |    ON l.t = (SELECT sn + ${i - 1} FROM ns)),
+         |w$i AS MATERIALIZED (
+         |  SELECT source, n + 1 AS k, ucb
+         |  FROM u$i ORDER BY ucb DESC, source LIMIT 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT w.source, w.k, p.q_ppm, w.ucb
+         |  FROM w$i w JOIN pq p ON p.source = w.source AND p.k = w.k),
+         |st$i AS MATERIALIZED (
+         |  SELECT st.source,
+         |         st.n + CASE WHEN st.source = (SELECT source FROM r$i)
+         |                     THEN 1 ELSE 0 END AS n,
+         |         st.s + CASE WHEN st.source = (SELECT source FROM r$i)
+         |                     THEN (SELECT q_ppm FROM r$i) ELSE 0 END AS s
+         |  FROM st${i - 1} st)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val sel = (1 to UcbRounds).map { i =>
+      s"SELECT (SELECT sn + $i FROM ns) AS t, source, k AS pull_k," +
+        s" q_ppm AS reward_ppm, ucb FROM r$i"
+    }.mkString("\nUNION ALL\n")
+    s"$head$rounds\n$sel\nORDER BY t"
+  }
 }

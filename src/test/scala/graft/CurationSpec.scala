@@ -948,4 +948,43 @@ class CurationSpec extends SparkSpec {
     assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
       s"non-increasing gains: $gains")
   }
+
+  test("q209 UCB trajectory matches an exact replay; exploration bites") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.sortBy(_._2).map { case (_, _, t) =>
+        val toks = t.trim.split(" +")
+        (1000000L * toks.distinct.length) / toks.length
+      }
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    var n = srcs.map(_ -> 1L).toMap
+    var sum = srcs.map(s => s -> bySrc(s)(0)).toMap
+    val expect = Seq.newBuilder[(Long, String, Long, Long, Double)]
+    for (i <- 1 to 12) {
+      val t = srcs.size + i
+      val lnT = math.log((t - 1).toDouble)
+      val ucb = srcs.map(s => s ->
+        (sum(s).toDouble / n(s) + 1000000.0 * math.sqrt(2.0 * lnT / n(s))))
+        .toMap
+      val w = srcs.minBy(s => (-ucb(s), s))
+      val k = n(w) + 1
+      val r = bySrc(w)(k.toInt - 1)
+      expect += ((t.toLong, w, k, r, ucb(w)))
+      n += w -> k
+      sum += w -> (sum(w) + r)
+    }
+    val got = Curation.q209UcbSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expect.result(), "identical bandit trajectory")
+    // with R < |S| rounds the n=1 -> n=2 bonus gap (~1e6*(sqrt2-1)*sqrt(ln t))
+    // exceeds this corpus's mean spread, so UCB's anti-starvation
+    // guarantee shows: every round explores a FRESH arm, in promise order
+    assert(got.map(_._2).distinct.size === got.size,
+      "explore phase must not re-pull an arm")
+    assert(got.forall(_._3 === 2L))
+  }
 }
