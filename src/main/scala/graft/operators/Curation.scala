@@ -2308,6 +2308,82 @@ object Curation {
       .orderBy("t")
   }
 
+  // ---------------------------------------------------------------------
+  // q211 — split-conformal quality-filter thresholding (Vovk et al.
+  // 2005; Papadopoulos et al. 2002 inductive form): pick the filter
+  // cutoff with a DISTRIBUTION-FREE guarantee instead of by eye. The
+  // in-domain docs (lang='en') hash-split into calibration/test; the
+  // threshold is the ⌈(n_cal+1)·α⌉-th smallest calibration score, which
+  // guarantees P(new in-domain doc rejected) ≤ α with NO model or
+  // distribution assumption — the principled way to set q45-style
+  // quality gates. The test half reports the realized false-rejection
+  // rate (the guarantee check) and the overall acceptance share.
+  //
+  // Scale: the rank-k selection reuses q175's exactKth — iterative
+  // bucket narrowing, O(log_B n) bounded scans, never a global sort;
+  // everything else is two aggregates. Scores are exact integer ppm.
+  // ---------------------------------------------------------------------
+  private val ConfAlphaDen = 10L // alpha = 1/10
+
+  def q211ConformalFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir).selectExpr(
+        "doc_id", "lang",
+        "(1000000L * size(array_distinct(split(trim(text), ' +'))))" +
+          " div size(split(trim(text), ' +')) AS s_ppm",
+        "CASE WHEN CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1)," +
+          " 16, 10) AS BIGINT) % 2 = 0 THEN 'cal' ELSE 'test' END AS split")
+      .cache()
+    val calEn = scored.filter("split = 'cal' AND lang = 'en'")
+    val nCal = calEn.count()
+    val k = (nCal + ConfAlphaDen) / ConfAlphaDen // ceil((n+1)*alpha)
+    val thr = Profiling.exactKth(
+      calEn.selectExpr("CAST(s_ppm AS DOUBLE) AS v"), k).toLong
+    scored.filter("split = 'test'")
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_test_en"),
+        sum(when(col("lang") === "en" && col("s_ppm") < thr, 1L)
+          .otherwise(0L)).as("n_fr"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("s_ppm") >= thr, 1L).otherwise(0L)).as("n_acc"))
+      .selectExpr(s"${nCal}L AS n_cal", s"${k}L AS k_rank",
+        s"${thr}L AS thr_ppm", "n_test_en",
+        "1000000L * n_fr div n_test_en AS fr_ppm", "n_test",
+        "1000000L * n_acc div n_test AS accept_ppm")
+  }
+
+  val q211Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |         (1000000 * len(list_distinct(regexp_split_to_array(trim(text), ' +'))))
+       |           // len(regexp_split_to_array(trim(text), ' +')) AS s_ppm,
+       |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT
+       |                   % 2 = 0
+       |              THEN 'cal' ELSE 'test' END AS split
+       |  FROM documents),
+       |cal AS (SELECT s_ppm FROM scored WHERE split = 'cal' AND lang = 'en'),
+       |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+       |              (CAST(COUNT(*) AS BIGINT) + $ConfAlphaDen)
+       |                // $ConfAlphaDen AS k_rank
+       |       FROM cal),
+       |thr AS (
+       |  SELECT r.s_ppm AS thr_ppm FROM
+       |    (SELECT s_ppm, row_number() OVER (ORDER BY s_ppm) AS rn FROM cal) r
+       |  JOIN kk ON r.rn = kk.k_rank)
+       |SELECT kk.n_cal, kk.k_rank, thr.thr_ppm,
+       |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_test_en,
+       |       1000000 * CAST(SUM(CASE WHEN lang = 'en' AND s_ppm < thr.thr_ppm
+       |                               THEN 1 ELSE 0 END) AS BIGINT)
+       |         // CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS fr_ppm,
+       |       CAST(COUNT(*) AS BIGINT) AS n_test,
+       |       1000000 * CAST(SUM(CASE WHEN s_ppm >= thr.thr_ppm
+       |                               THEN 1 ELSE 0 END) AS BIGINT)
+       |         // CAST(COUNT(*) AS BIGINT) AS accept_ppm
+       |FROM scored CROSS JOIN kk CROSS JOIN thr
+       |WHERE split = 'test'
+       |GROUP BY 1, 2, 3""".stripMargin
+
   val q209Sql: String = {
     val lnVals = UcbLnTable.zipWithIndex
       .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")

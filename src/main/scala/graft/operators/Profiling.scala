@@ -655,4 +655,82 @@ object Profiling {
        |       ROUND(CAST(CAST(SUM(w * n_chars) AS BIGINT) AS DOUBLE)
        |             / CAST(SUM(w) AS BIGINT), 6) AS boot_mean
        |FROM w GROUP BY b ORDER BY resample""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q210 — AMS / Tug-of-War F2 sketch (Alon–Matias–Szegedy 1996):
+  // estimate the second frequency moment of l_partkey — which IS the
+  // self-join size Σf² — from 32 one-pass ±1-signed counters, with the
+  // exact F2 alongside pinning the measured error. F2 is THE planner
+  // statistic behind join-size estimation and skew detection; the
+  // sketch answers it in O(J) space per partition where the exact
+  // answer needs the full key histogram. Fourth sketch family next to
+  // q34 (HLL cardinality), q194 (CMS frequencies), q203/q206 (KMV
+  // distinct/overlap).
+  //
+  // Estimator: Z_j = Σ_k s_j(k)·f(k) with md5-derived ±1 signs;
+  // E[Z²] = F2. Median-of-means over 4 groups of 8 — and every step is
+  // EXACT INTEGER (Z exact BIGINT, group mean = sum(Z²) div 8, median
+  // of 4 = avg of the middle two), so both engines compute the
+  // identical estimate. int64 headroom: Z² ≤ (Σf)², fine through ~3e9
+  // rows per key-space; past that the counters move to DECIMAL(38)
+  // with the same algebra.
+  //
+  // Aggregation shape: key histogram first (one shuffle), then the
+  // J-way explode runs over the KEY frame, not the row frame — sketch
+  // build cost is J·|keys|, map-side-combinable into J longs.
+  // ---------------------------------------------------------------------
+  private val AmsJ = 32
+
+  def q210AmsF2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      .cache() // feeds the exact F2 AND the J sketch lines
+    val exact = f.agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"),
+      sum(expr("f * f")).as("exact_f2"))
+    val z = f.select(col("l_partkey"), col("f"),
+        explode(expr(s"sequence(1, $AmsJ)")).as("j"))
+      .select(col("j"), expr(
+        "CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), ':'," +
+          " CAST(l_partkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0" +
+          " THEN f ELSE -f END").as("sf"))
+      .groupBy(col("j")).agg(sum(col("sf")).as("z"))
+    val means = z.selectExpr("(j - 1) div 8 AS grp", "z * z AS z2")
+      .groupBy(col("grp")).agg(expr("sum(z2) div 8").as("m"))
+    val med = means
+      .withColumn("rn", row_number().over(Window.orderBy("m", "grp")))
+      .filter(col("rn") === 2 || col("rn") === 3)
+      .agg(expr("sum(m) div 2").as("est_f2"))
+    med.crossJoin(exact) // 1 row x 1 row
+      .selectExpr("n_keys", "n_rows", "exact_f2", "est_f2",
+        "1000000L * abs(est_f2 - exact_f2) div exact_f2 AS err_ppm")
+  }
+
+  val q210Sql: String =
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM lineitem GROUP BY 1),
+       |ex AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |         CAST(SUM(f) AS BIGINT) AS n_rows,
+       |         CAST(SUM(f * f) AS BIGINT) AS exact_f2
+       |  FROM f),
+       |z AS (
+       |  SELECT j,
+       |         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(j AS VARCHAR)
+       |                    || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+       |                    % 2 = 0
+       |                  THEN f ELSE -f END) AS BIGINT) AS z
+       |  FROM f CROSS JOIN (SELECT UNNEST(RANGE(1, ${AmsJ + 1})) AS j)
+       |  GROUP BY j),
+       |m AS (
+       |  SELECT (j - 1) // 8 AS grp, CAST(SUM(z * z) AS BIGINT) // 8 AS m
+       |  FROM z GROUP BY 1),
+       |med AS (
+       |  SELECT CAST(SUM(m) AS BIGINT) // 2 AS est_f2 FROM
+       |    (SELECT m, row_number() OVER (ORDER BY m, grp) AS rn FROM m)
+       |  WHERE rn IN (2, 3))
+       |SELECT n_keys, n_rows, exact_f2, est_f2,
+       |       1000000 * ABS(est_f2 - exact_f2) // exact_f2 AS err_ppm
+       |FROM med CROSS JOIN ex""".stripMargin
 }

@@ -507,6 +507,66 @@ object StreamParity {
       .orderBy("tok")
   }
 
+  /** q212 — the AMS F2 / self-join-size sketch (q210) maintained over a
+    * CONTINUOUSLY INGESTING table: the Tug-of-War counters are LINEAR
+    * in the frequency vector, so the per-batch partial Z_j vectors fold
+    * by plain addition — the simplest mergeable summary after q81's
+    * counts, and the streaming-planner statistic a live system reads
+    * before choosing a join strategy. Per trigger, ONE distributed job
+    * histograms the batch's keys and reduces them to J=32 signed longs
+    * (map-side-combinable; shuffle is O(partitions × J)); driver state
+    * is the 32-long Z array. End-of-stream, the exact F2 computes in
+    * q210's batch shape and the output row is IDENTICAL to q210's —
+    * held to q210's own DuckDB oracle, q66's sketch-fold pattern.
+    *
+    * The md5-derived signs are q210's, so linearity makes the folded
+    * Z bit-equal to the single-shot Z, estimate included — asserted by
+    * the streamed-equals-batch spec. */
+  def q212StreamAmsF2(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey"))
+    val dir = Files.createTempDirectory("q212_ams")
+    keys.repartition(ReplayFiles).write.mode("overwrite").parquet(dir.toString)
+
+    val z = Array.fill(32)(0L)
+    val stream = spark.readStream.schema(keys.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+          .select(explode(expr("sequence(1, 32)")).as("j"), col("l_partkey"),
+            col("f"))
+          .select(col("j"), expr(
+            "CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING)," +
+              " ':', CAST(l_partkey AS STRING))), 1, 8), 16, 10) AS BIGINT)" +
+              " % 2 = 0 THEN f ELSE -f END").as("sf"))
+          .groupBy(col("j")).agg(sum(col("sf")).as("zb"))
+          .collect()
+          .foreach(r => z(r.getInt(0) - 1) += r.getLong(1))
+        ()
+      }.start()
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // sketch lives on the driver
+    }
+
+    // q210's exact side + the identical integer median-of-means
+    val ex = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"),
+        sum(expr("f * f")).as("exact_f2"))
+      .head()
+    val means = z.map(v => v * v).grouped(8).map(_.sum / 8).toSeq.sorted
+    val est = (means(1) + means(2)) / 2
+    val (nKeys, nRows, exactF2) =
+      (ex.getLong(0), ex.getLong(1), ex.getLong(2))
+    import spark.implicits._
+    Seq((nKeys, nRows, exactF2, est,
+        1000000L * math.abs(est - exactF2) / exactF2))
+      .toDF("n_keys", "n_rows", "exact_f2", "est_f2", "err_ppm")
+  }
+
   /** q81 — the timeline-anomaly monitor through the streaming engine:
     * q78's per-type z-score over the dense hour grid, maintained
     * INCREMENTALLY. Events replay as ReplayFiles contiguous time-range

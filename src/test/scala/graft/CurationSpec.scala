@@ -987,4 +987,39 @@ class CurationSpec extends SparkSpec {
       "explore phase must not re-pull an arm")
     assert(got.forall(_._3 === 2L))
   }
+
+  test("q211 conformal threshold matches an exact replay; guarantee holds") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).trim.split(" +")
+        val s = (1000000L * toks.distinct.length) / toks.length
+        val d = java.security.MessageDigest.getInstance("MD5")
+        val h0 = d.digest(r.getLong(0).toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.charAt(0)
+        val cal = java.lang.Long.parseLong(h0.toString, 16) % 2 == 0
+        (r.getLong(0), r.getString(1), s, cal)
+      }
+    val calScores = docs.filter(d => d._4 && d._2 == "en").map(_._3).sorted
+    val nCal = calScores.length.toLong
+    val k = (nCal + 10) / 10
+    val thr = calScores(k.toInt - 1)
+    val test = docs.filterNot(_._4)
+    val testEn = test.filter(_._2 == "en")
+    val nFr = testEn.count(_._3 < thr).toLong
+    val nAcc = test.count(_._3 >= thr).toLong
+    val expect = (nCal, k, thr, testEn.length.toLong,
+      1000000L * nFr / testEn.length, test.length.toLong,
+      1000000L * nAcc / test.length)
+    val row = Curation.q211ConformalFilter(spark, sf).collect().head
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+    assert(got === expect, "exact conformal threshold and test metrics")
+    // the distribution-free guarantee: expected false rejection <= alpha;
+    // on the held-out half allow the finite-sample slack
+    assert(row.getLong(4) <= 200000L,
+      s"realized false-rejection ${row.getLong(4)} ppm far above alpha=0.1")
+    // the threshold must actually filter (not degenerate to min/max)
+    assert(row.getLong(6) > 0L && row.getLong(6) < 1000000L)
+  }
 }

@@ -1145,4 +1145,31 @@ class RelationalSpec extends SparkSpec {
     // the normalized drift lives in [0, 1) by construction
     assert(got.forall(t => t._5 >= 0.0 && t._5 < 1.0))
   }
+
+  test("q210 AMS F2 sketch matches an exact integer replay") {
+    val keys = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey").collect().map(_.getLong(0))
+    val f = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exactF2 = f.values.map(v => v * v).sum
+    def sign(j: Int, k: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$j:$k".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val z = (1 to 32).map(j => f.map { case (k, v) => sign(j, k) * v }.sum)
+    val means = z.grouped(8).map(g => g.map(v => v * v).sum / 8).toSeq
+    val sorted = means.sorted // grp tiebreak irrelevant for the SUM of mid-2
+    val est = (sorted(1) + sorted(2)) / 2
+    val row = operators.Profiling.q210AmsF2(spark, sf).collect().head
+    assert(row.getLong(0) === f.size.toLong, "n_keys")
+    assert(row.getLong(1) === keys.length.toLong, "n_rows")
+    assert(row.getLong(2) === exactF2, "exact_f2")
+    assert(row.getLong(3) === est, "identical median-of-means estimate")
+    assert(row.getLong(4) ===
+      1000000L * math.abs(est - exactF2) / exactF2, "err_ppm")
+    // median-of-means over 4 groups of 8: inside ~sqrt(2/8) whp — pin a
+    // generous deterministic ceiling on this corpus
+    assert(row.getLong(4) <= 600000L, s"err_ppm ${row.getLong(4)}")
+  }
 }

@@ -160,6 +160,17 @@ class ParitySpec extends SparkSpec {
       "per-trigger MG sketches + the mergeable-summaries fold must reproduce the single-shot gate")
   }
 
+  test("q212 streamed AMS fold equals the single-shot q210 sketch") {
+    val streamed = StreamParity.q212StreamAmsF2(spark, sf).collect().toSeq
+    val batch = graft.operators.Profiling.q210AmsF2(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "the Tug-of-War counters are linear, so per-trigger partial Z " +
+        "vectors folded by addition must be bit-equal to the single-shot " +
+        "sketch, estimate included")
+  }
+
   test("q81 incremental anomaly monitor equals batch q78 (count folds across triggers)") {
     val streamed = StreamParity.q81StreamAnomaly(spark, sf).collect().toSeq
     val batch = graft.operators.Relational.q78TimelineAnomaly(spark, sf)
