@@ -706,6 +706,79 @@ object Profiling {
         "1000000L * abs(est_f2 - exact_f2) div exact_f2 AS err_ppm")
   }
 
+  // ---------------------------------------------------------------------
+  // q213 — t-closeness audit (Li–Li–Venkatasubramanian ICDE 2007), the
+  // third leg of the release-review triad after q173's k-anonymity and
+  // l-diversity: a class can be large (k ok) and diverse (l ok) yet
+  // still leak — when its sensitive-value DISTRIBUTION deviates from
+  // the table's, membership shifts an attacker's posterior. For a
+  // categorical sensitive attribute under uniform ground distance the
+  // EMD in the paper reduces to total variation, which is EXACT in
+  // scaled integers: tv_ppm = 1e6·Σ_v|cnt_cv·N − cnt_v·k| / (2·k·N) —
+  // no floats anywhere, both engines bit-identical.
+  //
+  // Shape: per-(class, value) counts shuffle |classes|×|values| pairs
+  // (never rows); the class×value grid is catalog-sized (q64's pattern)
+  // so absent values contribute their full cnt_v·k mass — forgetting
+  // them UNDERSTATES the leak, the classic implementation bug.
+  // ---------------------------------------------------------------------
+  private[graft] val TCloseThresholdPpm = 400000L
+
+  def q213TCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / BalBandWidth).as("bal_band"),
+        col("c_mktsegment").as("seg"))
+      .cache()
+    val cls = rows.groupBy(col("nation"), col("bal_band"), col("seg"))
+      .agg(count(lit(1)).as("cnt_cv"))
+    val classes = rows.groupBy(col("nation"), col("bal_band"))
+      .agg(count(lit(1)).as("k"))
+    val glob = rows.groupBy(col("seg")).agg(count(lit(1)).as("cnt_v"))
+    val tot = rows.agg(count(lit(1)).as("n_total"))
+    classes.crossJoin(broadcast(glob)) // |classes| x |values| grid
+      .join(cls, Seq("nation", "bal_band", "seg"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("nation", "bal_band", "k", "n_total",
+        "abs(coalesce(cnt_cv, 0L) * n_total - cnt_v * k) AS d")
+      .groupBy(col("nation"), col("bal_band"), col("k"), col("n_total"))
+      .agg(sum(col("d")).as("sdiff"))
+      .selectExpr("nation", "bal_band", "k",
+        "1000000L * sdiff div (2L * k * n_total) AS tv_ppm",
+        s"1000000L * sdiff div (2L * k * n_total) >= $TCloseThresholdPpm" +
+          " AS t_breach")
+      .orderBy("nation", "bal_band")
+  }
+
+  val q213Sql: String =
+    s"""WITH rows_ AS (
+       |  SELECT c_nationkey AS nation,
+       |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |         c_mktsegment AS seg
+       |  FROM customer),
+       |cls AS (SELECT nation, bal_band, seg, CAST(COUNT(*) AS BIGINT) AS cnt_cv
+       |        FROM rows_ GROUP BY 1, 2, 3),
+       |classes AS (SELECT nation, bal_band, CAST(COUNT(*) AS BIGINT) AS k
+       |            FROM rows_ GROUP BY 1, 2),
+       |gseg AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS cnt_v
+       |         FROM rows_ GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM rows_),
+       |grid AS (
+       |  SELECT c.nation, c.bal_band, c.k, t.n_total,
+       |         ABS(COALESCE(x.cnt_cv, 0) * t.n_total - g.cnt_v * c.k) AS d
+       |  FROM classes c CROSS JOIN gseg g CROSS JOIN tot t
+       |  LEFT JOIN cls x ON x.nation = c.nation AND x.bal_band = c.bal_band
+       |                 AND x.seg = g.seg),
+       |agg AS (SELECT nation, bal_band, k, n_total,
+       |               CAST(SUM(d) AS BIGINT) AS sdiff
+       |        FROM grid GROUP BY 1, 2, 3, 4)
+       |SELECT nation, bal_band, k,
+       |       1000000 * sdiff // (2 * k * n_total) AS tv_ppm,
+       |       1000000 * sdiff // (2 * k * n_total) >= $TCloseThresholdPpm
+       |         AS t_breach
+       |FROM agg
+       |ORDER BY nation, bal_band""".stripMargin
+
   val q210Sql: String =
     s"""WITH f AS MATERIALIZED (
        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f

@@ -685,18 +685,19 @@ class PlanSpec extends SparkSpec {
       "gram/sketch sets must co-locate by hash, never replicate")
   }
 
-  test("q208: each greedy round is an equi anti-join + a TakeOrdered(1)") {
+  test("q208: each greedy round is a partial count + a TakeOrdered(1)") {
     // gate one round directly (the full query's final frame is the
     // driver-sized pick list, q199's lineage-truncation pattern)
     val sh = spark.range(100)
       .selectExpr("id % 10 AS doc_id", "unhex(md5(CAST(id AS STRING))) AS gh")
-    val covered = sh.limit(5).select("gh")
-    val plan = finalPlan(graft.operators.Curation.coresetRound(sh, covered))
+    val plan = finalPlan(graft.operators.Curation.coresetRound(sh))
     assert(plan.contains("TakeOrderedAndProject"),
       "the winner pick must be a per-partition top-1 + merge")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      "marginal gains come from a hash equi anti-join on the gram hash")
+    assert(!plan.contains("Join"),
+      "gains are a plain count over the remaining frame — the covered " +
+        "set is never re-joined")
+    assert(plan.contains("partial"),
+      "the gain count must combine map-side")
   }
 
   test("q203: the bottom-k sketch is a TakeOrdered merge, not a sort") {

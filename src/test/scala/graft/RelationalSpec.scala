@@ -1172,4 +1172,34 @@ class RelationalSpec extends SparkSpec {
     // generous deterministic ceiling on this corpus
     assert(row.getLong(4) <= 600000L, s"err_ppm ${row.getLong(4)}")
   }
+
+  test("q213 t-closeness matches an exact integer replay") {
+    val rows = Tables.customer(spark, sf)
+      .selectExpr("CAST(c_nationkey AS BIGINT)",
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT)",
+        "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = rows.length.toLong
+    val glob = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val expect = rows.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1)
+      .map { case ((nat, band), cs) =>
+        val k = cs.length.toLong
+        val byV = cs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+        val sdiff = glob.map { case (v, cntV) =>
+          math.abs(byV.getOrElse(v, 0L) * n - cntV * k)
+        }.sum
+        val tv = 1000000L * sdiff / (2L * k * n)
+        (nat, band, k, tv, tv >= 400000L)
+      }
+    val got = operators.Profiling.q213TCloseness(spark, sf).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got === expect, "exact scaled-integer total variation per class")
+    assert(got.forall(t => t._4 >= 0L && t._4 < 1000000L))
+    // a singleton class concentrates all mass on one value: with no
+    // majority segment globally its TV must breach — the leak k-anonymity
+    // flags for size and t-closeness flags for distribution
+    assert(got.filter(_._3 == 1L).forall(_._5),
+      "every k=1 class must breach t-closeness")
+  }
 }
