@@ -2359,4 +2359,61 @@ object TextAnalysis {
        |  FROM feats)
        |SELECT ${q196SolveCols.mkString(",\n       ")}
        |FROM gram""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q214 — unseen-vocabulary ESTIMATION per source: Good–Turing missing
+  // mass (Good 1953: P(next token is unseen) = n1/N) and the
+  // bias-corrected Chao1 richness estimate (Chao 1984:
+  // V + n1(n1−1)/(2(n2+1)) — total vocabulary INCLUDING types never
+  // observed), plus the coverage ratio V/chao1. Where q70 DESCRIBES the
+  // observed vocabulary (hapax share, head mass), this ESTIMATES what
+  // is still missing — the read that says whether more data from a
+  // source buys new vocabulary or repeats, i.e. when to stop paying for
+  // a source (complements q147's empirical growth curve with the
+  // closed-form asymptote). All outputs exact scaled integers: both
+  // estimators are ratios of frequency-of-frequency counts, no floats.
+  //
+  // Shape: one (source, token) count shuffle (map-side combined), then
+  // per-source frequency-of-frequency aggregates over the counted
+  // frame — shuffle volume is vocabulary-sized, never token-sized.
+  // ---------------------------------------------------------------------
+  def q214UnseenVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), " +")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("v_types"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("n2"))
+      .selectExpr("source", "n_tokens", "v_types", "n1", "n2",
+        "1000000L * n1 div n_tokens AS gt_unseen_ppm",
+        "v_types + (n1 * (n1 - 1L)) div (2L * (n2 + 1L)) AS chao1",
+        "1000000L * v_types div" +
+          " (v_types + (n1 * (n1 - 1L)) div (2L * (n2 + 1L)))" +
+          " AS coverage_ppm")
+      .orderBy("source")
+  }
+
+  val q214Sql: String =
+    """WITH tf AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT source,
+      |               unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+      |         CAST(COUNT(*) AS BIGINT) AS v_types,
+      |         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_tokens, v_types, n1, n2,
+      |       1000000 * n1 // n_tokens AS gt_unseen_ppm,
+      |       v_types + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS chao1,
+      |       1000000 * v_types
+      |         // (v_types + (n1 * (n1 - 1)) // (2 * (n2 + 1)))
+      |         AS coverage_ppm
+      |FROM agg
+      |ORDER BY source""".stripMargin
 }

@@ -544,4 +544,28 @@ class TextOpsSpec extends SparkSpec {
       assert(row.getDouble(4) <= 3.0 / math.sqrt(256.0),
         s"rel_err ${row.getDouble(4)}")
   }
+
+  test("q214 unseen-vocab estimators match an exact replay") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, ds) =>
+      val toks = ds.flatMap(_._2.toLowerCase.trim.split(" +"))
+      val f = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val (n, v) = (toks.length.toLong, f.size.toLong)
+      val n1 = f.values.count(_ == 1L).toLong
+      val n2 = f.values.count(_ == 2L).toLong
+      val chao1 = v + (n1 * (n1 - 1L)) / (2L * (n2 + 1L))
+      (s, n, v, n1, n2, 1000000L * n1 / n, chao1, 1000000L * v / chao1)
+    }
+    val got = TextAnalysis.q214UnseenVocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expect, "exact frequency-of-frequency estimators")
+    // the richness estimate never falls below the observed vocabulary
+    assert(got.forall(t => t._7 >= t._3))
+    // missing mass is a proper probability (0 iff a source has no hapax)
+    assert(got.forall(t => t._6 >= 0L && t._6 < 1000000L))
+    assert(got.exists(_._6 > 0L), "some source must carry unseen mass")
+    assert(got.forall(t => t._8 > 0L && t._8 <= 1000000L))
+  }
 }
