@@ -2415,4 +2415,84 @@ object Relational {
        |  SELECT path, n, nt FROM c, t
        |  ORDER BY n DESC, path ASC LIMIT $PathTopK)
        |ORDER BY path""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q215 — U-shaped (position-based) multi-touch attribution: every
+  // purchase distributes 1e6 ppm of conversion credit over the user's
+  // touches in the prior 24 h — 40% to the first touch, 40% to the
+  // last, 20% split across the middles (the standard U rule; n=1 gets
+  // all, n=2 splits 50/50). The report aggregates credit per touch
+  // TYPE — which channel earns conversions vs merely appears in paths —
+  // complementing q92's lag view, q94's funnel counts, and q158's path
+  // shapes with the credit-assignment read a marketing/curation
+  // pipeline acts on.
+  //
+  // Exactness: credits are ppm BIGINTs; the 20% middle pool uses
+  // integer division with the REMAINDER pinned to the first touch, so
+  // every conversion's credits sum to exactly 1e6 in both engines.
+  // Shape: one user-keyed interval join (q82's batch shape) + two
+  // windows partitioned by conversion (paths are 24h-bounded, never
+  // user-lifetime), then a types-sized aggregate.
+  // ---------------------------------------------------------------------
+  def q215Attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("tid"), col("user_id").as("tu"),
+        col("ts").as("tts"), col("event_type"))
+    val path = conv.join(touch,
+        col("cu") === col("tu") &&
+          col("tts") >= col("cts") - expr("INTERVAL 86400 SECONDS") &&
+          col("tts") < col("cts"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("conv_id").orderBy(col("tts"), col("tid"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+    val credited = path.selectExpr("event_type",
+      """CASE WHEN n = 1 THEN 1000000L
+        |     WHEN n = 2 THEN 500000L
+        |     WHEN rn = 1 THEN 400000L
+        |          + (200000L - 200000L div (n - 2) * (n - 2))
+        |     WHEN rn = n THEN 400000L
+        |     ELSE 200000L div (n - 2) END AS credit""".stripMargin)
+    credited.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_ppm"))
+      .selectExpr("event_type", "n_touches", "credit_ppm",
+        "credit_ppm div n_touches AS mean_credit_ppm")
+      .orderBy("event_type")
+  }
+
+  val q215Sql: String =
+    """WITH conv AS (
+      |  SELECT event_id AS conv_id, user_id AS cu, ts AS cts
+      |  FROM events WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT event_id AS tid, user_id AS tu, ts AS tts, event_type
+      |  FROM events WHERE event_type <> 'purchase'),
+      |path AS (
+      |  SELECT c.conv_id, t.event_type,
+      |         row_number() OVER (PARTITION BY c.conv_id
+      |                            ORDER BY t.tts, t.tid) AS rn,
+      |         CAST(COUNT(*) OVER (PARTITION BY c.conv_id) AS BIGINT) AS n
+      |  FROM conv c JOIN touch t
+      |    ON t.tu = c.cu
+      |   AND t.tts >= c.cts - INTERVAL '86400 seconds'
+      |   AND t.tts < c.cts),
+      |credited AS (
+      |  SELECT event_type,
+      |         CASE WHEN n = 1 THEN 1000000
+      |              WHEN n = 2 THEN 500000
+      |              WHEN rn = 1 THEN 400000
+      |                   + (200000 - 200000 // (n - 2) * (n - 2))
+      |              WHEN rn = n THEN 400000
+      |              ELSE 200000 // (n - 2) END AS credit
+      |  FROM path)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |       CAST(SUM(credit) AS BIGINT) AS credit_ppm,
+      |       CAST(SUM(credit) AS BIGINT) // COUNT(*) AS mean_credit_ppm
+      |FROM credited
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -1173,6 +1173,48 @@ class RelationalSpec extends SparkSpec {
     assert(row.getLong(4) <= 600000L, s"err_ppm ${row.getLong(4)}")
   }
 
+  test("q215 U-shaped attribution matches a replay; credit mass conserved") {
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._3)
+    val dayUs = 86400L * 1000000L
+    val credits = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    var nCredited = 0L
+    for ((_, us, u, t) <- ev if t == "purchase") {
+      val path = byUser(u)
+        .filter(e => e._4 != "purchase" && e._2 >= us - dayUs && e._2 < us)
+        .sortBy(e => (e._2, e._1))
+      val n = path.length.toLong
+      if (n > 0) {
+        nCredited += 1
+        path.zipWithIndex.foreach { case (e, i) =>
+          val rn = i + 1L
+          val c =
+            if (n == 1) 1000000L
+            else if (n == 2) 500000L
+            else if (rn == 1) 400000L + (200000L - 200000L / (n - 2) * (n - 2))
+            else if (rn == n) 400000L
+            else 200000L / (n - 2)
+          val (cnt, s) = credits.getOrElse(e._4, (0L, 0L))
+          credits(e._4) = (cnt + 1, s + c)
+        }
+      }
+    }
+    val expect = credits.toSeq.sortBy(_._1).map { case (t, (cnt, s)) =>
+      (t, cnt, s, s / cnt)
+    }
+    val got = operators.Relational.q215Attribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect, "exact per-type credit totals")
+    // every credited conversion hands out exactly 1e6 ppm
+    assert(got.map(_._3).sum === 1000000L * nCredited, "credit mass")
+    assert(nCredited > 0)
+  }
+
   test("q213 t-closeness matches an exact integer replay") {
     val rows = Tables.customer(spark, sf)
       .selectExpr("CAST(c_nationkey AS BIGINT)",
