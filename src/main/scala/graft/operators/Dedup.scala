@@ -1768,4 +1768,84 @@ object Dedup {
        |    + bit_count(xor(fa.v2, fb.v2)) + bit_count(xor(fa.v3, fb.v3))
        |      <= $FpHamMax
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q216 — MinHash-LSH (bands, rows) parameter TUNER: before paying for
+  // an LSH dedup run, evaluate each candidate signature layout's
+  // S-curve P(catch | s) = 1 − (1 − s^r)^b against THIS corpus's
+  // observed pair-similarity distribution (q40's exact pairs): pairs at
+  // or above the q20 action threshold contribute expected MISSES
+  // (1 − P, recall loss), sub-threshold candidates contribute expected
+  // EXTRA verifications (P, wasted compute). The (b, r) minimizing
+  // their sum is the layout to run — the data-driven version of the
+  // usual eyeballed S-curve, and the tuner that sizes q20/q26 before a
+  // 100 TB pass.
+  //
+  // Cross-engine exactness: r and b are powers of two, so s^r and
+  // (1−s^r)^b evaluate as UNROLLED SQUARING CHAINS — the same generated
+  // expression string runs in Spark and DuckDB, every step a correctly-
+  // rounded IEEE multiply on q40's bit-identical jaccard — and each
+  // pair's two terms are 6-dp-rounded into DECIMAL before the sum, so
+  // aggregation order cannot matter (the q191 pattern). Per candidate
+  // the work is ONE aggregate over the cached pair frame.
+  // ---------------------------------------------------------------------
+  private[graft] val LshTuneTarget = 0.8 // q20's action threshold
+  /** (log2 rows, log2 bands): signature budget r*b <= 64. */
+  private[graft] val LshTuneGrid: Seq[(Int, Int)] =
+    Seq((1, 5), (2, 4), (2, 3), (3, 3), (3, 2), (4, 2))
+
+  /** x^(2^k) as an unrolled squaring chain — shared with the oracle. */
+  private def sqChain(x: String, k: Int): String =
+    (1 to k).foldLeft(x)((e, _) => s"($e * $e)")
+  /** (1 - s^r)^b for r=2^lr, b=2^lb — the per-pair MISS probability. */
+  private[graft] def lshMissExpr(lr: Int, lb: Int): String =
+    sqChain(s"(1.0 - ${sqChain("jaccard", lr)})", lb)
+
+  def q216LshTuner(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = q40NgramJaccard(spark, sfDir).select(col("jaccard")).cache()
+    LshTuneGrid.map { case (lr, lb) =>
+      val (r, b) = (1 << lr, 1 << lb)
+      val miss = lshMissExpr(lr, lb)
+      pairs.selectExpr(
+          s"CASE WHEN jaccard >= $LshTuneTarget THEN 1L ELSE 0L END AS tgt",
+          s"CAST(ROUND(CASE WHEN jaccard >= $LshTuneTarget THEN $miss" +
+            s" ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS m6",
+          s"CAST(ROUND(CASE WHEN jaccard < $LshTuneTarget THEN (1.0 - $miss)" +
+            s" ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS x6")
+        .agg(sum(col("tgt")).as("n_target"),
+          sum(col("m6")).as("sm"), sum(col("x6")).as("sx"))
+        .selectExpr(s"${r}L AS rows_per_band", s"${b}L AS bands",
+          "n_target",
+          "CAST(sm AS DOUBLE) AS exp_missed",
+          "CAST(sx AS DOUBLE) AS exp_extra",
+          "CAST(sm + sx AS DOUBLE) AS cost")
+    }.reduce(_.unionAll(_)).orderBy("rows_per_band", "bands")
+  }
+
+  val q216Sql: String = {
+    val per = LshTuneGrid.map { case (lr, lb) =>
+      val (r, b) = (1 << lr, 1 << lb)
+      val miss = lshMissExpr(lr, lb)
+      s"""SELECT CAST($r AS BIGINT) AS rows_per_band, CAST($b AS BIGINT) AS bands,
+         |       CAST(SUM(CASE WHEN jaccard >= $LshTuneTarget THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_target,
+         |       CAST(SUM(CAST(ROUND(CASE WHEN jaccard >= $LshTuneTarget
+         |           THEN $miss ELSE 0.0 END, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |         AS exp_missed,
+         |       CAST(SUM(CAST(ROUND(CASE WHEN jaccard < $LshTuneTarget
+         |           THEN (1.0 - $miss) ELSE 0.0 END, 6) AS DECIMAL(18,6)))
+         |         AS DOUBLE) AS exp_extra,
+         |       CAST(SUM(CAST(ROUND(CASE WHEN jaccard >= $LshTuneTarget
+         |           THEN $miss ELSE 0.0 END, 6) AS DECIMAL(18,6)))
+         |          + SUM(CAST(ROUND(CASE WHEN jaccard < $LshTuneTarget
+         |           THEN (1.0 - $miss) ELSE 0.0 END, 6) AS DECIMAL(18,6)))
+         |         AS DOUBLE) AS cost
+         |FROM pairs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |${q40Sql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |$per
+       |ORDER BY rows_per_band, bands""".stripMargin
+  }
 }

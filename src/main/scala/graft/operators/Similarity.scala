@@ -1583,4 +1583,78 @@ object Similarity {
        |         AS n_unsafe
        |FROM d GROUP BY dim ORDER BY dim""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q217 — k-center / farthest-point coreset over the embedding space
+  // (Gonzalez 1985: greedily pick the point FARTHEST from the chosen
+  // set; 2-approximation for the k-center objective): the geometric
+  // complement to q208's coverage coreset and q47's k-means — k-center
+  // maximizes SPREAD, the right seed set for diverse eval picks, kmeans
+  // initialization, and IVF coarse centroids (q30). Emits each round's
+  // center and the covering radius² at pick time — the radius curve IS
+  // the diminishing-returns read.
+  //
+  // Shape: one scan builds (v, |v|²) once; each round is one scan
+  // computing min-distance (a least-chain of sequential-fold dots — no
+  // joins) + a TakeOrdered(1), the per-round driver scalar. Distances
+  // d² = |a|² + |c|² − 2·a·c evaluate in the SAME op order in both
+  // engines on bit-identical doubles (float→double widening is exact;
+  // the Spark centers are in-JVM doubles, the oracle's are scalar
+  // subqueries — same values, different mechanism, q202's precedent),
+  // so the greedy path cannot fork; ties break on vec_id.
+  // ---------------------------------------------------------------------
+  private val KCenterK = 8
+
+  def q217KCenter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .cache()
+    def distTo(cn2: Double, cv: Seq[Double]): Column =
+      (col("n2") + lit(cn2)) -
+        (lit(2.0) * dot(col("v"), array(cv.map(lit): _*)))
+    val first = base.orderBy("vec_id").limit(1).collect()(0)
+    var centers = Vector((1L, first.getLong(0), 0.0))
+    var df = base.withColumn("mind",
+      distTo(first.getDouble(2), first.getSeq[Double](1)))
+    for (r <- 2 to KCenterK) {
+      val w = df.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      centers :+= ((r.toLong, w.getLong(0), w.getDouble(3)))
+      df = df.withColumn("mind", least(col("mind"),
+        distTo(w.getDouble(2), w.getSeq[Double](1))))
+    }
+    centers.toDF("round", "center_id", "radius2").orderBy("round")
+  }
+
+  val q217Sql: String = {
+    val head =
+      """WITH b AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+        |  FROM embeddings),
+        |c1 AS MATERIALIZED (
+        |  SELECT vec_id, v, n2, CAST(0.0 AS DOUBLE) AS radius2
+        |  FROM b ORDER BY vec_id LIMIT 1),
+        |m1 AS MATERIALIZED (
+        |  SELECT vec_id, v, n2,
+        |         (n2 + (SELECT n2 FROM c1))
+        |           - (2.0 * list_dot_product(v, (SELECT v FROM c1))) AS mind
+        |  FROM b)""".stripMargin
+    val rounds = (2 to KCenterK).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT vec_id, v, n2, mind AS radius2
+         |  FROM m${i - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT vec_id, v, n2,
+         |         LEAST(mind, (n2 + (SELECT n2 FROM c$i))
+         |           - (2.0 * list_dot_product(v, (SELECT v FROM c$i)))) AS mind
+         |  FROM m${i - 1})""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val sel = (1 to KCenterK).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS round, vec_id AS center_id, radius2 FROM c$i"
+    }.mkString("\nUNION ALL\n")
+    s"$head$rounds\n$sel\nORDER BY round"
+  }
 }

@@ -481,4 +481,39 @@ class SimilaritySpec extends SparkSpec {
     // is at least the mean at k=16
     assert(got.head._3 >= got.last._3)
   }
+
+  test("q217 k-center matches a driver greedy replay; radius non-increasing") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      // the same |a|²+|b|²−2ab with sequential-fold dots the engines use
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      (dot(a, a) + dot(b, b)) - (2.0 * dot(a, b))
+    }
+    val mind = scala.collection.mutable.HashMap.empty[Long, Double]
+    val first = vecs.head
+    vecs.foreach(v => mind(v._1) = d2(v._2, first._2))
+    var expect = Vector((1L, first._1, 0.0))
+    val byId = vecs.toMap
+    for (r <- 2 to 8) {
+      val (wid, wd) = mind.toSeq.minBy { case (id, d) => (-d, id) }
+      expect :+= ((r.toLong, wid, wd))
+      val wv = byId(wid)
+      vecs.foreach(v => mind(v._1) = math.min(mind(v._1), d2(v._2, wv)))
+    }
+    val got = Similarity.q217KCenter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
+    assert(got === expect, "identical greedy farthest-point trajectory")
+    // each pick reduces (never raises) the covering radius, and no
+    // center repeats
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+    assert(got.map(_._2).distinct.size === got.size)
+  }
 }

@@ -914,4 +914,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(guaranteed.subsetOf(got),
       "pairs within Hamming 3 are pigeonhole-guaranteed candidates")
   }
+
+  test("q216 LSH tuner matches an exact replay; S-curve monotone in bands") {
+    val js = Dedup.q40NgramJaccard(spark, sf).collect().map(_.getDouble(2))
+    def d6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def sq(x: Double, k: Int): Double = (1 to k).foldLeft(x)((e, _) => e * e)
+    val expect = Dedup.LshTuneGrid.map { case (lr, lb) =>
+      val (r, b) = (1 << lr, 1 << lb)
+      var (sm, sx) = (BigDecimal(0), BigDecimal(0))
+      var tgt = 0L
+      for (s <- js) {
+        val miss = sq(1.0 - sq(s, lr), lb)
+        if (s >= Dedup.LshTuneTarget) { tgt += 1; sm += d6(miss) }
+        else sx += d6(1.0 - miss)
+      }
+      (r.toLong, b.toLong, tgt, sm.toDouble, sx.toDouble, (sm + sx).toDouble)
+    }.sortBy(t => (t._1, t._2))
+    val got = Dedup.q216LshTuner(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expect, "exact per-candidate expected miss/extra")
+    // P(catch) is increasing in bands at fixed rows: more bands -> fewer
+    // expected misses, more expected extra verifications
+    for (Seq(a, c) <- got.groupBy(_._1).values.map(_.sortBy(_._2).toSeq)
+        .flatMap(_.sliding(2)).filter(_.size == 2)) {
+      assert(a._4 >= c._4, s"missed must fall with bands at r=${a._1}")
+      assert(a._5 <= c._5, s"extra must rise with bands at r=${a._1}")
+    }
+  }
 }
