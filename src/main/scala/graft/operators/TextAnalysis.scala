@@ -2416,4 +2416,105 @@ object TextAnalysis {
       |         AS coverage_ppm
       |FROM agg
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q219 — Heaps'-law exponent fit (Heaps 1978: V(n) ≈ K·n^β): log-log
+  // OLS of cumulative 3-GRAM vocabulary against cumulative token count
+  // over the corpus's ten ingestion-order deciles — the growth-curve
+  // EXPONENT that, with q214's Chao1 asymptote and q147's empirical
+  // curve, answers "how fast does more data buy vocabulary" in one
+  // number. The vocabulary unit is the word-3-gram (q147's), not the
+  // unigram: this generator's closed 31-word unigram vocabulary
+  // saturates in decile 0 (a degenerate flat curve that correctly
+  // breaks the fit — an all-equal y makes Var(y) exactly 0 and ANSI
+  // division refuses), while the gram universe keeps growing — on real
+  // corpora the same choice just moves β toward the n-gram regime.
+  // Companion to q161's Zipf slope — the two classic power laws of
+  // text, rank-frequency and vocabulary-growth.
+  //
+  // Determinism: the decile (n, V) points are exact integers; ln — the
+  // libm call — is 6-dp-rounded into DECIMAL per point (q191's
+  // order-insensitive pattern), the Gram sums are exact decimals, and
+  // the slope/intercept/r² evaluate through SHARED expression strings
+  // (q196's pattern) so the doubles are bit-identical cross-engine.
+  // The 10-point window/fit is catalog-sized; the corpus-sized work is
+  // one token scan + one word-first-seen aggregate.
+  // ---------------------------------------------------------------------
+  private val q219Cov = "(np * sxy - sx * sy)"
+  private val q219Vx  = "(np * sxx - sx * sx)"
+  private val q219Vy  = "(np * syy - sy * sy)"
+  private[graft] val q219FitCols: Seq[String] = Seq(
+    "CAST(np AS BIGINT) AS n_points",
+    s"ROUND($q219Cov / $q219Vx, 6) AS beta",
+    s"ROUND((sy - ($q219Cov / $q219Vx) * sx) / np, 6) AS ln_k",
+    s"ROUND($q219Cov * $q219Cov / ($q219Vx * $q219Vy), 6) AS r2")
+
+  def q219HeapsFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val mx = docs.agg((max(col("doc_id")) + 1).as("mx"))
+    val base = docs.crossJoin(broadcast(mx))
+      .select(expr("doc_id * 10 div mx").as("bucket"),
+        split(lower(trim(col("text"))), " +").as("toks"))
+      .cache() // token counts AND gram-first-seen share the scan
+    val nb = base.select(col("bucket"), size(col("toks")).as("n"))
+      .groupBy(col("bucket")).agg(sum(col("n")).as("add_n"))
+    val vb = base.filter(size(col("toks")) >= 3)
+      .select(col("bucket"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))"""
+          .stripMargin)).as("g"))
+      .groupBy(col("g")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("add_v"))
+    // ten catalog-sized rows: the unpartitioned windows are bounded
+    val pts = nb.join(vb, Seq("bucket"), "left")
+      .withColumn("cum_n", sum(col("add_n")).over(
+        Window.orderBy("bucket").rowsBetween(Long.MinValue, 0)))
+      .withColumn("cum_v", sum(coalesce(col("add_v"), lit(0L))).over(
+        Window.orderBy("bucket").rowsBetween(Long.MinValue, 0)))
+      .selectExpr(
+        "CAST(ROUND(ln(CAST(cum_n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x6",
+        "CAST(ROUND(ln(CAST(cum_v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y6")
+    pts.selectExpr("CAST(COUNT(*) AS DOUBLE) AS np",
+        "CAST(SUM(x6) AS DOUBLE) AS sx", "CAST(SUM(y6) AS DOUBLE) AS sy",
+        "CAST(SUM(x6 * x6) AS DOUBLE) AS sxx",
+        "CAST(SUM(x6 * y6) AS DOUBLE) AS sxy",
+        "CAST(SUM(y6 * y6) AS DOUBLE) AS syy")
+      .selectExpr(q219FitCols: _*)
+  }
+
+  val q219Sql: String =
+    s"""WITH mx AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+       |base AS (
+       |  SELECT doc_id * 10 // mx.mx AS bucket,
+       |         regexp_split_to_array(lower(trim(text)), ' +') AS toks
+       |  FROM documents, mx),
+       |nb AS (SELECT bucket, CAST(SUM(len(toks)) AS BIGINT) AS add_n
+       |       FROM base GROUP BY 1),
+       |vb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS add_v FROM
+       |         (SELECT g, MIN(bucket) AS bucket FROM
+       |            (SELECT bucket,
+       |                    unnest(list_distinct(
+       |                      [md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |                       for i in range(1, len(toks) - 1)])) AS g
+       |             FROM base WHERE len(toks) >= 3)
+       |          GROUP BY g)
+       |       GROUP BY 1),
+       |pts AS (
+       |  SELECT CAST(ROUND(ln(CAST(CAST(SUM(add_n) OVER (ORDER BY nb.bucket
+       |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)), 6)
+       |           AS DECIMAL(18,6)) AS x6,
+       |         CAST(ROUND(ln(CAST(CAST(SUM(COALESCE(add_v, 0)) OVER (
+       |             ORDER BY nb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |             AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y6
+       |  FROM nb LEFT JOIN vb USING (bucket)),
+       |gram AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+       |         CAST(SUM(x6) AS DOUBLE) AS sx, CAST(SUM(y6) AS DOUBLE) AS sy,
+       |         CAST(SUM(x6 * x6) AS DOUBLE) AS sxx,
+       |         CAST(SUM(x6 * y6) AS DOUBLE) AS sxy,
+       |         CAST(SUM(y6 * y6) AS DOUBLE) AS syy
+       |  FROM pts)
+       |SELECT ${q219FitCols.mkString(",\n       ")}
+       |FROM gram""".stripMargin
 }

@@ -567,6 +567,49 @@ object StreamParity {
       .toDF("n_keys", "n_rows", "exact_f2", "est_f2", "err_ppm")
   }
 
+  /** q218 — weighted sampling WITHOUT replacement over a CONTINUOUSLY
+    * INGESTING corpus: q200's Efraimidis–Spirakis A-ES keys are
+    * mergeable by construction (a weighted sample of a union is the
+    * top-K by key of the parts' top-Ks — the same merge the batch
+    * TakeOrderedAndProject performs across partitions, lifted across
+    * TRIGGERS). Per micro-batch one distributed top-K job; driver state
+    * is ONE K-row buffer folded with the identical (key desc, doc_id)
+    * order. End-of-stream the sample is bit-equal to the single-shot
+    * q200 and held to its oracle — the third mergeable-summary fold
+    * after q66 (MG) and q212 (AMS), covering SAMPLING: a live pipeline
+    * maintains its eval sample while data streams in, no re-scan. */
+  def q218StreamSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val dir = Files.createTempDirectory("q218_sample")
+    docs.repartition(ReplayFiles).write.mode("overwrite").parquet(dir.toString)
+
+    val K = 100
+    var running = Vector.empty[(Long, Long, Double)] // (doc_id, w, es_key)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val top = batch.where("n_chars > 0").selectExpr(
+            "doc_id", "n_chars AS w",
+            "ROUND(ln((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS DOUBLE) + 1.0D)" +
+              " / 281474976710657.0D) / n_chars, 9) AS es_key")
+          .orderBy(col("es_key").desc, col("doc_id")).limit(K)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        running = (running ++ top)
+          .sortBy { case (id, _, k) => (-k, id) }.take(K)
+        ()
+      }.start()
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // sample lives on the driver
+    }
+    import spark.implicits._
+    running.toDF("doc_id", "w", "es_key").orderBy(col("es_key").desc,
+      col("doc_id"))
+  }
+
   /** q81 — the timeline-anomaly monitor through the streaming engine:
     * q78's per-type z-score over the dense hour grid, maintained
     * INCREMENTALLY. Events replay as ReplayFiles contiguous time-range

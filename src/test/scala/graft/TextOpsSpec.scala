@@ -568,4 +568,49 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._6 > 0L), "some source must carry unseen mass")
     assert(got.forall(t => t._8 > 0L && t._8 <= 1000000L))
   }
+
+  test("q219 Heaps fit matches an exact replay; the gram curve is a power law") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mx = docs.map(_._1).max + 1
+    def d6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val perBucket = docs.groupBy { case (id, _) => id * 10 / mx }
+    val buckets = perBucket.keys.toSeq.sorted
+    val addN = buckets.map(b =>
+      perBucket(b).map(_._2.toLowerCase.trim.split(" +").length.toLong).sum)
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString
+    val firstSeen = scala.collection.mutable.HashMap.empty[String, Long]
+    for (b <- buckets; (_, t) <- perBucket(b);
+         toks = t.toLowerCase.trim.split(" +") if toks.length >= 3;
+         g <- toks.sliding(3).map(w => md5(w.mkString(" "))).toSeq.distinct)
+      if (!firstSeen.contains(g)) firstSeen(g) = b
+    val addV = buckets.map(b => firstSeen.values.count(_ == b).toLong)
+    val (cumN, cumV) = (addN.scanLeft(0L)(_ + _).tail,
+      addV.scanLeft(0L)(_ + _).tail)
+    val pts = cumN.zip(cumV).map { case (n, v) =>
+      (d6(math.log(n.toDouble)), d6(math.log(v.toDouble)))
+    }
+    val np = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val cov = np * sxy - sx * sy
+    val vx = np * sxx - sx * sx
+    val vy = np * syy - sy * sy
+    val row = TextAnalysis.q219HeapsFit(spark, sf).collect().head
+    assert(row.getLong(0) === pts.size.toLong)
+    assert(row.getDouble(1) === d6(cov / vx).toDouble, "beta")
+    assert(row.getDouble(2) === d6((sy - (cov / vx) * sx) / np).toDouble,
+      "ln_k")
+    assert(row.getDouble(3) === d6(cov * cov / (vx * vy)).toDouble, "r2")
+    // the gram vocabulary genuinely grows as a power law on this corpus
+    assert(row.getDouble(1) > 0.5 && row.getDouble(1) < 1.0,
+      s"beta ${row.getDouble(1)}")
+    assert(row.getDouble(3) >= 0.9, s"r2 ${row.getDouble(3)}")
+  }
 }

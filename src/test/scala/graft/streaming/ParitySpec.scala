@@ -171,6 +171,16 @@ class ParitySpec extends SparkSpec {
         "sketch, estimate included")
   }
 
+  test("q218 streamed A-ES sample fold equals the single-shot q200") {
+    val streamed = StreamParity.q218StreamSample(spark, sf).collect().toSeq
+    val batch = graft.operators.Curation.q200WeightedSample(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "per-trigger top-K samples folded with the same (key, id) order " +
+        "must be bit-equal to the single-shot weighted sample")
+  }
+
   test("q81 incremental anomaly monitor equals batch q78 (count folds across triggers)") {
     val streamed = StreamParity.q81StreamAnomaly(spark, sf).collect().toSeq
     val batch = graft.operators.Relational.q78TimelineAnomaly(spark, sf)
