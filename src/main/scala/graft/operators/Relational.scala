@@ -2417,6 +2417,78 @@ object Relational {
        |ORDER BY path""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q220 — RFM segmentation (Hughes 1994, the classic customer-value
+  // grid): per active user, Recency (days since last event), Frequency
+  // (event count), Monetary (order revenue via the events.user_id →
+  // customer FK edge q139 profiles), each cut into terciles, then the
+  // 27-cell report of population and revenue — the segmentation read
+  // behind retention/reactivation targeting, and the one classic
+  // cross-table (events ⋈ orders) analytics op the surface lacked.
+  //
+  // Exactness: recency/frequency are exact integers (micros div
+  // 86400e6); monetary sums through the decimal-exact dsum; terciles
+  // are ntile(3) with a (metric, user_id) total order — q88
+  // established cross-engine ntile parity and documents the
+  // sketch-cutpoint shape that replaces the global ntile sort at
+  // 100 TB. Mean frequency reports as exact ppm.
+  // ---------------------------------------------------------------------
+  def q220RfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val mx = ev.agg(max(col("us")).as("mx"))
+    val rf = ev.groupBy(col("user_id"))
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("f"))
+      .crossJoin(broadcast(mx))
+      .selectExpr("user_id", "(mx - last_us) div 86400000000L AS r_days", "f")
+    val m = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(dsum(col("o_totalprice")).as("m"))
+    val scored = rf.join(m, Seq("user_id"), "left")
+      .na.fill(0.0, Seq("m"))
+      .withColumn("r_t", ntile(3).over(
+        Window.orderBy(col("r_days"), col("user_id"))).cast("long"))
+      .withColumn("f_t", ntile(3).over(
+        Window.orderBy(col("f"), col("user_id"))).cast("long"))
+      .withColumn("m_t", ntile(3).over(
+        Window.orderBy(col("m"), col("user_id"))).cast("long"))
+    scored.groupBy(col("r_t"), col("f_t"), col("m_t"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("f")).as("sum_f"),
+        dsum(col("m")).as("sum_m"))
+      .selectExpr("r_t", "f_t", "m_t", "n_users",
+        "1000000L * sum_f div n_users AS mean_f_ppm", "sum_m")
+      .orderBy("r_t", "f_t", "m_t")
+  }
+
+  val q220Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |mx AS (SELECT MAX(us) AS mx FROM ev),
+      |rf AS (
+      |  SELECT user_id,
+      |         (mx.mx - MAX(us)) // 86400000000 AS r_days,
+      |         CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM ev, mx GROUP BY user_id, mx.mx),
+      |mo AS (
+      |  SELECT o_custkey AS user_id,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS m
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT rf.user_id, rf.f, COALESCE(mo.m, 0.0) AS m,
+      |         CAST(ntile(3) OVER (ORDER BY rf.r_days, rf.user_id) AS BIGINT)
+      |           AS r_t,
+      |         CAST(ntile(3) OVER (ORDER BY rf.f, rf.user_id) AS BIGINT)
+      |           AS f_t,
+      |         CAST(ntile(3) OVER (ORDER BY COALESCE(mo.m, 0.0), rf.user_id)
+      |           AS BIGINT) AS m_t
+      |  FROM rf LEFT JOIN mo USING (user_id))
+      |SELECT r_t, f_t, m_t, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       1000000 * CAST(SUM(f) AS BIGINT) // COUNT(*) AS mean_f_ppm,
+      |       CAST(SUM(CAST(m AS DECIMAL(25,6))) AS DOUBLE) AS sum_m
+      |FROM scored
+      |GROUP BY 1, 2, 3
+      |ORDER BY r_t, f_t, m_t""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q215 — U-shaped (position-based) multi-touch attribution: every
   // purchase distributes 1e6 ppm of conversion credit over the user's
   // touches in the prior 24 h — 40% to the first touch, 40% to the

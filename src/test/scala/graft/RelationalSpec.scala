@@ -1173,6 +1173,55 @@ class RelationalSpec extends SparkSpec {
     assert(row.getLong(4) <= 600000L, s"err_ppm ${row.getLong(4)}")
   }
 
+  test("q220 RFM segmentation matches a driver replay; population conserved") {
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mOrd = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(operators.Relational.dsum(col("o_totalprice")).as("m")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val mx = ev.map(_._2).max
+    val users = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      (u, (mx - es.map(_._2).max) / 86400000000L, es.length.toLong,
+        mOrd.getOrElse(u, 0.0))
+    }
+    def terciles[A](xs: Seq[(Long, A)])(implicit ord: Ordering[A])
+        : Map[Long, Long] = {
+      val sorted = xs.sortBy { case (id, v) => (v, id) }
+      val n = sorted.size
+      val (base, extra) = (n / 3, n % 3)
+      sorted.zipWithIndex.map { case ((id, _), i) =>
+        // ntile: the first (n mod 3) buckets carry one extra row
+        val cut1 = base + (if (extra >= 1) 1 else 0)
+        val cut2 = cut1 + base + (if (extra >= 2) 1 else 0)
+        id -> (if (i < cut1) 1L else if (i < cut2) 2L else 3L)
+      }.toMap
+    }
+    val rT = terciles(users.map(u => (u._1, u._2)))
+    val fT = terciles(users.map(u => (u._1, u._3)))
+    val mT = terciles(users.map(u => (u._1, u._4)))
+    val expect = users.groupBy(u => (rT(u._1), fT(u._1), mT(u._1))).toSeq
+      .sortBy(_._1).map { case ((r, f, m), us) =>
+        val sumM = us.map(u => BigDecimal(u._4)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        (r, f, m, us.size.toLong,
+          1000000L * us.map(_._3).sum / us.size, sumM.toDouble)
+      }
+    val got = operators.Relational.q220RfmSegments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expect, "exact tercile grid, populations, and revenue")
+    assert(got.map(_._4).sum === users.size.toLong, "population conserved")
+    // each tercile's marginal population is balanced to within one
+    for (dim <- Seq[((Long, Long, Long, Long, Long, Double)) => Long](
+        _._1, _._2, _._3)) {
+      val byT = got.groupBy(dim).view.mapValues(_.map(_._4).sum)
+      assert(byT.values.max - byT.values.min <= 1L, s"tercile balance $byT")
+    }
+  }
+
   test("q215 U-shaped attribution matches a replay; credit mass conserved") {
     import org.apache.spark.sql.functions.unix_micros
     val ev = Tables.events(spark, sf)
