@@ -610,6 +610,73 @@ object StreamParity {
       col("doc_id"))
   }
 
+  /** q221 — the KMV bottom-k distinct sketch (q203) maintained over a
+    * CONTINUOUSLY INGESTING corpus: bottom-k order statistics are
+    * mergeable (the union's bottom-k is the bottom-k of the parts'
+    * bottom-ks — Beyer et al.'s distributed-union property, lifted
+    * across TRIGGERS). Per micro-batch one distributed job dedups the
+    * batch's shingles and keeps its local bottom-k; driver state is ONE
+    * k-row sorted buffer. This closes the mergeable-fold family over
+    * all four summary kinds — heavy hitters (q66 MG), moments (q212
+    * AMS), samples (q218 A-ES), and DISTINCT COUNTS — the live
+    * cardinality feed that sizes an LSH run while data streams in.
+    * End-of-stream the sketch is bit-equal to the single-shot q203
+    * (estimate, k-th statistic, and measured error included) and held
+    * to its oracle; the exact side computes in q203's batch shape. */
+  def q221StreamKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("q221_kmv")
+    docs.repartition(ReplayFiles).write.mode("overwrite").parquet(dir.toString)
+
+    val K = 256
+    val uExpr = "(CAST(conv(substring(md5(g), 1, 12), 16, 10) AS DOUBLE)" +
+      " + 1.0D) / 281474976710657.0D"
+    def shingles(df: org.apache.spark.sql.DataFrame) = df
+      .select(split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))""".stripMargin))
+        .as("g"))
+      .distinct()
+
+    // State is keyed by the GRAM, not its hash: the same gram seen in
+    // two batches must merge to one entry (the batch DISTINCT), while
+    // two different grams that collide on u must keep their
+    // multiplicity — a value-keyed fold would collapse them and shift
+    // the k-th order statistic.
+    var running = Map.empty[String, Double]
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val top = shingles(batch).selectExpr("g", s"$uExpr AS u")
+          .orderBy(col("u"), col("g")).limit(K)
+          .collect().map(r => r.getString(0) -> r.getDouble(1))
+        running = (running ++ top).toSeq
+          .sortBy { case (g, u) => (u, g) }.take(K).toMap
+        ()
+      }.start()
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile) // sketch lives on the driver
+    }
+
+    val us = running.values.toSeq.sorted
+    val (uk, kk) = (us.last, us.size.toLong)
+    val nExact = shingles(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .count()
+    import spark.implicits._
+    Seq((kk, uk, nExact))
+      .toDF("kk", "uk", "n_exact")
+      .selectExpr("kk AS k", "ROUND(uk, 9) AS kth_u",
+        "CAST(FLOOR((kk - 1) / uk) AS BIGINT) AS est_distinct", "n_exact",
+        "ROUND(ABS((kk - 1) / uk - CAST(n_exact AS DOUBLE)) / n_exact, 6)" +
+          " AS rel_err")
+  }
+
   /** q81 — the timeline-anomaly monitor through the streaming engine:
     * q78's per-type z-score over the dense hour grid, maintained
     * INCREMENTALLY. Events replay as ReplayFiles contiguous time-range

@@ -181,6 +181,17 @@ class ParitySpec extends SparkSpec {
         "must be bit-equal to the single-shot weighted sample")
   }
 
+  test("q221 streamed KMV bottom-k fold equals the single-shot q203") {
+    val streamed = StreamParity.q221StreamKmv(spark, sf).collect().toSeq
+    val batch = graft.operators.TextAnalysis.q203KmvDistinct(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "per-trigger bottom-k sketches folded by the gram-keyed merge " +
+        "must be bit-equal to the single-shot order statistic, " +
+        "estimate and measured error included")
+  }
+
   test("q81 incremental anomaly monitor equals batch q78 (count folds across triggers)") {
     val streamed = StreamParity.q81StreamAnomaly(spark, sf).collect().toSeq
     val batch = graft.operators.Relational.q78TimelineAnomaly(spark, sf)
