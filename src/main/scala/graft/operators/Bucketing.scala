@@ -218,4 +218,79 @@ object Bucketing {
        |GROUP BY 1
        |ORDER BY zcell""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q222 — rendezvous (highest-random-weight) sharding elasticity audit
+  // (Thaler–Ravishankar 1998, the consistent-routing scheme behind
+  // shard maps and cache rings): assign every doc to argmax over shards
+  // of h(shard, doc), then audit what happens when the ring GROWS from
+  // 8 to 9 shards — HRW's minimal-disruption property says a doc moves
+  // ONLY to the new shard (old shards' winners among themselves are
+  // unchanged), so exactly ~1/9 of keys move and no old shard gains.
+  // The read before resizing a bucketed layout (q35) or a keyed state
+  // backend: how much data a resize actually rewrites.
+  //
+  // Exactness: the winner is argmax of a 48-bit md5 weight PACKED with
+  // the shard id into one BIGINT (h·16 + s), so assignment is a pure
+  // integer MAX — bit-identical both engines, ties impossible by
+  // construction. One doc-grid explode (9 rows/doc), two aggregates.
+  // ---------------------------------------------------------------------
+  private val HrwBefore = 8
+  private val HrwAfter  = 9
+
+  def q222RendezvousAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${HrwAfter - 1})")).as("s"))
+      .selectExpr("doc_id", "s",
+        "CAST(conv(substring(md5(concat(CAST(s AS STRING), ':'," +
+          " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT) * 16 + s" +
+          " AS hkey")
+      .groupBy(col("doc_id"))
+      .agg(
+        expr(s"max(CASE WHEN s < $HrwBefore THEN hkey END) % 16")
+          .as("before_s"),
+        expr("max(hkey) % 16").as("after_s"))
+    val grid = spark.range(HrwAfter).select(col("id").as("shard"))
+    grid
+      .join(assign.groupBy(col("before_s").as("shard"))
+        .agg(count(lit(1)).as("n_before")), Seq("shard"), "left")
+      .join(assign.groupBy(col("after_s").as("shard"))
+        .agg(count(lit(1)).as("n_after")), Seq("shard"), "left")
+      .join(assign.filter(col("before_s") =!= col("after_s"))
+        .groupBy(col("after_s").as("shard"))
+        .agg(count(lit(1)).as("gained")), Seq("shard"), "left")
+      .selectExpr("shard", "coalesce(n_before, 0L) AS n_before",
+        "coalesce(n_after, 0L) AS n_after",
+        "coalesce(gained, 0L) AS gained")
+      .orderBy("shard")
+  }
+
+  val q222Sql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         MAX(CASE WHEN s < $HrwBefore THEN hkey END) % 16 AS before_s,
+       |         MAX(hkey) % 16 AS after_s
+       |  FROM (
+       |    SELECT doc_id, s,
+       |           ('0x' || substr(md5(CAST(s AS VARCHAR) || ':'
+       |              || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT * 16 + s
+       |             AS hkey
+       |    FROM documents
+       |    CROSS JOIN (SELECT UNNEST(RANGE(0, $HrwAfter)) AS s))
+       |  GROUP BY doc_id),
+       |grid AS (SELECT UNNEST(RANGE(0, $HrwAfter)) AS shard)
+       |SELECT g.shard,
+       |       COALESCE(nb.n, 0) AS n_before,
+       |       COALESCE(na.n, 0) AS n_after,
+       |       COALESCE(mv.n, 0) AS gained
+       |FROM grid g
+       |LEFT JOIN (SELECT before_s AS shard, CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM a GROUP BY 1) nb ON nb.shard = g.shard
+       |LEFT JOIN (SELECT after_s AS shard, CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM a GROUP BY 1) na ON na.shard = g.shard
+       |LEFT JOIN (SELECT after_s AS shard, CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM a WHERE before_s <> after_s GROUP BY 1) mv
+       |  ON mv.shard = g.shard
+       |ORDER BY g.shard""".stripMargin
 }

@@ -1173,6 +1173,37 @@ class RelationalSpec extends SparkSpec {
     assert(row.getLong(4) <= 600000L, s"err_ppm ${row.getLong(4)}")
   }
 
+  test("q222 rendezvous audit matches a replay; HRW moves keys only to the new shard") {
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    def hkey(s: Int, d: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$s:$d".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) * 16 + s
+    }
+    val assign = ids.map { d =>
+      val keys = (0 until 9).map(s => hkey(s, d))
+      (d, keys.take(8).max % 16, keys.max % 16)
+    }
+    val expect = (0L until 9L).map { s =>
+      (s, assign.count(_._2 == s).toLong, assign.count(_._3 == s).toLong,
+        assign.count(a => a._3 == s && a._2 != a._3).toLong)
+    }
+    val got = operators.Bucketing.q222RendezvousAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect, "exact HRW assignments before and after the grow")
+    // minimal disruption: NO old shard gains a key; both rings carry the
+    // whole population; the new shard takes ~1/9 (binomial, wide slack)
+    assert(got.filter(_._1 < 8L).forall(_._4 === 0L),
+      "HRW must move keys only to the new shard")
+    assert(got.map(_._2).sum === ids.length.toLong)
+    assert(got.map(_._3).sum === ids.length.toLong)
+    val moved = got.last._4.toDouble / ids.length
+    assert(moved > 1.0 / 18 && moved < 2.0 / 9, s"moved fraction $moved")
+  }
+
   test("q220 RFM segmentation matches a driver replay; population conserved") {
     import org.apache.spark.sql.functions.unix_micros
     val ev = Tables.events(spark, sf)
