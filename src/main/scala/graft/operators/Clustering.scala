@@ -925,4 +925,93 @@ object Clustering {
          |ORDER BY part""".stripMargin
     sb.toString
   }
+
+  // ---------------------------------------------------------------------
+  // q223 — graph-placement edge-cut audit: before distributing per-node
+  // graph work (q193's PageRank messages, q199's peels), measure what
+  // each PLACEMENT strategy costs on THIS graph — the fraction of
+  // co-purchase edges whose endpoints land on different partitions
+  // (every cut edge is a network message per iteration) and the node
+  // balance (the straggler bound). Hash placement (md5 % P, the
+  // default) is compared against contiguous range placement
+  // (id·P div N): on an id-locality-free graph both cut ~1−1/P of
+  // edges, and a measured GAP between them is the signal that ids
+  // carry community structure worth exploiting with a real partitioner.
+  //
+  // One pass over the edge list per strategy (the part columns are
+  // projections), one node-load aggregate; everything exact integers —
+  // the md5 hash and the range rule are the q36/q147 slicing idioms,
+  // bit-identical cross-engine.
+  // ---------------------------------------------------------------------
+  private val CutParts = 8
+
+  def q223EdgeCutAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = kCoreEdgeList(spark, sfDir).cache() // both strategies + loads
+    val mx = e.selectExpr("greatest(max(u), max(v)) + 1 AS mxn")
+    def partExpr(col: String, strategy: String): String = strategy match {
+      case "hash" =>
+        s"CAST(conv(substring(md5(CAST($col AS STRING)), 1, 8), 16, 10)" +
+          s" AS BIGINT) % $CutParts"
+      case "range" => s"$col * $CutParts div mxn"
+    }
+    import spark.implicits._
+    Seq("hash", "range").map { strat =>
+      val parts = e.crossJoin(broadcast(mx)).selectExpr(
+        s"${partExpr("u", strat)} AS pu", s"${partExpr("v", strat)} AS pv")
+      val cut = parts.selectExpr(
+          "count(1) AS n_edges",
+          "CAST(sum(CASE WHEN pu <> pv THEN 1 ELSE 0 END) AS BIGINT)" +
+            " AS cut_edges")
+        .selectExpr("n_edges", "cut_edges",
+          "1000000L * cut_edges div n_edges AS cut_ppm")
+      val loads = parts.selectExpr("pu AS p").unionAll(
+          parts.selectExpr("pv AS p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("load"))
+        .agg(max(col("load")).as("max_load"), min(col("load")).as("min_load"))
+      cut.crossJoin(loads) // 1 row x 1 row
+        .selectExpr(s"'$strat' AS strategy", "n_edges", "cut_edges",
+          "cut_ppm", "max_load", "min_load")
+    }.reduce(_.unionAll(_)).orderBy("strategy")
+  }
+
+  val q223Sql: String =
+    s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM po a, po b WHERE a.o = b.o AND a.p < b.p),
+       |mx AS (SELECT greatest(max(u), max(v)) + 1 AS mxn FROM e),
+       |hp AS (SELECT ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8))::BIGINT
+       |                % $CutParts AS pu,
+       |              ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT
+       |                % $CutParts AS pv
+       |       FROM e),
+       |rp AS (SELECT u * $CutParts // mx.mxn AS pu,
+       |              v * $CutParts // mx.mxn AS pv
+       |       FROM e, mx),
+       |hcut AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |                CAST(SUM(CASE WHEN pu <> pv THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS cut_edges
+       |         FROM hp),
+       |rcut AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |                CAST(SUM(CASE WHEN pu <> pv THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS cut_edges
+       |         FROM rp),
+       |hload AS (SELECT CAST(MAX(load) AS BIGINT) AS max_load,
+       |                 CAST(MIN(load) AS BIGINT) AS min_load FROM
+       |          (SELECT p, CAST(COUNT(*) AS BIGINT) AS load FROM
+       |            (SELECT pu AS p FROM hp UNION ALL SELECT pv FROM hp)
+       |           GROUP BY p)),
+       |rload AS (SELECT CAST(MAX(load) AS BIGINT) AS max_load,
+       |                 CAST(MIN(load) AS BIGINT) AS min_load FROM
+       |          (SELECT p, CAST(COUNT(*) AS BIGINT) AS load FROM
+       |            (SELECT pu AS p FROM rp UNION ALL SELECT pv FROM rp)
+       |           GROUP BY p))
+       |SELECT 'hash' AS strategy, n_edges, cut_edges,
+       |       1000000 * cut_edges // n_edges AS cut_ppm, max_load, min_load
+       |FROM hcut CROSS JOIN hload
+       |UNION ALL
+       |SELECT 'range' AS strategy, n_edges, cut_edges,
+       |       1000000 * cut_edges // n_edges AS cut_ppm, max_load, min_load
+       |FROM rcut CROSS JOIN rload
+       |ORDER BY strategy""".stripMargin
 }

@@ -290,4 +290,35 @@ class ClusteringSpec extends SparkSpec {
     // the surviving core, if any, genuinely satisfies the k bound
     assert(deg.values.forall(_ >= Clustering.KCoreK.toLong) || deg.isEmpty)
   }
+
+  test("q223 edge-cut audit matches an exact replay on both strategies") {
+    val edges = Clustering.kCoreEdgeList(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mxn = edges.flatMap(e => Seq(e._1, e._2)).max + 1
+    def hashP(n: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(n.toString.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    def rangeP(n: Long): Long = n * 8 / mxn
+    val expect = Seq(("hash", hashP _), ("range", rangeP _)).map {
+      case (name, pf) =>
+        val parts = edges.map(e => (pf(e._1), pf(e._2)))
+        val cut = parts.count(p => p._1 != p._2).toLong
+        val loads = parts.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.length.toLong)
+        (name, edges.length.toLong, cut, 1000000L * cut / edges.length,
+          loads.values.max, loads.values.min)
+    }.sortBy(_._1)
+    val got = Clustering.q223EdgeCutAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect, "exact cut counts and load bounds per strategy")
+    // an id-locality-free graph cuts ~1 - 1/P under ANY oblivious
+    // placement; a large hash-vs-range gap would signal id communities
+    got.foreach { case (s, _, _, ppm, _, _) =>
+      assert(ppm > 700000L && ppm < 1000000L, s"cut_ppm($s) $ppm")
+    }
+  }
 }
