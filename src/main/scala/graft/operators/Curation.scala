@@ -2394,6 +2394,79 @@ object Curation {
        |WHERE split = 'test'
        |GROUP BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q224 — weight-of-evidence / information-value feature audit (the
+  // credit-scoring standard, Siddiqi 2006): bin a candidate feature
+  // (doc length) into deciles and measure how much each bin separates
+  // in-domain docs (lang='en') from the rest — WOE_b =
+  // ln(((g_b+½)/G)/((b_b+½)/B)) per bin, IV = Σ(g_b/G − b_b/B)·WOE_b.
+  // THE quick read on whether a feature is worth adding to a quality
+  // classifier before training anything (IV < 0.02 useless, > 0.3
+  // strong); complements q180's MI audit with the binned, signed,
+  // per-region view a threshold designer actually uses.
+  //
+  // Cross-engine: bins are ntile(10) with a (feature, doc_id) total
+  // order (q88's parity); the ½-smoothing clears denominators so the
+  // ln argument is a ratio of two exact int64 products; ln outputs and
+  // per-bin IV terms 6-dp-round into DECIMAL (q191's order-insensitive
+  // pattern) before the window total.
+  // ---------------------------------------------------------------------
+  def q224WoeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        (col("lang") === "en").as("good"))
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(sum(when(col("good"), 1L).otherwise(0L)).as("g"),
+        sum(when(col("good"), 0L).otherwise(1L)).as("b"))
+      .withColumn("gt", expr("sum(g) over ()"))
+      .withColumn("bt", expr("sum(b) over ()"))
+    perBin
+      .selectExpr("bin", "g AS n_good", "b AS n_bad",
+        // ln of a ratio of exact int64 products; the 1/2-smoothing keeps
+        // empty cells finite
+        "ROUND(ln(CAST((2 * g + 1) * bt AS DOUBLE)" +
+          " / CAST((2 * b + 1) * gt AS DOUBLE)), 6) AS woe",
+        "CAST(ROUND((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt)" +
+          " * ROUND(ln(CAST((2 * g + 1) * bt AS DOUBLE)" +
+          " / CAST((2 * b + 1) * gt AS DOUBLE)), 6), 6)" +
+          " AS DECIMAL(18,6)) AS iv6")
+      .withColumn("iv_total", expr("CAST(sum(iv6) over () AS DOUBLE)"))
+      .selectExpr("bin", "n_good", "n_bad", "woe",
+        "CAST(iv6 AS DOUBLE) AS iv_term", "iv_total")
+      .orderBy("bin")
+  }
+
+  val q224Sql: String =
+    """WITH binned AS (
+      |  SELECT CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+      |           AS bin,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS good
+      |  FROM documents),
+      |pb AS (
+      |  SELECT bin, CAST(SUM(good) AS BIGINT) AS g,
+      |         CAST(SUM(1 - good) AS BIGINT) AS b
+      |  FROM binned GROUP BY bin),
+      |tot AS (
+      |  SELECT *, CAST(SUM(g) OVER () AS BIGINT) AS gt,
+      |            CAST(SUM(b) OVER () AS BIGINT) AS bt
+      |  FROM pb),
+      |woe AS (
+      |  SELECT bin, g AS n_good, b AS n_bad,
+      |         ROUND(ln(CAST((2 * g + 1) * bt AS DOUBLE)
+      |           / CAST((2 * b + 1) * gt AS DOUBLE)), 6) AS woe,
+      |         CAST(ROUND((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt)
+      |           * ROUND(ln(CAST((2 * g + 1) * bt AS DOUBLE)
+      |           / CAST((2 * b + 1) * gt AS DOUBLE)), 6), 6)
+      |           AS DECIMAL(18,6)) AS iv6
+      |  FROM tot)
+      |SELECT bin, n_good, n_bad, woe, CAST(iv6 AS DOUBLE) AS iv_term,
+      |       CAST(SUM(iv6) OVER () AS DOUBLE) AS iv_total
+      |FROM woe
+      |ORDER BY bin""".stripMargin
+
   val q209Sql: String = {
     val lnVals = UcbLnTable.zipWithIndex
       .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")

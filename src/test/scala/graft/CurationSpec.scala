@@ -988,6 +988,45 @@ class CurationSpec extends SparkSpec {
     assert(got.forall(_._3 === 2L))
   }
 
+  test("q224 WOE/IV audit matches an exact replay; bin mass conserved") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars", "lang").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2) == "en"))
+    val sorted = docs.sortBy(d => (d._2, d._1))
+    val n = sorted.length
+    val (base, extra) = (n / 10, n % 10)
+    val cuts = (1 to 10).scanLeft(0) { (acc, i) =>
+      acc + base + (if (i <= extra) 1 else 0) }.tail
+    def d6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val bins = sorted.zipWithIndex.map { case (d, i) =>
+      (cuts.indexWhere(i < _) + 1L, d._3)
+    }
+    val gt = bins.count(_._2).toLong
+    val bt = n.toLong - gt
+    val perBin = bins.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ds) =>
+      val g = ds.count(_._2).toLong
+      val bad = ds.size.toLong - g
+      val woe = d6(math.log(((2 * g + 1) * bt).toDouble /
+        ((2 * bad + 1) * gt).toDouble))
+      val term = d6((g.toDouble / gt - bad.toDouble / bt) * woe.toDouble)
+      (b, g, bad, woe, term)
+    }
+    val ivTotal = perBin.map(_._5).sum.toDouble
+    val expect = perBin.map { case (b, g, bad, woe, term) =>
+      (b, g, bad, woe.toDouble, term.toDouble, ivTotal)
+    }
+    val got = Curation.q224WoeAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expect, "exact per-bin WOE and IV terms")
+    assert(got.map(_._2).sum === gt && got.map(_._3).sum === bt,
+      "bin mass conserved")
+    // length should carry SOME but not overwhelming signal for language
+    assert(got.head._6 === got.last._6)
+    assert(got.head._6 > -0.01, s"IV ${got.head._6}")
+  }
+
   test("q211 conformal threshold matches an exact replay; guarantee holds") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang", "text").collect()
