@@ -1605,6 +1605,104 @@ object Similarity {
   // ---------------------------------------------------------------------
   private val KCenterK = 8
 
+  // ---------------------------------------------------------------------
+  // q225 — kernel-herding coreset (Chen–Welling–Smola 2010, the
+  // moment-matching selection rule with O(1/t) mean-embedding error vs
+  // O(1/√t) for random sampling): greedily pick the vector minimizing
+  // the distance between the selected set's mean and the CORPUS mean —
+  // the third coreset objective next to q208 (coverage) and q217
+  // (spread): herding picks REPRESENTATIVE points, the right seed for
+  // distillation-style data pruning. Expanding the objective, round t's
+  // score is n2 + 2·Σ_i⟨v, c_i⟩ − 2t·⟨v, μ⟩ — so the per-round state is
+  // ONE accumulated-dot column (q217's least-chain with + instead of
+  // least) and the corpus mean enters as a constant vector.
+  //
+  // Determinism: μ comes from exact int64 per-dim sums of
+  // FLOOR(x·1e9)-quantized components — floor has NO tie semantics, so
+  // unlike a decimal ROUND the two engines cannot disagree on any
+  // component (Spark casts decimals HALF_UP, DuckDB half-even; at
+  // 20k×64 components a handful of exact .5-at-9dp doubles flipped a
+  // decimal-quantized mean by ~1e-12, enough to shift raw scores) —
+  // every dot is the sequential fold and the score's op order is
+  // shared, so argmin is bit-stable with vec_id ties. Repeats are
+  // legitimate herding behavior (a point can be picked twice once the
+  // running mean overshoots past it).
+  // ---------------------------------------------------------------------
+  private val HerdK = 8
+
+  def q225HerdingCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val sx = emb.select(
+        expr("transform(embedding," +
+          " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0E9) AS BIGINT))").as("eq"))
+      .select(posexplode(col("eq")).as(Seq("d", "xq")))
+      .groupBy("d").agg(sum(col("xq")).as("sx"))
+      .orderBy("d").collect().map(_.getLong(1))
+    val mu = sx.map(_.toDouble / n / 1.0e9)
+
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .withColumn("dm", dot(col("v"), array(mu.toSeq.map(lit): _*)))
+      .cache()
+    var df = base.withColumn("ds", lit(0.0))
+    val picks = Seq.newBuilder[(Long, Long, Double)]
+    for (t <- 1 to HerdK) {
+      val w = df
+        .withColumn("score",
+          (col("n2") + lit(2.0) * col("ds")) - (lit(2.0 * t) * col("dm")))
+        .orderBy(col("score"), col("vec_id")).limit(1)
+        .collect()(0)
+      picks += ((t.toLong, w.getAs[Long]("vec_id"), w.getAs[Double]("score")))
+      val wv = w.getSeq[Double](w.fieldIndex("v")).toIndexedSeq
+      df = df.withColumn("ds",
+        col("ds") + dot(col("v"), array(wv.map(lit): _*)))
+    }
+    picks.result().toDF("round", "center_id", "score").orderBy("round")
+  }
+
+  val q225Sql: String = {
+    val head =
+      s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         |dims AS (
+         |  SELECT d.d AS d, CAST(SUM(eq[d.d + 1]) AS BIGINT) AS sx
+         |  FROM (SELECT list_transform(embedding,
+         |                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0E9) AS BIGINT))
+         |                 AS eq
+         |        FROM embeddings),
+         |       generate_series(0, ${CovDim - 1}) d(d)
+         |  GROUP BY d.d),
+         |mu AS (SELECT list(CAST(sx AS DOUBLE) / nn.n / 1.0E9 ORDER BY d) AS m
+         |       FROM dims, nn GROUP BY nn.n),
+         |m0 AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+         |           AS n2,
+         |         list_dot_product(embedding::DOUBLE[], (SELECT m FROM mu))
+         |           AS dm,
+         |         CAST(0.0 AS DOUBLE) AS ds
+         |  FROM embeddings)""".stripMargin
+    val rounds = (1 to HerdK).map { t =>
+      val upd = if (t < HerdK)
+        s""",
+           |m$t AS MATERIALIZED (
+           |  SELECT vec_id, v, n2, dm,
+           |         ds + list_dot_product(v, (SELECT v FROM c$t)) AS ds
+           |  FROM m${t - 1})""".stripMargin
+      else ""
+      s"""c$t AS MATERIALIZED (
+         |  SELECT vec_id, v,
+         |         (n2 + 2.0 * ds) - (${2 * t}.0 * dm) AS score
+         |  FROM m${t - 1} ORDER BY score, vec_id LIMIT 1)$upd""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val sel = (1 to HerdK).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS round, vec_id AS center_id, score FROM c$t"
+    }.mkString("\nUNION ALL\n")
+    s"$head$rounds\n$sel\nORDER BY round"
+  }
+
   def q217KCenter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -482,6 +482,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._3 >= got.last._3)
   }
 
+  test("q225 herding matches a driver replay; the selected mean converges") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i) * y(i); i += 1 }
+      acc
+    }
+    val n = vecs.length.toLong
+    val dim = vecs.head._2.length
+    val sx = Array.tabulate(dim) { d =>
+      vecs.map(v => math.floor(v._2(d) * 1.0e9).toLong).sum
+    }
+    val mu = sx.map(_.toDouble / n / 1.0e9)
+    val ds = scala.collection.mutable.HashMap.empty[Long, Double]
+    vecs.foreach(v => ds(v._1) = 0.0)
+    val byId = vecs.toMap
+    var expect = Vector.empty[(Long, Long, Double)]
+    for (t <- 1 to 8) {
+      val scored = vecs.map { case (id, v) =>
+        (id, (dot(v, v) + 2.0 * ds(id)) - (2.0 * t * dot(v, mu)))
+      }
+      val (wid, ws) = scored.minBy { case (id, s) => (s, id) }
+      expect :+= ((t.toLong, wid, ws))
+      val wv = byId(wid)
+      vecs.foreach { case (id, v) => ds(id) += dot(v, wv) }
+    }
+    val got = Similarity.q225HerdingCoreset(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
+    assert(got === expect, "identical herding trajectory")
+    // round 1 must pick the vector closest to the corpus mean, and the
+    // selected set's mean must end closer to mu than that single point
+    val firstBest = vecs.minBy { case (id, v) =>
+      (dot(v, v) - 2.0 * dot(v, mu), id) }._1
+    assert(got.head._2 === firstBest)
+    def meanDist(ids: Seq[Long]): Double = {
+      val m = Array.tabulate(dim)(d => ids.map(byId(_)(d)).sum / ids.size)
+      val diff = m.zip(mu).map { case (a, b) => a - b }
+      dot(diff, diff)
+    }
+    val d1 = meanDist(got.take(1).map(_._2))
+    val d8 = meanDist(got.map(_._2))
+    assert(d8 < d1, s"herding must tighten the mean match: $d8 vs $d1")
+  }
+
   test("q217 k-center matches a driver greedy replay; radius non-increasing") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect()
