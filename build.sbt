@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output must reach stdout RAW: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks any
+// consumer that json-parses the program's final line (the bench
+// driver's tail capture showed "[info] {"metric":"total",...}" and
+// recorded parsed=null in rounds 1-9).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

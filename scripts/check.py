@@ -36,11 +36,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm_type(t):
     """Normalize a DuckDB type string for the dtype-strict compare."""
     s = str(t).upper()
-    # DECIMAL and FLOAT ride pandas' float64 lane like DOUBLE (q07's
-    # DECIMAL(_,1) oracle has always hashed green against a DOUBLE)
+    # DECIMAL rides pandas' float64 lane like DOUBLE (q07's
+    # DECIMAL(_,1) oracle has always hashed green against a DOUBLE).
+    # FLOAT deliberately does NOT collapse: unlike the int-width and
+    # DECIMAL rules this case has no red/green calibration evidence on
+    # any driver board, and DuckDB's Python client materializes REAL as
+    # numpy float32 — so a FLOAT-vs-DOUBLE mismatch fails here
+    # (conservatively) until a deliberate probe calibrates it.
     s = re.sub(r"DECIMAL\(\d+,\d+\)", "DOUBLE", s)
-    if s == "FLOAT":
-        return "DOUBLE"
     if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
              "UTINYINT", "USMALLINT", "UINTEGER"):
         return "INT"  # driver-equivalent machine widths; NOT HUGEINT/UBIGINT

@@ -219,6 +219,13 @@ object GraftFunctions {
   def simHash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
 
+  /** PNG-IHDR / JPEG-SOFn header parse of a binary column (see
+    * [[ImageHeader]]): packed `fmt << 48 | width << 24 | height`
+    * (fmt 1 = PNG, 2 = JPEG, 0 = unrecognized) — one codegen'd header
+    * walk serves format, dimensions, and resize-plan columns. */
+  def imageHeader(bytes: Column): Column =
+    ColumnBridge.column(ImageHeader(ColumnBridge.expression(bytes)))
+
   /** Rabin-Karp code-point fingerprint (see [[RollingHash]]):
     * (h*31 + codepoint) mod 1e9+7, matching DuckDB's code-point `ascii`
     * semantics on all inputs including surrogate pairs. */

@@ -88,8 +88,8 @@ object StreamParity {
     spark.createDataFrame(
         java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
-      .forEach(p => Files.copy(p, dir.resolve("zz_sentinel.parquet")))
+    listDir(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.copy(p, dir.resolve("zz_sentinel.parquet")))
 
     val agg = graft.Tables.normalizeTs(
         spark.readStream.schema(schema).parquet(dir.toString))
@@ -367,8 +367,8 @@ object StreamParity {
         java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
     val sentinelTarget = dir.resolve("zz_sentinel.parquet")
-    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
-      .forEach(p => Files.copy(p, sentinelTarget))
+    listDir(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.copy(p, sentinelTarget))
     require(sentinelTarget.toFile.setLastModified(t0 + parts.length * 10000L))
 
     val agg = graft.Tables.normalizeTs(spark.readStream.schema(schema)
@@ -380,13 +380,19 @@ object StreamParity {
         sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sum_value"))
 
     val table = s"q71_sessions_${runId.incrementAndGet()}"
-    val query = agg.writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
-    try query.processAllAvailable()
-    finally {
-      query.stop()
-      deleteRecursively(dir.toFile) // output lives in the memory sink
-      deleteRecursively(sentinelDir.toFile)
+    // session-window state on the RocksDB provider: the merging-window
+    // state shape (variable-width sessions, state rewritten on merge)
+    // joins the windowed-dedup (q116), transformWithState (q126+), and
+    // stream-stream-join (q82/q83) shapes on the scale backend.
+    withRocksDBProvider(spark) {
+      val query = agg.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally {
+        query.stop()
+        deleteRecursively(dir.toFile) // output lives in the memory sink
+        deleteRecursively(sentinelDir.toFile)
+      }
     }
 
     spark.table(table)
@@ -436,6 +442,110 @@ object StreamParity {
     spark.table(table).orderBy("keep_id")
   }
 
+  /** q227 — streaming near-dup admission at PARAGRAPH granularity: q68's
+    * block-level first-wins dedup run as a crawl-ingest pipeline actually
+    * runs it — documents arrive in batches, each batch's paragraphs are
+    * admitted against a PERSISTENT block-hash index built from everything
+    * already ingested, and the index grows by the batch's own blocks.
+    * Composes q68's blocks with q58's persistent-index admission shape.
+    *
+    * Exactness: batches replay in doc_id-range order, so "already in the
+    * index" == "occurred in an earlier doc" and the within-batch window
+    * (min (doc_id, bidx) per hash) resolves ties exactly as q68's
+    * corpus-wide window — the streamed per-doc verdicts equal batch q68
+    * row for row and are held to q68's own DuckDB oracle (plus the
+    * streamed==batch ParitySpec).
+    *
+    * Scale shape: per trigger the batch pays its own block explode (one
+    * scan), a batch-sized window, and a LEFT ANTI join against the index
+    * keyed on the 16-byte block md5 — never text; the index is
+    * hash-only (the NearDupIndex discipline — at 100 TB this is the
+    * keyed state store or a Bloom-fronted table, not a corpus re-scan);
+    * per-doc outputs land in batchId-stamped overwrite dirs (exactly-
+    * once under foreachBatch's at-least-once contract, the q58/q148
+    * discipline). Snapshot versions are GC'd batch-to-batch. */
+  def q227StreamBlockAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup.BlockB
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("q227_docs")
+    docs.repartitionByRange(ReplayFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+
+    val idxRoot = Files.createTempDirectory("q227_idx").toString
+    val outRoot = Files.createTempDirectory("q227_out").toString
+    var prevIdx: Option[String] = None
+    var lastFolded = -1L
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bh",
+        org.apache.spark.sql.types.BinaryType)))
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          lastFolded = batchId
+          val s = batch.sparkSession
+          val blocks = batch
+            .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+            .select(col("doc_id"), posexplode(expr(
+              s"""transform(sequence(0, cast(ceil(size(toks) / $BlockB.0) as int) - 1),
+                 |  b -> array_join(slice(toks, b * $BlockB + 1, $BlockB), ' '))"""
+                .stripMargin)).as(Seq("bidx", "block")))
+            .withColumn("bh", unhex(md5(col("block"))))
+            .persist() // feeds admission, per-doc counts, and index growth
+          try {
+            val idx = prevIdx.map(p => s.read.parquet(p)).getOrElse(
+              s.createDataFrame(java.util.Collections.emptyList[Row](),
+                idxSchema))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("bh")).orderBy(col("doc_id"), col("bidx"))
+            val kept = blocks
+              .withColumn("rk", row_number().over(w))
+              .filter(col("rk") === 1)
+              .join(idx, Seq("bh"), "left_anti")
+              .groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_kept"),
+                md5(array_join(transform(
+                  array_sort(collect_list(struct(col("bidx"), col("block")))),
+                  b => b.getField("block")), " ")).as("kept_fp"))
+            blocks.groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_blocks"))
+              .join(kept, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("n_blocks"),
+                coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_fp"))
+              .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+            // Index grows by THIS batch's distinct hashes (hash-only).
+            val stamp = s"$idxRoot/v$batchId"
+            idx.union(blocks.select(col("bh")).distinct()).distinct()
+              .write.mode("overwrite").parquet(stamp)
+            prevIdx.foreach(p => deleteRecursively(new java.io.File(p)))
+            prevIdx = Some(stamp)
+          } finally { blocks.unpersist(); () }
+        }
+        ()
+      }.start()
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile)
+    }
+
+    val out = spark.read.parquet(s"$outRoot/b*").orderBy("doc_id")
+      .localCheckpoint(true)
+    deleteRecursively(new java.io.File(outRoot))
+    prevIdx.foreach(p => deleteRecursively(new java.io.File(p)))
+    out
+  }
+
   /** q66 — heavy hitters over a CONTINUOUSLY INGESTING corpus: q61's
     * Misra-Gries sketch-then-verify gate through the streaming engine.
     * The documents table is replayed as ReplayFiles micro-batches
@@ -477,17 +587,26 @@ object StreamParity {
     val running = scala.collection.mutable.HashMap.empty[String, Long]
     var nTokens = 0L
 
+    // foreachBatch is AT-LEAST-ONCE: a retried/re-executed trigger
+    // re-delivers the same batchId, and a second fold of the same batch
+    // into the driver-local accumulator silently corrupts the summary.
+    // Tracking the last folded batchId makes the fold idempotent (the
+    // same discipline the q58 batchId-stamped sink files encode).
+    var lastFolded = -1L
     val toks = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
     val query = toks.writeStream.outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val row = batch.agg(mgSketch(col("tok")).as("sketch"),
-          count(lit(1)).as("n")).head()
-        val batchSketch = scala.collection.mutable.HashMap(
-          row.getMap[String, Long](0).toSeq: _*)
-        nTokens += row.getLong(1)
-        merger.merge(running, batchSketch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          val row = batch.agg(mgSketch(col("tok")).as("sketch"),
+            count(lit(1)).as("n")).head()
+          val batchSketch = scala.collection.mutable.HashMap(
+            row.getMap[String, Long](0).toSeq: _*)
+          nTokens += row.getLong(1)
+          merger.merge(running, batchSketch)
+          lastFolded = batchId
+        }
         ()
       }.start()
     try query.processAllAvailable()
@@ -529,10 +648,14 @@ object StreamParity {
     keys.repartition(ReplayFiles).write.mode("overwrite").parquet(dir.toString)
 
     val z = Array.fill(32)(0L)
+    // idempotent fold under foreachBatch's at-least-once contract (q66)
+    var lastFolded = -1L
     val stream = spark.readStream.schema(keys.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val query = stream.writeStream.outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+        lastFolded = batchId
         batch.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
           .select(explode(expr("sequence(1, 32)")).as("j"), col("l_partkey"),
             col("f"))
@@ -543,6 +666,7 @@ object StreamParity {
           .groupBy(col("j")).agg(sum(col("sf")).as("zb"))
           .collect()
           .foreach(r => z(r.getInt(0) - 1) += r.getLong(1))
+        }
         ()
       }.start()
     try query.processAllAvailable()
@@ -588,8 +712,12 @@ object StreamParity {
     var running = Vector.empty[(Long, Long, Double)] // (doc_id, w, es_key)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // idempotent fold under foreachBatch's at-least-once contract (q66)
+    var lastFolded = -1L
     val query = stream.writeStream.outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+        lastFolded = batchId
         val top = batch.where("n_chars > 0").selectExpr(
             "doc_id", "n_chars AS w",
             "ROUND(ln((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS DOUBLE) + 1.0D)" +
@@ -598,6 +726,7 @@ object StreamParity {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         running = (running ++ top)
           .sortBy { case (id, _, k) => (-k, id) }.take(K)
+        }
         ()
       }.start()
     try query.processAllAvailable()
@@ -647,15 +776,20 @@ object StreamParity {
     // multiplicity — a value-keyed fold would collapse them and shift
     // the k-th order statistic.
     var running = Map.empty[String, Double]
+    // idempotent fold under foreachBatch's at-least-once contract (q66)
+    var lastFolded = -1L
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val query = stream.writeStream.outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val top = shingles(batch).selectExpr("g", s"$uExpr AS u")
-          .orderBy(col("u"), col("g")).limit(K)
-          .collect().map(r => r.getString(0) -> r.getDouble(1))
-        running = (running ++ top).toSeq
-          .sortBy { case (g, u) => (u, g) }.take(K).toMap
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          lastFolded = batchId
+          val top = shingles(batch).selectExpr("g", s"$uExpr AS u")
+            .orderBy(col("u"), col("g")).limit(K)
+            .collect().map(r => r.getString(0) -> r.getDouble(1))
+          running = (running ++ top).toSeq
+            .sortBy { case (g, u) => (u, g) }.take(K).toMap
+        }
         ()
       }.start()
     try query.processAllAvailable()
@@ -857,8 +991,8 @@ object StreamParity {
             raw.schema)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val dst = Paths.get(d.toString).resolve("zz_sentinel.parquet")
-        Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-          .forEach(p => Files.copy(p, dst))
+        listDir(tmp).filter(_.toString.endsWith(".parquet"))
+          .foreach(p => Files.copy(p, dst))
         deleteRecursively(tmp.toFile)
         require(dst.toFile.setLastModified(t0 + parts.length * 10000L))
         d.toString
@@ -876,9 +1010,11 @@ object StreamParity {
     * state backend (state lives off-heap/on-disk per executor instead
     * of on the JVM heap) — restoring the previous provider after.
     * q116 proved the provider on windowed-dedup state and replayTyped
-    * runs every transformWithState query on it; this extends the
-    * coverage to the stream-stream JOIN state shape (q82/q83), so every
-    * stateful shape in the suite exercises the scale backend.
+    * runs every transformWithState query on it; q82/q83 extended it to
+    * stream-stream JOIN state, and round 10 flipped q71 (session
+    * windows), q94 (flatMapGroupsWithState), and q123 (dedup-within-
+    * watermark) — every stateful shape in the suite now exercises the
+    * scale backend.
     *
     * Also pins the state partition count to 8 for the query: a
     * stream-stream join opens FOUR state stores per partition per
@@ -1071,7 +1207,7 @@ object StreamParity {
     Seq(base, updates).zipWithIndex.foreach { case (df, i) =>
       val tmp = Files.createTempDirectory(s"q80_part$i")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      Files.list(tmp).filter(_.toString.endsWith(".parquet")).forEach { p =>
+      listDir(tmp).filter(_.toString.endsWith(".parquet")).foreach { p =>
         val dst = dir.resolve(f"f$i%02d.parquet")
         Files.copy(p, dst)
         require(dst.toFile.setLastModified(t0 + i * 10000L))
@@ -1200,8 +1336,8 @@ object StreamParity {
         java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
     val sentinelTarget = dir.resolve("zz_sentinel.parquet")
-    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
-      .forEach(p => Files.copy(p, sentinelTarget))
+    listDir(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.copy(p, sentinelTarget))
     require(sentinelTarget.toFile.setLastModified(t0 + parts.length * 10000L))
 
     val windowUs = 24L * 3600 * 1000000
@@ -1256,13 +1392,18 @@ object StreamParity {
       }
 
     val table = s"q94_funnel_${runId.incrementAndGet()}"
-    val query = out.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
-    try query.processAllAvailable()
-    finally {
-      query.stop()
-      deleteRecursively(dir.toFile) // output lives in the memory sink
-      deleteRecursively(sentinelDir.toFile)
+    // flatMapGroupsWithState user-defined state (case-class encoder +
+    // event-time timeouts) on the RocksDB provider — the arbitrary-state
+    // shape joins the other stateful shapes on the scale backend.
+    withRocksDBProvider(spark) {
+      val query = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally {
+        query.stop()
+        deleteRecursively(dir.toFile) // output lives in the memory sink
+        deleteRecursively(sentinelDir.toFile)
+      }
     }
 
     spark.table(table)
@@ -1387,8 +1528,8 @@ object StreamParity {
     spark.createDataFrame(
         java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
-      .forEach(p => Files.copy(p, dir.resolve("zz_sentinel.parquet")))
+    listDir(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.copy(p, dir.resolve("zz_sentinel.parquet")))
 
     val pairs = graft.Tables.normalizeTs(
         spark.readStream.schema(schema).parquet(dir.toString))
@@ -1464,12 +1605,18 @@ object StreamParity {
       .select(col("user_id"), col("minute_start"))
 
     val table = s"q123_dedup_${runId.incrementAndGet()}"
-    val query = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
-    try query.processAllAvailable()
-    finally {
-      query.stop()
-      deleteRecursively(dir.toFile) // output lives in the memory sink
+    // watermark-bounded dedup state on the RocksDB provider — with the
+    // q71/q94 flips every stateful shape in the suite (windowed agg,
+    // session windows, dedup-within-watermark, fMGWS, transformWithState,
+    // stream-stream joins) runs on the scale backend somewhere.
+    withRocksDBProvider(spark) {
+      val query = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally {
+        query.stop()
+        deleteRecursively(dir.toFile) // output lives in the memory sink
+      }
     }
 
     spark.table(table).orderBy("user_id", "minute_start")
@@ -1581,6 +1728,17 @@ object StreamParity {
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
+  }
+
+  /** java.nio Files.list holds a directory fd until the stream is
+    * CLOSED (not until GC): the long-lived bench/spec JVM reuses these
+    * harness paths repeatedly, so unclosed streams leak fds. Always
+    * list through this eagerly-materializing, closing wrapper. */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+      .asScala.toList
+    finally s.close()
   }
 
   def q126TransformWithState(spark: SparkSession, sfDir: String): DataFrame =
@@ -1901,8 +2059,8 @@ object StreamParity {
         java.util.Arrays.asList(Row(sentinelVals.toIndexedSeq: _*)), schema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
     val sentinelTarget = dir.resolve("zz_sentinel.parquet")
-    Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
-      .forEach(p => Files.copy(p, sentinelTarget))
+    listDir(sentinelDir).filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.copy(p, sentinelTarget))
     require(sentinelTarget.toFile.setLastModified(t0 + parts.length * 10000L))
 
     val prevProvider = spark.conf.getOption(
@@ -1976,16 +2134,20 @@ object StreamParity {
     val query = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val b = batch.persist() // ONE source scan feeds both routes
         // coalesce the rule under NULL: a NULL value must route to main
         // (the oracle's CASE does), never vanish from both sinks
         val dlq = coalesce(expr(DlqRule), lit(false))
+        // batchId-stamped OVERWRITE subdirs, not append: foreachBatch is
+        // at-least-once, and a retried trigger appending a second copy
+        // of its rows would break the sink's exactly-once contract (the
+        // q58 discipline this harness's scaladoc cites).
         try {
           b.filter(!dlq).select(col("event_id"), col("user_id"))
-            .write.mode("append").parquet(mainDir.toString)
+            .write.mode("overwrite").parquet(s"$mainDir/b$batchId")
           b.filter(dlq).select(col("event_id"), col("user_id"))
-            .write.mode("append").parquet(dlqDir.toString)
+            .write.mode("overwrite").parquet(s"$dlqDir/b$batchId")
         } finally { b.unpersist(); () }
       }
       .start()
@@ -1998,10 +2160,10 @@ object StreamParity {
     // Materialize eagerly (localCheckpoint severs the lineage to the sink
     // parquet) so BOTH temp sinks can be deleted before returning — the
     // lazily-read form leaked two corpus-derived directories per run.
-    val out = spark.read.parquet(mainDir.toString)
+    val out = spark.read.parquet(s"$mainDir/b*")
       .withColumn("sink", lit("main"))
       .unionByName(
-        spark.read.parquet(dlqDir.toString).withColumn("sink", lit("dlq")))
+        spark.read.parquet(s"$dlqDir/b*").withColumn("sink", lit("dlq")))
       .orderBy("event_id")
       .localCheckpoint(true)
     deleteRecursively(mainDir.toFile)

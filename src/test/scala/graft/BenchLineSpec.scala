@@ -42,6 +42,10 @@ class BenchLineSpec extends AnyFunSuite {
       "/root/testdata/sf0.01", 48730.0)
     assert(!line.contains("\n"))
     assert(line.contains("\"2\":-1"), "failed queries stay visible as -1")
+    assert(!line.contains("noisy"), "green canary stays off the line")
+    val flagged = Bench.driverLine(1.23, Seq("q01" -> 0.5),
+      "/root/testdata/sf0.01", 48730.0, isNoisy = true)
+    assert(flagged.endsWith("\"noisy\":true}"), "red canary rides the line")
   }
 
   test("an over-budget line fails loudly instead of silently truncating") {
@@ -67,6 +71,76 @@ class BenchLineSpec extends AnyFunSuite {
     // exactly BenchTopK + failures + stream keys entries
     val n = "\"[0-9s]+\":".r.findAllIn(line.drop(line.indexOf("queries"))).size
     assert(n == Bench.BenchTopK + 3)
+  }
+
+  // --- session-health canary: replayed against RECORDED profiles ---
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** minTimes map from a recorded spread file (full query names). */
+  private def spreadMinTimes(path: String): (Map[String, Double], Seq[(String, (Double, Double))]) = {
+    val node = om.readTree(new java.io.File(path)).get("spread")
+    val pairs = scala.jdk.CollectionConverters.IteratorHasAsScala(node.fieldNames()).asScala.map { k =>
+      val a = node.get(k)
+      k -> (a.get(0).asDouble(), a.get(1).asDouble())
+    }.toSeq
+    (pairs.map { case (k, (a, b)) => k -> math.min(a, b) }.toMap, pairs)
+  }
+
+  test("canary is GREEN on the quiet local r09 profiles (runJ, runL)") {
+    for (p <- Seq("bench_local_r09_runJ.json", "bench_local_r09_runL.json")) {
+      val (mins, pairs) = spreadMinTimes(p)
+      val ratio = Bench.medianRunRatio(pairs)
+      assert(ratio < 2.2, s"$p quiet ratio $ratio")
+      assert(Bench.sentinelTrips(mins).isEmpty, s"$p sentinels quiet")
+      assert(!Bench.noisy(mins, ratio), s"$p must read green")
+    }
+  }
+
+  test("canary is RED on the r09 driver board's timing profile") {
+    // The r09 board carried 25 keys at 2.2-15x their quiet level
+    // (adjudicated as a driver-host disturbance, VERDICT r09). Replay
+    // its driver line: the sentinels alone must flag the session even
+    // without run-ratio evidence (the board has only min times).
+    val tail = om.readTree(new java.io.File("BENCH_r09.json")).get("tail").asText()
+    val line = tail.split('\n').find(_.contains("\"metric\":\"total\"")).get
+    val json = line.substring(line.indexOf('{'))
+    val qs = om.readTree(json).get("queries")
+    // short board keys ("11") -> full names ("q11_set_ops")
+    val byShort = SparkEntry.queries.keys.map(k => Bench.shortKey(k) -> k).toMap
+    val mins = scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fieldNames()).asScala
+      .flatMap(s => byShort.get(s).map(_ -> qs.get(s).asDouble())).toMap
+    assert(Bench.sentinelTrips(mins).size >= 2,
+      "the inflated board keys must trip >=2 sentinels")
+    assert(Bench.noisy(mins, 1.5), "board profile must read noisy")
+  }
+
+  test("a single-operator regression does NOT trip the canary") {
+    // one sentinel 10x over its band (a genuine code regression in one
+    // file) with everything else quiet: session stays green — the
+    // regression shows on the board as that key's own time instead.
+    val (mins, pairs) = spreadMinTimes("bench_local_r09_runJ.json")
+    val bumped = mins.updated("q119_transition_matrix", 18.0)
+    assert(!Bench.noisy(bumped, Bench.medianRunRatio(pairs)))
+  }
+
+  test("persisted spread file parses and covers the full query surface") {
+    // Written by every `runMain graft.Bench` (overwrite-per-run); the
+    // round driver commits it with the round, so the BOARD's own
+    // per-query raw runs land in git. Stale file (surface drift) fails
+    // here: re-run a local bench after adding queries.
+    val f = new java.io.File("bench_spread_last.json")
+    assert(f.exists(), "bench_spread_last.json missing — run graft.Bench")
+    val node = om.readTree(f)
+    for (k <- Seq("metric", "cpus", "sf", "noisy", "ratio", "stream", "spread"))
+      assert(node.has(k), s"spread file key $k")
+    val keys = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.get("spread").fieldNames()).asScala.toSet
+    val surface = SparkEntry.queries.keySet - "q25_stream_batch_parity"
+    assert(keys == surface,
+      s"spread file surface drift: missing=${(surface -- keys).take(5)} extra=${(keys -- surface).take(5)}")
+    assert(node.get("stream").has("q25_stream_parity") &&
+      node.get("stream").has("stream_ingest"))
   }
 
   test("budget leaves headroom for sbt epilogue inside the 2000-char window") {
