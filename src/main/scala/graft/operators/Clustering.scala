@@ -730,7 +730,19 @@ object Clustering {
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
-  def q195Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+  def q195Triangles(spark: SparkSession, sfDir: String): DataFrame =
+    q195WithClose(spark, sfDir, broadcastClose = true)
+
+  /** The documented past-broadcast-reach fallback (comment below): the
+    * closing-edge probe WITHOUT the broadcast hint, letting AQE plan a
+    * shuffled equi-join on (lo, hi). Same output row for row — gated by
+    * PlanSpec (shuffled join, no BNLJ/cartesian) and an equality spec,
+    * so the plan a 10^8+-edge graph actually runs is itself tested. */
+  def q195TrianglesShuffledClose(spark: SparkSession, sfDir: String): DataFrame =
+    q195WithClose(spark, sfDir, broadcastClose = false)
+
+  private def q195WithClose(spark: SparkSession, sfDir: String,
+      broadcastClose: Boolean): DataFrame = {
     val e = coPurchaseEdges(spark, sfDir)
       .cache() // feeds degree, orientation, and the closing-edge probe
     val deg = degreeOf(e).cache()
@@ -750,11 +762,11 @@ object Clustering {
     // inside one stage. At edge counts past broadcast reach (~10^8+),
     // drop the hint and AQE falls back to a shuffled join on (ra, rb);
     // the orientation bound on wedge volume is what matters at scale.
+    val close = if (broadcastClose) broadcast(dir.as("e3")) else dir.as("e3")
     val tri = dir.as("e1").join(dir.as("e2"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
       .select(col("e1.lo").as("rx"), col("e1.hi").as("ra"), col("e2.hi").as("rb"))
-      .join(broadcast(dir.as("e3")),
-        col("ra") === col("e3.lo") && col("rb") === col("e3.hi"))
+      .join(close, col("ra") === col("e3.lo") && col("rb") === col("e3.hi"))
       .select(col("rx"), col("ra"), col("rb"))
     val triPerNode = tri.select(explode(array(col("rx"), col("ra"), col("rb"))).as("r"))
       .select(pmod(col("r"), lit(4294967296L)).as("node"))

@@ -1057,6 +1057,111 @@ object Dedup {
       |ORDER BY doc_train, doc_eval""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q228 — cross-split PARAGRAPH contamination: q87's fuzzy decontam at
+  // q68's block granularity, closing the train/eval-leakage story at
+  // every granularity (q41 exact doc 4-grams, q87 fuzzy whole-doc, q190
+  // exact spans, q162 paragraph near-dup WITHIN the corpus — this is
+  // fuzzy paragraph leakage ACROSS the split boundary, the unit a
+  // lightly-edited benchmark quote actually leaks at).
+  //
+  // Semantics (exact, not approximate): a train-split paragraph is
+  // contaminated by an eval-split paragraph when the two FULL 8-token
+  // blocks agree on >= 7 of 8 aligned token positions (token-level
+  // Hamming distance <= 1 — one word swapped/typo'd). Candidate
+  // generation is the PIGEONHOLE half-split: Hamming <= 1 over 8 aligned
+  // positions forces AT LEAST ONE untouched 4-token half, so equi-joins
+  // on md5(half1) UNION md5(half2) form a COMPLETE candidate set — the
+  // q97 FastSS / q192 banded-Hamming argument at paragraph scale, and
+  // the brute-force oracle equals the output exactly (no S-curve tail).
+  //
+  // Scale shape: blocks project per-row (no shuffle); both equi-joins
+  // key on a 16-byte half-hash with the EVAL side (~10% of the corpus)
+  // as build side; candidate volume is bounded by genuine shared-half
+  // evidence (boilerplate halves surface as candidates — which is the
+  // point); positionwise verify runs on candidates only. No cross
+  // product anywhere (plan-gated in PlanSpec).
+  // ---------------------------------------------------------------------
+  def q228ParaContam(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    // FULL 8-token blocks only: the >= 7-of-8 aligned-position semantics
+    // needs equal-length aligned windows; q68's ragged tail block is a
+    // different (exact-hash) regime already covered there.
+    val blocks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), bucket, split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= BlockB)
+      .select(col("doc_id"), col("bucket"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) div $BlockB - 1),
+           |  b -> slice(toks, b * $BlockB + 1, $BlockB))""".stripMargin))
+        .as(Seq("bidx", "bt")))
+      .withColumn("h1", unhex(md5(array_join(slice(col("bt"), 1, 4), " "))))
+      .withColumn("h2", unhex(md5(array_join(slice(col("bt"), 5, 4), " "))))
+      .cache() // feeds both half-joins and the verify join-back
+
+    val train = blocks.filter(col("bucket") < 90)
+      .select(col("doc_id").as("doc_train"), col("bidx").as("bidx_train"),
+        col("h1"), col("h2"))
+    val ev = blocks.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("doc_eval"), col("bidx").as("bidx_eval"),
+        col("h1"), col("h2"))
+    val cands = train.select(col("doc_train"), col("bidx_train"), col("h1"))
+      .join(ev.select(col("doc_eval"), col("bidx_eval"), col("h1")), "h1")
+      .select(col("doc_train"), col("bidx_train"),
+        col("doc_eval"), col("bidx_eval"))
+      .union(train.select(col("doc_train"), col("bidx_train"), col("h2"))
+        .join(ev.select(col("doc_eval"), col("bidx_eval"), col("h2")), "h2")
+        .select(col("doc_train"), col("bidx_train"),
+          col("doc_eval"), col("bidx_eval")))
+      .distinct()
+
+    // Verify on candidates only: re-join the token arrays by block key
+    // (at 100 TB the arrays live with the block index, keyed — never a
+    // corpus re-shuffle per candidate).
+    val ta = blocks.select(col("doc_id").as("doc_train"),
+      col("bidx").as("bidx_train"), col("bt").as("bt_a"))
+    val tb = blocks.select(col("doc_id").as("doc_eval"),
+      col("bidx").as("bidx_eval"), col("bt").as("bt_b"))
+    cands.join(ta, Seq("doc_train", "bidx_train"))
+      .join(tb, Seq("doc_eval", "bidx_eval"))
+      .withColumn("n_match", expr(
+        """aggregate(zip_with(bt_a, bt_b,
+          |  (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+          |  0L, (acc, v) -> acc + v)""".stripMargin))
+      .filter(col("n_match") >= BlockB - 1)
+      .select(col("doc_train"), col("bidx_train").cast("long").as("bidx_train"),
+        col("doc_eval"), col("bidx_eval").cast("long").as("bidx_eval"),
+        col("n_match"),
+        (col("n_match") === BlockB).cast("boolean").as("verbatim"))
+      .orderBy("doc_train", "bidx_train", "doc_eval", "bidx_eval")
+  }
+
+  /** Brute-force train-block x eval-block aligned-Hamming oracle —
+    * EQUALITY with the half-split candidate path is the pigeonhole
+    * completeness guarantee, not an approximation bound. */
+  val q228Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT AS BIGINT) % 100 AS bucket,
+       |         regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, bucket, (u).bi AS bidx, (u).bt AS bt FROM (
+       |    SELECT doc_id, bucket,
+       |           unnest([{'bi': bi, 'bt': toks[bi*$BlockB+1 : (bi+1)*$BlockB]}
+       |                   for bi in range(0, len(toks) // $BlockB)]) AS u
+       |    FROM d WHERE len(toks) >= $BlockB))
+       |SELECT a.doc_id AS doc_train, CAST(a.bidx AS BIGINT) AS bidx_train,
+       |       e.doc_id AS doc_eval, CAST(e.bidx AS BIGINT) AS bidx_eval,
+       |       CAST(len([i FOR i IN range(1, ${BlockB + 1})
+       |                 IF a.bt[i] = e.bt[i]]) AS BIGINT) AS n_match,
+       |       len([i FOR i IN range(1, ${BlockB + 1})
+       |            IF a.bt[i] = e.bt[i]]) = $BlockB AS verbatim
+       |FROM b a JOIN b e ON a.bucket < 90 AND e.bucket >= 90
+       |WHERE len([i FOR i IN range(1, ${BlockB + 1})
+       |           IF a.bt[i] = e.bt[i]]) >= ${BlockB - 1}
+       |ORDER BY doc_train, bidx_train, doc_eval, bidx_eval""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q97 — spelling-variant detection over a value vocabulary: all pairs
   // of distinct part names within Levenshtein distance <= 2, with each
   // side's part count (the normalization decision — which variant is the

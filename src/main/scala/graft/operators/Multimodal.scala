@@ -150,6 +150,107 @@ object Multimodal {
           .as("pad_samples"))
       .orderBy("doc_id", "chunk_idx")
 
+  // ---------------------------------------------------------------------
+  // q226 — the multimodal family's first REAL byte-level kernel: PNG IHDR
+  // / JPEG SOFn header parsing over a genuine `binary` column.
+  //
+  // Each document synthesizes a spec-conformant container — even doc_id
+  // a PNG (8-byte signature + IHDR with BE32 width/height), odd doc_id a
+  // JPEG (SOI, APP0/JFIF, a VARIABLE-LENGTH COM segment so the SOF0
+  // offset differs per row and a fixed-offset "parser" would fail, then
+  // SOF0 carrying BE16 HEIGHT-then-WIDTH, SOS, EOI) — entirely with
+  // codegen'd built-ins (hex assembly + one unhex). The
+  // [[graft.functions.ImageHeader]] expression then walks the real bytes
+  // back out: one packed long per row serves the format, dimension, and
+  // resize-plan columns. The oracle recomputes every output (dimensions
+  // from the same arithmetic that sized the construction, container byte
+  // count from the container layout, the 224-box fit in exact integer
+  // division), so a parse that read the wrong offsets, wrong endianness,
+  // or transposed JPEG height/width goes board-red; the adversarial
+  // byte-level cases (fill bytes, truncation, missing SOF, RSTn
+  // markers) are pinned by ImageHeaderPropertySpec.
+  //
+  // 100 TB shape: a pure projection — scan, no shuffle, no UDF; the
+  // header walk touches ~64 bytes per blob regardless of payload size,
+  // which is the planning pass a real image pipeline runs BEFORE any
+  // codec (q24/q39's ordering argument, now with the real kernel).
+  // ---------------------------------------------------------------------
+  private val FitBox = 224L
+
+  def q226ImageHeader(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val nb = length(encode(col("text"), "utf-8")).cast("long")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nb.as("nb"))
+      .withColumn("w", col("nb") % 1905 + 16)
+      .withColumn("h", (col("nb") * 7) % 1064 + 16)
+      .withColumn("com_len", col("nb") % 37 + 3) // COM length field >= 3
+    val pngHex = concat(
+      // signature | IHDR len 13 | "IHDR" | w BE32 | h BE32 |
+      // bit depth 8, color RGBA, default compression/filter/interlace |
+      // CRC (not validated by header walks)
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(col("w")), 8, "0"), lpad(hex(col("h")), 8, "0"),
+      lit("0806000000" + "00000000"))
+    val jpegHex = concat(
+      // SOI | APP0 len 16: "JFIF\0", v1.1, dpi units, 1x1 density, no thumb
+      lit("FFD8" + "FFE00010" + "4A46494600010100000100010000"),
+      // COM with per-row length -> SOF0 sits at a per-row offset
+      lit("FFFE"), lpad(hex(col("com_len")), 4, "0"),
+      expr("repeat('78', CAST(com_len AS INT) - 2)"),
+      // SOF0 len 17: precision 8 | HEIGHT BE16 | WIDTH BE16 | 3 components
+      lit("FFC00011" + "08"), lpad(hex(col("h")), 4, "0"),
+      lpad(hex(col("w")), 4, "0"), lit("03" + "011100" + "021101" + "031101"),
+      // SOS + EOI so the container is complete
+      lit("FFDA0008" + "010100003F00" + "FFD9"))
+    base
+      .withColumn("img",
+        unhex(when(pmod(col("doc_id"), lit(2)) === 0, pngHex).otherwise(jpegHex)))
+      .withColumn("packed", GraftFunctions.imageHeader(col("img")))
+      .withColumn("fmt_code", shiftright(col("packed"), 48))
+      .withColumn("width",
+        expr("CAST(shiftright(packed, 24) & 16777215 AS BIGINT)"))
+      .withColumn("height", expr("CAST(packed & 16777215 AS BIGINT)"))
+      .withColumn("m", greatest(col("width"), col("height")))
+      .select(
+        col("doc_id"),
+        when(col("fmt_code") === ImgFmtPng, "png")
+          .when(col("fmt_code") === ImgFmtJpeg, "jpeg")
+          .otherwise("unknown").as("fmt"),
+        col("width"), col("height"),
+        expr(s"CAST(octet_length(img) AS BIGINT)").as("img_bytes"),
+        when(col("m") <= FitBox, col("width"))
+          .otherwise(expr(s"width * $FitBox div m")).as("out_w"),
+        when(col("m") <= FitBox, col("height"))
+          .otherwise(expr(s"height * $FitBox div m")).as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  private val ImgFmtPng  = graft.functions.ImageHeader.FmtPng
+  private val ImgFmtJpeg = graft.functions.ImageHeader.FmtJpeg
+
+  /** Every column recomputed from first principles: dimensions from the
+    * construction arithmetic, img_bytes from the container layouts
+    * (PNG = 8 sig + 25 IHDR-chunk = 33; JPEG = 2 SOI + 18 APP0 +
+    * (2 + com_len) COM + 19 SOF0 + 10 SOS + 2 EOI = 53 + com_len),
+    * the 224 fit in exact integer division. */
+  val q226Sql: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       |       w AS width, h AS height,
+       |       CAST(CASE WHEN doc_id % 2 = 0 THEN 33
+       |            ELSE 53 + (nb % 37 + 3) END AS BIGINT) AS img_bytes,
+       |       CASE WHEN greatest(w, h) <= $FitBox THEN w
+       |            ELSE w * $FitBox // greatest(w, h) END AS out_w,
+       |       CASE WHEN greatest(w, h) <= $FitBox THEN h
+       |            ELSE h * $FitBox // greatest(w, h) END AS out_h
+       |FROM (SELECT doc_id,
+       |             CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+       |             CAST(octet_length(encode(text)) AS BIGINT) % 1905 + 16 AS w,
+       |             (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 1064 + 16 AS h
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val q59Sql: String =
     s"""SELECT doc_id, chunk_idx,
        |       chunk_idx * $HopSamples AS start_sample,

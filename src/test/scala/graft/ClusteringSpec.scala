@@ -235,6 +235,16 @@ class ClusteringSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "graph must contain triangles")
   }
 
+  test("q195 shuffled-close fallback equals the broadcast-probe plan") {
+    // The documented past-broadcast-reach path (Clustering.scala: at
+    // ~10^8+ edges the closing-probe hint drops and AQE shuffles the
+    // equi-join): same triangles, row for row.
+    val hinted = Clustering.q195Triangles(spark, sf).collect().toSeq
+    val fallback = Clustering.q195TrianglesShuffledClose(spark, sf)
+      .collect().toSeq
+    assert(fallback === hinted)
+  }
+
   test("q197 assortativity matches a driver-side exact-sum replay") {
     import spark.implicits._
     val po = Tables.lineitem(spark, sf)

@@ -50,6 +50,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q195 fallback: no-hint closing probe plans as a SHUFFLED equi-join " +
+      "— no BNLJ, no cartesian") {
+    // Emulate past-broadcast-reach conditions: with auto-broadcast off
+    // (what a 10^8-edge relation's size stats do for real), the no-hint
+    // closing probe must become a shuffled EQUI-join on (lo, hi) — the
+    // plan the comment promises — and never degrade to a nested loop.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = finalPlan(Clustering.q195TrianglesShuffledClose(spark, sf))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "closing probe must stay equi-keyed under the fallback")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join in the fallback plan:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q228: paragraph-contam candidates come from the half-hash " +
+      "equi-joins — no cross product") {
+    val plan = finalPlan(graft.operators.Dedup.q228ParaContam(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the pigeonhole half-split must keep candidate generation equi-keyed")
+  }
+
   test("q26: dedup plan is hash equi-joins only — no cartesian, no nested loop") {
     val plan = finalPlan(Similarity.q26EmbeddingDedup(spark, sf))
     assert(!plan.contains("CartesianProduct"),

@@ -140,6 +140,15 @@ class ParitySpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("q227 streaming block admission equals batch q68 (persistent block " +
+      "index across triggers)") {
+    val streamed = StreamParity.q227StreamBlockAdmission(spark, sf)
+      .collect().toSeq
+    val batch = graft.operators.Dedup.q68BlockDedup(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("q58 streaming admission gate equals batch q52 verdict for verdict") {
     val streamed = StreamParity.q58StreamAdmission(spark, sf).collect().toSeq
     val batch = graft.operators.Dedup.q52IncrementalDedup(spark, sf)
