@@ -226,6 +226,17 @@ object GraftFunctions {
   def imageHeader(bytes: Column): Column =
     ColumnBridge.column(ImageHeader(ColumnBridge.expression(bytes)))
 
+  /** RIFF/WAVE fmt+data chunk-walk probe of a binary column (see
+    * [[WavHeader]]): packed `rate << 42 | channels << 38 | bits << 32 |
+    * data_bytes` (0 = unrecognized). */
+  def wavHeader(bytes: Column): Column =
+    ColumnBridge.column(WavHeader(ColumnBridge.expression(bytes)))
+
+  /** ISO-BMFF (MP4) box-walk probe to moov/mvhd (see [[Mp4Mvhd]]):
+    * packed `timescale << 31 | duration` (0 = unrecognized). */
+  def mp4Mvhd(bytes: Column): Column =
+    ColumnBridge.column(Mp4Mvhd(ColumnBridge.expression(bytes)))
+
   /** Rabin-Karp code-point fingerprint (see [[RollingHash]]):
     * (h*31 + codepoint) mod 1e9+7, matching DuckDB's code-point `ascii`
     * semantics on all inputs including surrogate pairs. */

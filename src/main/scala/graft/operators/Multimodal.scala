@@ -11,10 +11,15 @@ import graft.Tables
   * The Spark-side machinery is real — binary column, typed Dataset,
   * partition-wise decode via mapPartitions (the shape a JNI/FFmpeg/JPEG
   * decoder plugs into: per-partition iterator, no per-row setup cost, no
-  * driver involvement). The decoder itself is a clearly-marked
-  * deterministic STUB: this container has no image/audio libraries, so
-  * "decode" derives fake dimensions/frame counts arithmetically from the
-  * byte length — which is precisely what makes the op oracle-checkable.
+  * driver involvement). Two layers:
+  *  - q24/q39/q59: the PIPELINE shapes over a clearly-marked
+  *    deterministic stub decode (this container has no codec libraries;
+  *    payload decode derives fake geometry arithmetically, which is
+  *    precisely what makes the op oracle-checkable);
+  *  - q226/q229/q230: REAL byte-level container-header kernels for all
+  *    three modalities (PNG/JPEG, RIFF/WAVE, ISO-BMFF) as codegen'd
+  *    Catalyst expressions — the header walk IS the planning pass a
+  *    100 TB media pipeline runs before any codec, and needs no library.
   */
 object Multimodal {
 
@@ -228,6 +233,184 @@ object Multimodal {
 
   private val ImgFmtPng  = graft.functions.ImageHeader.FmtPng
   private val ImgFmtJpeg = graft.functions.ImageHeader.FmtJpeg
+
+  /** Little-endian hex render of a 32-bit value column (RIFF fields are
+    * LE — byte-swap the BE lpad(hex) render). */
+  private def le32hex(c: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(c), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le16hex(c: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(c), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  // ---------------------------------------------------------------------
+  // q229 — REAL audio container probe: the RIFF/WAVE chunk walk
+  // ([[graft.functions.WavHeader]]) replaces q59's stub arithmetic with
+  // byte-level fmt/data parsing, then feeds the SAME 30 s / 25 s-hop
+  // chunk plan — audio now mirrors the image story (synthesize a
+  // spec-conformant container per row, parse it back with the codegen
+  // kernel, recompute every output from first principles in the oracle).
+  //
+  // The synthesized WAV carries a variable-length LIST chunk BEFORE
+  // "fmt " (odd sizes included — RIFF chunks are word-aligned, so the
+  // walk must pad odd chunk sizes or desync: the classic RIFF bug, also
+  // pinned by MediaProbePropertySpec), and a "data" header with no
+  // payload appended — a probe must plan from metadata alone.
+  //
+  // 100 TB shape: pure projection, ~60 header bytes walked per blob.
+  // ---------------------------------------------------------------------
+  def q229AudioProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val nb = length(encode(col("text"), "utf-8")).cast("long")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nb.as("nb"))
+      .withColumn("rate", expr(
+        "element_at(array(16000L, 22050L, 44100L, 48000L), CAST(nb % 4 AS INT) + 1)"))
+      .withColumn("ch", col("nb") % 2 + 1)
+      .withColumn("bits", lit(16L))
+      .withColumn("data_bytes", col("nb") * 100)
+      .withColumn("jl", col("nb") % 21 + 1) // LIST chunk payload (odd sizes too)
+      .withColumn("jl_pad", col("jl") + col("jl") % 2)
+    val wavHex = concat(
+      lit("52494646"), // "RIFF"
+      le32hex(lit(4L) + (lit(8L) + col("jl_pad")) + lit(8L + 16L) + lit(8L) +
+        col("data_bytes")),
+      lit("57415645"), // "WAVE"
+      lit("4C495354"), le32hex(col("jl")), // "LIST" with UNPADDED size...
+      expr("repeat('4A', CAST(jl AS INT))"),
+      expr("repeat('00', CAST(jl % 2 AS INT))"), // ...but padded body
+      lit("666D7420"), le32hex(lit(16L)), // "fmt " size 16
+      le16hex(lit(1L)), le16hex(col("ch")), le32hex(col("rate")),
+      le32hex(expr("rate * ch * bits div 8")), // byte rate
+      le16hex(expr("ch * bits div 8")), le16hex(col("bits")),
+      lit("64617461"), le32hex(col("data_bytes"))) // "data", no payload
+    base
+      .withColumn("wav", unhex(wavHex))
+      .withColumn("p", GraftFunctions.wavHeader(col("wav")))
+      .withColumn("sample_rate", shiftright(col("p"), 42))
+      .withColumn("channels", expr("CAST(shiftright(p, 38) & 15 AS BIGINT)"))
+      .withColumn("bps", expr("CAST(shiftright(p, 32) & 63 AS BIGINT)"))
+      .withColumn("pcm_bytes", expr("CAST(p & 4294967295 AS BIGINT)"))
+      .withColumn("n_samples",
+        expr("pcm_bytes * 8 div (channels * bps)"))
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("bps"),
+        col("pcm_bytes"),
+        expr("CAST(octet_length(wav) AS BIGINT)").as("wav_bytes"),
+        col("n_samples"),
+        expr("n_samples * 1000 div sample_rate").as("duration_ms"),
+        // q59's chunk plan on the PROBED geometry: 30 s windows, 25 s hop
+        expr("(greatest(n_samples - 30 * sample_rate, 0)" +
+          " + 25 * sample_rate - 1) div (25 * sample_rate) + 1").as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** Geometry from the construction arithmetic; wav_bytes from the RIFF
+    * layout (12 RIFF/WAVE + 8 + padded LIST + 24 fmt + 8 data header). */
+  val q229Sql: String =
+    """SELECT doc_id, rate AS sample_rate, ch AS channels, 16 AS bps,
+      |       nb * 100 AS pcm_bytes,
+      |       52 + jl + jl % 2 AS wav_bytes,
+      |       nb * 100 * 8 // (ch * 16) AS n_samples,
+      |       (nb * 100 * 8 // (ch * 16)) * 1000 // rate AS duration_ms,
+      |       (greatest(nb * 100 * 8 // (ch * 16) - 30 * rate, 0)
+      |         + 25 * rate - 1) // (25 * rate) + 1 AS n_chunks
+      |FROM (SELECT doc_id, nb,
+      |             [16000, 22050, 44100, 48000][CAST(nb % 4 AS INT) + 1] AS rate,
+      |             nb % 2 + 1 AS ch, nb % 21 + 1 AS jl
+      |      FROM (SELECT doc_id,
+      |                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q230 — REAL video container probe: the ISO-BMFF box walk
+  // ([[graft.functions.Mp4Mvhd]]) to moov/mvhd for timescale + duration,
+  // completing real header kernels across all three modalities. The
+  // synthesized MP4 is ftyp | variable-length free box | moov( udta junk
+  // child | mvhd ) — the mvhd is NOT the first child and its offset
+  // varies per row, so only a genuine nested box walk finds it; docs
+  // alternate mvhd VERSION 0 (32-bit times) and VERSION 1 (64-bit times,
+  // 32-bit timescale) — the v1 layout widens times but not timescale,
+  // the classic off-by-layout trap. Downstream: q39's sample-before-
+  // decode frame plan on the probed duration.
+  // ---------------------------------------------------------------------
+  def q230VideoProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val nb = length(encode(col("text"), "utf-8")).cast("long")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nb.as("nb"))
+      .withColumn("ts", expr(
+        "element_at(array(600L, 1000L, 48000L, 90000L), CAST(nb % 4 AS INT) + 1)"))
+      .withColumn("dur", col("nb") * 37)
+      .withColumn("v1", pmod(col("doc_id"), lit(2)) === 1)
+      .withColumn("jl", col("nb") % 19 + 1)  // free-box payload
+      .withColumn("cl", col("nb") % 13)      // udta junk-child payload
+    val mvhdHex = when(!col("v1"), concat(
+        be32hex(lit(108L)), lit("6D766864"), // size 108, "mvhd"
+        lit("00000000"), // version 0, flags
+        lit("00000000" + "00000000"), // ctime, mtime
+        lpad(hex(col("ts")), 8, "0"), lpad(hex(col("dur")), 8, "0"),
+        expr(s"repeat('00', 80)"))) // rate/volume/matrix/next_track
+      .otherwise(concat(
+        be32hex(lit(120L)), lit("6D766864"),
+        lit("01000000"), // version 1, flags
+        lit("0000000000000000" + "0000000000000000"), // 64-bit ctime, mtime
+        lpad(hex(col("ts")), 8, "0"),
+        lit("00000000"), lpad(hex(col("dur")), 8, "0"), // 64-bit duration
+        expr(s"repeat('00', 80)")))
+    val mp4Hex = concat(
+      lit("00000018" + "66747970" + "69736F6D" + "00000200" +
+        "69736F6D69736F32"), // ftyp(24): major isom, minor, compat
+      be32hex(col("jl") + 8), lit("66726565"), // "free" + junk
+      expr("repeat('4B', CAST(jl AS INT))"),
+      be32hex(col("cl") + 8 + when(col("v1"), 120L).otherwise(108L) + 8),
+      lit("6D6F6F76"), // "moov"
+      be32hex(col("cl") + 8), lit("75647461"), // "udta" junk child first
+      expr("repeat('4C', CAST(cl AS INT))"),
+      mvhdHex)
+    base
+      .withColumn("mp4", unhex(mp4Hex))
+      .withColumn("p", GraftFunctions.mp4Mvhd(col("mp4")))
+      .withColumn("timescale", shiftright(col("p"), 31))
+      .withColumn("duration", expr("CAST(p & 2147483647 AS BIGINT)"))
+      .withColumn("duration_ms", expr("duration * 1000 div timescale"))
+      .withColumn("n_frames", expr("1 + duration_ms div 100")) // 10 fps plan
+      .select(col("doc_id"),
+        col("v1").cast("boolean").as("mvhd_v1"),
+        col("timescale"), col("duration"),
+        expr("CAST(octet_length(mp4) AS BIGINT)").as("mp4_bytes"),
+        col("duration_ms"), col("n_frames"),
+        expr(s"(n_frames + ${SampleStep - 1}) div $SampleStep").as("n_sampled"))
+      .orderBy("doc_id")
+  }
+
+  /** Duration geometry from the construction arithmetic; mp4_bytes from
+    * the box layout (24 ftyp + 8+jl free + 8 moov hdr + 8+cl udta +
+    * 108/120 mvhd). */
+  val q230Sql: String =
+    s"""SELECT doc_id, doc_id % 2 = 1 AS mvhd_v1,
+       |       ts AS timescale, dur AS duration,
+       |       24 + 8 + jl + 8 + 8 + cl
+       |         + CASE WHEN doc_id % 2 = 1 THEN 120 ELSE 108 END AS mp4_bytes,
+       |       dur * 1000 // ts AS duration_ms,
+       |       1 + dur * 1000 // ts // 100 AS n_frames,
+       |       (1 + dur * 1000 // ts // 100 + ${SampleStep - 1}) // $SampleStep
+       |         AS n_sampled
+       |FROM (SELECT doc_id, nb,
+       |             [600, 1000, 48000, 90000][CAST(nb % 4 AS INT) + 1] AS ts,
+       |             nb * 37 AS dur, nb % 19 + 1 AS jl, nb % 13 AS cl
+       |      FROM (SELECT doc_id,
+       |                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Big-endian 32-bit hex render (MP4 box sizes). */
+  private def be32hex(c: org.apache.spark.sql.Column) =
+    lpad(hex(c), 8, "0")
+
 
   /** Every column recomputed from first principles: dimensions from the
     * construction arithmetic, img_bytes from the container layouts

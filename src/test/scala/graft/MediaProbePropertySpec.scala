@@ -1,0 +1,144 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Mp4Mvhd, WavHeader}
+
+/** Property tests for the WAV/MP4 probe kernels over synthesized
+  * containers — adversarial layouts the corpus-derived q229/q230 cannot
+  * force: random chunk/box walks, ODD RIFF chunk sizes (word-alignment),
+  * mvhd v0 vs v1 layouts, mvhd at random child positions, truncations,
+  * and size-field lies. Pure JVM (the kernels' shared parse methods are
+  * the single definition of truth for eval and codegen; q226's spec
+  * already pins codegen==interpreted for this expression family). */
+class MediaProbePropertySpec extends AnyFunSuite {
+
+  private val params = Gen.Parameters.default
+
+  private def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long) = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def be32(v: Long) = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes ++ le32(data.length.toLong) ++ data ++
+      (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+
+  private def wav(rate: Long, ch: Int, bits: Int, dataBytes: Long,
+      pre: Seq[Array[Byte]], withPayload: Boolean): Array[Byte] = {
+    val fmt = le16(1) ++ le16(ch) ++ le32(rate) ++
+      le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+    val data = "data".getBytes ++ le32(dataBytes) ++
+      (if (withPayload) new Array[Byte](dataBytes.toInt) else Array.empty[Byte])
+    val body = "WAVE".getBytes ++ pre.flatten ++ chunk("fmt ", fmt) ++ data
+    "RIFF".getBytes ++ le32(body.length.toLong) ++ body
+  }
+
+  test("property: 150 random WAVs with odd-sized pre-chunks parse exactly") {
+    val gen = Gen.listOfN(150, for {
+      rate <- Gen.oneOf(8000L, 16000L, 22050L, 44100L, 48000L, 96000L)
+      ch <- Gen.choose(1, 8)
+      bits <- Gen.oneOf(8, 16, 24, 32)
+      nData <- Gen.choose(0L, 100000L)
+      nPre <- Gen.choose(0, 3)
+      pres <- Gen.listOfN(nPre, for {
+        id <- Gen.oneOf("LIST", "bext", "junk", "fact")
+        n <- Gen.choose(0, 41) // odd sizes included — the alignment trap
+        d <- Gen.listOfN(n, Gen.choose(0, 255))
+      } yield (id, d.map(_.toByte).toArray))
+      payload <- Gen.oneOf(true, false)
+    } yield (rate, ch, bits, nData, pres, payload))
+    gen.pureApply(params, Seed(17L)).zipWithIndex.foreach {
+      case ((rate, ch, bits, nData, pres, payload), i) =>
+        val b = wav(rate, ch, bits, nData,
+          pres.map(p => chunk(p._1, p._2)), payload && nData < 4096)
+        val got = WavHeader.parse(b)
+        assert(got == WavHeader.pack(rate, ch, bits, nData),
+          s"case $i (rate=$rate ch=$ch bits=$bits data=$nData " +
+            s"pre=${pres.map(_._2.length)}): odd-size padding desync?")
+    }
+  }
+
+  test("WAV adversarial streams are unknown, truncations never throw") {
+    assert(WavHeader.parse(Array.empty) == WavHeader.Unknown)
+    assert(WavHeader.parse("RIFFxxxxAVI ".getBytes) == WavHeader.Unknown)
+    // fmt chunk that claims 16 bytes but the buffer ends early
+    val lying = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2)
+    assert(WavHeader.parse(lying) == WavHeader.Unknown)
+    // data chunk but no fmt: geometry unavailable
+    val noFmt = "RIFF".getBytes ++ le32(16) ++ "WAVE".getBytes ++
+      chunk("data", new Array[Byte](4))
+    assert(WavHeader.parse(noFmt) == WavHeader.Unknown)
+    val full = wav(44100L, 2, 16, 1000L,
+      Seq(chunk("LIST", new Array[Byte](7))), withPayload = false)
+    (0 until full.length).foreach { n =>
+      WavHeader.parse(full.take(n)) // must not throw
+    }
+  }
+
+  private def box(tpe: String, content: Array[Byte]): Array[Byte] =
+    be32(content.length + 8L) ++ tpe.getBytes ++ content
+
+  private def mvhd(v: Int, ts: Long, dur: Long): Array[Byte] = {
+    val body =
+      if (v == 0) Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(ts) ++ be32(dur) ++ new Array[Byte](80)
+      else Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+        be32(ts) ++ be32(dur >> 32) ++ be32(dur & 0xFFFFFFFFL) ++
+        new Array[Byte](80)
+    box("mvhd", body)
+  }
+
+  test("property: 150 random MP4 box walks (v0/v1, mvhd at any child slot)") {
+    val gen = Gen.listOfN(150, for {
+      ts <- Gen.oneOf(600L, 1000L, 25L, 48000L, 90000L, 1L)
+      dur <- Gen.choose(0L, (1L << 31) - 1)
+      v <- Gen.oneOf(0, 1)
+      nTop <- Gen.choose(0, 2) // boxes before moov
+      tops <- Gen.listOfN(nTop, Gen.choose(0, 50))
+      nKids <- Gen.choose(0, 3) // children before mvhd inside moov
+      kids <- Gen.listOfN(nKids, Gen.choose(0, 30))
+      kidsAfter <- Gen.choose(0, 20)
+    } yield (ts, dur, v, tops, kids, kidsAfter))
+    gen.pureApply(params, Seed(19L)).zipWithIndex.foreach {
+      case ((ts, dur, v, tops, kids, kidsAfter), i) =>
+        val pre = tops.map(n => box("free", new Array[Byte](n)))
+          .flatten.toArray
+        val moovKids = kids.map(n => box("udta", new Array[Byte](n)))
+          .flatten.toArray ++ mvhd(v, ts, dur) ++
+          box("trak", new Array[Byte](kidsAfter))
+        val b = box("ftyp", "isom".getBytes ++ be32(0x200) ++
+          "isomiso2".getBytes) ++ pre ++ box("moov", moovKids)
+        assert(Mp4Mvhd.parse(b) == Mp4Mvhd.pack(ts, dur),
+          s"case $i (v=$v ts=$ts dur=$dur kids=${kids.size})")
+    }
+  }
+
+  test("MP4 adversarial streams are unknown, truncations never throw") {
+    assert(Mp4Mvhd.parse(Array.empty) == Mp4Mvhd.Unknown)
+    assert(Mp4Mvhd.parse("nota realmp4file".getBytes) == Mp4Mvhd.Unknown)
+    // moov without mvhd
+    val noMvhd = box("moov", box("udta", new Array[Byte](4)))
+    assert(Mp4Mvhd.parse(noMvhd) == Mp4Mvhd.Unknown)
+    // v1 duration past 2^31 must refuse, not truncate
+    val big = box("moov", mvhd(1, 600L, (1L << 31) + 5))
+    assert(Mp4Mvhd.parse(big) == Mp4Mvhd.Unknown)
+    // largesize (size==1) is out of probe scope, not garbage
+    val largesize = be32(1) ++ "mdat".getBytes ++ new Array[Byte](16)
+    assert(Mp4Mvhd.parse(largesize) == Mp4Mvhd.Unknown)
+    // size field smaller than a header (would walk backwards)
+    val tiny = be32(3) ++ "free".getBytes
+    assert(Mp4Mvhd.parse(tiny) == Mp4Mvhd.Unknown)
+    val full = box("ftyp", "isom".getBytes) ++
+      box("moov", box("udta", new Array[Byte](3)) ++ mvhd(0, 600L, 1234L))
+    (0 until full.length).foreach { n =>
+      Mp4Mvhd.parse(full.take(n)) // must not throw
+    }
+  }
+}
