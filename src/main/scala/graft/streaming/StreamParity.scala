@@ -442,6 +442,94 @@ object StreamParity {
     spark.table(table).orderBy("keep_id")
   }
 
+  /** q231 — streaming vector-index ingest: the ANN family's LIVE path.
+    * q30 builds its IVF index with a one-shot batch scan; a production
+    * embedding pipeline receives vectors continuously and must grow the
+    * index without rebuilding it — codebook trained OFFLINE (here: the
+    * K smallest-id vectors as a deterministic stand-in, so assignment
+    * is exactly SQL-expressible; q30 keeps the trained variant), and
+    * each micro-batch assigns only ITS OWN vectors to their best cell
+    * and appends to the index. Assignment is stateless per vector, so
+    * the accumulated index equals the batch-built one row for row —
+    * held to a DuckDB argmax oracle over the same double arithmetic
+    * (q22's list_dot_product parity precedent).
+    *
+    * Scale shape: per trigger ONE fused codegen pass scores all K cells
+    * per vector ([[graft.functions.CentroidScores]] — no K-column
+    * Janino blowup, no shuffle: argmax is array_max over the score
+    * array with an index tiebreak); index writes are batchId-stamped
+    * overwrite dirs (exactly-once under at-least-once retries). Driver
+    * state: the K-row codebook only. */
+  def q231StreamIvfIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 8
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // offline codebook: K-row collect, bounded by K (codebook-sized, the
+    // TrainSampleCap discipline)
+    val cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(K).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+
+    val dir = Files.createTempDirectory("q231_vecs")
+    e.repartitionByRange(ReplayFiles, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(dir.toString)
+    val outRoot = Files.createTempDirectory("q231_idx").toString
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.functions.GraftFunctions.{centroidScores, dot}
+        batch
+          .withColumn("norm",
+            sqrt(dot(col("embedding"), col("embedding"))))
+          .withColumn("sc",
+            centroidScores(col("embedding"), col("norm"), cents))
+          // argmax with the LOWEST cell winning ties: struct compare is
+          // (s, nc) lexicographic, so negating the index flips the tie
+          .withColumn("pick",
+            expr("array_max(transform(sc, x -> struct(x.s AS s, -x.c AS nc)))"))
+          .select(col("vec_id"),
+            (-col("pick.nc")).cast("long").as("cell"),
+            col("pick.s").as("score"))
+          .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+        ()
+      }.start()
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile)
+    }
+
+    val out = spark.read.parquet(s"$outRoot/b*").orderBy("vec_id")
+      .localCheckpoint(true)
+    deleteRecursively(new java.io.File(outRoot))
+    out
+  }
+
+  /** DuckDB argmax over the IDENTICAL double arithmetic: score =
+    * dot(v, cent) / |v| with the K smallest-id vectors as the codebook,
+    * ties to the lowest cell. */
+  val q231Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, emb AS ce
+      |  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 8)),
+      |scored AS (
+      |  SELECT e.vec_id, c.cell,
+      |         list_dot_product(e.emb, c.ce) / e.norm AS score,
+      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                            ORDER BY list_dot_product(e.emb, c.ce) / e.norm DESC,
+      |                                     c.cell) AS rk
+      |  FROM e, c)
+      |SELECT vec_id, CAST(cell AS BIGINT) AS cell, score
+      |FROM scored WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** q227 — streaming near-dup admission at PARAGRAPH granularity: q68's
     * block-level first-wins dedup run as a crawl-ingest pipeline actually
     * runs it — documents arrive in batches, each batch's paragraphs are

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.functions.{col, expr, sqrt, unix_micros}
 
 /** q25 through the file-stream source must equal the batch flagship q01
   * row-for-row (same oracle). */
@@ -147,6 +147,30 @@ class ParitySpec extends SparkSpec {
     val batch = graft.operators.Dedup.q68BlockDedup(spark, sf).collect().toSeq
     assert(streamed.nonEmpty)
     assert(streamed === batch)
+  }
+
+  test("q231 streamed IVF ingest equals a one-shot batch assignment") {
+    import graft.functions.GraftFunctions.{centroidScores, dot}
+    val streamed = StreamParity.q231StreamIvfIngest(spark, sf).collect().toSeq
+    // independent one-shot recomputation over the whole table with the
+    // same codebook rule (per-vector assignment is stateless, so the
+    // accumulated index must match row for row)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(8).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val batch = e
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("sc", centroidScores(col("embedding"), col("norm"), cents))
+      .withColumn("pick",
+        expr("array_max(transform(sc, x -> struct(x.s AS s, -x.c AS nc)))"))
+      .select(col("vec_id"), (-col("pick.nc")).cast("long").as("cell"),
+        col("pick.s").as("score"))
+      .orderBy("vec_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // every cell is populated at this SF (codebook vectors seed their own)
+    assert(streamed.map(_.getLong(1)).distinct.size == 8)
   }
 
   test("q58 streaming admission gate equals batch q52 verdict for verdict") {
