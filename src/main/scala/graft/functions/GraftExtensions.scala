@@ -92,6 +92,34 @@ object GraftExtensions {
           s"graft_rolling_hash expects 1 argument, got ${args.length}")
         RollingHash(args(0))
       }),
+    (FunctionIdentifier("graft_image_header"),
+      info("graft_image_header",
+        "graft_image_header(bytes) - PNG IHDR / JPEG SOFn header parse of a " +
+          "binary column; packed fmt<<48 | width<<24 | height (fmt 1=PNG " +
+          "2=JPEG 0=unknown)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_image_header expects 1 argument, got ${args.length}")
+        ImageHeader(args(0))
+      }),
+    (FunctionIdentifier("graft_wav_header"),
+      info("graft_wav_header",
+        "graft_wav_header(bytes) - RIFF/WAVE fmt+data chunk-walk probe; " +
+          "packed rate<<42 | channels<<38 | bits<<32 | data_bytes (0=unknown)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_wav_header expects 1 argument, got ${args.length}")
+        WavHeader(args(0))
+      }),
+    (FunctionIdentifier("graft_mp4_mvhd"),
+      info("graft_mp4_mvhd",
+        "graft_mp4_mvhd(bytes) - ISO-BMFF box walk to moov/mvhd; packed " +
+          "timescale<<31 | duration (0=unknown)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_mp4_mvhd expects 1 argument, got ${args.length}")
+        Mp4Mvhd(args(0))
+      }),
     (FunctionIdentifier("graft_token_rule_stats"),
       info("graft_token_rule_stats",
         "graft_token_rule_stats(toks, stopwords) - one-pass token rule metrics: " +

@@ -14,6 +14,7 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftExtensions.expressions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets",
         "graft_sorted_hash_jaccard", "graft_simhash64", "graft_rolling_hash",
+        "graft_image_header", "graft_wav_header", "graft_mp4_mvhd",
         "graft_token_rule_stats"))
   }
 
@@ -65,6 +66,32 @@ class GraftSqlSpec extends SparkSpec {
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getStruct(1).toString)).toSeq
     assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
+  test("media probe kernels in SQL equal the shared parse methods") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      // a minimal real PNG IHDR (64x48), a minimal WAV, a minimal MP4
+      """SELECT graft_image_header(unhex(concat(
+        |         '89504E470D0A1A0A', '0000000D', '49484452',
+        |         '00000040', '00000030', '0806000000', '00000000'))) AS png,
+        |       graft_wav_header(unhex(concat(
+        |         '52494646', '24000000', '57415645',
+        |         '666D7420', '10000000', '0100', '0200', '80BB0000',
+        |         '00EE0200', '0400', '1000',
+        |         '64617461', 'E8030000'))) AS wav,
+        |       graft_mp4_mvhd(unhex(concat(
+        |         '00000074', '6D6F6F76',
+        |         '0000006C', '6D766864', '00000000',
+        |         '00000000', '00000000', '00000258', '00001000',
+        |         repeat('00', 80)))) AS mp4,
+        |       graft_image_header(CAST('not an image' AS BINARY)) AS junk
+        |""".stripMargin).head()
+    assert(r.getLong(0) ==
+      graft.functions.ImageHeader.pack(graft.functions.ImageHeader.FmtPng, 64, 48))
+    assert(r.getLong(1) == graft.functions.WavHeader.pack(48000L, 2L, 16L, 1000L))
+    assert(r.getLong(2) == graft.functions.Mp4Mvhd.pack(600L, 4096L))
+    assert(r.getLong(3) == graft.functions.ImageHeader.FmtUnknown)
   }
 
   test("graft_rolling_hash in SQL equals the Column API") {
