@@ -900,49 +900,61 @@ object Similarity {
   // ---------------------------------------------------------------------
   def q74DimStats(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // Float-discipline note (hard-won): casting the DOUBLE product x*x to
-    // a decimal is engine-divergent near rounding boundaries (Spark
-    // quantizes the shortest string repr HALF_UP, DuckDB the exact binary
-    // value), and a sum whose UNSCALED value exceeds 2^53 is mangled by
-    // DuckDB's decimal->double conversion. So: quantize x ONCE at scale 9
-    // (a generic float can never sit on a 1e-9 half-boundary — that needs
-    // <= 10 fractional binary digits), square the DECIMAL exactly
-    // (scale-18 multiply, no rounding at all), and step the wide sum down
-    // to scale 12 before the final double cast keeps it under 2^53. The
-    // step-down must be an explicit round(_, 12) in the SQL: DuckDB's
-    // decimal->decimal CAST truncates where Spark's rounds HALF_UP.
+    // Float-discipline note (hard-won, twice): the original decimal-ROUND
+    // quantizer (CAST(x AS DECIMAL(12,9))) assumed a generic float can
+    // never sit on a 1e-9 half-boundary — the sf0.1 corpus REFUTED that
+    // with two components that are exact dyadic rationals
+    // (0.1494140625 = 149414062.5e-9 at dim 58, 0.1669921875 at dim 0):
+    // Spark rounds HALF_UP, DuckDB half-even, the dim-58 tie flips 62|63
+    // and one row of raw-double mean/stddev goes red (the dim-0 tie lands
+    // even both ways — which is why the red was a single row, and why
+    // the round-quantized queries that ROUND their outputs never saw
+    // it). FLOOR-integer quantization (the q225 idiom) has no tie
+    // semantics: xq = FLOOR(x*1e9) as int64 nano-units — both engines do
+    // the identical double multiply + floor. Sums then reconstruct
+    // through IDENTICAL double expression strings: s1 fits int64
+    // (|x| <= ~1, n*1e9 ~ 1e13); the squared sum (~3e19) is summed as
+    // exact DECIMAL/HUGEINT and stepped down by INTEGER division (div /
+    // // — both floor for the positive sum) to fit double's exact-int
+    // range before the cast (DuckDB's decimal->double mangles unscaled
+    // values past 2^53).
     val comp = Tables.embeddings(spark, sfDir)
       .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
-      .select(col("dim"), col("xf").cast("double").as("x"),
-        col("xf").cast("double").cast(DecimalType(12, 9)).as("xq"))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .withColumn("xq", floor(col("x") * lit(1e9)).cast("long"))
     comp.groupBy(col("dim"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("xq")).cast("double").as("s1"),
-        sum(col("xq") * col("xq")).cast(DecimalType(38, 12)).cast("double").as("s2"),
+        sum(col("xq")).as("s1"),
+        sum(col("xq").cast(DecimalType(38, 0)) * col("xq")).as("s2raw"),
         min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .withColumn("s2", expr("CAST(s2raw div 1000000 AS BIGINT)"))
       .select(col("dim"), col("n"),
-        (col("s1") / col("n")).as("mean"),
-        sqrt((col("s2") - col("n") * (col("s1") / col("n")) * (col("s1") / col("n")))
-          / (col("n") - 1)).as("stddev"),
+        expr("CAST(s1 AS DOUBLE) / 1.0e9 / n").as("mean"),
+        expr("sqrt((CAST(s2 AS DOUBLE) / 1.0e12" +
+          " - n * (CAST(s1 AS DOUBLE) / 1.0e9 / n)" +
+          " * (CAST(s1 AS DOUBLE) / 1.0e9 / n)) / (n - 1))").as("stddev"),
         col("vmin"), col("vmax"))
       .orderBy("dim")
   }
 
   val q74Sql: String =
     """WITH comp AS (
-      |  SELECT u.d AS dim, u.x AS x, CAST(u.x AS DECIMAL(12,9)) AS xq FROM (
+      |  SELECT u.d AS dim, u.x AS x,
+      |         CAST(floor(u.x * 1e9) AS BIGINT) AS xq FROM (
       |    SELECT unnest([{'d': i - 1, 'x': emb[i]}
       |                   for i in range(1, len(emb) + 1)]) AS u
       |    FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings))),
       |agg AS (
       |  SELECT dim, count(*) AS n,
-      |         CAST(sum(xq) AS DOUBLE) AS s1,
-      |         CAST(CAST(round(sum(xq * xq), 12) AS DECIMAL(38,12)) AS DOUBLE) AS s2,
+      |         CAST(sum(xq) AS BIGINT) AS s1,
+      |         CAST(sum(CAST(xq AS HUGEINT) * xq) // 1000000 AS BIGINT) AS s2,
       |         min(x) AS vmin, max(x) AS vmax
       |  FROM comp GROUP BY dim)
-      |SELECT dim, n, s1 / n AS mean,
-      |       sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS stddev,
+      |SELECT dim, n, CAST(s1 AS DOUBLE) / 1.0e9 / n AS mean,
+      |       sqrt((CAST(s2 AS DOUBLE) / 1.0e12
+      |         - n * (CAST(s1 AS DOUBLE) / 1.0e9 / n)
+      |         * (CAST(s1 AS DOUBLE) / 1.0e9 / n)) / (n - 1)) AS stddev,
       |       vmin, vmax
       |FROM agg ORDER BY dim""".stripMargin
 
