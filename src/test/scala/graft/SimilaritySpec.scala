@@ -293,31 +293,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("q74 dim stats are bit-identical under repartitioning (decimal sums)") {
+  test("q74 dim stats are bit-identical under repartitioning (integer sums)") {
     val a = Similarity.q74DimStats(spark, sf).collect().toSeq
     val b = Similarity.q74DimStats(spark, sf)
     // same plan, different physical layout: re-run over a shuffled corpus
-    val shuffled = Tables.embeddings(spark, sf).repartition(17)
-    shuffled.createOrReplaceTempView("q74_shuffled_view")
-    // route through the same expression shape on the shuffled frame
+    // through the same FLOOR-nano-int expression shape (q74 moved off the
+    // decimal-round quantizer after the sf0.1 dyadic-tie red; see the
+    // operator's float-discipline note)
     import org.apache.spark.sql.types.DecimalType
-    val comp = shuffled
+    val comp = Tables.embeddings(spark, sf).repartition(17)
       .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
-      .select(col("dim"), col("xf").cast("double").as("x"),
-        col("xf").cast("double").cast(DecimalType(12, 9)).as("xq"))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .withColumn("xq", floor(col("x") * lit(1e9)).cast("long"))
     val c = comp.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
-        sum(col("xq")).cast("double").as("s1"),
-        sum(col("xq") * col("xq")).cast(DecimalType(38, 12)).cast("double").as("s2"),
+        sum(col("xq")).as("s1"),
+        sum(col("xq").cast(DecimalType(38, 0)) * col("xq")).as("s2raw"),
         min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .withColumn("s2", expr("CAST(s2raw div 1000000 AS BIGINT)"))
       .select(col("dim"), col("n"),
-        (col("s1") / col("n")).as("mean"),
-        sqrt((col("s2") - col("n") * (col("s1") / col("n")) * (col("s1") / col("n")))
-          / (col("n") - 1)).as("stddev"),
+        expr("CAST(s1 AS DOUBLE) / 1.0e9 / n").as("mean"),
+        expr("sqrt((CAST(s2 AS DOUBLE) / 1.0e12" +
+          " - n * (CAST(s1 AS DOUBLE) / 1.0e9 / n)" +
+          " * (CAST(s1 AS DOUBLE) / 1.0e9 / n)) / (n - 1))").as("stddev"),
         col("vmin"), col("vmax"))
       .orderBy("dim").collect().toSeq
     assert(a.map(_.toSeq) === c.map(_.toSeq),
-      "decimal-summed moments must not depend on partitioning")
+      "integer-summed moments must not depend on partitioning")
     assert(b.collect().toSeq.map(_.toSeq) === a.map(_.toSeq))
   }
 
