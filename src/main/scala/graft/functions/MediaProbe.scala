@@ -84,9 +84,13 @@ object WavHeader {
       } else if (tag(b, i, "data")) {
         data = size
       }
-      // chunks are WORD-aligned: an odd size pads one byte
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || i < 0) return Unknown // 32-bit size overflow
+      // chunks are WORD-aligned: an odd size pads one byte. Advance in
+      // Long space: `size` is an unsigned 32-bit value, and a .toInt
+      // truncation (e.g. size 0xFFFFFFF8 => step 0) would stall the walk
+      // forever on crafted input. Clamping the overshoot to b.length
+      // keeps strict forward progress AND ends the loop.
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next >= b.length.toLong) b.length else next.toInt
     }
     if (rate < 1 || rate >= (1L << 20) || ch < 1 || ch > 15 ||
         bits < 1 || bits > 63 || data < 0) Unknown
@@ -167,13 +171,21 @@ object Mp4Mvhd {
               return pack(ts, durLo)
             } else return Unknown
           }
-          j += csize.toInt
-          if (j < 0) return Unknown
+          // Long-space advance: csize is unsigned 32-bit; a .toInt
+          // truncation of csize >= 2^31 steps BACKWARD and two crafted
+          // boxes can cycle between offsets forever. A child that
+          // overruns its parent's extent is malformed => Unknown.
+          val nextJ = j.toLong + csize
+          if (nextJ > end.toLong) return Unknown
+          j = nextJ.toInt
         }
         return Unknown // moov without mvhd
       }
-      i += size.toInt
-      if (i < 0) return Unknown
+      // Long-space advance (same crafted-input trap as the child walk):
+      // a top-level box that overruns the buffer means no moov follows.
+      val next = i.toLong + size
+      if (next > b.length.toLong) return Unknown
+      i = next.toInt
     }
     Unknown
   }

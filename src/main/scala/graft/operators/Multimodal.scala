@@ -271,7 +271,10 @@ object Multimodal {
         "element_at(array(16000L, 22050L, 44100L, 48000L), CAST(nb % 4 AS INT) + 1)"))
       .withColumn("ch", col("nb") % 2 + 1)
       .withColumn("bits", lit(16L))
-      .withColumn("data_bytes", col("nb") * 100)
+      // clamp to the LE32 container width: lpad(hex) silently TRUNCATES
+      // values wider than the field, so an unclamped nb*100 would desync
+      // construction vs oracle for documents over ~43 MB (ADVICE r10)
+      .withColumn("data_bytes", expr("(nb * 100) % 2147483648"))
       .withColumn("jl", col("nb") % 21 + 1) // LIST chunk payload (odd sizes too)
       .withColumn("jl_pad", col("jl") + col("jl") % 2)
     val wavHex = concat(
@@ -311,15 +314,16 @@ object Multimodal {
     * layout (12 RIFF/WAVE + 8 + padded LIST + 24 fmt + 8 data header). */
   val q229Sql: String =
     """SELECT doc_id, rate AS sample_rate, ch AS channels, 16 AS bps,
-      |       nb * 100 AS pcm_bytes,
+      |       db AS pcm_bytes,
       |       52 + jl + jl % 2 AS wav_bytes,
-      |       nb * 100 * 8 // (ch * 16) AS n_samples,
-      |       (nb * 100 * 8 // (ch * 16)) * 1000 // rate AS duration_ms,
-      |       (greatest(nb * 100 * 8 // (ch * 16) - 30 * rate, 0)
+      |       db * 8 // (ch * 16) AS n_samples,
+      |       (db * 8 // (ch * 16)) * 1000 // rate AS duration_ms,
+      |       (greatest(db * 8 // (ch * 16) - 30 * rate, 0)
       |         + 25 * rate - 1) // (25 * rate) + 1 AS n_chunks
       |FROM (SELECT doc_id, nb,
       |             [16000, 22050, 44100, 48000][CAST(nb % 4 AS INT) + 1] AS rate,
-      |             nb % 2 + 1 AS ch, nb % 21 + 1 AS jl
+      |             nb % 2 + 1 AS ch, nb % 21 + 1 AS jl,
+      |             (nb * 100) % 2147483648 AS db
       |      FROM (SELECT doc_id,
       |                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
       |            FROM documents))
@@ -344,7 +348,10 @@ object Multimodal {
       .select(col("doc_id"), nb.as("nb"))
       .withColumn("ts", expr(
         "element_at(array(600L, 1000L, 48000L, 90000L), CAST(nb % 4 AS INT) + 1)"))
-      .withColumn("dur", col("nb") * 37)
+      // clamp to the packed-duration width (31 bits): past 2^31 the
+      // kernel correctly returns Unknown while the oracle computes real
+      // values — a board-red that would look like a kernel bug
+      .withColumn("dur", expr("(nb * 37) % 2147483648"))
       .withColumn("v1", pmod(col("doc_id"), lit(2)) === 1)
       .withColumn("jl", col("nb") % 19 + 1)  // free-box payload
       .withColumn("cl", col("nb") % 13)      // udta junk-child payload
@@ -401,7 +408,8 @@ object Multimodal {
        |         AS n_sampled
        |FROM (SELECT doc_id, nb,
        |             [600, 1000, 48000, 90000][CAST(nb % 4 AS INT) + 1] AS ts,
-       |             nb * 37 AS dur, nb % 19 + 1 AS jl, nb % 13 AS cl
+       |             (nb * 37) % 2147483648 AS dur,
+       |             nb % 19 + 1 AS jl, nb % 13 AS cl
        |      FROM (SELECT doc_id,
        |                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
        |            FROM documents))

@@ -82,6 +82,24 @@ class MediaProbePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WAV crafted chunk sizes near 2^32 terminate (no zero-step stall)") {
+    // ADVICE r10: size 0xFFFFFFF8 truncated to Int makes the walk step
+    // exactly 0 (8 + (-8) + 0); 0xFFFFFFF7 steps 0 via the odd-pad
+    // (8 + (-9) + 1). Both previously hung the executor thread forever.
+    Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0xFFFFFFFFL, 0x80000000L).foreach { sz =>
+      val b = "RIFF".getBytes ++ le32(0x10000L) ++ "WAVE".getBytes ++
+        "junk".getBytes ++ le32(sz)
+      assert(WavHeader.parse(b) == WavHeader.Unknown, f"size=0x$sz%08X")
+    }
+    // a fmt already parsed, then a crafted huge trailing chunk: the walk
+    // must still terminate (data never found => Unknown)
+    val fmt = le16(1) ++ le16(2) ++ le32(44100L) ++
+      le32(44100L * 2 * 16 / 8) ++ le16(2 * 16 / 8) ++ le16(16)
+    val b2 = "RIFF".getBytes ++ le32(0x10000L) ++ "WAVE".getBytes ++
+      chunk("fmt ", fmt) ++ "junk".getBytes ++ le32(0xFFFFFFF8L)
+    assert(WavHeader.parse(b2) == WavHeader.Unknown)
+  }
+
   private def box(tpe: String, content: Array[Byte]): Array[Byte] =
     be32(content.length + 8L) ++ tpe.getBytes ++ content
 
@@ -140,5 +158,26 @@ class MediaProbePropertySpec extends AnyFunSuite {
     (0 until full.length).foreach { n =>
       Mp4Mvhd.parse(full.take(n)) // must not throw
     }
+  }
+
+  test("MP4 crafted box sizes >= 2^31 terminate (no offset cycling)") {
+    // ADVICE r10: size.toInt truncation of sizes >= 2^31 steps the walk
+    // BACKWARD — two crafted boxes could cycle between offsets forever.
+    // Top-level: one box whose size wraps negative when truncated.
+    val top = be32(0xFFFFFFCEL) ++ "free".getBytes ++ new Array[Byte](120)
+    assert(Mp4Mvhd.parse(top) == Mp4Mvhd.Unknown)
+    // The exact two-box cycle from the advisory: a box at offset 100
+    // stepping back to 50, the box at 50 stepping forward to 100.
+    val cyc = new Array[Byte](160)
+    def put(i: Int, a: Array[Byte]): Unit =
+      System.arraycopy(a, 0, cyc, i, a.length)
+    put(0, be32(50) ++ "free".getBytes)           // 0 -> 50
+    put(50, be32(50) ++ "free".getBytes)          // 50 -> 100
+    put(100, be32(0xFFFFFFCEL) ++ "free".getBytes) // 100 -> (toInt) 50: cycle
+    assert(Mp4Mvhd.parse(cyc) == Mp4Mvhd.Unknown)
+    // Child walk: moov whose first child declares a size >= 2^31.
+    val kid = be32(0x80000010L) ++ "udta".getBytes ++ new Array[Byte](40)
+    val m = box("moov", kid ++ mvhd(0, 600L, 77L))
+    assert(Mp4Mvhd.parse(m) == Mp4Mvhd.Unknown)
   }
 }
