@@ -55,21 +55,32 @@ object Bench {
   val BenchTopK = 100
 
   /** Session-health canary: trivial, stable queries whose quiet-machine
-    * min-of-2-runs time never approaches these bands (bands sit 3-4x
-    * above the max observed across four independent quiet sf0.1
-    * sessions, bench_local_r09_run{J,K,L,M}.json: q03 <=0.28, q11
-    * <=0.36, q36 <=0.20, q119 <=0.56, q138 <=0.75). A disturbed host
+    * min-of-2-runs time never approaches these bands (bands sit ~2.5x
+    * above the max observed across five independent quiet sf0.1
+    * sessions, bench_local_r09_run{J,K,L,M} + r10_runA: q03 <=0.28,
+    * q11 <=0.36, q22 <=0.27, q36 <=0.20, q42 <=0.21, q59 <=0.21,
+    * q119 <=0.60, q138 <=0.75, q200 <=0.13). A disturbed host
     * (concurrent DuckDB oracle pass, other 32-thread load) inflates
     * them 2-15x — the r09 driver board read q11 3.7 s / q119 3.8 s /
-    * q138 6.3 s with zero code change. Sentinels span four source
-    * files so a genuine single-operator regression cannot trip >=2 of
-    * them; >=2 trips means the SESSION is suspect, not the code. */
+    * q138 6.3 s with zero code change. The r10 board proved the old
+    * 3-4x bands too loose (its q36 read 0.622, 5x quiet, under the old
+    * 0.8 band) and the old five sentinels too front-loaded (the r10
+    * disturbance lived at string-sort positions 45-170 where only q36
+    * sat) — hence the 2.5x tightening and the four back-half adds
+    * (q200/q22/q42/q59: trivial stable projections). Sentinels span
+    * several source files so a genuine single-operator regression
+    * cannot trip >=2 of them; >=2 trips means the SESSION is suspect,
+    * not the code. */
   val SentinelBands: Seq[(String, Double)] = Seq(
-    "q03_filter_project" -> 1.0,
-    "q11_set_ops" -> 1.2,
-    "q36_hash_split" -> 0.8,
-    "q119_transition_matrix" -> 1.8,
-    "q138_itemset_pairs" -> 2.5)
+    "q03_filter_project" -> 0.70,
+    "q11_set_ops" -> 0.90,
+    "q22_ann_brute_force" -> 0.65,
+    "q36_hash_split" -> 0.50,
+    "q42_stratified_mix" -> 0.52,
+    "q59_audio_chunks" -> 0.51,
+    "q119_transition_matrix" -> 1.50,
+    "q138_itemset_pairs" -> 1.90,
+    "q200_weighted_sample" -> 0.32)
 
   def sentinelTrips(minTimes: Map[String, Double]): Seq[String] =
     SentinelBands.collect {
@@ -89,12 +100,46 @@ object Bench {
     if (rs.isEmpty) 1.0 else rs(rs.size / 2)
   }
 
+  /** Per-key quiet-band check — the canary arm the r10 board proved
+    * necessary: a sustained disturbance spanning BOTH runs of every
+    * pair is invisible to the run-ratio median (q38 read 5.36/5.07,
+    * ratio 1.06) and can slip between sentinels. The committed bands
+    * file pins every key's min-of-2 from a verified-quiet full-surface
+    * sf0.1 session (bench_local_r10_runA); >= [[QuietBandMinKeys]]
+    * non-stream keys past [[QuietBandMult]]x their band means the
+    * SESSION is disturbed (the r10 board trips 20 such keys; five
+    * quiet sessions trip 0-1). Stream-named keys are excluded: the
+    * per-trigger replay-floor class legitimately swings 2-5x across
+    * sessions (BASELINE.md), and they carry their own floors. */
+  val QuietBandsFile = "bench_quiet_bands.json"
+  val QuietBandMult = 3.0
+  val QuietBandMinKeys = 5
+
+  def loadQuietBands(path: String = QuietBandsFile): Map[String, Double] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(new java.io.File(path)).get("bands")
+      scala.jdk.CollectionConverters.IteratorHasAsScala(node.fieldNames())
+        .asScala.map(k => k -> node.get(k).asDouble()).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  def quietBandTrips(minTimes: Map[String, Double],
+      bands: Map[String, Double]): Seq[String] =
+    minTimes.toSeq.collect {
+      case (k, v) if !k.contains("stream") && v > 0 &&
+        bands.get(k).exists(b => v > QuietBandMult * b) => k
+    }.sorted
+
   /** The driver-line canary: red when >=2 sentinels sit above their
-    * pinned bands OR the run-ratio median is past 2.2. Calibrated red
-    * on the r09 driver board's timing profile and green on the four
-    * quiet local profiles (BenchLineSpec replays the recorded JSON). */
-  def noisy(minTimes: Map[String, Double], ratio: Double): Boolean =
-    sentinelTrips(minTimes).size >= 2 || ratio > 2.2
+    * pinned bands, OR the run-ratio median is past 2.2, OR >=
+    * [[QuietBandMinKeys]] keys sit past their committed quiet bands.
+    * Calibrated red on the r09 AND r10 driver boards' timing profiles
+    * and green on the five quiet local profiles (BenchLineSpec replays
+    * the recorded JSON). */
+  def noisy(minTimes: Map[String, Double], ratio: Double,
+      bandTrips: Seq[String] = Nil): Boolean =
+    sentinelTrips(minTimes).size >= 2 || ratio > 2.2 ||
+      bandTrips.size >= QuietBandMinKeys
 
   /** Build the single driver-consumed JSON line. Query keys are
     * SHORTENED via [[shortKey]]: the full-name map grew past the tail
@@ -264,12 +309,18 @@ object Bench {
       .map { case (k, (t1, t2)) => "\"" + k + f"\":[$t1%.3f,$t2%.3f]" }
       .mkString("{", ",", "}")
 
-    // Session-health canary (see SentinelBands / medianRunRatio).
+    // Session-health canary (see SentinelBands / medianRunRatio /
+    // quietBandTrips). The band check only fires at the bands' own SF
+    // (the committed file is sf0.1 evidence; sf0.001 smoke runs are far
+    // below every band and a hypothetical larger SF would false-trip).
     val ratio = medianRunRatio(runs)
-    val isNoisy = noisy(results.toMap, ratio)
+    val bandTrips =
+      if (sfDir.endsWith("sf0.1")) quietBandTrips(results.toMap, loadQuietBands())
+      else Nil
+    val isNoisy = noisy(results.toMap, ratio, bandTrips)
 
     val spreadLine =
-      f"""{"metric":"spread","cpus":$cpus,"sf":"${sfDir.split('/').last}","noisy":$isNoisy,"ratio":$ratio%.3f,"sentinel_trips":${sentinelTrips(results.toMap).map("\"" + _ + "\"").mkString("[", ",", "]")},"stream":{"q25_stream_parity":$tParity%.3f,"stream_ingest":$tIngest%.3f},"spread":$spread}"""
+      f"""{"metric":"spread","cpus":$cpus,"sf":"${sfDir.split('/').last}","noisy":$isNoisy,"ratio":$ratio%.3f,"sentinel_trips":${sentinelTrips(results.toMap).map("\"" + _ + "\"").mkString("[", ",", "]")},"band_trips":${bandTrips.map("\"" + _ + "\"").mkString("[", ",", "]")},"stream":{"q25_stream_parity":$tParity%.3f,"stream_ingest":$tIngest%.3f},"spread":$spread}"""
     println(spreadLine)
     // Persist the full spread to a stable repo path every run: the
     // driver captures only the last 2000 stdout chars, so without this

@@ -87,14 +87,51 @@ class BenchLineSpec extends AnyFunSuite {
     (pairs.map { case (k, (a, b)) => k -> math.min(a, b) }.toMap, pairs)
   }
 
-  test("canary is GREEN on the quiet local r09 profiles (runJ, runL)") {
-    for (p <- Seq("bench_local_r09_runJ.json", "bench_local_r09_runL.json")) {
+  test("canary is GREEN on the quiet local profiles (r09 runJ/runL, r10 runA)") {
+    val bands = Bench.loadQuietBands()
+    for (p <- Seq("bench_local_r09_runJ.json", "bench_local_r09_runL.json",
+        "bench_local_r10_runA.json")) {
       val (mins, pairs) = spreadMinTimes(p)
       val ratio = Bench.medianRunRatio(pairs)
       assert(ratio < 2.2, s"$p quiet ratio $ratio")
       assert(Bench.sentinelTrips(mins).isEmpty, s"$p sentinels quiet")
-      assert(!Bench.noisy(mins, ratio), s"$p must read green")
+      val trips = Bench.quietBandTrips(mins, bands)
+      assert(trips.size < Bench.QuietBandMinKeys, s"$p band trips $trips")
+      assert(!Bench.noisy(mins, ratio, trips), s"$p must read green")
     }
+  }
+
+  test("canary is RED on the r10 driver board via the quiet-band check") {
+    // The r10 board carried 26 keys at 2.4-9x quiet levels spanning
+    // BOTH runs of each pair (q38: 5.36/5.07) — invisible to the
+    // run-ratio median (1.529) and, under the old 3-4x bands, to the
+    // sentinels (q36 read 0.622, 5x quiet, under its old 0.8 band).
+    // The committed per-key quiet bands catch it: 20 non-stream keys
+    // past 3x (vs 0-1 on every quiet session). bench_board_r10.json is
+    // the round-10 board spread snapshotted to a stable name
+    // (bench_spread_last.json is overwritten by every local run).
+    val bands = Bench.loadQuietBands()
+    assert(bands.nonEmpty, "bench_quiet_bands.json missing or unparseable")
+    val (mins, pairs) = spreadMinTimes("bench_board_r10.json")
+    val ratio = Bench.medianRunRatio(pairs)
+    assert(ratio < 2.2, "the r10 disturbance is invisible to the run ratio")
+    val trips = Bench.quietBandTrips(mins, bands)
+    assert(trips.size >= Bench.QuietBandMinKeys,
+      s"r10 board must trip the band check, got ${trips.size}: $trips")
+    assert(Bench.noisy(mins, ratio, trips), "r10 board must read noisy")
+  }
+
+  test("quiet-bands file parses, has sane values, and names live queries") {
+    val bands = Bench.loadQuietBands()
+    assert(bands.size >= 200, s"bands cover ${bands.size} keys")
+    // every band key must be a live query: a renamed/deleted query
+    // leaves a stale band that silently checks nothing
+    val surface = SparkEntry.queries.keySet - "q25_stream_batch_parity"
+    val stale = bands.keySet -- surface
+    assert(stale.isEmpty, s"stale band keys: ${stale.take(5)}")
+    assert(bands.values.forall(v => v > 0 && v < 60), "bands in (0, 60) s")
+    // a missing file degrades to an empty map (band arm off), never throws
+    assert(Bench.loadQuietBands("no_such_file.json").isEmpty)
   }
 
   test("canary is RED on the r09 driver board's timing profile") {
