@@ -688,6 +688,65 @@ object Curation {
        |ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q232 — q88's SCALE variant: the same exact-ntile length bucketing
+  // with NO doc-scale global window. q88's scale note names this plan;
+  // this entry makes the comment's claim a tested fact (verdict r10 #4).
+  //
+  // ntile(k) OVER (ORDER BY tok_cnt, doc_id) is a pure function of each
+  // row's GLOBAL RANK, and the rank decomposes exactly:
+  //   rank = (#docs with smaller tok_cnt)            -- the key offset
+  //        + (row_number among ties, by doc_id)      -- within-key rank
+  // so the only global-order work runs over the KEY-CARDINALITY frame
+  // (distinct token lengths — thousands at web scale, not documents):
+  //   pass 1: groupBy(tok_cnt).count()  -> per-length counts;
+  //   pass 2: prefix-sum the counts (an unpartitioned window over the
+  //           AGGREGATE — bounded by construction, allowed by the
+  //           PlanSpec global-window gate) -> per-length rank offsets;
+  //   pass 3: broadcast the offsets back; each doc's rank = offset +
+  //           row_number within its tok_cnt PARTITION (a partitioned
+  //           window); bucket = the closed-form ntile of (rank, n).
+  // The bucket arithmetic reproduces SQL ntile exactly: with n rows,
+  // k buckets, q = n div k, r = n mod k, the first r buckets hold q+1
+  // rows — bucket(rank) = ceil(rank/(q+1)) while rank <= r*(q+1), else
+  // r + ceil((rank - r*(q+1))/q). Output is identical to q88 row for
+  // row (same DuckDB oracle; Q232 spec also pins q232 == q88).
+  //
+  // Residual skew note: one dominant tok_cnt value makes one partition
+  // of the within-key window large; the 100 TB mitigation is a second
+  // decomposition level inside that key (salt by doc_id range, count
+  // per salt, prefix again) — same shape, one more round.
+  // ---------------------------------------------------------------------
+  def q232LengthBucketsScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(toks).cast("long").as("tok_cnt"))
+    val byLen = docs.groupBy(col("tok_cnt"))
+      .agg(count(lit(1)).as("cnt"))
+    // prefix offsets over the key-cardinality aggregate (bounded frame)
+    val offs = byLen.withColumn("off",
+      sum(col("cnt")).over(Window.orderBy(col("tok_cnt"))) - col("cnt"))
+    val total = byLen.agg(sum(col("cnt")).as("n"))
+    docs
+      .join(broadcast(offs.select(col("tok_cnt"), col("off"))), Seq("tok_cnt"))
+      .withColumn("rig", row_number().over(
+        Window.partitionBy(col("tok_cnt")).orderBy(col("doc_id"))).cast("long"))
+      .withColumn("rank", col("off") + col("rig"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", expr(
+        s"""CASE WHEN rank <= (n % $LenBuckets) * (n div $LenBuckets + 1)
+           |     THEN (rank + n div $LenBuckets) div (n div $LenBuckets + 1)
+           |     ELSE n % $LenBuckets
+           |          + (rank - (n % $LenBuckets) * (n div $LenBuckets + 1)
+           |             + n div $LenBuckets - 1) div (n div $LenBuckets)
+           |END""".stripMargin))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("tok_cnt")).as("min_toks"),
+        max(col("tok_cnt")).as("max_toks"),
+        sum(col("tok_cnt")).as("sum_toks"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------------
   // q95 — contiguous sample-index assignment: give every document a
   // dense 0..n-1 id in doc_id order (the "sample index" a trainer's
   // dataloader addresses shards by). The naive SQL is

@@ -769,6 +769,83 @@ class PlanSpec extends SparkSpec {
       "the four edge-degree sums must combine map-side — O(1) state")
   }
 
+  /** A logical subtree is BOUNDED when every scan below it is separated
+    * from the consumer by an Aggregate or a Limit (or the frame is a
+    * literal/local relation): its row count is key-cardinality- or
+    * constant-sized, not corpus-sized, so a global window over it is
+    * safe at any SF. */
+  private def bounded(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+  }
+
+  test("global-window gate: no query plans an unpartitioned window over " +
+      "an unbounded frame outside the documented doc-scale allowlist") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // Doc-scale global windows allowed ON PURPOSE, each with a 100 TB
+    // scale note in source naming the sketch-cutpoint alternative (q88's
+    // alternative is SHIPPED as q232). Adding a new doc-scale global
+    // window means either restructuring the query (the q95/q232 prefix
+    // decompositions) or extending this list WITH a scale note.
+    val docScaleAllow = Set(
+      "q88_length_buckets",  // exact-ntile oracle anchor; scale variant q232
+      "q151_quantile_norm",  // scale note at its definition
+      "q220_rfm_segments",   // scale note at Relational q220
+      "q224_woe_audit")      // scale note at Curation q224
+    // stream-named queries execute their replay at construction time
+    // (their windows are per-trigger batch-sized; covered by ParitySpec),
+    // q25/q35 are eager for the same reason (EntrySpec's list)
+    val skip = SparkEntry.queries.keySet.filter(_.contains("stream")) +
+      "q25_stream_batch_parity" + "q35_bucketed_join"
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !skip(name) && !docScaleAllow(name)
+      w <- fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w }
+    } yield s"$name: ${w.windowExpressions.map(_.name).mkString(",")}"
+    assert(offenders.isEmpty,
+      s"unbounded unpartitioned window(s) outside the allowlist — at scale " +
+        s"these funnel the corpus through one task:\n${offenders.mkString("\n")}")
+    // negative control: the detector must FLAG a known doc-scale global
+    // window (q88's exact ntile) — proves the gate is live, not vacuous
+    val q88wins = graft.operators.Curation.q88LengthBuckets(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w }
+    assert(q88wins.nonEmpty, "detector failed to flag q88's global ntile")
+  }
+
+  test("q232: the scale-variant bucketing keeps the doc-scale window " +
+      "PARTITIONED; only the key-cardinality aggregate sees a global order") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.operators.Curation.q232LengthBucketsScaled(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty || bounded(w.child),
+        "every unpartitioned window must sit over an aggregate-bounded frame")
+    }
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-length offsets must ride back as a broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q232 equals q88 row for row — the decomposed rank IS exact ntile") {
+    val a = graft.operators.Curation.q88LengthBuckets(spark, sf).collect().toSeq
+    val b = graft.operators.Curation.q232LengthBucketsScaled(spark, sf)
+      .collect().toSeq
+    assert(a == b, s"scale variant diverged:\nq88=$a\nq232=$b")
+  }
+
   test("q132: table checksum is one scan + one partial-aggregable shuffle") {
     val plan = finalPlan(Relational.q132TableChecksum(spark, sf))
     assert(!plan.contains("Join"), "checksum must not join")
