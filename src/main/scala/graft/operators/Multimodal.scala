@@ -182,11 +182,12 @@ object Multimodal {
   // ---------------------------------------------------------------------
   private val FitBox = 224L
 
-  def q226ImageHeader(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.GraftFunctions
-    val nb = length(encode(col("text"), "utf-8")).cast("long")
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), nb.as("nb"))
+  /** Append the q226 synthesized-container construction columns (w, h,
+    * com_len and the container bytes as "img") to a frame carrying
+    * "doc_id" and "nb" — shared by q226 and the q233 streaming media
+    * admission, so both paths probe byte-identical containers. */
+  private[graft] def withSynthImg(df: DataFrame): DataFrame = {
+    val base = df
       .withColumn("w", col("nb") % 1905 + 16)
       .withColumn("h", (col("nb") * 7) % 1064 + 16)
       .withColumn("com_len", col("nb") % 37 + 3) // COM length field >= 3
@@ -208,9 +209,15 @@ object Multimodal {
       lpad(hex(col("w")), 4, "0"), lit("03" + "011100" + "021101" + "031101"),
       // SOS + EOI so the container is complete
       lit("FFDA0008" + "010100003F00" + "FFD9"))
-    base
-      .withColumn("img",
-        unhex(when(pmod(col("doc_id"), lit(2)) === 0, pngHex).otherwise(jpegHex)))
+    base.withColumn("img",
+      unhex(when(pmod(col("doc_id"), lit(2)) === 0, pngHex).otherwise(jpegHex)))
+  }
+
+  def q226ImageHeader(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val nb = length(encode(col("text"), "utf-8")).cast("long")
+    withSynthImg(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), nb.as("nb")))
       .withColumn("packed", GraftFunctions.imageHeader(col("img")))
       .withColumn("fmt_code", shiftright(col("packed"), 48))
       .withColumn("width",
@@ -262,11 +269,12 @@ object Multimodal {
   //
   // 100 TB shape: pure projection, ~60 header bytes walked per blob.
   // ---------------------------------------------------------------------
-  def q229AudioProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.GraftFunctions
-    val nb = length(encode(col("text"), "utf-8")).cast("long")
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), nb.as("nb"))
+  /** Append the q229 synthesized-WAV construction columns (rate, ch,
+    * bits, data_bytes, jl, jl_pad and the container bytes as "wav") to a
+    * frame carrying "nb" — shared by q229 and the q233 streaming media
+    * admission. */
+  private[graft] def withSynthWav(df: DataFrame): DataFrame = {
+    val base = df
       .withColumn("rate", expr(
         "element_at(array(16000L, 22050L, 44100L, 48000L), CAST(nb % 4 AS INT) + 1)"))
       .withColumn("ch", col("nb") % 2 + 1)
@@ -290,8 +298,14 @@ object Multimodal {
       le32hex(expr("rate * ch * bits div 8")), // byte rate
       le16hex(expr("ch * bits div 8")), le16hex(col("bits")),
       lit("64617461"), le32hex(col("data_bytes"))) // "data", no payload
-    base
-      .withColumn("wav", unhex(wavHex))
+    base.withColumn("wav", unhex(wavHex))
+  }
+
+  def q229AudioProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val nb = length(encode(col("text"), "utf-8")).cast("long")
+    withSynthWav(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), nb.as("nb")))
       .withColumn("p", GraftFunctions.wavHeader(col("wav")))
       .withColumn("sample_rate", shiftright(col("p"), 42))
       .withColumn("channels", expr("CAST(shiftright(p, 38) & 15 AS BIGINT)"))

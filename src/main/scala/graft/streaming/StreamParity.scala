@@ -530,6 +530,139 @@ object StreamParity {
       |FROM scored WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** Probe-derived per-rate-class admission stats for a frame of
+    * (doc_id, nb) — the shared kernel of q233's streamed fold and its
+    * batch equivalent. Every geometry input comes from the byte KERNELS
+    * probing the synthesized containers back out (q226's image header,
+    * q229's WAV chunk walk), never from the construction columns — the
+    * kernels are in the decision loop, which is the point. */
+  private[streaming] def mediaAdmissionLedger(df: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions
+    graft.operators.Multimodal.withSynthImg(
+        graft.operators.Multimodal.withSynthWav(df))
+      .select(col("doc_id"),
+        GraftFunctions.wavHeader(col("wav")).as("pw"),
+        GraftFunctions.imageHeader(col("img")).as("pi"))
+      .select(
+        expr("shiftright(pw, 42)").as("sample_rate"),
+        expr("CAST(shiftright(pw, 38) & 15 AS BIGINT)").as("pch"),
+        expr("CAST(shiftright(pw, 32) & 63 AS BIGINT)").as("pbits"),
+        expr("CAST(pw & 4294967295 AS BIGINT)").as("pdb"),
+        expr("CAST(shiftright(pi, 24) & 16777215 AS BIGINT)").as("piw"),
+        expr("CAST(pi & 16777215 AS BIGINT)").as("pih"))
+      .withColumn("dur_ms",
+        expr("(pdb * 8 div (pch * pbits)) * 1000 div sample_rate"))
+      .withColumn("adm", expr(
+        "sample_rate >= 22050 AND greatest(piw, pih) <= 640 AND dur_ms >= 250"))
+      .groupBy(col("sample_rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("adm"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("adm"), col("pdb")).otherwise(0L)).as("adm_pcm_bytes"),
+        sum(when(col("adm"), col("piw") * col("pih")).otherwise(0L)).as("adm_px"))
+  }
+
+  /** q233 — streaming MEDIA admission: the q58/q227 per-trigger admission
+    * shape composed with the multimodal byte kernels — the gate a
+    * multimodal crawl-ingest actually runs. Each batch's documents
+    * synthesize their spec-conformant containers, the codegen'd header
+    * kernels probe the REAL bytes back out, and a document is admitted
+    * iff its PROBED geometry passes the plan thresholds (sample_rate >=
+    * 22050 Hz, max image dimension <= 640 px, >= 250 ms of audio —
+    * tuned so each gate splits the corpus non-trivially at every SF);
+    * per-rate-class admission stats fold into a persistent ledger.
+    *
+    * Exactness: every ledger stat is a sum/count — mergeable — so the
+    * folded ledger equals the one-shot batch aggregate row for row
+    * (ParitySpec pins streamed == batch; the DuckDB oracle recomputes
+    * every stat from the construction arithmetic, so a probe reading
+    * wrong offsets/endianness goes board-red).
+    *
+    * Scale shape: per trigger one codegen projection (two ~60-byte
+    * header walks per doc — the planning pass that keeps codecs off
+    * rejected media) plus one rate-class-sized aggregate; the persistent
+    * ledger is CLASS-cardinality rows re-folded per batch via
+    * batchId-stamped overwrite dirs (exactly-once under foreachBatch's
+    * at-least-once contract, the q58/q148 discipline) — never a corpus
+    * re-scan. */
+  def q233StreamMediaAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long").as("nb"))
+    val dir = Files.createTempDirectory("q233_docs")
+    docs.repartitionByRange(ReplayFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir.toString)
+
+    val outRoot = Files.createTempDirectory("q233_ledger").toString
+    var prevLedger: Option[String] = None
+    var lastFolded = -1L
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          lastFolded = batchId
+          val s = batch.sparkSession
+          val batchLedger = mediaAdmissionLedger(batch)
+          val folded = prevLedger match {
+            case Some(p) => s.read.parquet(p).unionByName(batchLedger)
+              .groupBy(col("sample_rate"))
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("n_admitted")).as("n_admitted"),
+                sum(col("adm_pcm_bytes")).as("adm_pcm_bytes"),
+                sum(col("adm_px")).as("adm_px"))
+            case None => batchLedger
+          }
+          val stamp = s"$outRoot/v$batchId"
+          folded.write.mode("overwrite").parquet(stamp)
+          prevLedger.foreach(p => deleteRecursively(new java.io.File(p)))
+          prevLedger = Some(stamp)
+        }
+        ()
+      }.start()
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile)
+    }
+    val out = prevLedger.map(p => spark.read.parquet(p))
+      .getOrElse(sys.error("q233: no ledger written"))
+      .orderBy("sample_rate").localCheckpoint(true)
+    prevLedger.foreach(p => deleteRecursively(new java.io.File(p)))
+    out
+  }
+
+  /** Batch one-shot equivalent of q233's folded ledger (ParitySpec pins
+    * streamed == batch — the fold is exact because every stat merges). */
+  def q233BatchEquivalent(spark: SparkSession, sfDir: String): DataFrame =
+    mediaAdmissionLedger(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          length(encode(col("text"), "utf-8")).cast("long").as("nb")))
+      .orderBy("sample_rate")
+
+  /** Every stat recomputed from the construction arithmetic (the q229/
+    * q226 oracle style): rate/channels from nb's residues, pcm bytes
+    * from the clamped LE32 field, image dims from the header fields the
+    * kernels parse back out. */
+  val q233Sql: String =
+    """WITH b AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |           FROM documents),
+      |d AS (SELECT [16000, 22050, 44100, 48000][CAST(nb % 4 AS INT) + 1] AS rate,
+      |             nb % 2 + 1 AS ch, (nb * 100) % 2147483648 AS db,
+      |             nb % 1905 + 16 AS w, (nb * 7) % 1064 + 16 AS h
+      |      FROM b),
+      |a AS (SELECT rate, db, w, h,
+      |             (rate >= 22050 AND greatest(w, h) <= 640
+      |              AND (db * 8 // (ch * 16)) * 1000 // rate >= 250) AS adm
+      |      FROM d)
+      |SELECT rate AS sample_rate, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN adm THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      |       CAST(SUM(CASE WHEN adm THEN db ELSE 0 END) AS BIGINT) AS adm_pcm_bytes,
+      |       CAST(SUM(CASE WHEN adm THEN w * h ELSE 0 END) AS BIGINT) AS adm_px
+      |FROM a GROUP BY rate ORDER BY sample_rate""".stripMargin
+
   /** q227 — streaming near-dup admission at PARAGRAPH granularity: q68's
     * block-level first-wins dedup run as a crawl-ingest pipeline actually
     * runs it — documents arrive in batches, each batch's paragraphs are

@@ -149,6 +149,20 @@ class ParitySpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("q233 streamed media-admission ledger equals the one-shot batch " +
+      "aggregate (mergeable fold across triggers)") {
+    val streamed = StreamParity.q233StreamMediaAdmission(spark, sf)
+      .collect().toSeq
+    val batch = StreamParity.q233BatchEquivalent(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    // the gate must actually split the corpus: some class admits some
+    // docs and rejects others, or the thresholds test nothing
+    val (adm, all) = streamed.map(r => (r.getLong(2), r.getLong(1))).unzip
+    assert(adm.sum > 0 && adm.sum < all.sum,
+      s"thresholds must split the corpus, got ${adm.sum}/${all.sum}")
+    assert(streamed === batch)
+  }
+
   test("q231 streamed IVF ingest equals a one-shot batch assignment") {
     import graft.functions.GraftFunctions.{centroidScores, dot}
     val streamed = StreamParity.q231StreamIvfIngest(spark, sf).collect().toSeq
