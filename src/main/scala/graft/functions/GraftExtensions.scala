@@ -111,6 +111,15 @@ object GraftExtensions {
           s"graft_wav_header expects 1 argument, got ${args.length}")
         WavHeader(args(0))
       }),
+    (FunctionIdentifier("graft_utf8_audit"),
+      info("graft_utf8_audit",
+        "graft_utf8_audit(bytes) - RFC 3629 UTF-8 validity audit; packed " +
+          "valid<<32 | overlong<<24 | surrogate<<16 | truncated<<8 | bad"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_utf8_audit expects 1 argument, got ${args.length}")
+        Utf8Audit(args(0))
+      }),
     (FunctionIdentifier("graft_mp4_mvhd"),
       info("graft_mp4_mvhd",
         "graft_mp4_mvhd(bytes) - ISO-BMFF box walk to moov/mvhd; packed " +

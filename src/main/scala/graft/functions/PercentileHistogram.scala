@@ -237,6 +237,13 @@ object GraftFunctions {
   def mp4Mvhd(bytes: Column): Column =
     ColumnBridge.column(Mp4Mvhd(ColumnBridge.expression(bytes)))
 
+  /** RFC 3629 UTF-8 validity/mojibake audit of a binary column (see
+    * [[Utf8Audit]]): packed `valid << 32 | overlong << 24 | surrogate
+    * << 16 | truncated << 8 | bad` — one codegen'd byte walk classifies
+    * every sequence (valid count == codepoint count on clean text). */
+  def utf8Audit(bytes: Column): Column =
+    ColumnBridge.column(Utf8Audit(ColumnBridge.expression(bytes)))
+
   /** Rabin-Karp code-point fingerprint (see [[RollingHash]]):
     * (h*31 + codepoint) mod 1e9+7, matching DuckDB's code-point `ascii`
     * semantics on all inputs including surrogate pairs. */

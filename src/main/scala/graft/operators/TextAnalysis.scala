@@ -2517,4 +2517,86 @@ object TextAnalysis {
        |  FROM pts)
        |SELECT ${q219FitCols.mkString(",\n       ")}
        |FROM gram""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q234 — UTF-8 validity / mojibake audit: the text family's INGEST
+  // kernel (what q226/q229/q230 are for media): before a tokenizer
+  // touches a crawled byte stream, one codegen'd pass
+  // ([[graft.functions.Utf8Audit]], SQL `graft_utf8_audit`) classifies
+  // every byte sequence per RFC 3629 — valid / overlong / surrogate
+  // (CESU-8/WTF-8 leakage) / truncated / bad.
+  //
+  // Construction (the q229 oracle style): each document's real UTF-8
+  // bytes get a deterministic corrupted tail — per-doc counts of valid
+  // multibyte codepoints (é, €, 𐍈: 2/3/4-byte), overlong NULs (C0 80),
+  // encoded surrogates (ED A0 80), invalid leads (FF), lone
+  // continuations (80), and a trailing truncated € (E2 82) — every item
+  // isolated by an ASCII space so error resync is unambiguous. The
+  // oracle recomputes every count from the construction arithmetic,
+  // with the base text's contribution crossing the engines through two
+  // INDEPENDENT paths: the kernel's byte walk vs DuckDB's length()
+  // codepoint count — a kernel that miscounts any multibyte class goes
+  // board-red on every row.
+  //
+  // 100 TB shape: pure projection (scan → codegen walk → columns), no
+  // shuffle but the output sort; the walk advances by index increments
+  // only (never attacker-controlled size fields — the MediaProbe r10
+  // lesson, pinned by Utf8AuditPropertySpec).
+  // ---------------------------------------------------------------------
+  def q234Utf8Audit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        length(encode(col("text"), "utf-8")).cast("long").as("nb"))
+      .withColumn("a", col("nb") % 3)            // é count (2-byte valid)
+      .withColumn("eb", col("nb") % 2)           // € count (3-byte valid)
+      .withColumn("c", pmod(col("doc_id"), lit(2L))) // 𐍈 count (4-byte valid)
+      .withColumn("o", col("nb") % 3)            // overlong NULs
+      .withColumn("s", pmod(col("doc_id"), lit(2L))) // encoded surrogates
+      .withColumn("x", col("nb") % 2)            // invalid FF leads
+      .withColumn("l", (col("nb") + 1) % 2)      // lone continuations
+      .withColumn("t",                           // trailing truncated €
+        when(pmod(col("doc_id"), lit(3L)) === 0, 1L).otherwise(0L))
+    val tailHex = concat(
+      expr("repeat('20C3A9', CAST(a AS INT))"),
+      expr("repeat('20E282AC', CAST(eb AS INT))"),
+      expr("repeat('20F0908D88', CAST(c AS INT))"),
+      expr("repeat('20C080', CAST(o AS INT))"),
+      expr("repeat('20EDA080', CAST(s AS INT))"),
+      expr("repeat('20FF', CAST(x AS INT))"),
+      expr("repeat('2080', CAST(l AS INT))"),
+      expr("repeat('20E282', CAST(t AS INT))"))
+    d.withColumn("blob", concat(encode(col("text"), "utf-8"), unhex(tailHex)))
+      .withColumn("p", GraftFunctions.utf8Audit(col("blob")))
+      .select(col("doc_id"),
+        expr("CAST(octet_length(blob) AS BIGINT)").as("n_bytes"),
+        expr("shiftright(p, 32)").as("valid"),
+        expr("CAST(shiftright(p, 24) & 255 AS BIGINT)").as("overlong"),
+        expr("CAST(shiftright(p, 16) & 255 AS BIGINT)").as("surrogate"),
+        expr("CAST(shiftright(p, 8) & 255 AS BIGINT)").as("truncated"),
+        expr("CAST(p & 255 AS BIGINT)").as("bad"))
+      .orderBy("doc_id")
+  }
+
+  /** Every count from the construction arithmetic; the base text's
+    * valid-sequence count is DuckDB's codepoint length — an independent
+    * recomputation of what the kernel walks byte by byte. */
+  val q234Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+      |                  CAST(length(text) AS BIGINT) AS cp
+      |           FROM documents),
+      |e AS (SELECT doc_id, nb, cp,
+      |             nb % 3 AS a, nb % 2 AS eb, doc_id % 2 AS c,
+      |             nb % 3 AS o, doc_id % 2 AS s, nb % 2 AS x,
+      |             (nb + 1) % 2 AS l,
+      |             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS t
+      |      FROM d)
+      |SELECT doc_id,
+      |       nb + 3*a + 4*eb + 5*c + 3*o + 4*s + 2*x + 2*l + 3*t AS n_bytes,
+      |       cp + 2*a + 2*eb + 2*c + o + s + x + l + t AS valid,
+      |       o AS overlong, s AS surrogate,
+      |       CAST(t AS BIGINT) AS truncated, x + l AS bad
+      |FROM e
+      |ORDER BY doc_id""".stripMargin
 }

@@ -180,6 +180,31 @@ class BenchLineSpec extends AnyFunSuite {
       node.get("stream").has("stream_ingest"))
   }
 
+  test("stream floor ledger covers every stream-named query") {
+    // Written by `Test/runMain graft.AdmissionSweep ledger` on a quiet
+    // machine: query -> (trigger count, seconds, per-trigger floor).
+    // Streaming keys are excluded from the quiet-band canary arm because
+    // this class legitimately swings 2-5x across sessions — the ledger
+    // is what makes a board's streaming delta attributable anyway.
+    // Stale after ADDING a stream query: re-run the ledger mode.
+    val f = new java.io.File("stream_floor_ledger.json")
+    assert(f.exists(), "stream_floor_ledger.json missing — run " +
+      "`Test/runMain graft.AdmissionSweep ledger`")
+    val node = om.readTree(f).get("queries")
+    val keys = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.fieldNames()).asScala.toSet
+    val expected = SparkEntry.queries.keySet.filter(_.contains("stream"))
+    assert(keys == expected,
+      s"ledger drift: missing=${(expected -- keys).take(5)} " +
+        s"extra=${(keys -- expected).take(5)}")
+    keys.foreach { k =>
+      val e = node.get(k)
+      assert(e.get("triggers").asInt() >= 1, s"$k: no triggers recorded")
+      assert(e.get("seconds").asDouble() > 0 &&
+        e.get("per_trigger_sec").asDouble() > 0, s"$k: degenerate floor")
+    }
+  }
+
   test("budget leaves headroom for sbt epilogue inside the 2000-char window") {
     // the epilogue after the line is `\n[success] Total time: NNN s
     // (H:MM:SS), completed <Month> <DD>, <YYYY>, <H>:<MM>:<SS> <AM|PM>\n`

@@ -14,8 +14,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftExtensions.expressions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets",
         "graft_sorted_hash_jaccard", "graft_simhash64", "graft_rolling_hash",
-        "graft_image_header", "graft_wav_header", "graft_mp4_mvhd",
-        "graft_token_rule_stats"))
+        "graft_image_header", "graft_wav_header", "graft_utf8_audit",
+        "graft_mp4_mvhd", "graft_token_rule_stats"))
+  }
+
+  test("graft_utf8_audit in SQL classifies a mixed corrupted blob") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      // "aé" + overlong NUL (C0 80) + lone continuation (80): 2 valid,
+      // 1 overlong, 1 bad — through the SQL registration path
+      """SELECT graft_utf8_audit(unhex('61C3A9C08080')) AS p"""
+    ).head().getLong(0)
+    assert((r >> 32, (r >> 24) & 255, r & 255) == ((2L, 1L, 1L)))
   }
 
   test("graft_sorted_hash_jaccard in SQL matches set Jaccard semantics") {
