@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Dedup, Similarity}
+
+/** 10x scale probe (run manually on a quiet machine:
+  * `SPARK_DRIVER_MEM=24g sbt "Test/runMain graft.ScaleProbe"`): measures
+  * the top-heavy structural queries at sf0.1 and at a synthetic ~10x
+  * blow-up, printing time ratios, output sizes, and plan-shape
+  * fingerprints — the raw numbers SCALING.md records next to each
+  * query's 100x scale claim.
+  *
+  * The blow-up is TEN DISJOINT SHARDS: ids offset per copy, each copy's
+  * tokens suffixed `_k` (shingle spaces disjoint across copies), each
+  * copy's embeddings cyclically rotated by k dims (cosine between a
+  * vector and its rotation is far from the dup threshold), lineitem
+  * order/part keys offset (ten disjoint co-purchase graphs). This is
+  * deliberate: the null model for SCALING is ten independent corpora of
+  * identical shape. Ten literal copies would instead make every doc a
+  * 10-way near-dup — a quadratic dup-structure explosion that measures
+  * a pathological corpus, not the operator's scaling exponent.
+  */
+object ScaleProbe {
+  private val K = 10
+
+  private def blowUp(spark: SparkSession, base: String): String = {
+    val out = Files.createTempDirectory("scaleprobe").toString
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val nDocs = docs.agg(max("doc_id")).first().getLong(0) + 1
+    (0 until K).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+        expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$k')), ' ')")
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .repartition(32).write.parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nVec = emb.agg(max("vec_id")).first().getLong(0) + 1
+    (0 until K).map { k =>
+      val rotated =
+        if (k == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+          s"slice(embedding, 1, $k))")
+      emb.select((col("vec_id") + lit(k * nVec)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+      .repartition(16).write.parquet(s"$out/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val nOrd = li.agg(max("l_orderkey")).first().getLong(0) + 1
+    val nPart = li.agg(max("l_partkey")).first().getLong(0) + 1
+    (0 until K).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * nOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * nPart))
+    }.reduce(_ unionAll _)
+      .repartition(32).write.parquet(s"$out/lineitem.parquet")
+
+    out
+  }
+
+  /** Join/exchange fingerprint of the FINAL (post-AQE) physical plan:
+    * plan-shape invariance across scales means the same operator set,
+    * not the same partition counts. */
+  private def planShape(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct|Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition)"
+      .r.findAllIn(plan).toSeq.distinct.sorted
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val base = "/root/testdata/sf0.1"
+    println("building 10x blow-up ...")
+    val big = blowUp(spark, base)
+    println(s"blow-up at $big")
+
+    val cases: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q40_ngram_jaccard" -> (Dedup.q40NgramJaccard _),
+      "q46_dedup_components" -> (Clustering.q46DedupComponents _),
+      "q26_embedding_dedup" -> (Similarity.q26EmbeddingDedup _),
+      "q195_triangles" -> (Clustering.q195Triangles _),
+      "q195_shuffled_close" -> (Clustering.q195TrianglesShuffledClose _),
+      "q199_kcore" -> (Clustering.q199KCore _))
+
+    for ((name, fn) <- cases) {
+      val rows = scala.collection.mutable.Map[String, Long]()
+      val times = scala.collection.mutable.Map[String, Double]()
+      val shapes = scala.collection.mutable.Map[String, Seq[String]]()
+      for ((label, dir) <- Seq("1x" -> base, "10x" -> big)) {
+        spark.sharedState.cacheManager.clearCache()
+        val df = fn(spark, dir)
+        val t0 = System.nanoTime()
+        rows(label) = df.count()
+        times(label) = (System.nanoTime() - t0) / 1e9
+        shapes(label) = planShape(df)
+      }
+      val ratio = times("10x") / times("1x")
+      val expo = math.log10(ratio)
+      println(f"$name%-22s 1x ${times("1x")}%7.2f s (${rows("1x")}%7d rows)" +
+        f"  10x ${times("10x")}%7.2f s (${rows("10x")}%8d rows)" +
+        f"  ratio $ratio%5.2f  exp $expo%4.2f" +
+        s"  shape${if (shapes("1x") == shapes("10x")) "=SAME" else
+          s" 1x=${shapes("1x").mkString("|")} 10x=${shapes("10x").mkString("|")}"}")
+    }
+    spark.stop()
+  }
+}
