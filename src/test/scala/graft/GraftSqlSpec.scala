@@ -28,6 +28,27 @@ class GraftSqlSpec extends SparkSpec {
     assert((r >> 32, (r >> 24) & 255, r & 255) == ((2L, 1L, 1L)))
   }
 
+  test("utf8 audit stays inside whole-stage codegen through a real scan") {
+    import spark.implicits._
+    // through a real scan: a local relation would constant-fold the
+    // projection at plan time and bypass the generated code entirely
+    val blobs: Seq[Array[Byte]] = Seq(
+      "plain ascii".getBytes("UTF-8"),
+      "mixé € 𐍈".getBytes("UTF-8"),
+      Array[Byte](0xC0.toByte, 0x80.toByte, 0x41, 0xFF.toByte),
+      Array.empty[Byte])
+    val dir = java.nio.file.Files.createTempDirectory("utf8audit")
+    blobs.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("i", "blob")
+      .write.mode("overwrite").parquet(dir.toString)
+    val df = spark.read.parquet(dir.toString).orderBy("i")
+      .select(GraftFunctions.utf8Audit(col("blob")).as("p"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      blobs.map(graft.functions.Utf8Audit.parse))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[utf8audit""".r.findFirstIn(plan).isDefined,
+      plan)
+  }
+
   test("graft_sorted_hash_jaccard in SQL matches set Jaccard semantics") {
     GraftExtensions.register(spark)
     val rows = spark.sql(
