@@ -730,14 +730,25 @@ object Clustering {
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
+  /** Default close is NO-HINT: AQE broadcasts the closing edge list
+    * while it fits (small graphs — the sf0.1 behavior, plan-gated
+    * below) and shuffles the equi-join past broadcast reach. The r11
+    * 10x probe measured both (SCALING.md): at 10x edges the forced
+    * broadcast lost to the AQE plan 17.4 s vs 7.6 s — the hint was
+    * pessimizing exactly where it claimed to help, so size-driven
+    * selection is the shipped default. */
   def q195Triangles(spark: SparkSession, sfDir: String): DataFrame =
+    q195WithClose(spark, sfDir, broadcastClose = false)
+
+  /** The FORCED-broadcast close (the pre-r11 default), kept for the
+    * equality spec and the scale probe: same output row for row. */
+  def q195TrianglesBroadcastClose(spark: SparkSession, sfDir: String): DataFrame =
     q195WithClose(spark, sfDir, broadcastClose = true)
 
-  /** The documented past-broadcast-reach fallback (comment below): the
-    * closing-edge probe WITHOUT the broadcast hint, letting AQE plan a
-    * shuffled equi-join on (lo, hi). Same output row for row — gated by
-    * PlanSpec (shuffled join, no BNLJ/cartesian) and an equality spec,
-    * so the plan a 10^8+-edge graph actually runs is itself tested. */
+  /** The past-broadcast-reach fallback shape (= the no-hint default;
+    * kept as a named alias for the PlanSpec fallback gate, which pins
+    * that with auto-broadcast off this plans as a SHUFFLED equi-join,
+    * never a nested loop). */
   def q195TrianglesShuffledClose(spark: SparkSession, sfDir: String): DataFrame =
     q195WithClose(spark, sfDir, broadcastClose = false)
 
@@ -756,12 +767,14 @@ object Clustering {
         greatest(col("ru"), col("rv")).as("hi"))
       .cache()
     // triangle (x,a,b): wedge a<b out of x, closed by oriented edge a->b.
-    // The closing probe BROADCASTS the |E|-row edge list so the wedge
-    // stream (out-deg² >> |E| rows) pipelines through a map-side hash
-    // probe instead of shuffling — wedges are produced and consumed
-    // inside one stage. At edge counts past broadcast reach (~10^8+),
-    // drop the hint and AQE falls back to a shuffled join on (ra, rb);
-    // the orientation bound on wedge volume is what matters at scale.
+    // With broadcastClose the |E|-row edge list is force-broadcast so
+    // the wedge stream (out-deg² >> |E| rows) pipelines through a
+    // map-side hash probe inside one stage. The shipped default leaves
+    // the hint OFF: AQE broadcasts while |E| fits and shuffles the
+    // (lo, hi) equi-join past broadcast reach — the 10x probe measured
+    // the forced broadcast LOSING to the AQE choice as edges grow
+    // (SCALING.md); the orientation bound on wedge volume is what
+    // matters at scale either way.
     val close = if (broadcastClose) broadcast(dir.as("e3")) else dir.as("e3")
     val tri = dir.as("e1").join(dir.as("e2"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))

@@ -235,14 +235,14 @@ class ClusteringSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "graph must contain triangles")
   }
 
-  test("q195 shuffled-close fallback equals the broadcast-probe plan") {
-    // The documented past-broadcast-reach path (Clustering.scala: at
-    // ~10^8+ edges the closing-probe hint drops and AQE shuffles the
-    // equi-join): same triangles, row for row.
-    val hinted = Clustering.q195Triangles(spark, sf).collect().toSeq
-    val fallback = Clustering.q195TrianglesShuffledClose(spark, sf)
+  test("q195 no-hint default equals the forced-broadcast close plan") {
+    // Since r11 the DEFAULT close is no-hint (AQE size-driven — the
+    // measured winner at 10x edges, SCALING.md); the forced broadcast
+    // is kept as the comparison path: same triangles, row for row.
+    val aqe = Clustering.q195Triangles(spark, sf).collect().toSeq
+    val forced = Clustering.q195TrianglesBroadcastClose(spark, sf)
       .collect().toSeq
-    assert(fallback === hinted)
+    assert(aqe === forced)
   }
 
   test("q197 assortativity matches a driver-side exact-sum replay") {

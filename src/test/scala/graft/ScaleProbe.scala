@@ -87,7 +87,7 @@ object ScaleProbe {
       "q46_dedup_components" -> (Clustering.q46DedupComponents _),
       "q26_embedding_dedup" -> (Similarity.q26EmbeddingDedup _),
       "q195_triangles" -> (Clustering.q195Triangles _),
-      "q195_shuffled_close" -> (Clustering.q195TrianglesShuffledClose _),
+      "q195_forced_broadcast" -> (Clustering.q195TrianglesBroadcastClose _),
       "q199_kcore" -> (Clustering.q199KCore _))
 
     for ((name, fn) <- cases) {
