@@ -711,25 +711,53 @@ object Curation {
   // r + ceil((rank - r*(q+1))/q). Output is identical to q88 row for
   // row (same DuckDB oracle; Q232 spec also pins q232 == q88).
   //
-  // Residual skew note: one dominant tok_cnt value makes one partition
-  // of the within-key window large; the 100 TB mitigation is a second
-  // decomposition level inside that key (salt by doc_id range, count
-  // per salt, prefix again) — same shape, one more round.
+  // Skew: the rank decomposes TWICE — across keys, and across
+  // order-preserving doc_id BLOCKS of width [[RankBlockW]] within each
+  // key — so EVERY window in the plan has a hard partition-size bound:
+  // the within-(key, block) row_number sees <= RankBlockW rows even if
+  // one tok_cnt value holds the whole corpus, and both prefix windows
+  // run over aggregates (key-cardinality / blocks-per-key frames). The
+  // (key, block) offset frame totals ~n_docs/RankBlockW rows corpus-wide
+  // (~1.5M at 10^11 docs — tens of MB, broadcastable; past that it
+  // joins as an ordinary shuffle without changing the arithmetic).
   // ---------------------------------------------------------------------
-  def q232LengthBucketsScaled(spark: SparkSession, sfDir: String): DataFrame = {
+  private val RankBlockW = 1L << 16
+
+  def q232LengthBucketsScaled(spark: SparkSession, sfDir: String): DataFrame =
+    q232WithBlockW(spark, sfDir, RankBlockW)
+
+  /** Block width exposed for the spec: at oracle SFs every doc_id fits
+    * one production-width block, so the equality spec ALSO runs a
+    * small-W variant that forces many blocks per key — proving the
+    * two-level rank recomposition, not just the degenerate case. */
+  private[graft] def q232WithBlockW(spark: SparkSession, sfDir: String,
+      blockW: Long): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(toks).cast("long").as("tok_cnt"))
-    val byLen = docs.groupBy(col("tok_cnt"))
+      // doc_id-RANGE blocks preserve doc_id order across blocks, so
+      // key offset + block offset + within-block rank == global rank
+      .withColumn("blk", expr(s"doc_id div $blockW"))
+    val byKB = docs.groupBy(col("tok_cnt"), col("blk"))
       .agg(count(lit(1)).as("cnt"))
+    val byLen = byKB.groupBy(col("tok_cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
     // prefix offsets over the key-cardinality aggregate (bounded frame)
     val offs = byLen.withColumn("off",
       sum(col("cnt")).over(Window.orderBy(col("tok_cnt"))) - col("cnt"))
+    // prefix offsets across blocks WITHIN each key (partitioned window
+    // over the blocks-per-key aggregate)
+    val kbOffs = byKB.withColumn("boff",
+      sum(col("cnt")).over(
+        Window.partitionBy(col("tok_cnt")).orderBy(col("blk"))) - col("cnt"))
     val total = byLen.agg(sum(col("cnt")).as("n"))
     docs
       .join(broadcast(offs.select(col("tok_cnt"), col("off"))), Seq("tok_cnt"))
+      .join(broadcast(kbOffs.select(col("tok_cnt"), col("blk"), col("boff"))),
+        Seq("tok_cnt", "blk"))
       .withColumn("rig", row_number().over(
-        Window.partitionBy(col("tok_cnt")).orderBy(col("doc_id"))).cast("long"))
-      .withColumn("rank", col("off") + col("rig"))
+        Window.partitionBy(col("tok_cnt"), col("blk"))
+          .orderBy(col("doc_id"))).cast("long"))
+      .withColumn("rank", col("off") + col("boff") + col("rig"))
       .crossJoin(broadcast(total))
       .withColumn("bucket", expr(
         s"""CASE WHEN rank <= (n % $LenBuckets) * (n div $LenBuckets + 1)

@@ -844,6 +844,13 @@ class PlanSpec extends SparkSpec {
     val b = graft.operators.Curation.q232LengthBucketsScaled(spark, sf)
       .collect().toSeq
     assert(a == b, s"scale variant diverged:\nq88=$a\nq232=$b")
+    // and with a block width SMALLER than the doc_id range, so every key
+    // spans many doc_id blocks and the two-level (key offset + block
+    // offset + within-block rank) recomposition is genuinely exercised —
+    // at oracle SFs the production width degenerates to one block
+    val c = graft.operators.Curation.q232WithBlockW(spark, sf, 64L)
+      .collect().toSeq
+    assert(a == c, s"multi-block recomposition diverged:\nq88=$a\nq232w64=$c")
   }
 
   test("q132: table checksum is one scan + one partial-aggregable shuffle") {
