@@ -750,6 +750,72 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q235 — schema-on-read JSON ingest with corrupt-record ROUTING: the
+  // parse half of the ingest-robustness story (q148 routes bad records
+  // in the stream; this routes them at the decoder). Each document
+  // renders a deterministic JSON record — built by plain concatenation
+  // so both engines parse byte-identical strings — and every 7th record
+  // is truncated mid-string, the classic torn-line corruption of JSONL
+  // transport. `from_json` in PERMISSIVE mode with
+  // columnNameOfCorruptRecord ROUTES malformed records (original text
+  // preserved in the corrupt column) instead of silently nulling them:
+  // valid rows aggregate per parsed field, corrupt rows land in a
+  // '__corrupt__' bucket with their byte mass still accounted — at
+  // 100 TB, silent null-out is how a feed loses 2% of itself without
+  // anyone noticing.
+  //
+  // Scale shape: JsonToStructs is a codegen'd per-row projection inside
+  // the scan stage (q91's argument); the only shuffle carries the
+  // class-cardinality aggregate. The corrupt path is a COLUMN, never an
+  // exception.
+  // ---------------------------------------------------------------------
+  def q235JsonCorruptRouting(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .withColumn("j0", expr(
+        """concat('{"k":', CAST(doc_id AS STRING),
+          |       ',"n":', CAST(n_chars AS STRING),
+          |       ',"lang":"', lang, '"}')""".stripMargin))
+      .withColumn("j", when(pmod(col("doc_id"), lit(7)) === 0,
+        expr("substr(j0, 1, length(j0) - 3)")).otherwise(col("j0")))
+      .withColumn("p", expr(
+        "from_json(j, 'k BIGINT, n BIGINT, lang STRING, " +
+          "_corrupt_record STRING', " +
+          "map('mode', 'PERMISSIVE', " +
+          "'columnNameOfCorruptRecord', '_corrupt_record'))"))
+      .select(
+        when(col("p._corrupt_record").isNotNull, lit("__corrupt__"))
+          .otherwise(col("p.lang")).as("jlang"),
+        when(col("p._corrupt_record").isNotNull, lit(0L))
+          .otherwise(col("p.n")).as("nv"),
+        length(col("j")).cast("long").as("jb"))
+      .groupBy(col("jlang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("nv")).as("sum_chars"),
+        sum(col("jb")).as("json_bytes"))
+      .orderBy("jlang")
+
+  /** DuckDB classifies with json_valid over the SAME constructed bytes;
+    * every aggregate recomputed from the parsed fields. */
+  val q235Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars, lang,
+      |                  '{"k":' || doc_id || ',"n":' || n_chars
+      |                    || ',"lang":"' || lang || '"}' AS j0
+      |           FROM documents),
+      |c AS (SELECT CASE WHEN doc_id % 7 = 0
+      |             THEN substr(j0, 1, length(j0) - 3) ELSE j0 END AS j
+      |      FROM d),
+      |p AS (SELECT j, json_valid(j) AS ok FROM c)
+      |SELECT CASE WHEN ok THEN json_extract_string(j, '$.lang')
+      |       ELSE '__corrupt__' END AS jlang,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CASE WHEN ok
+      |                THEN CAST(json_extract(j, '$.n') AS BIGINT)
+      |                ELSE 0 END) AS BIGINT) AS sum_chars,
+      |       CAST(SUM(length(j)) AS BIGINT) AS json_bytes
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q92 — click→purchase conversion funnel via analytic frames: for each
   // click, the time to the SAME user's next purchase (a min over the
   // ROWS-following frame of a per-user event-time window), rolled up to
