@@ -563,7 +563,10 @@ object StreamParity {
 
   /** q233 — streaming MEDIA admission: the q58/q227 per-trigger admission
     * shape composed with the multimodal byte kernels — the gate a
-    * multimodal crawl-ingest actually runs. Each batch's documents
+    * multimodal crawl-ingest actually runs. The reference has no media
+    * code; this extends its filter + keyed-reduce stream family
+    * (`rlink/src/api/function.rs` FilterFunction/ReduceFunction) with
+    * the mergeable-ledger discipline. Each batch's documents
     * synthesize their spec-conformant containers, the codegen'd header
     * kernels probe the REAL bytes back out, and a document is admitted
     * iff its PROBED geometry passes the plan thresholds (sample_rate >=
