@@ -1270,23 +1270,22 @@ object Curation {
   // interpolate at halves over BIGINT lengths — dyadic, bit-identical
   // cross-engine (q120's discipline).
   //
-  // Shape: two ntile windows (per-source windows partition-parallel;
-  // the global ntile is the oracle-matching formulation — at 100 TB the
-  // global decile boundaries come from approx quantiles, one tiny
-  // driver row, and the window disappears: documented tradeoff, q55's
-  // ntile note) + a broadcast 10-row median join.
+  // Shape: the per-source deciles are partition-parallel windows; the
+  // GLOBAL deciles run through [[TwoPass.globalNtile]] — the exact
+  // range-partitioned rank decomposition, so no doc-scale frame ever
+  // funnels through one window task (the scale note this comment used
+  // to carry is now the shipped plan) — + a broadcast 10-row median
+  // join. globalNtile materializes its result, which also feeds the
+  // median build AND the join probe side without recompute.
   // ---------------------------------------------------------------------
   def q151QuantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val withDeciles = docs
       .withColumn("src_decile", ntile(10).over(
         Window.partitionBy(col("source"))
           .orderBy(col("n_chars"), col("doc_id"))))
-      .withColumn("glob_decile", ntile(10).over(
-        Window.orderBy(col("n_chars"), col("doc_id"))))
-      .cache() // feeds the global-median build AND the join probe side —
-               // uncached, the single-partition global ntile runs twice
+    val withDeciles = TwoPass.globalNtile(docs,
+      Seq(col("n_chars"), col("doc_id")), 10, "glob_decile")
     val globMedians = withDeciles.groupBy(col("glob_decile").as("src_decile"))
       .agg(percentile(col("n_chars"), lit(0.5)).as("norm_chars"))
     withDeciles
@@ -2493,18 +2492,19 @@ object Curation {
   // per-region view a threshold designer actually uses.
   //
   // Cross-engine: bins are ntile(10) with a (feature, doc_id) total
-  // order (q88's parity); the ½-smoothing clears denominators so the
-  // ln argument is a ratio of two exact int64 products; ln outputs and
-  // per-bin IV terms 6-dp-round into DECIMAL (q191's order-insensitive
-  // pattern) before the window total.
+  // order (q88's parity), computed through [[TwoPass.globalNtile]] — the
+  // exact range-partitioned rank decomposition, so the doc-scale frame
+  // never funnels through one window task; the ½-smoothing clears
+  // denominators so the ln argument is a ratio of two exact int64
+  // products; ln outputs and per-bin IV terms 6-dp-round into DECIMAL
+  // (q191's order-insensitive pattern) before the window total.
   // ---------------------------------------------------------------------
   def q224WoeAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val binned = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"),
-        (col("lang") === "en").as("good"))
-      .withColumn("bin", ntile(10).over(
-        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    val binned = TwoPass.globalNtile(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"),
+          (col("lang") === "en").as("good")),
+      Seq(col("n_chars"), col("doc_id")), 10, "bin")
     val perBin = binned.groupBy(col("bin"))
       .agg(sum(when(col("good"), 1L).otherwise(0L)).as("g"),
         sum(when(col("good"), 0L).otherwise(1L)).as("b"))

@@ -2493,10 +2493,13 @@ object Relational {
   //
   // Exactness: recency/frequency are exact integers (micros div
   // 86400e6); monetary sums through the decimal-exact dsum; terciles
-  // are ntile(3) with a (metric, user_id) total order — q88
-  // established cross-engine ntile parity and documents the
-  // sketch-cutpoint shape that replaces the global ntile sort at
-  // 100 TB. Mean frequency reports as exact ppm.
+  // are ntile(3) with a (metric, user_id) total order — q88 established
+  // cross-engine ntile parity — each computed through
+  // [[graft.operators.TwoPass.globalNtile]], the exact range-partitioned
+  // rank decomposition, so no user-scale frame funnels through a
+  // single window task (the monetary key is near-unique, which rules
+  // out q232's key-cardinality shortcut — the range-partition rank
+  // handles arbitrary keys). Mean frequency reports as exact ppm.
   // ---------------------------------------------------------------------
   def q220RfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -2509,14 +2512,15 @@ object Relational {
     val m = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("user_id"))
       .agg(dsum(col("o_totalprice")).as("m"))
-    val scored = rf.join(m, Seq("user_id"), "left")
+    val base = rf.join(m, Seq("user_id"), "left")
       .na.fill(0.0, Seq("m"))
-      .withColumn("r_t", ntile(3).over(
-        Window.orderBy(col("r_days"), col("user_id"))).cast("long"))
-      .withColumn("f_t", ntile(3).over(
-        Window.orderBy(col("f"), col("user_id"))).cast("long"))
-      .withColumn("m_t", ntile(3).over(
-        Window.orderBy(col("m"), col("user_id"))).cast("long"))
+    val scored = Seq(
+      (Seq(col("r_days"), col("user_id")), "r_t"),
+      (Seq(col("f"), col("user_id")), "f_t"),
+      (Seq(col("m"), col("user_id")), "m_t"))
+      .foldLeft(base) { case (df, (keys, name)) =>
+        graft.operators.TwoPass.globalNtile(df, keys, 3, name)
+      }
     scored.groupBy(col("r_t"), col("f_t"), col("m_t"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("f")).as("sum_f"),
@@ -2632,5 +2636,4 @@ object Relational {
       |       CAST(SUM(credit) AS BIGINT) // COUNT(*) AS mean_credit_ppm
       |FROM credited
       |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin
-}
+      |ORDER BY event_type""".stripMargin}

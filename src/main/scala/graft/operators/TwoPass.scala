@@ -59,4 +59,68 @@ object TwoPass {
     }.toMap
     (frozen, offsets, acc)
   }
+
+  /** Exact SQL `ntile(k) OVER (ORDER BY keys)` with NO single-task global
+    * window — the shipped form of the sketch-cutpoint/prefix-decomposition
+    * scale note the global-ntile queries used to carry. Every row's exact
+    * global rank decomposes as range-partition prefix offset +
+    * within-partition row_number (both passes read the frozen layout);
+    * the bucket is ntile's closed form: with n rows, q = n div k,
+    * r = n mod k, the first r buckets hold q+1 rows, so
+    * bucket(rank) = (rank + q) div (q+1) while rank <= r*(q+1), else
+    * r + (rank - r*(q+1) + q - 1) div q. The only window in the plan is
+    * PARTITIONED by the range-partition id — no task ever holds more
+    * than ~n/parts rows, and `parts` scales with the cluster at 100 TB.
+    *
+    * `keys` must end in a per-row-unique tiebreaker (the ntile-parity
+    * queries all order by (metric, id)): uniqueness makes the rank — and
+    * therefore the bucket — deterministic across engines, and guarantees
+    * range-partition boundaries cannot make two engines disagree on
+    * order within a tie.
+    *
+    * Returns `df` + `bucketName` (LongType), materialized (eager
+    * localCheckpoint, q95's discipline) before the frozen cache is
+    * released — callers get a plain frame with no layout obligations.
+    */
+  def globalNtile(df: DataFrame, keys: Seq[Column], k: Int,
+      bucketName: String, parts: Int = 8): DataFrame = {
+    val (lazyOut, frozen) = globalNtileLazy(df, keys, k, bucketName, parts)
+    val out = lazyOut.localCheckpoint(true)
+    frozen.unpersist()
+    out
+  }
+
+  /** The un-materialized pipeline behind [[globalNtile]], exposed so the
+    * plan-shape spec can assert the decomposition's windows are all
+    * PARTITIONED (the eager localCheckpoint hides the plan from the
+    * public result). Callers must materialize the first element before
+    * unpersisting the second. */
+  private[graft] def globalNtileLazy(df: DataFrame, keys: Seq[Column],
+      k: Int, bucketName: String, parts: Int): (DataFrame, DataFrame) = {
+    val (frozen, offsets, totals) =
+      frozenPrefix(df, parts, keys, Seq(count(lit(1))))
+    val n = totals(0)
+    val q = n / k
+    val r = n % k
+    val offDf = df.sparkSession.createDataFrame(
+      offsets.toSeq.map { case (pid, a) => (pid, a(0)) })
+      .toDF("gnt_pid", "gnt_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gnt_pid")).orderBy(keys: _*)
+    // When q == 0 (n < k) every rank satisfies rank <= n = r*(q+1), so
+    // the ELSE branch (div by q) is unreached — and Spark's integral
+    // div yields null rather than throwing, so the dead branch is safe.
+    val bucket = expr(
+      s"CASE WHEN gnt_rank <= ${r * (q + 1)}L " +
+        s"THEN (gnt_rank + ${q}L) div ${q + 1}L " +
+        s"ELSE ${r}L + (gnt_rank - ${r * (q + 1)}L + ${q}L - 1L) div ${q}L " +
+        "END")
+    val out = frozen
+      .withColumn("gnt_pid", spark_partition_id())
+      .join(broadcast(offDf), Seq("gnt_pid"))
+      .withColumn("gnt_rank", col("gnt_off") + row_number().over(w))
+      .withColumn(bucketName, bucket)
+      .drop("gnt_pid", "gnt_off", "gnt_rank")
+    (out, frozen)
+  }
 }

@@ -793,14 +793,14 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // Doc-scale global windows allowed ON PURPOSE, each with a 100 TB
     // scale note in source naming the sketch-cutpoint alternative (q88's
-    // alternative is SHIPPED as q232). Adding a new doc-scale global
-    // window means either restructuring the query (the q95/q232 prefix
-    // decompositions) or extending this list WITH a scale note.
+    // alternative is SHIPPED as q232; q151/q220/q224 were CONVERTED in
+    // place to TwoPass.globalNtile in round 11 and left this list).
+    // Adding a new doc-scale global window means either restructuring
+    // the query (the q95/q232 prefix decompositions, or
+    // TwoPass.globalNtile for exact ntile over arbitrary keys) or
+    // extending this list WITH a scale note.
     val docScaleAllow = Set(
-      "q88_length_buckets",  // exact-ntile oracle anchor; scale variant q232
-      "q151_quantile_norm",  // scale note at its definition
-      "q220_rfm_segments",   // scale note at Relational q220
-      "q224_woe_audit")      // scale note at Curation q224
+      "q88_length_buckets")  // exact-ntile oracle anchor; scale variant q232
     // stream-named queries execute their replay at construction time
     // (their windows are per-trigger batch-sized; covered by ParitySpec),
     // q25/q35 are eager for the same reason (EntrySpec's list)

@@ -13,9 +13,14 @@ object QueryTimer {
     require(args.nonEmpty, "usage: QueryTimer <queryName> [more...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle/state partitions from core
+    // count — the knob behind the stream-query state-store sizing
+    // experiments (stateful queries pay a per-partition store commit per
+    // trigger; see Bench's 4/8/16/32 sweep note)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

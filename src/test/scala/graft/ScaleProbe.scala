@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Similarity}
+import graft.operators.{Clustering, Curation, Dedup, Relational, Similarity}
 
 /** 10x scale probe (run manually on a quiet machine:
   * `SPARK_DRIVER_MEM=24g sbt "Test/runMain graft.ScaleProbe"`): measures
@@ -62,6 +62,29 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
       .repartition(32).write.parquet(s"$out/lineitem.parquet")
 
+    // events + orders: disjoint user populations per shard — the RFM
+    // probe (q220) exercises TwoPass.globalNtile over 10x users with the
+    // same per-user profile distribution repeated ten times. ONE stride
+    // covers both id domains (o_custkey's range is wider than user_id's
+    // at the test SFs), so the events.user_id -> o_custkey FK pairs stay
+    // aligned within a shard and never alias across shards.
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    val stride = math.max(
+      ev.agg(max("user_id")).first().getLong(0),
+      ord.agg(max("o_custkey")).first().getLong(0)) + 1
+    (0 until K).map { k =>
+      ev.withColumn("user_id", col("user_id") + lit(k * stride))
+    }.reduce(_ unionAll _)
+      .repartition(32).write.parquet(s"$out/events.parquet")
+
+    val nOkey = ord.agg(max("o_orderkey")).first().getLong(0) + 1
+    (0 until K).map { k =>
+      ord.withColumn("o_custkey", col("o_custkey") + lit(k * stride))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * nOkey))
+    }.reduce(_ unionAll _)
+      .repartition(16).write.parquet(s"$out/orders.parquet")
+
     out
   }
 
@@ -88,7 +111,14 @@ object ScaleProbe {
       "q26_embedding_dedup" -> (Similarity.q26EmbeddingDedup _),
       "q195_triangles" -> (Clustering.q195Triangles _),
       "q195_forced_broadcast" -> (Clustering.q195TrianglesBroadcastClose _),
-      "q199_kcore" -> (Clustering.q199KCore _))
+      "q199_kcore" -> (Clustering.q199KCore _),
+      // the round-11 globalNtile conversions: exact ntile with no
+      // single-task window — the probe checks the range-partitioned
+      // rank decomposition stays ~linear over 10x rows
+      "q151_quantile_norm" -> (Curation.q151QuantileNorm _),
+      "q224_woe_audit" -> (Curation.q224WoeAudit _),
+      "q220_rfm_segments" -> (Relational.q220RfmSegments _),
+      "q232_length_buckets_scaled" -> (Curation.q232LengthBucketsScaled _))
 
     for ((name, fn) <- cases) {
       val rows = scala.collection.mutable.Map[String, Long]()
@@ -96,8 +126,11 @@ object ScaleProbe {
       val shapes = scala.collection.mutable.Map[String, Seq[String]]()
       for ((label, dir) <- Seq("1x" -> base, "10x" -> big)) {
         spark.sharedState.cacheManager.clearCache()
-        val df = fn(spark, dir)
+        // the timer wraps CONSTRUCTION + count: the globalNtile queries
+        // (and any eager localCheckpoint pipeline) do their heavy work
+        // at construction time
         val t0 = System.nanoTime()
+        val df = fn(spark, dir)
         rows(label) = df.count()
         times(label) = (System.nanoTime() - t0) / 1e9
         shapes(label) = planShape(df)
