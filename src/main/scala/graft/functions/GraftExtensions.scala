@@ -129,6 +129,16 @@ object GraftExtensions {
           s"graft_mp4_mvhd expects 1 argument, got ${args.length}")
         Mp4Mvhd(args(0))
       }),
+    (FunctionIdentifier("graft_ebml_header"),
+      info("graft_ebml_header",
+        "graft_ebml_header(bytes) - EBML/Matroska vint element walk; packed " +
+          "doctype_class<<32 | ebml_version<<24 | doctype_version<<16 | " +
+          "header_bytes (class 1=matroska 2=webm 3=other, 0=unknown)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_ebml_header expects 1 argument, got ${args.length}")
+        EbmlHeader(args(0))
+      }),
     (FunctionIdentifier("graft_token_rule_stats"),
       info("graft_token_rule_stats",
         "graft_token_rule_stats(toks, stopwords) - one-pass token rule metrics: " +

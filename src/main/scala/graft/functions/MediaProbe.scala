@@ -190,3 +190,135 @@ object Mp4Mvhd {
     Unknown
   }
 }
+
+/** EBML header probe (RFC 8794 / Matroska, the fourth container family
+  * after PNG/JPEG, RIFF and ISO-BMFF — and the one with a genuinely
+  * different length discipline: VARIABLE-length integers, where the
+  * leading-zero count of the FIRST byte declares the width, 1..8 bytes).
+  *
+  * Layout: magic 1A 45 DF A3, root size as a VINT, then child elements
+  * [id-vint][size-vint][payload]. IDs keep their marker bit (DocType is
+  * the raw 2-byte value 0x4282); SIZES strip it, and an all-ones size
+  * value means "unknown size" — valid EBML, refused by the probe (the
+  * same out-of-scope discipline as MP4 largesize). Extracted: EBMLVersion
+  * (0x4286), DocType (0x4282 — 'matroska' / 'webm' classified, anything
+  * else = other), DocTypeVersion (0x4287).
+  */
+case class EbmlHeader(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ebml_header expects binary, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    EbmlHeader.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.EbmlHeader.parse($b);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object EbmlHeader {
+  final val Unknown = 0L
+
+  final val DocMatroska = 1L
+  final val DocWebm     = 2L
+  final val DocOther    = 3L
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+
+  /** doctype class(8 bits) | ebml_version(8) | doctype_version(8) |
+    * header byte length(16) — 40 bits. */
+  def pack(dclass: Long, ebmlv: Long, dtv: Long, hdrLen: Long): Long =
+    (dclass << 32) | (ebmlv << 24) | (dtv << 16) | hdrLen
+
+  /** VINT width from the first byte's leading-zero count: 0x80.. = 1,
+    * 0x40.. = 2, ... 0x01 = 8; a zero first byte (width > 8) is invalid
+    * (-1). */
+  @inline private def vintWidth(first: Int): Int = {
+    var w = 1
+    var mask = 0x80
+    while (mask != 0 && (first & mask) == 0) { w += 1; mask >>= 1 }
+    if (mask == 0) -1 else w
+  }
+
+  /** Parse a SIZE vint at `i` (marker stripped). Returns
+    * (value, width); (-1, _) = invalid/truncated, (-2, _) = the all-ones
+    * "unknown size" sentinel (valid EBML, out of probe scope). */
+  private def sizeVint(b: Array[Byte], i: Int): (Long, Int) = {
+    if (i >= b.length) return (-1L, 0)
+    val w = vintWidth(u8(b, i))
+    if (w < 0 || i + w > b.length) return (-1L, 0)
+    var v = (u8(b, i) & (0xFF >>> w)).toLong
+    var k = 1
+    while (k < w) { v = (v << 8) | u8(b, i + k); k += 1 }
+    // all value bits set = unknown size (2^(7w) - 1)
+    if (v == (1L << (7 * w)) - 1) (-2L, w) else (v, w)
+  }
+
+  /** One definition of truth for interpreted eval AND codegen. */
+  def parse(b: Array[Byte]): Long = {
+    if (b.length < 6 || u8(b, 0) != 0x1A || u8(b, 1) != 0x45 ||
+        u8(b, 2) != 0xDF || u8(b, 3) != 0xA3) return Unknown
+    val (sz, w) = sizeVint(b, 4)
+    if (sz < 0) return Unknown // truncated, invalid, or unknown-size root
+    val end = 4L + w + sz
+    if (end > b.length) return Unknown
+    val hdrLen = end // total header bytes, bounded by b.length (an Int)
+    if (hdrLen > 0xFFFF) return Unknown // packed-field width
+    var j = 4 + w
+    var ebmlv = -1L; var dclass = -1L; var dtv = -1L
+    while (j < end) {
+      // element ID: raw vint INCLUDING the marker bit (EBML stores IDs
+      // verbatim — 0x4282 is the two bytes 42 82)
+      val idw = vintWidth(u8(b, j))
+      if (idw < 0 || idw > 4 || j + idw > end) return Unknown
+      var id = 0L
+      var k = 0
+      while (k < idw) { id = (id << 8) | u8(b, j + k); k += 1 }
+      val (csz, cw) = sizeVint(b, j + idw)
+      if (csz < 0) return Unknown // child with unknown size: out of scope
+      val payload = j + idw + cw
+      // Long-space bound check (the WavHeader/Mp4Mvhd crafted-size
+      // lesson, designed in from the start): an overrunning child ends
+      // the walk as Unknown rather than truncating into a cycle. The
+      // advance is then payload + csz with idw + cw >= 2 — strict
+      // forward progress on every iteration by construction.
+      if (payload.toLong + csz > end) return Unknown
+      id match {
+        case 0x4286L => // EBMLVersion, unsigned BE, 1..8 bytes
+          if (csz < 1 || csz > 8) return Unknown
+          var v = 0L; var t = 0
+          while (t < csz.toInt) { v = (v << 8) | u8(b, payload + t); t += 1 }
+          ebmlv = v
+        case 0x4287L => // DocTypeVersion
+          if (csz < 1 || csz > 8) return Unknown
+          var v = 0L; var t = 0
+          while (t < csz.toInt) { v = (v << 8) | u8(b, payload + t); t += 1 }
+          dtv = v
+        case 0x4282L => // DocType (ASCII)
+          dclass = classify(b, payload, csz.toInt)
+        case _ => // Void / CRC-32 / unmodeled children: skipped
+      }
+      j = payload + csz.toInt
+    }
+    if (ebmlv < 1 || ebmlv > 255 || dtv < 0 || dtv > 255 || dclass < 0)
+      Unknown
+    else pack(dclass, ebmlv, dtv, hdrLen)
+  }
+
+  private def classify(b: Array[Byte], off: Int, len: Int): Long = {
+    def is(s: String): Boolean =
+      len == s.length && (0 until len).forall(i => u8(b, off + i) == s.charAt(i))
+    if (is("matroska")) DocMatroska
+    else if (is("webm")) DocWebm
+    else DocOther
+  }
+}

@@ -237,6 +237,13 @@ object GraftFunctions {
   def mp4Mvhd(bytes: Column): Column =
     ColumnBridge.column(Mp4Mvhd(ColumnBridge.expression(bytes)))
 
+  /** EBML/Matroska header probe (see [[EbmlHeader]]): vint element walk;
+    * packed `doctype_class << 32 | ebml_version << 24 | doctype_version
+    * << 16 | header_bytes` (class 1 = matroska, 2 = webm, 3 = other;
+    * 0 = unrecognized). */
+  def ebmlHeader(bytes: Column): Column =
+    ColumnBridge.column(EbmlHeader(ColumnBridge.expression(bytes)))
+
   /** RFC 3629 UTF-8 validity/mojibake audit of a binary column (see
     * [[Utf8Audit]]): packed `valid << 32 | overlong << 24 | surrogate
     * << 16 | truncated << 8 | bad` — one codegen'd byte walk classifies

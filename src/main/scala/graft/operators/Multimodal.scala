@@ -472,4 +472,79 @@ object Multimodal {
        |               // $HopSamples + 1)) AS chunk_idx
        |      FROM documents)
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q242 — EBML/Matroska container probe ([[graft.functions.EbmlHeader]]):
+  // the FOURTH container family (after PNG/JPEG, RIFF, ISO-BMFF) and the
+  // one with a genuinely different length discipline — VARIABLE-length
+  // integers whose first byte's leading-zero count declares their width.
+  // The synthesized header exercises it honestly: a 2-byte root-size
+  // vint, 1-byte vint sizes on the children, a Void padding element
+  // BEFORE DocType so the DocType offset varies per row (only a real
+  // element walk finds it), and three doctype classes (matroska / webm /
+  // other). Admission = recognized doctype at a supported version — the
+  // webm-vs-mkv triage a video-ingest planning pass runs on the first
+  // kilobyte before any demuxer spins up.
+  // ---------------------------------------------------------------------
+  def q242EbmlProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val nb = length(encode(col("text"), "utf-8")).cast("long")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nb.as("nb"))
+      .withColumn("dlen", expr(
+        "element_at(array(8L, 4L, 6L), CAST(doc_id % 3 AS INT) + 1)"))
+      .withColumn("dt_hex", expr(
+        "element_at(array('6D6174726F736B61', '7765626D', '637573746F6D'), " +
+          "CAST(doc_id % 3 AS INT) + 1)")) // matroska | webm | custom
+      .withColumn("dtv", col("nb") % 4 + 1)
+      .withColumn("padlen", col("nb") % 19)
+      // children: EBMLVersion(4) + Void(2+padlen) + DocType(3+dlen)
+      //           + DocTypeVersion(4)
+      .withColumn("sz", lit(13L) + col("dlen") + col("padlen"))
+    val ebmlHex = concat(
+      lit("1A45DFA3"),                           // EBML magic
+      lpad(hex(lit(0x4000L) + col("sz")), 4, "0"), // 2-byte root size vint
+      lit("428681" + "01"),                      // EBMLVersion = 1
+      lit("EC"), lpad(hex(lit(0x80L) + col("padlen")), 2, "0"), // Void
+      expr("repeat('55', CAST(padlen AS INT))"),
+      lit("4282"), lpad(hex(lit(0x80L) + col("dlen")), 2, "0"), // DocType
+      col("dt_hex"),
+      lit("428781"), lpad(hex(col("dtv")), 2, "0")) // DocTypeVersion
+    base
+      .withColumn("ebml", unhex(ebmlHex))
+      .withColumn("p", GraftFunctions.ebmlHeader(col("ebml")))
+      .withColumn("dclass", shiftright(col("p"), 32))
+      .withColumn("ebml_version",
+        expr("CAST(shiftright(p, 24) & 255 AS BIGINT)"))
+      .withColumn("doctype_version",
+        expr("CAST(shiftright(p, 16) & 255 AS BIGINT)"))
+      .withColumn("hdr_bytes", expr("CAST(p & 65535 AS BIGINT)"))
+      .select(col("doc_id"), col("dclass"), col("ebml_version"),
+        col("doctype_version"), col("hdr_bytes"),
+        expr("CAST(octet_length(ebml) AS BIGINT)").as("blob_bytes"),
+        expr("dclass IN (1, 2) AND doctype_version <= 4").as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** Every field from the construction arithmetic (q229/q230's pattern):
+    * class from doc_id mod 3, versions from nb, header length from the
+    * element layout (4 magic + 2 root vint + 4 EBMLVersion +
+    * (2 + padlen) Void + (3 + dlen) DocType + 4 DocTypeVersion);
+    * blob_bytes must equal hdr_bytes — the probe walked the whole blob. */
+  val q242Sql: String =
+    """SELECT doc_id, dclass, CAST(1 AS BIGINT) AS ebml_version,
+      |       dtv AS doctype_version,
+      |       19 + dlen + padlen AS hdr_bytes,
+      |       19 + dlen + padlen AS blob_bytes,
+      |       dclass IN (1, 2) AND dtv <= 4 AS admitted
+      |FROM (SELECT doc_id,
+      |             CAST([1, 2, 3][CAST(doc_id % 3 AS INT) + 1] AS BIGINT)
+      |               AS dclass,
+      |             CAST([8, 4, 6][CAST(doc_id % 3 AS INT) + 1] AS BIGINT)
+      |               AS dlen,
+      |             nb % 4 + 1 AS dtv, nb % 19 AS padlen
+      |      FROM (SELECT doc_id,
+      |                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
 }

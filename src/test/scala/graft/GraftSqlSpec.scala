@@ -15,7 +15,7 @@ class GraftSqlSpec extends SparkSpec {
       Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets",
         "graft_sorted_hash_jaccard", "graft_simhash64", "graft_rolling_hash",
         "graft_image_header", "graft_wav_header", "graft_utf8_audit",
-        "graft_mp4_mvhd", "graft_token_rule_stats"))
+        "graft_mp4_mvhd", "graft_ebml_header", "graft_token_rule_stats"))
   }
 
   test("graft_utf8_audit in SQL classifies a mixed corrupted blob") {
@@ -116,13 +116,21 @@ class GraftSqlSpec extends SparkSpec {
         |         '0000006C', '6D766864', '00000000',
         |         '00000000', '00000000', '00000258', '00001000',
         |         repeat('00', 80)))) AS mp4,
+        |       graft_ebml_header(unhex(concat(
+        |         '1A45DFA3', '8F',
+        |         '428681', '01',
+        |         '4282', '84', '7765626D',
+        |         '428781', '02'))) AS ebml,
         |       graft_image_header(CAST('not an image' AS BINARY)) AS junk
         |""".stripMargin).head()
     assert(r.getLong(0) ==
       graft.functions.ImageHeader.pack(graft.functions.ImageHeader.FmtPng, 64, 48))
     assert(r.getLong(1) == graft.functions.WavHeader.pack(48000L, 2L, 16L, 1000L))
     assert(r.getLong(2) == graft.functions.Mp4Mvhd.pack(600L, 4096L))
-    assert(r.getLong(3) == graft.functions.ImageHeader.FmtUnknown)
+    // webm DocType, EBMLVersion 1, DocTypeVersion 2, 20 header bytes
+    assert(r.getLong(3) == graft.functions.EbmlHeader.pack(
+      graft.functions.EbmlHeader.DocWebm, 1L, 2L, 20L))
+    assert(r.getLong(4) == graft.functions.ImageHeader.FmtUnknown)
   }
 
   test("graft_rolling_hash in SQL equals the Column API") {

@@ -180,4 +180,126 @@ class MediaProbePropertySpec extends AnyFunSuite {
     val m = box("moov", kid ++ mvhd(0, 600L, 77L))
     assert(Mp4Mvhd.parse(m) == Mp4Mvhd.Unknown)
   }
+
+  // ----- EBML (vint-walk) kernel ---------------------------------------
+
+  /** Size vint of an EXPLICIT width w (EBML allows non-minimal widths —
+    * a 1-value may legally ride an 8-byte vint; the kernel must read the
+    * width from the leading zeros, not assume minimal encoding). */
+  private def vint(v: Long, w: Int): Array[Byte] = {
+    val out = new Array[Byte](w)
+    var x = v | (1L << (7 * w)) // set the marker bit above the value bits
+    var i = w - 1
+    while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>= 8; i -= 1 }
+    out
+  }
+
+  private def elem(id: Array[Byte], body: Array[Byte], szW: Int = 1) =
+    id ++ vint(body.length.toLong, szW) ++ body
+
+  private def ebml(children: Array[Byte], rootSzW: Int = 2): Array[Byte] =
+    Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+      vint(children.length.toLong, rootSzW) ++ children
+
+  private val IdVersion = Array(0x42, 0x86).map(_.toByte)
+  private val IdDocType = Array(0x42, 0x82).map(_.toByte)
+  private val IdDocTypeV = Array(0x42, 0x87).map(_.toByte)
+  private val IdVoid = Array(0xEC.toByte)
+
+  test("property: 150 random EBML headers with non-minimal vint widths, " +
+      "shuffled junk elements, and multi-byte uints parse exactly") {
+    import graft.functions.EbmlHeader
+    val gen = Gen.listOfN(150, for {
+      dt <- Gen.oneOf("matroska", "webm", "mkv", "x", "webmm", "matroskaa")
+      ev <- Gen.choose(1, 255)
+      dtv <- Gen.choose(0, 255)
+      evW <- Gen.choose(1, 2)   // uint payload widths (leading 0x00 legal)
+      dtvW <- Gen.choose(1, 3)
+      szW <- Gen.choose(1, 8)   // non-minimal SIZE vint widths
+      rootW <- Gen.choose(1, 2)
+      // bounded so the worst-case children total stays under 126 bytes —
+      // the most a 1-byte root vint can declare (127 is the unknown-size
+      // sentinel)
+      nVoid <- Gen.choose(0, 2)
+      voids <- Gen.listOfN(nVoid, Gen.choose(0, 20))
+      pos <- Gen.choose(0, nVoid)
+    } yield (dt, ev, dtv, evW, dtvW, szW, rootW, voids, pos))
+    gen.pureApply(params, Seed(23L)).foreach {
+      case (dt, ev, dtv, evW, dtvW, szW, rootW, voids, pos) =>
+        def uint(v: Int, w: Int) =
+          (w - 1 to 0 by -1).map(s => ((v >> (8 * s)) & 0xFF).toByte).toArray
+        val vs = voids.map(n => elem(IdVoid, Array.fill(n)(0x55.toByte)))
+        val core = elem(IdVersion, uint(ev, evW)) ++
+          elem(IdDocType, dt.getBytes, szW) ++
+          elem(IdDocTypeV, uint(dtv, dtvW))
+        val (pre, post) = vs.splitAt(pos)
+        val b = ebml(pre.flatten.toArray ++ core ++ post.flatten.toArray, rootW)
+        val expClass = dt match {
+          case "matroska" => EbmlHeader.DocMatroska
+          case "webm" => EbmlHeader.DocWebm
+          case _ => EbmlHeader.DocOther
+        }
+        assert(EbmlHeader.parse(b) ==
+          EbmlHeader.pack(expClass, ev.toLong, dtv.toLong, b.length.toLong),
+          s"dt=$dt ev=$ev dtv=$dtv szW=$szW rootW=$rootW")
+    }
+  }
+
+  test("EBML refusal semantics: unknown-size vints, truncation, missing " +
+      "fields, and out-of-range versions all return Unknown") {
+    import graft.functions.EbmlHeader
+    val core = elem(IdVersion, Array(1.toByte)) ++
+      elem(IdDocType, "webm".getBytes) ++ elem(IdDocTypeV, Array(2.toByte))
+    val good = ebml(core)
+    assert(EbmlHeader.parse(good) != EbmlHeader.Unknown)
+    // all-ones size vint = "unknown size": valid EBML, out of probe scope
+    val unkRoot = Array(0x1A, 0x45, 0xDF, 0xA3, 0xFF).map(_.toByte) ++ core
+    assert(EbmlHeader.parse(unkRoot) == EbmlHeader.Unknown)
+    val unkChild = ebml(IdVoid ++ Array(0xFF.toByte) ++ core)
+    assert(EbmlHeader.parse(unkChild) == EbmlHeader.Unknown)
+    // every strict prefix of a good header refuses rather than mis-parses
+    (0 until good.length).foreach { n =>
+      assert(EbmlHeader.parse(good.take(n)) == EbmlHeader.Unknown, s"len $n")
+    }
+    // missing DocType / missing versions
+    assert(EbmlHeader.parse(ebml(elem(IdVersion, Array(1.toByte)) ++
+      elem(IdDocTypeV, Array(2.toByte)))) == EbmlHeader.Unknown)
+    assert(EbmlHeader.parse(ebml(elem(IdDocType, "webm".getBytes))) ==
+      EbmlHeader.Unknown)
+    // uint wider than 8 bytes / version past the packed 8-bit field
+    assert(EbmlHeader.parse(ebml(elem(IdVersion, new Array[Byte](9)) ++
+      core.drop(4))) == EbmlHeader.Unknown)
+    assert(EbmlHeader.parse(ebml(elem(IdVersion, Array(1.toByte, 0.toByte)) ++
+      elem(IdDocType, "webm".getBytes) ++
+      elem(IdDocTypeV, Array(2.toByte)))) == EbmlHeader.Unknown,
+      "EBMLVersion 256 must refuse, not truncate into the packed field")
+  }
+
+  test("EBML crafted sizes terminate: 8-byte vints near 2^56, child " +
+      "overrun, and zero first bytes cannot stall or cycle the walk") {
+    import graft.functions.EbmlHeader
+    // child size of 2^56-2 (max non-unknown 8-byte vint value): the
+    // Long-space bound check must refuse before any offset arithmetic
+    val huge = ebml(IdVoid ++ vint((1L << 56) - 2, 8) ++ new Array[Byte](64))
+    assert(EbmlHeader.parse(huge) == EbmlHeader.Unknown)
+    // a child whose size overruns its parent's extent by one byte
+    val over = ebml(IdVoid ++ vint(6, 1) ++ new Array[Byte](5))
+    assert(EbmlHeader.parse(over) == EbmlHeader.Unknown)
+    // a zero byte where a vint width marker must live (width > 8: invalid)
+    val zeroW = ebml(IdVoid ++ Array(0x00.toByte) ++ new Array[Byte](8))
+    assert(EbmlHeader.parse(zeroW) == EbmlHeader.Unknown)
+    val zeroId = ebml(Array(0x00.toByte) ++ vint(3, 1) ++ new Array[Byte](3))
+    assert(EbmlHeader.parse(zeroId) == EbmlHeader.Unknown)
+    // adversarial soup: no crafted byte string may hang the walk (strict
+    // forward progress is structural — idw + cw >= 2 every iteration)
+    val gen = Gen.listOfN(200, for {
+      n <- Gen.choose(0, 64)
+      bs <- Gen.listOfN(n, Gen.choose(0, 255))
+    } yield bs.map(_.toByte).toArray)
+    gen.pureApply(params, Seed(29L)).foreach { soup =>
+      val b = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+        vint(soup.length.toLong, 1) ++ soup
+      EbmlHeader.parse(b) // must return, any value
+    }
+  }
 }
