@@ -2636,4 +2636,486 @@ object Relational {
       |       CAST(SUM(credit) AS BIGINT) // COUNT(*) AS mean_credit_ppm
       |FROM credited
       |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin}
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q236 — Kaplan–Meier time-to-conversion survival (Kaplan & Meier
+  // 1958, the nonparametric estimator every funnel/churn read should
+  // use instead of naive conversion rates): per user, hours from FIRST
+  // event to FIRST purchase; users who never purchase are right-CENSORED
+  // at the corpus horizon — they leave the risk set without counting as
+  // conversions, which is exactly the bias naive rate cuts get wrong.
+  // Emits the classic KM table: at each observed duration, the risk-set
+  // size, conversions, censorings, and S(t) = Π (1 − d/n).
+  //
+  // Cross-engine: durations and risk-set counts are exact integers; the
+  // product runs as exp(Σ ln((n−d)/n)) with each ln 6-dp-DECIMAL-rounded
+  // before the cumulative sum (q55's libm discipline — the sum is then
+  // exact and order-insensitive); a risk set that empties through pure
+  // conversion pins S to exactly 0.0 via a cumulative flag rather than
+  // ln(0). Shape: one user-keyed aggregate over the corpus, then every
+  // window runs over the ≤|users|-row duration table (aggregate-bounded
+  // — the PlanSpec global-window gate's safe class; at 100 TB the
+  // duration table is still user-sized, and if users outgrow one task
+  // the cumulative sums decompose through TwoPass.frozenPrefix).
+  // ---------------------------------------------------------------------
+  def q236KmSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_type"))
+    val horizon = ev.agg(max(col("us")).as("h"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"),
+        min(when(col("event_type") === "purchase", col("us"))).as("conv_us"))
+    val durations = perUser.crossJoin(broadcast(horizon))
+      .selectExpr(
+        "CASE WHEN conv_us IS NOT NULL " +
+          "THEN (conv_us - first_us) div 3600000000L " +
+          "ELSE (h - first_us) div 3600000000L END AS t_hours",
+        "CAST(conv_us IS NOT NULL AS INT) AS is_event")
+    val byT = durations.groupBy(col("t_hours"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("is_event")).cast("long").as("n_event"),
+        sum(lit(1) - col("is_event")).cast("long").as("n_censor"))
+    val wDesc = Window.orderBy(col("t_hours").desc)
+    val wAsc = Window.orderBy(col("t_hours"))
+    byT
+      .withColumn("n_risk", sum(col("n_at")).over(wDesc))
+      .withColumn("lf", expr(
+        "CASE WHEN n_event = 0 OR n_event = n_risk " +
+          "THEN CAST(0 AS DECIMAL(18,6)) " +
+          "ELSE CAST(round(ln(CAST(n_risk - n_event AS DOUBLE) / n_risk), 6)" +
+          " AS DECIMAL(18,6)) END"))
+      .withColumn("dead", max(expr(
+        "CASE WHEN n_event = n_risk THEN 1 ELSE 0 END")).over(wAsc))
+      .withColumn("cum_lf", sum(col("lf")).over(wAsc))
+      .selectExpr("t_hours", "n_risk", "n_event", "n_censor",
+        "CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE) " +
+          "ELSE round(exp(CAST(cum_lf AS DOUBLE)), 6) END AS survival")
+      .orderBy("t_hours")
+  }
+
+  val q236Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+      |hz AS (SELECT MAX(us) AS h FROM ev),
+      |per_user AS (
+      |  SELECT user_id, MIN(us) AS first_us,
+      |         MIN(CASE WHEN event_type = 'purchase' THEN us END) AS conv_us
+      |  FROM ev GROUP BY user_id),
+      |durations AS (
+      |  SELECT CASE WHEN conv_us IS NOT NULL
+      |              THEN (conv_us - first_us) // 3600000000
+      |              ELSE (h - first_us) // 3600000000 END AS t_hours,
+      |         CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      |  FROM per_user, hz),
+      |by_t AS (
+      |  SELECT t_hours, CAST(COUNT(*) AS BIGINT) AS n_at,
+      |         CAST(SUM(is_event) AS BIGINT) AS n_event,
+      |         CAST(SUM(1 - is_event) AS BIGINT) AS n_censor
+      |  FROM durations GROUP BY t_hours),
+      |risked AS (
+      |  SELECT t_hours, n_event, n_censor,
+      |         CAST(SUM(n_at) OVER (ORDER BY t_hours DESC) AS BIGINT)
+      |           AS n_risk
+      |  FROM by_t),
+      |factors AS (
+      |  SELECT *,
+      |         CASE WHEN n_event = 0 OR n_event = n_risk
+      |              THEN CAST(0 AS DECIMAL(18,6))
+      |              ELSE CAST(round(ln(CAST(n_risk - n_event AS DOUBLE)
+      |                                / n_risk), 6) AS DECIMAL(18,6)) END
+      |           AS lf,
+      |         MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+      |           OVER (ORDER BY t_hours) AS dead
+      |  FROM risked)
+      |SELECT t_hours, n_risk, n_event, n_censor,
+      |       CASE WHEN dead = 1 THEN 0.0
+      |            ELSE round(exp(CAST(SUM(lf) OVER (ORDER BY t_hours)
+      |                                AS DOUBLE)), 6) END AS survival
+      |FROM factors
+      |ORDER BY t_hours""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q237 — seasonal index decomposition of event volume: hour-of-day and
+  // day-of-week multiplicative indices over the DENSE hour grid (q75's
+  // zero-fill discipline — silent hours are exactly the seasonal signal
+  // a sparse aggregate never emits). index_ppm = 1e6 · (bucket mean) /
+  // (grand mean), computed as one all-integer floor division
+  // 1e6·sum_b·cells_total / (cells_b·sum_total) — bit-identical
+  // cross-engine with no float in sight. The pre-read before q78's
+  // anomaly z-scores: a 3 a.m. "drop" is only an anomaly net of the
+  // 3 a.m. index.
+  //
+  // Shape: the corpus shuffles once into the hour-count aggregate;
+  // everything after is grid-sized (≤ |hours| rows). Epoch-hour
+  // arithmetic pins the calendar: hod = hr % 24 (UTC midnight-anchored),
+  // dow = (hr div 24 + 4) % 7 (epoch day 0 = Thursday → 0 = Sunday).
+  // ---------------------------------------------------------------------
+  def q237SeasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+    val counts = ev.groupBy(col("hr")).agg(count(lit(1)).as("c"))
+    val span = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(counts, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("c"), lit(0L)).as("c"))
+      .selectExpr("hr % 24 AS hod", "(hr div 24 + 4) % 7 AS dow", "c")
+      .cache() // both marginal sweeps read the one zero-filled grid
+    val totals = grid.agg(count(lit(1)).as("cells_total"),
+      sum(col("c")).as("sum_total"))
+    val hod = grid.groupBy(col("hod").as("bucket"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n_events"))
+      .withColumn("dim", lit("hod"))
+    val dow = grid.groupBy(col("dow").as("bucket"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n_events"))
+      .withColumn("dim", lit("dow"))
+    hod.unionByName(dow).crossJoin(broadcast(totals))
+      .selectExpr("dim", "bucket", "n_cells", "n_events",
+        "1000000L * n_events * cells_total div (n_cells * sum_total) " +
+          "AS index_ppm")
+      .orderBy("dim", "bucket")
+  }
+
+  val q237Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr FROM events),
+      |counts AS (SELECT hr, count(*) AS c FROM ev GROUP BY hr),
+      |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM counts),
+      |grid AS (
+      |  SELECT g.hr % 24 AS hod, (g.hr // 24 + 4) % 7 AS dow,
+      |         coalesce(counts.c, 0) AS c
+      |  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM span) g
+      |  LEFT JOIN counts ON g.hr = counts.hr),
+      |totals AS (
+      |  SELECT count(*) AS cells_total, SUM(c) AS sum_total FROM grid),
+      |buckets AS (
+      |  SELECT 'hod' AS dim, hod AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n_cells,
+      |         CAST(SUM(c) AS BIGINT) AS n_events
+      |  FROM grid GROUP BY hod
+      |  UNION ALL
+      |  SELECT 'dow' AS dim, dow AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n_cells,
+      |         CAST(SUM(c) AS BIGINT) AS n_events
+      |  FROM grid GROUP BY dow)
+      |SELECT dim, bucket, n_cells, n_events,
+      |       CAST(1000000 * n_events * cells_total
+      |            // (n_cells * sum_total) AS BIGINT) AS index_ppm
+      |FROM buckets, totals
+      |ORDER BY dim, bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q238 — autocorrelation function of hourly event volume at lags
+  // 1..24 (Box–Jenkins: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² over
+  // the dense grid) — the periodicity detector behind q237's indices: a
+  // daily cycle shows as the r_24 peak, and the identification read
+  // before fitting any forecasting model on event volume.
+  //
+  // Cross-engine: the mean is NEVER materialized as a float — multiply
+  // the textbook formula through by N²: num_k = N²·Σx_t·x_{t+k} −
+  // N·S·(Σhead+Σtail) + m·S², den = N²·Σx² − N·S² (N² cancels in the
+  // ratio), all exact int64 sufficient statistics (int64 holds to ~1e5
+  // events/hour·1e3-hour spans; the DECIMAL(38,0) swap is one cast past
+  // that), r_k one pinned 6-dp double division. Shape: one corpus
+  // shuffle into hour counts; the 24-lag self-join runs over the
+  // grid-sized series (≤|hours| rows) with the lag table a broadcast
+  // sequence — never a corpus join.
+  // ---------------------------------------------------------------------
+  def q238Acf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+    val counts = ev.groupBy(col("hr")).agg(count(lit(1)).as("c"))
+    val span = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val series = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(counts, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("c"), lit(0L)).as("x"))
+      .cache() // head and tail of every lag pair read the one grid
+    val glob = series.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("s2"))
+    val lags = spark.range(1, 25).select(col("id").as("lag"))
+    val a = series.select(col("hr"), col("x"))
+    val b = series.select(col("hr").as("hrb"), col("x").as("y"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("hrb") === col("hr") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("shead"), sum(col("y")).as("stail"))
+      .crossJoin(broadcast(glob))
+      .selectExpr("lag", "m", "sxy",
+        "round(CAST(n * n * sxy - n * s * (shead + stail) + m * s * s " +
+          "AS DOUBLE) / CAST(n * n * s2 - n * s * s AS DOUBLE), 6) AS acf")
+      .orderBy("lag")
+  }
+
+  val q238Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr FROM events),
+      |counts AS (SELECT hr, count(*) AS c FROM ev GROUP BY hr),
+      |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM counts),
+      |series AS (
+      |  SELECT g.hr, coalesce(counts.c, 0) AS x
+      |  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM span) g
+      |  LEFT JOIN counts ON g.hr = counts.hr),
+      |gstats AS (
+      |  SELECT count(*) AS n, SUM(x) AS s, SUM(x * x) AS s2 FROM series),
+      |lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+      |paired AS (
+      |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS m,
+      |         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+      |         CAST(SUM(a.x) AS BIGINT) AS shead,
+      |         CAST(SUM(b.x) AS BIGINT) AS stail
+      |  FROM lags l
+      |  JOIN series a ON true
+      |  JOIN series b ON b.hr = a.hr + l.lag
+      |  GROUP BY l.lag)
+      |SELECT lag, m, sxy,
+      |       round(CAST(n * n * sxy - n * s * (shead + stail) + m * s * s
+      |                  AS DOUBLE)
+      |             / CAST(n * n * s2 - n * s * s AS DOUBLE), 6) AS acf
+      |FROM paired, gstats
+      |ORDER BY lag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q240 — Mann–Whitney U rank-sum test between every pair of sources on
+  // doc length (Mann & Whitney 1947): the DISTRIBUTION-FREE "is source A
+  // systematically longer than source B" read — the location companion
+  // to q177's KS shape test and q182's Spearman ordering test, robust
+  // where q241's t assumes finiteness of variance behaves.
+  //
+  // Scale-right formulation: NEVER rank the pooled corpus. U counts
+  // discordant pairs, which is a pure function of the per-VALUE count
+  // table: 2·U₁ = Σ_v c₁(v)·(2·C₂(<v) + c₂(v)) — exact int64 (the ½ tie
+  // credit rides the doubling, q182's doubled-rank trick), with C₂(<v)
+  // one cumulative window over the value-cardinality aggregate (bounded
+  // frame — the plan-gate-safe class; values are n_chars, not docs).
+  // Tie-corrected normal approximation: var = n₁n₂/12·((N+1) −
+  // Σ(t³−t)/(N(N−1))), z = (2U₁ − n₁n₂)/(2√var) — Σ(t³−t) exact int64,
+  // z one pinned 6-dp double chain shared with the oracle.
+  // ---------------------------------------------------------------------
+  def q240MannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // both sides of the tiny pair grid read the one aggregate
+    val srcs = cnt.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("s1"))
+      .crossJoin(srcs.select(col("source").as("s2")))
+      .filter(col("s1") < col("s2"))
+    val pv = cnt.join(broadcast(pairs),
+        col("source") === col("s1") || col("source") === col("s2"))
+      .groupBy(col("s1"), col("s2"), col("v"))
+      .agg(sum(when(col("source") === col("s1"), col("c")).otherwise(0L))
+        .as("c1"),
+        sum(when(col("source") === col("s2"), col("c")).otherwise(0L))
+          .as("c2"))
+    val w = Window.partitionBy(col("s1"), col("s2")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pv.withColumn("cum2", coalesce(sum(col("c2")).over(w), lit(0L)))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * (lit(2L) * col("cum2") + col("c2"))).as("two_u1"),
+        sum((col("c1") + col("c2")) * (col("c1") + col("c2"))
+          * (col("c1") + col("c2")) - (col("c1") + col("c2"))).as("ties"))
+      .selectExpr("s1", "s2", "n1", "n2", "two_u1", "ties",
+        "round(CAST(two_u1 - n1 * n2 AS DOUBLE) / " +
+          "(2e0 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12e0 * " +
+          "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / " +
+          "(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6) AS z")
+      .orderBy("s1", "s2")
+  }
+
+  val q240Sql: String =
+    """WITH cnt AS (
+      |  SELECT source, n_chars AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |srcs AS (SELECT DISTINCT source FROM cnt),
+      |pairs AS (
+      |  SELECT a.source AS s1, b.source AS s2
+      |  FROM srcs a JOIN srcs b ON a.source < b.source),
+      |pv AS (
+      |  SELECT s1, s2, v,
+      |         CAST(SUM(CASE WHEN source = s1 THEN c ELSE 0 END) AS BIGINT)
+      |           AS c1,
+      |         CAST(SUM(CASE WHEN source = s2 THEN c ELSE 0 END) AS BIGINT)
+      |           AS c2
+      |  FROM cnt JOIN pairs ON source = s1 OR source = s2
+      |  GROUP BY s1, s2, v),
+      |cum AS (
+      |  SELECT *, coalesce(SUM(c2) OVER (PARTITION BY s1, s2 ORDER BY v
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cum2
+      |  FROM pv),
+      |stats AS (
+      |  SELECT s1, s2, CAST(SUM(c1) AS BIGINT) AS n1,
+      |         CAST(SUM(c2) AS BIGINT) AS n2,
+      |         CAST(SUM(c1 * (2 * cum2 + c2)) AS BIGINT) AS two_u1,
+      |         CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+      |              AS BIGINT) AS ties
+      |  FROM cum GROUP BY s1, s2)
+      |SELECT s1, s2, n1, n2, two_u1, ties,
+      |       round(CAST(two_u1 - n1 * n2 AS DOUBLE) /
+      |             (2e0 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12e0 *
+      |              (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+      |               (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6) AS z
+      |FROM stats
+      |ORDER BY s1, s2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q241 — Welch's unequal-variance t-test between every pair of sources
+  // on doc length (Welch 1947, the test Student's t should almost always
+  // be): t = (m̄₁−m̄₂)/√(s₁²/n₁+s₂²/n₂) with Welch–Satterthwaite degrees
+  // of freedom — the parametric companion to q240 (location under
+  // normal-ish tails) and the significance layer q201's bootstrap CIs
+  // bracket empirically.
+  //
+  // Cross-engine: the per-source sufficient statistics (n, Σx, Σx²) are
+  // exact int64 from one corpus aggregate; means, sample variances, t
+  // and df all evaluate through ONE shared expression-string chain
+  // (q196's discipline) — bit-identical in both engines — and round 6-dp
+  // only at the output. The pair grid is a broadcast of the
+  // |sources|-row stats frame; no corpus-sized join anywhere.
+  // ---------------------------------------------------------------------
+  def q241WelchT(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+    val a = stats.select(col("source").as("s1"), col("n").as("n1"),
+      col("sx").as("sx1"), col("sxx").as("sxx1"))
+    val b = stats.select(col("source").as("s2"), col("n").as("n2"),
+      col("sx").as("sx2"), col("sxx").as("sxx2"))
+    a.join(broadcast(b), col("s1") < col("s2"))
+      .selectExpr("s1", "s2", "n1", "n2",
+        s"round(${Relational.welchT}, 6) AS t",
+        s"round(${Relational.welchDf}, 6) AS df")
+      .orderBy("s1", "s2")
+  }
+
+  /** Shared Welch expression strings (q196's discipline: one string, two
+    * engines, bit-identical evaluation order). Sample variance via the
+    * exact-sufficient-stats form s² = (n·Σx² − (Σx)²) / (n·(n−1)). */
+  private[graft] val welchV1 =
+    "(CAST(n1 AS DOUBLE) * sxx1 - CAST(sx1 AS DOUBLE) * sx1) / " +
+      "(CAST(n1 AS DOUBLE) * (n1 - 1)) / n1"
+  private[graft] val welchV2 =
+    "(CAST(n2 AS DOUBLE) * sxx2 - CAST(sx2 AS DOUBLE) * sx2) / " +
+      "(CAST(n2 AS DOUBLE) * (n2 - 1)) / n2"
+  private[graft] val welchT =
+    s"(CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2) / " +
+      s"sqrt(($welchV1) + ($welchV2))"
+  private[graft] val welchDf =
+    s"(($welchV1) + ($welchV2)) * (($welchV1) + ($welchV2)) / " +
+      s"(($welchV1) * ($welchV1) / (n1 - 1) + ($welchV2) * ($welchV2) / (n2 - 1))"
+
+  // ---------------------------------------------------------------------
+  // q243 — Kruskal–Wallis H across ALL sources at once (Kruskal & Wallis
+  // 1952, one-way ANOVA on ranks): the omnibus "do any of these k
+  // sources differ in length location" gate a pipeline runs BEFORE
+  // q240's 190 pairwise tests — one H beats k(k−1)/2 uncontrolled
+  // comparisons. Emits per-source mean ranks (the effect direction) plus
+  // the tie-corrected H every row carries.
+  //
+  // Same scale-right machinery as q240: ranks are a pure function of the
+  // per-VALUE count table — doubled average rank 2r(v) = 2·C(<v) + T(v)
+  // + 1 is an exact int64 (q182's doubled-rank trick), so each source's
+  // doubled rank sum 2R_i is exact; the only non-integers are the k
+  // per-source terms (2R_i)²/n_i, each 6-dp-DECIMAL-rounded before the
+  // order-insensitive decimal sum (q191's pattern), and the final pinned
+  // H chain. The cumulative window runs over the value-cardinality
+  // aggregate — bounded, gate-safe; no pooled corpus rank anywhere.
+  // ---------------------------------------------------------------------
+  def q243KruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val perV = cnt.groupBy(col("v"))
+      .agg(sum(col("c")).as("t"))
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("cum", coalesce(sum(col("t")).over(wv), lit(0L)))
+      .withColumn("two_r", lit(2L) * col("cum") + col("t") + 1L)
+    val perSrc = cnt.join(ranked, Seq("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_i"), sum(col("c") * col("two_r")).as("two_ri"))
+      .withColumn("term", expr(
+        "CAST(round(CAST(two_ri AS DOUBLE) * two_ri / n_i, 6) " +
+          "AS DECIMAL(25,6))"))
+    val ties = perV.agg(sum(col("t") * col("t") * col("t") - col("t"))
+      .as("ties"), sum(col("t")).as("n"))
+    val h = perSrc.agg(sum(col("term")).as("sum_terms"),
+        count(lit(1)).as("k"))
+      .crossJoin(broadcast(ties))
+      .selectExpr("k", "n", "ties", s"round($kwH, 6) AS h",
+        s"round(($kwH) / (1e0 - CAST(ties AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tie_corrected")
+    perSrc.select(col("source"), col("n_i"), col("two_ri"))
+      .withColumn("mean_rank_ppm",
+        expr("1000000L * two_ri div (2L * n_i)"))
+      .crossJoin(broadcast(h))
+      .select(col("source"), col("n_i"), col("two_ri"), col("mean_rank_ppm"),
+        col("k"), col("n"), col("ties"), col("h"), col("h_tie_corrected"))
+      .orderBy("source")
+  }
+
+  /** Shared H chain: H = 3·Σ(2Rᵢ)²/nᵢ / (N(N+1)) − 3(N+1) — the 12/(4·)
+    * of the textbook form folded into one constant; sum_terms is the
+    * 6-dp decimal sum of the per-source terms. */
+  private[graft] val kwH =
+    "3e0 * CAST(sum_terms AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1)) " +
+      "- 3e0 * (n + 1)"
+
+  val q243Sql: String =
+    s"""WITH cnt AS (
+      |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |per_v AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY v),
+      |ranked AS (
+      |  SELECT v, t,
+      |         2 * coalesce(SUM(t) OVER (ORDER BY v
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           + t + 1 AS two_r
+      |  FROM per_v),
+      |per_src AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_i,
+      |         CAST(SUM(c * two_r) AS BIGINT) AS two_ri,
+      |         CAST(round(CAST(SUM(c * two_r) AS DOUBLE) * SUM(c * two_r)
+      |                    / SUM(c), 6) AS DECIMAL(25,6)) AS term
+      |  FROM cnt JOIN ranked USING (v)
+      |  GROUP BY source),
+      |tstats AS (
+      |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ties,
+      |         CAST(SUM(t) AS BIGINT) AS n
+      |  FROM per_v),
+      |hstats AS (
+      |  SELECT CAST(SUM(term) AS DECIMAL(25,6)) AS sum_terms,
+      |         CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM per_src)
+      |SELECT source, n_i, two_ri,
+      |       1000000 * two_ri // (2 * n_i) AS mean_rank_ppm,
+      |       k, n, ties, round($kwH, 6) AS h,
+      |       round(($kwH) / (1e0 - CAST(ties AS DOUBLE) /
+      |             (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tie_corrected
+      |FROM per_src, tstats, hstats
+      |ORDER BY source""".stripMargin
+
+  /** The oracle aliases the paired stats to the SAME column names the
+    * Spark side uses, so [[welchT]]/[[welchDf]] drop in VERBATIM — one
+    * expression string, two engines, nothing to keep in sync. */
+  val q241Sql: String =
+    s"""WITH stats AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(n_chars) AS BIGINT) AS sx,
+      |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      |  FROM documents GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2,
+      |         a.sx AS sx1, a.sxx AS sxx1, b.sx AS sx2, b.sxx AS sxx2
+      |  FROM stats a JOIN stats b ON a.source < b.source)
+      |SELECT s1, s2, n1, n2,
+      |       round($welchT, 6) AS t,
+      |       round($welchDf, 6) AS df
+      |FROM p
+      |ORDER BY s1, s2""".stripMargin
+}

@@ -2599,4 +2599,76 @@ object TextAnalysis {
       |       CAST(t AS BIGINT) AS truncated, x + l AS bad
       |FROM e
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q239 — winsorized + trimmed mean document length per language
+  // (Tukey/Huber robust location): the heavy-tail-safe answer to "how
+  // long is a typical doc" that q128's median/MAD bounds from one side —
+  // winsorizing CLAMPS the tails to the g-th order statistics (keeps
+  // mass, caps leverage), trimming DROPS them (the 10%-trimmed mean a
+  // token-budget planner quotes). g = n div 10 per tail.
+  //
+  // Cross-engine exactness: everything is ORDER STATISTICS and integer
+  // sums — the boundary values are the ranks g+1 and n−g of the
+  // per-language sort (value at a rank is multiset-determined, so the
+  // (n_chars, doc_id) tiebreak only pins engine agreement, never the
+  // result); means report as floor-ppm integers, zero floats anywhere.
+  // Shape: one language-keyed shuffle; the rank window and both
+  // conditional sweeps run inside the per-language partition (languages
+  // are the natural parallelism unit at 100 TB — a single language big
+  // enough to skew one task range-partitions through TwoPass, q151's
+  // path).
+  // ---------------------------------------------------------------------
+  def q239RobustMeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("g", expr("n div 10"))
+    ranked.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("rn") === col("g") + 1, col("n_chars"))).as("lo_val"),
+        min(when(col("rn") === col("n") - col("g"), col("n_chars")))
+          .as("hi_val"),
+        sum(col("n_chars")).as("raw_sum"),
+        sum(when(col("rn") > col("g") && col("rn") <= col("n") - col("g"),
+          col("n_chars")).otherwise(0L)).as("trim_sum"))
+      .selectExpr("lang", "n_docs", "lo_val", "hi_val",
+        "1000000L * raw_sum div n_docs AS raw_mean_ppm",
+        // winsorized sum = trimmed core + g copies of each boundary value
+        "1000000L * (trim_sum + (n_docs div 10) * (lo_val + hi_val)) " +
+          "div n_docs AS win_mean_ppm",
+        "1000000L * trim_sum div (n_docs - 2 * (n_docs div 10)) " +
+          "AS trim_mean_ppm")
+      .orderBy("lang")
+  }
+
+  val q239Sql: String =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY n_chars, doc_id) AS rn,
+      |         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n,
+      |         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) // 10 AS g
+      |  FROM documents)
+      |SELECT lang, MAX(n) AS n_docs,
+      |       MIN(CASE WHEN rn = g + 1 THEN n_chars END) AS lo_val,
+      |       MIN(CASE WHEN rn = n - g THEN n_chars END) AS hi_val,
+      |       1000000 * CAST(SUM(n_chars) AS BIGINT) // MAX(n)
+      |         AS raw_mean_ppm,
+      |       1000000 * (CAST(SUM(CASE WHEN rn > g AND rn <= n - g
+      |                                THEN n_chars ELSE 0 END) AS BIGINT)
+      |                  + (MAX(n) // 10)
+      |                    * (MIN(CASE WHEN rn = g + 1 THEN n_chars END)
+      |                       + MIN(CASE WHEN rn = n - g THEN n_chars END)))
+      |         // MAX(n) AS win_mean_ppm,
+      |       1000000 * CAST(SUM(CASE WHEN rn > g AND rn <= n - g
+      |                               THEN n_chars ELSE 0 END) AS BIGINT)
+      |         // (MAX(n) - 2 * (MAX(n) // 10)) AS trim_mean_ppm
+      |FROM ranked
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }

@@ -1324,4 +1324,202 @@ class RelationalSpec extends SparkSpec {
     assert(got.filter(_._3 == 1L).forall(_._5),
       "every k=1 class must breach t-closeness")
   }
+
+  test("q236 KM survival matches a driver-side estimator replay; " +
+      "monotone and censoring-consistent") {
+    val got = Relational.q236KmSurvival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    // replay: per user first event + first purchase, censor at horizon
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val horizon = ev.map(_._2).max
+    val durations = ev.groupBy(_._1).values.map { es =>
+      val first = es.map(_._2).min
+      val conv = es.filter(_._3 == "purchase").map(_._2).minOption
+      conv match {
+        case Some(c) => ((c - first) / 3600000000L, true)
+        case None    => ((horizon - first) / 3600000000L, false)
+      }
+    }.toSeq
+    val byT = durations.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, ds) => (t, ds.count(_._2).toLong, ds.count(!_._2).toLong)
+    }
+    var atRisk = durations.size.toLong
+    var s = 1.0
+    val expected = byT.map { case (t, d, c) =>
+      val row = if (d == atRisk) { s = 0.0; (t, atRisk, d, c, 0.0) }
+      else {
+        if (d > 0) s *= (atRisk - d).toDouble / atRisk
+        (t, atRisk, d, c, s)
+      }
+      atRisk -= d + c
+      row
+    }
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4) == ((e._1, e._2, e._3, e._4)), s"$g vs $e")
+      // the engine runs the product as a 6-dp-rounded ln sum — the replay's
+      // raw product agrees to well inside the per-step rounding budget
+      assert(math.abs(g._5 - e._5) < 1e-4 * expected.length, s"$g vs $e")
+    }
+    // survival is non-increasing from 1 toward 0, and the risk sets telescope
+    assert(got.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(got.head._2 == durations.size)
+    assert(got.map(r => r._3 + r._4).sum == durations.size,
+      "every user leaves the risk set exactly once")
+  }
+
+  test("q237 seasonal indices: population-weighted mean index is 1e6 and " +
+      "a quiet bucket indexes below a busy one in the replay") {
+    val got = Relational.q237SeasonalIndex(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).distinct.sorted.toSeq == Seq("dow", "hod"))
+    assert(got.count(_._1 == "hod") == 24)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 3600000000 AS hr")
+      .collect().map(_.getLong(0))
+    val (h0, h1) = (ev.min, ev.max)
+    val counts = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val grid = (h0 to h1).map(h => (h % 24, (h / 24 + 4) % 7, counts(h)))
+    val total = grid.map(_._3).sum
+    got.foreach { case (dim, bucket, nCells, nEvents, ppm) =>
+      val cells = grid.filter(g =>
+        (if (dim == "hod") g._1 else g._2) == bucket)
+      assert(nCells == cells.length && nEvents == cells.map(_._3).sum)
+      assert(ppm ==
+        1000000L * nEvents * grid.length / (nCells * total), s"$dim $bucket")
+    }
+    // cell-weighted mean index = 1e6 by construction (floor slack < 1 ppm
+    // per bucket); exactness is the oracle's job, this pins the semantics
+    for (d <- Seq("hod", "dow")) {
+      val rows = got.filter(_._1 == d)
+      val mean = rows.map(r => r._3 * r._5).sum.toDouble / grid.length
+      assert(math.abs(mean - 1000000.0) < rows.length,
+        s"$d mean index $mean")
+    }
+  }
+
+  test("q238 ACF matches a driver-side series replay; r_24 captures the " +
+      "daily cycle at least as well as the off-cycle lags' median") {
+    val got = Relational.q238Acf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 24L))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 3600000000 AS hr")
+      .collect().map(_.getLong(0))
+    val counts = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val xs = (ev.min to ev.max).map(counts(_))
+    val n = xs.length
+    val mu = xs.sum.toDouble / n
+    val den = xs.map(x => (x - mu) * (x - mu)).sum
+    got.foreach { case (lag, m, sxy, r) =>
+      val k = lag.toInt
+      assert(m == n - k)
+      val pairs = xs.dropRight(k).zip(xs.drop(k))
+      assert(sxy == pairs.map { case (a, b) => a * b }.sum)
+      val num = pairs.map { case (a, b) => (a - mu) * (b - mu) }.sum
+      assert(math.abs(r - num / den) < 1e-6, s"lag $k: $r vs ${num / den}")
+      assert(r > -1.0 && r < 1.0)
+    }
+  }
+
+  private def sourceLengths(): Map[String, Seq[Long]] =
+    Tables.documents(spark, sf).select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  test("q240 Mann-Whitney: 2U1 equals a brute-force discordant-pair count " +
+      "and U1 + U2 telescopes to n1*n2") {
+    val got = Relational.q240MannWhitney(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val lens = sourceLengths()
+    val srcs = lens.keys.toSeq.sorted
+    assert(got.map(g => (g._1, g._2)).toSeq ==
+      (for (a <- srcs; b <- srcs if a < b) yield (a, b)))
+    got.foreach { case (s1, s2, n1, n2, twoU1, ties, z) =>
+      val (xs, ys) = (lens(s1), lens(s2))
+      assert(n1 == xs.length && n2 == ys.length)
+      // brute force: U1 = #{y < x} + half-ties, doubled to stay integer
+      val brute = (for (x <- xs; y <- ys) yield
+        if (y < x) 2L else if (y == x) 1L else 0L).sum
+      assert(twoU1 == brute, s"($s1,$s2) 2U1")
+      // U1 + U2 = n1 n2 (every cross pair counted once from each side)
+      val brute2 = (for (x <- xs; y <- ys) yield
+        if (x < y) 2L else if (y == x) 1L else 0L).sum
+      assert(brute + brute2 == 2L * n1 * n2)
+      val pooled = (xs ++ ys).groupBy(identity).values.map(_.size.toLong)
+      assert(ties == pooled.map(t => t * t * t - t).sum, s"($s1,$s2) ties")
+      val nn = (n1 + n2).toDouble
+      val varU = n1.toDouble * n2 / 12.0 *
+        ((nn + 1) - ties.toDouble / (nn * (nn - 1)))
+      val expZ = (twoU1 - n1.toDouble * n2) / (2.0 * math.sqrt(varU))
+      assert(math.abs(z - expZ) < 1e-6, s"($s1,$s2) z")
+    }
+  }
+
+  test("q241 Welch t: statistics match a driver-side two-sample replay; " +
+      "df bracketed by min(n)-1 and n1+n2-2") {
+    val got = Relational.q241WelchT(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val lens = sourceLengths()
+    assert(got.nonEmpty)
+    got.foreach { case (s1, s2, n1, n2, t, df) =>
+      val (xs, ys) = (lens(s1), lens(s2))
+      assert(n1 == xs.length && n2 == ys.length)
+      def mv(v: Seq[Long]) = {
+        val m = v.sum.toDouble / v.length
+        (m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+      }
+      val ((m1, v1), (m2, v2)) = (mv(xs), mv(ys))
+      val se1 = v1 / n1; val se2 = v2 / n2
+      val expT = (m1 - m2) / math.sqrt(se1 + se2)
+      val expDf = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+      assert(math.abs(t - expT) < 1e-5, s"($s1,$s2) t: $t vs $expT")
+      assert(math.abs(df - expDf) < math.max(1e-5, 1e-9 * expDf),
+        s"($s1,$s2) df")
+      // Welch-Satterthwaite bounds: min(n1,n2)-1 <= df <= n1+n2-2
+      assert(df >= math.min(n1, n2) - 1.000001 && df <= n1 + n2 - 2 + 1e-6)
+    }
+  }
+
+  test("q243 Kruskal-Wallis: rank sums match a pooled average-rank replay; " +
+      "rank mass conserves and H is omnibus-consistent") {
+    val got = Relational.q243KruskalWallis(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7),
+        r.getDouble(8)))
+    val lens = sourceLengths()
+    val pooled = lens.values.flatten.toSeq.sorted
+    val n = pooled.size
+    // average rank per value, doubled to stay exact
+    val twoRank = pooled.zipWithIndex.groupBy(_._1).view.mapValues { g =>
+      g.map(_._2 + 1L).sum * 2L / g.size // = 2*minrank + ties - 1, exact
+    }.toMap
+    got.foreach { case (s, ni, twoRi, meanPpm, k, nTot, ties, h, hc) =>
+      assert(ni == lens(s).size && nTot == n && k == lens.size)
+      assert(twoRi == lens(s).map(twoRank).sum, s"$s rank sum")
+      assert(meanPpm == 1000000L * twoRi / (2L * ni))
+      assert(ties == pooled.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * t * t - t }).sum)
+      val sumTerms = got.map(r =>
+        BigDecimal(r._3.toDouble * r._3 / r._2)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val expH = 3.0 * sumTerms.toDouble / (n.toDouble * (n + 1)) - 3.0 * (n + 1)
+      assert(math.abs(h - expH) < 1e-5, s"H $h vs $expH")
+      assert(math.abs(hc - expH / (1.0 - ties.toDouble /
+        (n.toDouble * n * n - n))) < 1e-5)
+      assert(hc >= h - 1e-9, "tie correction inflates H (denominator < 1)")
+    }
+    // rank mass conservation: sum of all doubled rank sums = 2*(1+...+N)
+    assert(got.map(_._3).sum == n.toLong * (n + 1))
+  }
 }

@@ -613,4 +613,31 @@ class TextOpsSpec extends SparkSpec {
       s"beta ${row.getDouble(1)}")
     assert(row.getDouble(3) >= 0.9, s"r2 ${row.getDouble(3)}")
   }
+
+  test("q239 winsorized/trimmed means match a driver-side order-statistics " +
+      "replay and stay inside the clamp boundaries") {
+    val got = TextAnalysis.q239RobustMeans(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == docs.map(_._1).distinct.sorted.toSeq)
+    got.foreach { case (lang, n, lo, hi, rawPpm, winPpm, trimPpm) =>
+      val xs = docs.filter(_._1 == lang).map(_._2).sorted
+      assert(n == xs.length)
+      val g = (n / 10).toInt
+      assert(lo == xs(g) && hi == xs(xs.length - 1 - g), s"$lang bounds")
+      val core = xs.slice(g, xs.length - g)
+      assert(rawPpm == 1000000L * xs.sum / n, lang)
+      val winSum = core.sum + g * (lo + hi)
+      assert(winPpm == 1000000L * winSum / n, lang)
+      assert(trimPpm == 1000000L * core.sum / (n - 2L * g), lang)
+      // both robust estimates live inside the clamp boundaries (the raw
+      // mean need not — that leverage is what winsorizing removes); ppm
+      // floor division concedes at most 1 ppm on the lower bound
+      assert(winPpm >= 1000000L * lo - 1 && winPpm <= 1000000L * hi, lang)
+      assert(trimPpm >= 1000000L * lo - 1 && trimPpm <= 1000000L * hi, lang)
+    }
+  }
 }
