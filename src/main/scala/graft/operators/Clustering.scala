@@ -730,30 +730,42 @@ object Clustering {
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
-  /** Default close is NO-HINT: AQE broadcasts the closing edge list
-    * while it fits (small graphs — the sf0.1 behavior, plan-gated
-    * below) and shuffles the equi-join past broadcast reach. The r11
-    * 10x probe measured both (SCALING.md): at 10x edges the forced
-    * broadcast lost to the AQE plan 17.4 s vs 7.6 s — the hint was
-    * pessimizing exactly where it claimed to help, so size-driven
-    * selection is the shipped default. */
+  /** Crossover for the size-driven close: at 1.2M edges (sf0.1) the
+    * FORCED broadcast measures 4.0 s vs 13.5 s no-hint on the bench
+    * session (AQE alone does NOT rescue this case: the ~19 MB cached
+    * close side sits past the 10 MB auto-broadcast threshold, so the
+    * close becomes a sort-merge join that shuffles the out-deg² wedge
+    * stream); at ~12M edges (the 10x probe, SCALING.md) the forced
+    * broadcast LOSES 17.4 s vs 7.6 s. The threshold sits between the
+    * two measured regimes — 4M edges is a ~64 MB build side, routine
+    * for one executor, and past it the wedge shuffle is the lesser
+    * cost. */
+  private val BroadcastCloseMaxEdges = 4000000L
+
+  /** Default close is SIZE-DRIVEN on the MEASURED edge count (r11: the
+    * round's first no-hint default cost 3.4x at sf0.1 — AQE mis-sizes
+    * the cached close side — while the r11 10x probe showed forcing the
+    * broadcast loses 2.3x at 10x edges; see [[BroadcastCloseMaxEdges]]).
+    * The count is free: it materializes the edge cache every downstream
+    * job reads anyway. Both paths are row-for-row equal (ClusteringSpec)
+    * and individually plan-gated (PlanSpec). */
   def q195Triangles(spark: SparkSession, sfDir: String): DataFrame =
-    q195WithClose(spark, sfDir, broadcastClose = false)
+    q195WithClose(spark, sfDir, broadcastClose = None)
 
   /** The FORCED-broadcast close (the pre-r11 default), kept for the
     * equality spec and the scale probe: same output row for row. */
   def q195TrianglesBroadcastClose(spark: SparkSession, sfDir: String): DataFrame =
-    q195WithClose(spark, sfDir, broadcastClose = true)
+    q195WithClose(spark, sfDir, broadcastClose = Some(true))
 
   /** The past-broadcast-reach fallback shape (= the no-hint default;
     * kept as a named alias for the PlanSpec fallback gate, which pins
     * that with auto-broadcast off this plans as a SHUFFLED equi-join,
     * never a nested loop). */
   def q195TrianglesShuffledClose(spark: SparkSession, sfDir: String): DataFrame =
-    q195WithClose(spark, sfDir, broadcastClose = false)
+    q195WithClose(spark, sfDir, broadcastClose = Some(false))
 
   private def q195WithClose(spark: SparkSession, sfDir: String,
-      broadcastClose: Boolean): DataFrame = {
+      broadcastClose: Option[Boolean]): DataFrame = {
     val e = coPurchaseEdges(spark, sfDir)
       .cache() // feeds degree, orientation, and the closing-edge probe
     val deg = degreeOf(e).cache()
@@ -775,7 +787,12 @@ object Clustering {
     // the forced broadcast LOSING to the AQE choice as edges grow
     // (SCALING.md); the orientation bound on wedge volume is what
     // matters at scale either way.
-    val close = if (broadcastClose) broadcast(dir.as("e3")) else dir.as("e3")
+    // None = size-driven: one count over the just-built cache (the jobs
+    // it runs are exactly the materialization every downstream stage
+    // needs) picks the measured winner for this graph's edge volume.
+    val useBroadcast = broadcastClose.getOrElse(
+      dir.count() <= BroadcastCloseMaxEdges)
+    val close = if (useBroadcast) broadcast(dir.as("e3")) else dir.as("e3")
     val tri = dir.as("e1").join(dir.as("e2"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
       .select(col("e1.lo").as("rx"), col("e1.hi").as("ra"), col("e2.hi").as("rb"))
