@@ -2667,6 +2667,16 @@ object Relational {
     val perUser = ev.groupBy(col("user_id"))
       .agg(min(col("us")).as("first_us"),
         min(when(col("event_type") === "purchase", col("us"))).as("conv_us"))
+    kmFromPerUser(perUser, horizon)
+  }
+
+  /** The KM estimator tail shared by q236 (batch) and q245 (the
+    * streaming min-merge fold): `perUser` carries (user_id?, first_us,
+    * conv_us-nullable), `horizon` one row (h). Split out so the two
+    * paths are the SAME expressions — parity is structural, not
+    * re-derived. */
+  private[graft] def kmFromPerUser(perUser: DataFrame,
+      horizon: DataFrame): DataFrame = {
     val durations = perUser.crossJoin(broadcast(horizon))
       .selectExpr(
         "CASE WHEN conv_us IS NOT NULL " +

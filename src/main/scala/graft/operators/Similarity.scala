@@ -1767,4 +1767,103 @@ object Similarity {
     }.mkString("\nUNION ALL\n")
     s"$head$rounds\n$sel\nORDER BY round"
   }
+
+  // ---------------------------------------------------------------------
+  // q244 — Johnson–Lindenstrauss random-projection distortion audit
+  // (Achlioptas 2003: a ±1 Rademacher matrix preserves pairwise
+  // distances in expectation — E[‖Pz‖²] = k·‖z‖² — with no Gaussian
+  // sampling): project the 64-dim embeddings to k = 16 and measure, for
+  // every consecutive vector pair, the realized distance-ratio
+  // distortion. THE pre-read before shrinking the ANN index (q30/q53)
+  // or shipping truncated vectors (q204's Matryoshka audit measures a
+  // LEARNED truncation; this measures the data-oblivious one any
+  // engine can apply).
+  //
+  // Exactness: components FLOOR(x·1e4)-quantize to int64 (q225's
+  // floor-has-no-ties idiom); the sign matrix is 1024 ±1 literals
+  // derived from MD5 parity at BUILD time and baked into BOTH engines'
+  // expression text, so projections, squared distances, and the
+  // floor-ppm distortion are pure int64 arithmetic — hash-exact with no
+  // float anywhere. Shape: the projection is a per-row codegen HOF fold
+  // (no explode — a 64×16 blowup never materializes); the only shuffle
+  // is the consecutive-pair self-join on vec_id.
+  // ---------------------------------------------------------------------
+  private[graft] val JlK = 16
+
+  /** ±1 from the parity of md5("i_j")'s first hex nibble — computed once
+    * here (JVM MD5 == DuckDB md5 == any engine's MD5) and emitted as a
+    * flat row-major literal in both engines' SQL. */
+  private[graft] lazy val jlSigns: IndexedSeq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (i <- 0 until CovDim; j <- 0 until JlK) yield {
+      val h = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1L else -1L
+    }
+  }
+  private def jlSignsSql: String = jlSigns.mkString("[", ", ", "]")
+  private def jlSignsSpark: String = jlSigns.mkString("array(", "L, ", "L)")
+
+  def q244JlProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0E4)" +
+          " AS BIGINT))").as("xq"))
+      .withColumn("proj", expr(
+        s"transform(sequence(0, ${JlK - 1}), j -> " +
+          s"aggregate(sequence(0, ${CovDim - 1}), 0L, (acc, i) -> " +
+          s"acc + element_at($jlSignsSpark, i * $JlK + j + 1)" +
+          " * element_at(xq, i + 1)))"))
+      .cache() // both sides of the consecutive-pair join
+    val b = q.select((col("vec_id") - 1).as("vec_id"),
+      col("xq").as("yq"), col("proj").as("prj2"))
+    q.join(b, Seq("vec_id"))
+      .withColumn("d2_orig", expr(
+        "aggregate(zip_with(xq, yq, (a, b) -> (a - b) * (a - b)), 0L, " +
+          "(acc, v) -> acc + v)"))
+      .withColumn("d2_proj", expr(
+        "aggregate(zip_with(proj, prj2, (a, b) -> (a - b) * (a - b)), 0L, " +
+          "(acc, v) -> acc + v)"))
+      .selectExpr("vec_id", "d2_orig", "d2_proj",
+        // 1e6/k = 62500 folds into ONE multiplier: floor(62500·p / o) ==
+        // floor(1e6·p / (k·o)) and keeps the product inside int64 (worst
+        // case |x| <= 1 -> d2_proj <= 16·(2·64·1e4)^2 ~ 2.6e13, x62500
+        // ~ 1.6e18 < 2^63)
+        s"CASE WHEN d2_orig = 0 THEN 1000000L " +
+          s"ELSE ${1000000 / JlK}L * d2_proj div d2_orig END " +
+          "AS distortion_ppm")
+      .orderBy("vec_id")
+  }
+
+  val q244Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0E4) AS BIGINT)) AS xq
+      |  FROM embeddings),
+      |s AS (SELECT $jlSignsSql AS sg),
+      |p AS (
+      |  SELECT vec_id, xq,
+      |         [CAST(list_sum([sg[(i - 1) * $JlK + j] * xq[i]
+      |                         for i in range(1, ${CovDim + 1})]) AS BIGINT)
+      |          for j in range(1, ${JlK + 1})] AS proj
+      |  FROM q, s)
+      |SELECT a.vec_id,
+      |       CAST(list_sum([(a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i])
+      |                      for i in range(1, ${CovDim + 1})]) AS BIGINT)
+      |         AS d2_orig,
+      |       CAST(list_sum([(a.proj[j] - b.proj[j]) * (a.proj[j] - b.proj[j])
+      |                      for j in range(1, ${JlK + 1})]) AS BIGINT)
+      |         AS d2_proj,
+      |       CASE WHEN list_sum([(a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i])
+      |                           for i in range(1, ${CovDim + 1})]) = 0
+      |            THEN 1000000
+      |            ELSE ${1000000 / JlK} * CAST(list_sum(
+      |                   [(a.proj[j] - b.proj[j]) * (a.proj[j] - b.proj[j])
+      |                    for j in range(1, ${JlK + 1})]) AS BIGINT)
+      |                 // CAST(list_sum(
+      |                   [(a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i])
+      |                    for i in range(1, ${CovDim + 1})]) AS BIGINT) END
+      |         AS distortion_ppm
+      |FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+      |ORDER BY a.vec_id""".stripMargin
 }

@@ -2420,4 +2420,83 @@ object StreamParity {
        |FROM g
        |GROUP BY user_id, sid
        |ORDER BY user_id, start_us""".stripMargin
+
+  /** q245 — Kaplan–Meier survival maintained over a LIVE event stream:
+    * q236's estimator with its per-user inputs folded across triggers.
+    * The fold is the FIFTH mergeable-summary kind after heavy hitters
+    * (q66 MG), moments (q212 AMS), samples (q218 A-ES), and distinct
+    * counts (q221 KMV): per-key ORDER STATISTICS — min(first event),
+    * min(first purchase), max(any event) all merge by min/max, so the
+    * accumulated ledger after any prefix of triggers is exactly the
+    * batch aggregate over the events seen. Unlike the four driver-state
+    * folds, the state here is USER-cardinality, so it lives as a keyed
+    * parquet LEDGER merged per trigger (q227/q233's batchId-stamped
+    * overwrite-dir discipline — exactly-once under at-least-once
+    * retries, versions GC'd per batch); the driver never holds a row.
+    * End of stream, the ledger feeds the SAME KM expressions as q236
+    * ([[graft.operators.Relational.kmFromPerUser]]) — parity is
+    * structural, and the oracle is q236's SQL verbatim.
+    *
+    * Four time-range files (not the ReplayFiles=2 minimum) so a user's
+    * first event, conversion, and horizon contribution routinely land
+    * in DIFFERENT triggers — the min/max merge is genuinely exercised,
+    * not incidentally trivial. */
+  def q245StreamKmSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = Files.createTempDirectory("q245_events")
+    raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+
+    val outRoot = Files.createTempDirectory("q245_ledger").toString
+    var prevLedger: Option[String] = None
+    var lastFolded = -1L
+    val query = graft.Tables.normalizeTs(
+        spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          lastFolded = batchId
+          val s = batch.sparkSession
+          val batchLedger = batch.groupBy(col("user_id"))
+            .agg(min(col("us")).as("first_us"),
+              min(when(col("event_type") === "purchase", col("us")))
+                .as("conv_us"),
+              max(col("us")).as("last_us"))
+          val folded = prevLedger match {
+            case Some(p) => s.read.parquet(p).unionByName(batchLedger)
+              .groupBy(col("user_id"))
+              .agg(min(col("first_us")).as("first_us"),
+                min(col("conv_us")).as("conv_us"),
+                max(col("last_us")).as("last_us"))
+            case None => batchLedger
+          }
+          val stamp = s"$outRoot/v$batchId"
+          folded.write.mode("overwrite").parquet(stamp)
+          prevLedger.foreach(p => deleteRecursively(new java.io.File(p)))
+          prevLedger = Some(stamp)
+        }
+        ()
+      }.start()
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile)
+    }
+    val ledger = prevLedger.map(p => spark.read.parquet(p))
+      .getOrElse(sys.error("q245: no ledger written"))
+    val horizon = ledger.agg(max(col("last_us")).as("h"))
+    val out = graft.operators.Relational.kmFromPerUser(
+        ledger.select(col("user_id"), col("first_us"), col("conv_us")),
+        horizon)
+      .localCheckpoint(true)
+    prevLedger.foreach(p => deleteRecursively(new java.io.File(p)))
+    out
+  }
 }

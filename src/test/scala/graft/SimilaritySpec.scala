@@ -565,4 +565,37 @@ class SimilaritySpec extends SparkSpec {
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
     assert(got.map(_._2).distinct.size === got.size)
   }
+
+  test("q244 JL projection matches an exact driver-side replay and the " +
+      "mean distortion sits near 1e6 (the JL guarantee, realized)") {
+    val got = Similarity.q244JlProjection(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // replay: same MD5-parity signs, same floor quantization, pure Long math
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = Array.tabulate(64, 16) { (i, j) =>
+      val h = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1L else -1L
+    }
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e4).toLong).toArray)
+      .toMap
+    def proj(v: Array[Long]): Array[Long] =
+      Array.tabulate(16)(j => (0 until 64).map(i => signs(i)(j) * v(i)).sum)
+    got.foreach { case (id, d2o, d2p, ppm) =>
+      val (a, b) = (vecs(id), vecs(id + 1))
+      val eo = (0 until 64).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+      val (pa, pb) = (proj(a), proj(b))
+      val ep = (0 until 16).map(j => (pa(j) - pb(j)) * (pa(j) - pb(j))).sum
+      assert(d2o == eo && d2p == ep, s"pair $id")
+      assert(ppm == (if (eo == 0) 1000000L else 62500L * ep / eo), s"ppm $id")
+    }
+    // Achlioptas: E[d2_proj] = k * d2_orig, so the per-pair distortions
+    // average to ~1e6 (relative sd ~ sqrt(2/k)/sqrt(n) for the mean)
+    val mean = got.map(_._4).sum.toDouble / got.length
+    assert(mean > 0.85e6 && mean < 1.15e6, s"mean distortion $mean")
+    assert(got.forall(_._4 > 0), "no pair collapses to zero distance")
+  }
 }

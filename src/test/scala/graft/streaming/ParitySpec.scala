@@ -239,6 +239,17 @@ class ParitySpec extends SparkSpec {
         "estimate and measured error included")
   }
 
+  test("q245 streamed KM ledger fold equals the single-shot q236 estimator") {
+    val streamed = StreamParity.q245StreamKmSurvival(spark, sf).collect().toSeq
+    val batch = graft.operators.Relational.q236KmSurvival(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "per-user min/max order statistics folded across four time-range " +
+        "triggers must reconstruct the batch KM table bit-for-bit — " +
+        "risk sets, event counts, and the ln-sum survival included")
+  }
+
   test("q81 incremental anomaly monitor equals batch q78 (count folds across triggers)") {
     val streamed = StreamParity.q81StreamAnomaly(spark, sf).collect().toSeq
     val batch = graft.operators.Relational.q78TimelineAnomaly(spark, sf)
