@@ -730,25 +730,29 @@ object Clustering {
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
-  /** Crossover for the size-driven close: at 1.2M edges (sf0.1) the
-    * FORCED broadcast measures 4.0 s vs 13.5 s no-hint on the bench
-    * session (AQE alone does NOT rescue this case: the ~19 MB cached
-    * close side sits past the 10 MB auto-broadcast threshold, so the
-    * close becomes a sort-merge join that shuffles the out-deg² wedge
-    * stream); at ~12M edges (the 10x probe, SCALING.md) the forced
-    * broadcast LOSES 17.4 s vs 7.6 s. The threshold sits between the
-    * two measured regimes — 4M edges is a ~64 MB build side, routine
-    * for one executor, and past it the wedge shuffle is the lesser
-    * cost. */
-  private val BroadcastCloseMaxEdges = 4000000L
+  /** Crossover for the size-driven close. Measured (SCALING.md): at
+    * 1.2M edges (sf0.1) the forced broadcast wins 4.0 s vs 13.5 s —
+    * AQE alone does NOT rescue it, because the ~19 MB cached close
+    * side sits past the 10 MB auto-broadcast threshold and the close
+    * becomes a sort-merge join that shuffles the out-deg² wedge
+    * stream. At 12M edges an INTERLEAVED warm A/B measures a wash
+    * (min-of-2 7.4 s broadcast vs 6.9 s shuffled; the round's earlier
+    * 17-vs-8 reading was first-run order bias — both arms swing 2x
+    * run to run). So the threshold is set where the broadcast stops
+    * being cluster-sane rather than at a measured loss: 16M edges is
+    * a ~256 MB build side — fine to ship to every executor once,
+    * while past it the per-executor memory and rebroadcast-per-retry
+    * costs compound and the wedge shuffle (whose volume the degree
+    * orientation already bounds) is the safer plan. */
+  private val BroadcastCloseMaxEdges = 16000000L
 
   /** Default close is SIZE-DRIVEN on the MEASURED edge count (r11: the
     * round's first no-hint default cost 3.4x at sf0.1 — AQE mis-sizes
-    * the cached close side — while the r11 10x probe showed forcing the
-    * broadcast loses 2.3x at 10x edges; see [[BroadcastCloseMaxEdges]]).
-    * The count is free: it materializes the edge cache every downstream
-    * job reads anyway. Both paths are row-for-row equal (ClusteringSpec)
-    * and individually plan-gated (PlanSpec). */
+    * the cached close side; see [[BroadcastCloseMaxEdges]] for the
+    * measured regimes). The count is free: it materializes the edge
+    * cache every downstream job reads anyway. Both paths are
+    * row-for-row equal (ClusteringSpec) and individually plan-gated
+    * (PlanSpec). */
   def q195Triangles(spark: SparkSession, sfDir: String): DataFrame =
     q195WithClose(spark, sfDir, broadcastClose = None)
 
