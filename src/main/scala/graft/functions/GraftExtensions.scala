@@ -129,6 +129,16 @@ object GraftExtensions {
           s"graft_mp4_mvhd expects 1 argument, got ${args.length}")
         Mp4Mvhd(args(0))
       }),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]; " +
+          "textbook semantics (integer transposition halving, 0.7 boost " +
+          "threshold, prefix cap 4; empty input scores 0)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_jaro_winkler expects 2 arguments, got ${args.length}")
+        JaroWinkler(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_ebml_header"),
       info("graft_ebml_header",
         "graft_ebml_header(bytes) - EBML/Matroska vint element walk; packed " +

@@ -244,6 +244,13 @@ object GraftFunctions {
   def ebmlHeader(bytes: Column): Column =
     ColumnBridge.column(EbmlHeader(ColumnBridge.expression(bytes)))
 
+  /** Jaro–Winkler similarity of two strings (see [[JaroWinkler]]):
+    * textbook/DuckDB semantics — integer transposition halving, 0.7
+    * boost threshold, prefix cap 4; 0.0 when either side is empty. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** RFC 3629 UTF-8 validity/mojibake audit of a binary column (see
     * [[Utf8Audit]]): packed `valid << 32 | overlong << 24 | surrogate
     * << 16 | truncated << 8 | bad` — one codegen'd byte walk classifies

@@ -1953,4 +1953,58 @@ object Dedup {
        |$per
        |ORDER BY rows_per_band, bands""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q248 — Jaro–Winkler record-linkage join over the part-name
+  // vocabulary ([[graft.functions.JaroWinkler]], the codegen'd string
+  // comparator): the ALIAS/typo detector for entity names where q97's
+  // edit-distance join is the wrong ruler — JW is length-normalized
+  // (one threshold means the same thing for "hot gear" and
+  // "promotional anodized keyboard"), transposition-aware, and
+  // prefix-boosted, the standard comparator of the record-linkage
+  // literature (Winkler 1990, US Census).
+  //
+  // Scale shape: candidates come from FIRST-CHARACTER BLOCKING — the
+  // classic linkage block, an equi-join key, so the pair space is
+  // per-block quadratic, never global (names-table-sized here; at a
+  // 10⁸-name table the block key widens to the first bigram/trigram,
+  // same plan). JW itself is a codegen'd expression evaluated only on
+  // blocked candidates; the score is 6-dp-rounded on BOTH engines
+  // before the threshold so the cut cannot fork on a last-ulp
+  // difference.
+  // ---------------------------------------------------------------------
+  private val JwThreshold = 0.84
+
+  def q248JaroWinklerJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val vocab = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", substring(col("p_name"), 1, 1))
+      .cache() // both sides of the blocked self-join
+    val a = vocab.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_a"))
+    val b = vocab.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", round(
+        GraftFunctions.jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= JwThreshold)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("jw"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val q248Sql: String =
+    s"""WITH vocab AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+      |         substring(p_name, 1, 1) AS blk
+      |  FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       a.n_parts AS n_a, b.n_parts AS n_b,
+      |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM vocab a JOIN vocab b
+      |  ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+      |      >= $JwThreshold
+      |ORDER BY name_a, name_b""".stripMargin
 }

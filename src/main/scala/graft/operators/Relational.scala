@@ -3110,6 +3110,154 @@ object Relational {
       |FROM per_src, tstats, hstats
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q246 — Mann–Kendall trend test + Theil–Sen robust slope over hourly
+  // event volume (Mann 1945 / Kendall 1975; Theil 1950 / Sen 1968): the
+  // NONPARAMETRIC "is volume trending, and at what rate" read — exactly
+  // what q104's OLS is not under the heavy-tailed, outlier-ridden counts
+  // an ops feed produces, and the hypothesis-test companion to q202's
+  // CUSUM localization. S = Σ sign(x_j − x_i) over ordered pairs and its
+  // tie-corrected variance are EXACT integers; z applies the standard
+  // ±1 continuity correction as one pinned chain. The Theil–Sen slope
+  // is the median of all pairwise slopes — each slope one double
+  // division in the same op order in both engines, the median the
+  // dyadic two-middles interpolation both engines share (q120's
+  // discipline).
+  //
+  // Shape: the corpus shuffles once into the dense zero-filled grid
+  // (q75); the pair self-join is GRID-sized (N(N−1)/2 over hour
+  // cardinality — ~260k pairs per month of hours, bounded by time span,
+  // never corpus). Past ~1e5 grid cells the O(n²) pair set outgrows its
+  // usefulness and the classic O(n log n) merge-count computes the same
+  // S — documented swap, same output.
+  // ---------------------------------------------------------------------
+  def q246MannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+    val counts = ev.groupBy(col("hr")).agg(count(lit(1)).as("c"))
+    val span = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val series = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(counts, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("c"), lit(0L)).as("x"))
+      .cache() // both sides of the grid-sized pair join
+    val pairs = series.select(col("hr").as("t1"), col("x").as("x1"))
+      .join(series.select(col("hr").as("t2"), col("x").as("x2")),
+        col("t1") < col("t2"))
+      .select(
+        signum(col("x2") - col("x1")).cast("long").as("sgn"),
+        (col("x2") - col("x1")).cast("double")./(
+          (col("t2") - col("t1")).cast("double")).as("slope"))
+    val ties = series.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"),
+        sum(col("t")).as("n"))
+    pairs.agg(sum(col("sgn")).as("s"),
+        expr("percentile(slope, 0.5)").as("ts_slope_raw"))
+      .crossJoin(broadcast(ties))
+      .selectExpr("n", "s", "tie_term",
+        // var(S) = (n(n-1)(2n+5) - Σt(t-1)(2t+5)) / 18 — exact int64
+        "(n * (n - 1) * (2 * n + 5) - tie_term) div 18 AS var_s",
+        "round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) " +
+          "WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0E0 END " +
+          "/ sqrt(CAST((n * (n - 1) * (2 * n + 5) - tie_term) div 18 " +
+          "AS DOUBLE)), 6) AS z",
+        "round(ts_slope_raw, 6) AS ts_slope")
+  }
+
+  val q246Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr FROM events),
+      |counts AS (SELECT hr, count(*) AS c FROM ev GROUP BY hr),
+      |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM counts),
+      |series AS (
+      |  SELECT g.hr, coalesce(counts.c, 0) AS x
+      |  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM span) g
+      |  LEFT JOIN counts ON g.hr = counts.hr),
+      |pairs AS (
+      |  SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sgn,
+      |         CAST(b.x - a.x AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE)
+      |           AS slope
+      |  FROM series a JOIN series b ON a.hr < b.hr),
+      |tstats AS (
+      |  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+      |         CAST(SUM(t) AS BIGINT) AS n
+      |  FROM (SELECT x, count(*) AS t FROM series GROUP BY x)),
+      |pstats AS (
+      |  SELECT CAST(SUM(sgn) AS BIGINT) AS s,
+      |         quantile_cont(slope, 0.5) AS ts_slope_raw
+      |  FROM pairs)
+      |SELECT n, s, tie_term,
+      |       (n * (n - 1) * (2 * n + 5) - tie_term) // 18 AS var_s,
+      |       round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+      |                  WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+      |                  ELSE 0.0 END
+      |             / sqrt(CAST((n * (n - 1) * (2 * n + 5) - tie_term) // 18
+      |                    AS DOUBLE)), 6) AS z,
+      |       round(ts_slope_raw, 6) AS ts_slope
+      |FROM pstats, tstats""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q247 — Fano factor (index of dispersion) of hourly volume per event
+  // type (Fano 1947; Cox–Lewis point-process diagnostics): F =
+  // var/mean of the ZERO-FILLED hourly counts — the overdispersion read
+  // that must precede any Poisson-assuming alert threshold (a Poisson
+  // feed has F = 1; F >> 1 means bursts, F < 1 means pacing), and the
+  // per-type companion to q238's lag structure and q246's trend.
+  //
+  // Exactness: population variance over mean clears to a ratio of two
+  // exact int64 forms — F = (N·Σx² − S²)/(N·S) — so the only float is
+  // ONE pinned 6-dp division; the mean reports as floor-ppm. Shape: one
+  // corpus shuffle into the (hour, type) counts (q152's grid — silent
+  // hours are exactly the dispersion signal), then a |types|-sized
+  // aggregate.
+  // ---------------------------------------------------------------------
+  def q247FanoFactor(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("event_type"))
+    val counts = ev.groupBy(col("hr"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // span + types + the zero-filled series all read it
+    val span = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val types = counts.select(col("event_type")).distinct()
+    val grid = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .crossJoin(types)
+      .join(counts, Seq("hr", "event_type"), "left")
+      .select(col("event_type"), coalesce(col("c"), lit(0L)).as("x"))
+    grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .selectExpr("event_type", "n", "sx", "sxx",
+        "1000000L * sx div n AS mean_ppm",
+        "round(CAST(n * sxx - sx * sx AS DOUBLE) " +
+          "/ CAST(n * sx AS DOUBLE), 6) AS fano",
+        "n * sxx - sx * sx > n * sx AS overdispersed")
+      .orderBy("event_type")
+  }
+
+  val q247Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, event_type FROM events),
+      |counts AS (
+      |  SELECT hr, event_type, count(*) AS c FROM ev GROUP BY 1, 2),
+      |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM counts),
+      |grid AS (
+      |  SELECT t.event_type, coalesce(counts.c, 0) AS x
+      |  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM span) g
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+      |  LEFT JOIN counts ON g.hr = counts.hr
+      |                  AND t.event_type = counts.event_type)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(x) AS BIGINT) AS sx,
+      |       CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |       1000000 * CAST(SUM(x) AS BIGINT) // COUNT(*) AS mean_ppm,
+      |       round(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+      |             / CAST(COUNT(*) * SUM(x) AS DOUBLE), 6) AS fano,
+      |       COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) > COUNT(*) * SUM(x)
+      |         AS overdispersed
+      |FROM grid
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** The oracle aliases the paired stats to the SAME column names the
     * Spark side uses, so [[welchT]]/[[welchDf]] drop in VERBATIM — one
     * expression string, two engines, nothing to keep in sync. */

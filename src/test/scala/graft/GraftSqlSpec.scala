@@ -15,7 +15,8 @@ class GraftSqlSpec extends SparkSpec {
       Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets",
         "graft_sorted_hash_jaccard", "graft_simhash64", "graft_rolling_hash",
         "graft_image_header", "graft_wav_header", "graft_utf8_audit",
-        "graft_mp4_mvhd", "graft_ebml_header", "graft_token_rule_stats"))
+        "graft_mp4_mvhd", "graft_jaro_winkler", "graft_ebml_header",
+        "graft_token_rule_stats"))
   }
 
   test("graft_utf8_audit in SQL classifies a mixed corrupted blob") {

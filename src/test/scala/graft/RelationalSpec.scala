@@ -1522,4 +1522,63 @@ class RelationalSpec extends SparkSpec {
     // rank mass conservation: sum of all doubled rank sums = 2*(1+...+N)
     assert(got.map(_._3).sum == n.toLong * (n + 1))
   }
+
+  test("q246 Mann-Kendall S/var and Theil-Sen slope match a driver-side " +
+      "pairwise replay") {
+    val r = Relational.q246MannKendall(spark, sf).collect()
+    assert(r.length == 1)
+    val (n, s, tie, varS, z, slope) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getDouble(4), r(0).getDouble(5))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 3600000000 AS hr")
+      .collect().map(_.getLong(0))
+    val cnt = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val xs = (ev.min to ev.max).map(cnt(_)).toArray
+    assert(n == xs.length)
+    val pairs = for (i <- xs.indices; j <- i + 1 until xs.length)
+      yield (j - i, xs(j) - xs(i))
+    assert(s == pairs.map(p => java.lang.Long.signum(p._2).toLong).sum)
+    val tieRep = xs.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    assert(tie == tieRep)
+    assert(varS ==
+      (n * (n - 1) * (2 * n + 5) - tie) / 18)
+    val expZ =
+      (if (s > 0) (s - 1).toDouble else if (s < 0) (s + 1).toDouble else 0.0) /
+        math.sqrt(varS.toDouble)
+    assert(math.abs(z - expZ) < 1e-6)
+    // Theil-Sen: median of the pairwise slopes (two-middles interpolation)
+    val slopes = pairs.map { case (dt, dx) => dx.toDouble / dt }.sorted
+    val m = slopes.length
+    val med = if (m % 2 == 1) slopes(m / 2)
+      else (slopes(m / 2 - 1) + slopes(m / 2)) / 2
+    assert(math.abs(slope - med) < 1e-6, s"slope $slope vs $med")
+    // sanity: z and slope agree on trend direction (or both ~flat)
+    assert(z * slope >= 0 || math.abs(slope) < 1e-6 || math.abs(z) < 2)
+  }
+
+  test("q247 Fano factors match a driver-side zero-filled series replay; " +
+      "the verdict column is consistent with F vs 1") {
+    val got = Relational.q247FanoFactor(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 3600000000 AS hr", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val cnt = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    assert(got.map(_._1).toSeq == ev.map(_._2).distinct.sorted.toSeq)
+    got.foreach { case (t, n, sx, sxx, meanPpm, fano, over) =>
+      val xs = (h0 to h1).map(h => cnt((h, t)))
+      assert(n == xs.length && sx == xs.sum && sxx == xs.map(x => x * x).sum)
+      assert(meanPpm == 1000000L * sx / n)
+      val expF = (n.toDouble * sxx - sx.toDouble * sx) / (n.toDouble * sx)
+      assert(math.abs(fano - expF) < 1e-6, s"$t fano")
+      assert(over == (fano > 1.0) ||
+        math.abs(fano - 1.0) < 1e-6, s"$t verdict")
+      assert(fano > 0.0)
+    }
+  }
 }
