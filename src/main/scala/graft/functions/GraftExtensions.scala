@@ -129,6 +129,16 @@ object GraftExtensions {
           s"graft_mp4_mvhd expects 1 argument, got ${args.length}")
         Mp4Mvhd(args(0))
       }),
+    (FunctionIdentifier("graft_flac_streaminfo"),
+      info("graft_flac_streaminfo",
+        "graft_flac_streaminfo(bytes) - FLAC STREAMINFO bit-field probe; " +
+          "packed rate<<43 | channels<<39 | bps<<33 | total_samples " +
+          "(0=unknown)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_flac_streaminfo expects 1 argument, got ${args.length}")
+        FlacStreaminfo(args(0))
+      }),
     (FunctionIdentifier("graft_jaro_winkler"),
       info("graft_jaro_winkler",
         "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]; " +

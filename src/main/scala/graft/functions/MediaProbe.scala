@@ -322,3 +322,92 @@ object EbmlHeader {
     else DocOther
   }
 }
+
+/** FLAC STREAMINFO probe (the public FLAC format spec / RFC 9639): the
+  * fifth container family, and the third LENGTH DISCIPLINE — after the
+  * byte-aligned chunk/box walks (RIFF/BMFF) and EBML's variable-width
+  * vints, FLAC packs its stream parameters into SUB-BYTE bit fields:
+  * sample rate is 20 bits, channels−1 is 3, bits-per-sample−1 is 5, and
+  * the 36-bit total-sample count starts mid-byte — the fields cross
+  * byte boundaries and only a genuine big-endian bit extraction reads
+  * them (the property spec pins the boundary arithmetic).
+  *
+  * Layout: "fLaC" magic; metadata blocks of [last(1 bit)|type(7)]
+  * [length:BE24][payload] — STREAMINFO (type 0, length 34) is REQUIRED
+  * to be the first block (the spec's rule; a file violating it is
+  * refused, not searched). Inside STREAMINFO: min/max block size (16+16
+  * bits), min/max frame size (24+24), then the bit-packed parameter
+  * word, then the 16-byte payload MD5.
+  */
+case class FlacStreaminfo(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"flac_streaminfo expects binary, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    FlacStreaminfo.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.FlacStreaminfo.parse($b);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FlacStreaminfo {
+  final val Unknown = 0L
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+
+  /** rate(20 bits) | channels(4) | bps(6) | total_samples(33) — 63 bits.
+    * A 36-bit sample count past 2^33 (a >4-day stream at 192 kHz)
+    * returns Unknown rather than truncating into the packed field. */
+  def pack(rate: Long, ch: Long, bps: Long, samples: Long): Long =
+    (rate << 43) | (ch << 39) | (bps << 33) | samples
+
+  /** One definition of truth for interpreted eval AND codegen. */
+  def parse(b: Array[Byte]): Long = {
+    // "fLaC" + first block header (4) + STREAMINFO (34)
+    if (b.length < 42 || u8(b, 0) != 'f' || u8(b, 1) != 'L' ||
+        u8(b, 2) != 'a' || u8(b, 3) != 'C') return Unknown
+    // first metadata block MUST be STREAMINFO (spec rule): type bits 0,
+    // last-flag free; declared length exactly 34
+    if ((u8(b, 4) & 0x7F) != 0) return Unknown
+    val len = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    if (len != 34) return Unknown
+    val s = 8 // STREAMINFO payload offset
+    // bit-packed parameter word at payload bytes 10..17:
+    //   rate[20] = b10[8] b11[8] b12[hi 4]
+    //   ch-1[3]  = b12 bits 3..1
+    //   bps-1[5] = b12 bit 0 ++ b13 hi 4
+    //   total[36]= b13 lo 4 ++ b14..b17
+    val rate = (u8(b, s + 10).toLong << 12) | (u8(b, s + 11).toLong << 4) |
+      (u8(b, s + 12) >>> 4)
+    val ch = ((u8(b, s + 12) >>> 1) & 0x7) + 1L
+    val bps = (((u8(b, s + 12) & 0x1) << 4) | (u8(b, s + 13) >>> 4)) + 1L
+    val samples = ((u8(b, s + 13) & 0xF).toLong << 32) |
+      (u8(b, s + 14).toLong << 24) | (u8(b, s + 15).toLong << 16) |
+      (u8(b, s + 16).toLong << 8) | u8(b, s + 17).toLong
+    if (rate < 1 || rate >= (1L << 20)) return Unknown // 0 = invalid per spec
+    if (samples >= (1L << 33)) return Unknown // packed-field width
+    // remaining metadata blocks must stay inside the buffer (a probe
+    // reads headers only — payload bytes after the walk are the frames)
+    var i = s + 34
+    var last = (u8(b, 4) & 0x80) != 0
+    while (!last && i + 4 <= b.length) {
+      last = (u8(b, i) & 0x80) != 0
+      val blen = (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+      val next = i.toLong + 4L + blen // BE24: at most 2^24, no overflow
+      if (next > b.length) return Unknown
+      i = next.toInt
+    }
+    if (!last) return Unknown // ran out of bytes before the last block
+    pack(rate, ch, bps, samples)
+  }
+}

@@ -244,6 +244,12 @@ object GraftFunctions {
   def ebmlHeader(bytes: Column): Column =
     ColumnBridge.column(EbmlHeader(ColumnBridge.expression(bytes)))
 
+  /** FLAC STREAMINFO probe (see [[FlacStreaminfo]]): sub-byte bit-field
+    * extraction of the stream parameters; packed `rate << 43 |
+    * channels << 39 | bps << 33 | total_samples` (0 = unrecognized). */
+  def flacStreaminfo(bytes: Column): Column =
+    ColumnBridge.column(FlacStreaminfo(ColumnBridge.expression(bytes)))
+
   /** Jaro–Winkler similarity of two strings (see [[JaroWinkler]]):
     * textbook/DuckDB semantics — integer transposition halving, 0.7
     * boost threshold, prefix cap 4; 0.0 when either side is empty. */

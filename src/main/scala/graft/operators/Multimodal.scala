@@ -547,4 +547,80 @@ object Multimodal {
       |                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
       |            FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q249 — FLAC STREAMINFO probe ([[graft.functions.FlacStreaminfo]]):
+  // the FIFTH container family, exercising the third length discipline —
+  // SUB-BYTE bit-packed fields (20-bit rate / 3-bit channels / 5-bit bps
+  // / 36-bit sample count, all crossing byte boundaries) after the
+  // byte-aligned chunk walks and EBML's vints. The synthesized file
+  // carries a trailing PADDING metadata block of per-row-varying length
+  // so the block walk (and the probe's whole-header accounting) is
+  // genuinely exercised; the probed total-sample count feeds the q73/
+  // q229-style chunk plan a lossless-audio ingest runs before any
+  // decode.
+  // ---------------------------------------------------------------------
+  def q249FlacProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val nb = length(encode(col("text"), "utf-8")).cast("long")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nb.as("nb"))
+      .withColumn("rate", expr(
+        "element_at(array(8000L, 44100L, 48000L, 96000L), " +
+          "CAST(nb % 4 AS INT) + 1)"))
+      .withColumn("ch", col("nb") % 2 + 1)
+      .withColumn("bps", lit(16L))
+      // clamp to the packed 33-bit sample-count field (the ADVICE-r10
+      // hex-render lesson: construction and probe must share the bound)
+      .withColumn("samples", expr("(nb * 441) % 8589934592"))
+      .withColumn("pl", col("nb") % 29) // PADDING block payload
+    // the 8-byte bit-packed parameter word, assembled as ONE integer:
+    // rate[20] ch-1[3] bps-1[5] samples[36] — fits well under 2^63 at
+    // our rates, so hex() renders it without sign trouble
+    val word = expr(
+      "shiftleft(rate, 44) + shiftleft(ch - 1, 41) + " +
+        "shiftleft(bps - 1, 36) + samples")
+    val flacHex = concat(
+      lit("664C6143"),           // "fLaC"
+      lit("00" + "000022"),      // block 0: STREAMINFO, not last, len 34
+      lit("1000" + "1000"),      // min/max block size
+      lit("000000" + "000000"),  // min/max frame size (0 = unknown)
+      lpad(hex(word), 16, "0"),
+      expr("repeat('AB', 16)"),  // payload MD5 (opaque to the probe)
+      lit("81"), lpad(hex(col("pl")), 6, "0"), // block 1: PADDING, LAST
+      expr("repeat('00', CAST(pl AS INT))"))
+    base
+      .withColumn("flac", unhex(flacHex))
+      .withColumn("p", GraftFunctions.flacStreaminfo(col("flac")))
+      .withColumn("sample_rate", shiftright(col("p"), 43))
+      .withColumn("channels", expr("CAST(shiftright(p, 39) & 15 AS BIGINT)"))
+      .withColumn("bits_per_sample",
+        expr("CAST(shiftright(p, 33) & 63 AS BIGINT)"))
+      .withColumn("total_samples",
+        expr("CAST(p & 8589934591 AS BIGINT)"))
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("bits_per_sample"), col("total_samples"),
+        expr("CAST(octet_length(flac) AS BIGINT)").as("flac_bytes"),
+        expr("total_samples * 1000 div sample_rate").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** Every field from the construction arithmetic; flac_bytes from the
+    * layout (4 magic + 4 + 34 STREAMINFO + 4 + pl PADDING). */
+  val q249Sql: String =
+    """SELECT doc_id, rate AS sample_rate, ch AS channels,
+      |       CAST(16 AS BIGINT) AS bits_per_sample,
+      |       samples AS total_samples,
+      |       46 + pl AS flac_bytes,
+      |       samples * 1000 // rate AS duration_ms
+      |FROM (SELECT doc_id,
+      |             CAST([8000, 44100, 48000, 96000][CAST(nb % 4 AS INT) + 1]
+      |                  AS BIGINT) AS rate,
+      |             nb % 2 + 1 AS ch,
+      |             (nb * 441) % 8589934592 AS samples,
+      |             nb % 29 AS pl
+      |      FROM (SELECT doc_id,
+      |                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
 }

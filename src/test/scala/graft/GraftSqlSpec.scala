@@ -15,8 +15,8 @@ class GraftSqlSpec extends SparkSpec {
       Seq("graft_dot", "graft_pct_result", "graft_hyperplane_buckets",
         "graft_sorted_hash_jaccard", "graft_simhash64", "graft_rolling_hash",
         "graft_image_header", "graft_wav_header", "graft_utf8_audit",
-        "graft_mp4_mvhd", "graft_jaro_winkler", "graft_ebml_header",
-        "graft_token_rule_stats"))
+        "graft_mp4_mvhd", "graft_flac_streaminfo", "graft_jaro_winkler",
+        "graft_ebml_header", "graft_token_rule_stats"))
   }
 
   test("graft_utf8_audit in SQL classifies a mixed corrupted blob") {
@@ -117,6 +117,10 @@ class GraftSqlSpec extends SparkSpec {
         |         '0000006C', '6D766864', '00000000',
         |         '00000000', '00000000', '00000258', '00001000',
         |         repeat('00', 80)))) AS mp4,
+        |       graft_flac_streaminfo(unhex(concat(
+        |         '664C6143', '80', '000022', '10001000',
+        |         '000000000000', '0BB800F0000003E8',
+        |         repeat('AB', 16)))) AS flac,
         |       graft_ebml_header(unhex(concat(
         |         '1A45DFA3', '8F',
         |         '428681', '01',
@@ -128,10 +132,13 @@ class GraftSqlSpec extends SparkSpec {
       graft.functions.ImageHeader.pack(graft.functions.ImageHeader.FmtPng, 64, 48))
     assert(r.getLong(1) == graft.functions.WavHeader.pack(48000L, 2L, 16L, 1000L))
     assert(r.getLong(2) == graft.functions.Mp4Mvhd.pack(600L, 4096L))
+    // 48 kHz mono 16-bit, 1000 samples, sub-byte fields crossing bytes
+    assert(r.getLong(3) ==
+      graft.functions.FlacStreaminfo.pack(48000L, 1L, 16L, 1000L))
     // webm DocType, EBMLVersion 1, DocTypeVersion 2, 20 header bytes
-    assert(r.getLong(3) == graft.functions.EbmlHeader.pack(
+    assert(r.getLong(4) == graft.functions.EbmlHeader.pack(
       graft.functions.EbmlHeader.DocWebm, 1L, 2L, 20L))
-    assert(r.getLong(4) == graft.functions.ImageHeader.FmtUnknown)
+    assert(r.getLong(5) == graft.functions.ImageHeader.FmtUnknown)
   }
 
   test("graft_rolling_hash in SQL equals the Column API") {

@@ -302,4 +302,79 @@ class MediaProbePropertySpec extends AnyFunSuite {
       EbmlHeader.parse(b) // must return, any value
     }
   }
+
+  // ----- FLAC (bit-packed fields) kernel --------------------------------
+
+  private def be24(v: Int) = Array(
+    ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  /** Spec-conformant FLAC header: STREAMINFO first (as required), then
+    * optional extra metadata blocks, the last one flagged. */
+  private def flac(rate: Long, ch: Int, bps: Int, samples: Long,
+      extras: Seq[Array[Byte]]): Array[Byte] = {
+    val word = (rate << 44) | ((ch - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | samples
+    val si = Array(0x10, 0x00, 0x10, 0x00).map(_.toByte) ++ // block sizes
+      new Array[Byte](6) ++ // frame sizes
+      (7 to 0 by -1).map(s => ((word >> (8 * s)) & 0xFF).toByte).toArray ++
+      new Array[Byte](16) // md5
+    val blocks = extras.zipWithIndex.map { case (p, i) =>
+      val lastFlag = if (i == extras.length - 1) 0x80 else 0x00
+      Array((lastFlag | 0x01).toByte) ++ be24(p.length) ++ p
+    }
+    "fLaC".getBytes ++
+      Array((if (extras.isEmpty) 0x80 else 0x00).toByte) ++ be24(34) ++ si ++
+      blocks.flatten
+  }
+
+  test("property: 150 random FLAC headers round-trip the bit-packed " +
+      "fields exactly (boundary-crossing rates, channels, sample counts)") {
+    import graft.functions.FlacStreaminfo
+    val gen = Gen.listOfN(150, for {
+      rate <- Gen.choose(1L, (1L << 20) - 1) // any 20-bit rate incl. odd ones
+      ch <- Gen.choose(1, 8)
+      bps <- Gen.choose(1, 32)
+      samples <- Gen.choose(0L, (1L << 33) - 1)
+      nExtra <- Gen.choose(0, 3)
+      extras <- Gen.listOfN(nExtra, Gen.choose(0, 40)
+        .map(n => Array.fill(n)(0x55.toByte)))
+    } yield (rate, ch, bps, samples, extras))
+    gen.pureApply(params, Seed(37L)).foreach {
+      case (rate, ch, bps, samples, extras) =>
+        val b = flac(rate, ch, bps, samples, extras)
+        assert(FlacStreaminfo.parse(b) ==
+          FlacStreaminfo.pack(rate, ch.toLong, bps.toLong, samples),
+          s"rate=$rate ch=$ch bps=$bps samples=$samples")
+    }
+  }
+
+  test("FLAC refusal semantics: not-first STREAMINFO, zero rate, 36-bit " +
+      "counts past the packed field, truncation, and block overrun") {
+    import graft.functions.FlacStreaminfo
+    val good = flac(44100L, 2, 16, 1234567L, Seq(Array.fill(7)(0.toByte)))
+    assert(FlacStreaminfo.parse(good) ==
+      FlacStreaminfo.pack(44100L, 2L, 16L, 1234567L))
+    // every strict prefix refuses rather than mis-parses
+    (0 until good.length).foreach { n =>
+      assert(FlacStreaminfo.parse(good.take(n)) == FlacStreaminfo.Unknown,
+        s"len $n")
+    }
+    // a PADDING block first violates the STREAMINFO-first rule
+    val notFirst = "fLaC".getBytes ++
+      Array(0x01.toByte) ++ be24(4) ++ new Array[Byte](4) ++ good.drop(4)
+    assert(FlacStreaminfo.parse(notFirst) == FlacStreaminfo.Unknown)
+    // rate 0 is invalid per spec
+    assert(FlacStreaminfo.parse(flac(0L, 2, 16, 10L, Nil)) ==
+      FlacStreaminfo.Unknown)
+    // a 36-bit sample count past 2^33 must refuse, not truncate: build
+    // the word by hand since the builder itself packs 33 bits
+    val big = flac(44100L, 2, 16, 0L, Nil)
+    big(4 + 4 + 13) = ((big(4 + 4 + 13) & 0xF0) | 0x08).toByte // bit 35 set
+    assert(FlacStreaminfo.parse(big) == FlacStreaminfo.Unknown)
+    // a trailing block whose declared length overruns the buffer
+    val over = flac(44100L, 2, 16, 10L, Nil).clone()
+    over(4) = 0x00.toByte // clear the last flag: a block must follow
+    assert(FlacStreaminfo.parse(over ++ Array(0x01.toByte) ++ be24(99)) ==
+      FlacStreaminfo.Unknown)
+  }
 }
