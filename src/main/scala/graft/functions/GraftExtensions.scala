@@ -143,7 +143,8 @@ object GraftExtensions {
       info("graft_jaro_winkler",
         "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]; " +
           "textbook semantics (integer transposition halving, 0.7 boost " +
-          "threshold, prefix cap 4; empty input scores 0)"),
+          "threshold, prefix cap 4; empty input scores 0). Quadratic in " +
+          "string length - a NAME comparator; block and bound inputs"),
       (args: Seq[Expression]) => {
         require(args.length == 2,
           s"graft_jaro_winkler expects 2 arguments, got ${args.length}")

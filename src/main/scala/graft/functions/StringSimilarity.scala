@@ -30,6 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * byte-wise for the ASCII vocabulary the queries feed it; supplementary
   * planes would need codepoint stepping in BOTH engines before relying
   * on oracle parity there.
+  *
+  * COST CONTRACT: the matching loop is O(|a|·window) ≈ quadratic in
+  * string length — this is a comparator for NAME-length strings, not
+  * documents. Callers must block and bound inputs upstream (q248 feeds
+  * it first-char-blocked part names); handing it two multi-megabyte
+  * texts is a multi-second expression call by construction, the same
+  * contract every JW implementation (DuckDB's included) carries.
   */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {

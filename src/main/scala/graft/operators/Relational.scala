@@ -3258,6 +3258,103 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q250 — cross-correlation function between event-type pairs at signed
+  // lags −6..+6 hours (Box–Jenkins CCF): the LEAD/LAG detector q152's
+  // zero-lag Pearson cannot see — "errors lead purchase drops by two
+  // hours" is an asymmetric, signed-lag statement, and the CCF peak's
+  // SIGN OF LAG is the read an incident pipeline acts on. Completes the
+  // identification family: q238 per-series ACF, q237 seasonal indices,
+  // q246 trend, q247 dispersion.
+  //
+  // Cross-engine: q238's N²-multiplied sufficient statistics extended
+  // to two series — num_k·N² = N²·Σ a_t·b_{t+k} − N·S_b·Σhead_a −
+  // N·S_a·Σtail_b + m·S_a·S_b, den² = (N²Σa²−N·S_a²)(N²Σb²−N·S_b²) —
+  // all exact int64, r one pinned 6-dp chain. Shape: one corpus shuffle
+  // into the dense (hour, type) grid; the signed-lag pair join runs
+  // over grid-sized series with a broadcast 13-row lag table; per-type
+  // moment aggregates broadcast back twice (a-side, b-side).
+  // ---------------------------------------------------------------------
+  def q250Ccf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("event_type"))
+    val counts = ev.groupBy(col("hr"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val span = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val types = counts.select(col("event_type")).distinct()
+    val series = span.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .crossJoin(types)
+      .join(counts, Seq("hr", "event_type"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("x"))
+      .cache() // a-side, b-side, and both moment aggregates read it
+    val moments = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("s2"))
+    val lags = spark.range(-6, 7).select(col("id").as("lag"))
+    val a = series.select(col("event_type").as("t1"), col("hr"),
+      col("x").as("xa"))
+    val b = series.select(col("event_type").as("t2"), col("hr").as("hrb"),
+      col("x").as("xb"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("hrb") === col("hr") + col("lag") && col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"), col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("xa") * col("xb")).as("sab"),
+        sum(col("xa")).as("sha"), sum(col("xb")).as("stb"))
+      .join(broadcast(moments.select(col("event_type").as("t1"),
+        col("n"), col("s").as("sa"), col("s2").as("sa2"))), Seq("t1"))
+      .join(broadcast(moments.select(col("event_type").as("t2"),
+        col("s").as("sb"), col("s2").as("sb2"))), Seq("t2"))
+      .selectExpr("t1", "t2", "lag", "m", "sab",
+        "round(CAST(n * n * sab - n * sb * sha - n * sa * stb " +
+          "+ m * sa * sb AS DOUBLE) / " +
+          "(sqrt(CAST(n * n * sa2 - n * sa * sa AS DOUBLE)) * " +
+          "sqrt(CAST(n * n * sb2 - n * sb * sb AS DOUBLE))), 6) AS ccf")
+      .orderBy("t1", "t2", "lag")
+  }
+
+  val q250Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, event_type FROM events),
+      |counts AS (
+      |  SELECT hr, event_type, count(*) AS c FROM ev GROUP BY 1, 2),
+      |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM counts),
+      |series AS (
+      |  SELECT t.event_type, g.hr, coalesce(counts.c, 0) AS x
+      |  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM span) g
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+      |  LEFT JOIN counts ON g.hr = counts.hr
+      |                  AND t.event_type = counts.event_type),
+      |moments AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS s,
+      |         CAST(SUM(x * x) AS BIGINT) AS s2
+      |  FROM series GROUP BY event_type),
+      |lags AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+      |paired AS (
+      |  SELECT a.event_type AS t1, b.event_type AS t2, l.lag,
+      |         CAST(COUNT(*) AS BIGINT) AS m,
+      |         CAST(SUM(a.x * b.x) AS BIGINT) AS sab,
+      |         CAST(SUM(a.x) AS BIGINT) AS sha,
+      |         CAST(SUM(b.x) AS BIGINT) AS stb
+      |  FROM lags l
+      |  JOIN series a ON true
+      |  JOIN series b ON b.hr = a.hr + l.lag AND a.event_type < b.event_type
+      |  GROUP BY 1, 2, 3)
+      |SELECT t1, t2, lag, m, sab,
+      |       round(CAST(ma.n * ma.n * sab - ma.n * mb.s * sha
+      |                  - ma.n * ma.s * stb + m * ma.s * mb.s AS DOUBLE)
+      |             / (sqrt(CAST(ma.n * ma.n * ma.s2 - ma.n * ma.s * ma.s
+      |                          AS DOUBLE))
+      |                * sqrt(CAST(ma.n * ma.n * mb.s2 - ma.n * mb.s * mb.s
+      |                            AS DOUBLE))), 6) AS ccf
+      |FROM paired
+      |JOIN moments ma ON ma.event_type = t1
+      |JOIN moments mb ON mb.event_type = t2
+      |ORDER BY t1, t2, lag""".stripMargin
+
   /** The oracle aliases the paired stats to the SAME column names the
     * Spark side uses, so [[welchT]]/[[welchDf]] drop in VERBATIM — one
     * expression string, two engines, nothing to keep in sync. */

@@ -1581,4 +1581,44 @@ class RelationalSpec extends SparkSpec {
       assert(fano > 0.0)
     }
   }
+
+  test("q250 CCF matches a driver-side two-series replay and its lag-0 " +
+      "column IS q152's Pearson r for every pair") {
+    val got = Relational.q250Ccf(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 3600000000 AS hr", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val cnt = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val types = ev.map(_._2).distinct.sorted
+    val ser = types.map(t => t -> (h0 to h1).map(h => cnt((h, t)))).toMap
+    val n = (h1 - h0 + 1).toInt
+    assert(got.size == types.combinations(2).size * 13)
+    for (Array(t1, t2) <- types.combinations(2); k <- -6L to 6L) {
+      val (m, sab, ccf) = got((t1, t2, k))
+      val (xa, xb) = (ser(t1), ser(t2))
+      val pairs = (0 until n).flatMap { i =>
+        val j = i + k.toInt
+        if (j >= 0 && j < n) Some((xa(i), xb(j))) else None
+      }
+      assert(m == pairs.length)
+      assert(sab == pairs.map { case (p, q) => p * q }.sum)
+      val (sa, sb) = (xa.sum.toDouble, xb.sum.toDouble)
+      val (ma, mb) = (sa / n, sb / n)
+      val num = pairs.map { case (p, q) => (p - ma) * (q - mb) }.sum
+      val da = math.sqrt(xa.map(x => (x - ma) * (x - ma)).sum)
+      val db = math.sqrt(xb.map(x => (x - mb) * (x - mb)).sum)
+      assert(math.abs(ccf - num / (da * db)) < 1e-6, s"($t1,$t2,$k)")
+    }
+    // lag 0 is exactly q152's zero-lag Pearson for every pair
+    val r152 = Relational.q152SeriesCorr(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(8))).toMap
+    r152.foreach { case ((t1, t2), r) =>
+      assert(math.abs(got((t1, t2, 0L))._3 - r) < 1e-6,
+        s"lag-0 CCF vs q152 on ($t1,$t2)")
+    }
+  }
 }
