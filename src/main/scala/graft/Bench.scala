@@ -141,6 +141,58 @@ object Bench {
     sentinelTrips(minTimes).size >= 2 || ratio > 2.2 ||
       bandTrips.size >= QuietBandMinKeys
 
+  // --- self-heal: retry the keys the canary names, publish min-of-3 ---
+  //
+  // Three consecutive driver boards (r09/r10/r11) were disturbed; the
+  // r11 canary NAMED its 21 inflated keys from inside the session (q124
+  // at 131.8/156.6 s in BOTH runs vs its ~1.6 s band) but Bench stopped
+  // at min-of-2, so the board shipped 595.5 s where the true surface
+  // cost ~300 s and adjudication happened offline. The fix is mechanical
+  // and bounded: after the two timed runs, re-run ONLY the tripped
+  // non-stream keys once more (most-inflated first, capped at
+  // [[BenchRetryMax]] — the worst board ever seen tripped 21), publish
+  // min-of-3 for them, and recompute the canary from the healed times.
+  // A roaming/transient disturbance (the r11 class) heals to a green
+  // board with the retried keys named on the driver line; a SUSTAINED
+  // disturbance also inflates the retry run, the healed times still
+  // trip, and the board stays honestly red.
+
+  /** Hard cap on retry executions per session — bounds the self-heal's
+    * cost on an arbitrarily disturbed host. Sized above the worst
+    * observed board (21 trips, r11) with margin, and below what the
+    * driver-line budget can annotate (BenchLineSpec proves the
+    * worst-case `"retried"` list fits). */
+  val BenchRetryMax = 24
+
+  /** Keys the self-heal pass should re-run: every quiet-band trip plus
+    * every tripped sentinel (both non-stream by construction), most
+    * inflated relative to its band first, capped at [[BenchRetryMax]].
+    * Pure — BenchLineSpec replays recorded boards through it. */
+  def retryKeys(minTimes: Map[String, Double],
+      bands: Map[String, Double]): Seq[String] = {
+    val allBands = bands ++ SentinelBands // sentinel bands are tighter
+    val tripped = (quietBandTrips(minTimes, bands) ++
+      sentinelTrips(minTimes)).distinct
+    tripped.sortBy { k =>
+      val inflation = (for {
+        t <- minTimes.get(k); b <- allBands.get(k)
+      } yield t / b).getOrElse(1.0)
+      (-inflation, k)
+    }.take(BenchRetryMax)
+  }
+
+  /** Fold the retry run into the published times: min-of-3 for retried
+    * keys whose first two runs AND retry all succeeded; a failed (-1)
+    * original stays -1 and a failed retry changes nothing. Pure. */
+  def heal(results: Seq[(String, Double)],
+      retries: Map[String, Double]): Seq[(String, Double)] =
+    results.map { case (n, v) =>
+      n -> (retries.get(n) match {
+        case Some(t3) if t3 > 0 && v > 0 => math.min(v, t3)
+        case _                           => v
+      })
+    }
+
   /** Build the single driver-consumed JSON line. Query keys are
     * SHORTENED via [[shortKey]]: the full-name map grew past the tail
     * window at the 65-query surface and the qNN prefixes grew past it
@@ -152,7 +204,8 @@ object Bench {
     * parsing fail loudly here (and in the unit test) instead.
     */
   def driverLine(total: Double, queries: Seq[(String, Double)], sf: String,
-                 streamRowsPerSec: Double, isNoisy: Boolean = false): String = {
+                 streamRowsPerSec: Double, isNoisy: Boolean = false,
+                 retried: Seq[String] = Nil): String = {
     val always = Set("q25_stream_parity", "stream_ingest")
     val kept = queries.filter { case (k, v) =>
       v < 0 || always(k) } ++
@@ -186,7 +239,13 @@ object Bench {
       // reader to adjudicate this session's times against
       // bench_spread_last.json before treating any >2x key as a
       // regression. Absent = canary green.
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${queries.size},"queries":$qs,"sf":"${sf.split('/').last}","rps":$streamRowsPerSec%.0f${if (isNoisy) ",\"noisy\":true" else ""}}"""
+      // "retried" names the keys whose published value is a min-of-3
+      // after the self-heal pass re-ran them (shortKey form, ≤
+      // BenchRetryMax entries — worst case ~160 chars, proven inside
+      // the budget by BenchLineSpec): a green board with a retried list
+      // means the session was disturbed but the published times are
+      // re-measured; absent = no key needed healing.
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${queries.size},"queries":$qs,"sf":"${sf.split('/').last}","rps":$streamRowsPerSec%.0f${if (retried.nonEmpty) retried.map("\"" + shortKey(_) + "\"").mkString(",\"retried\":[", ",", "]") else ""}${if (isNoisy) ",\"noisy\":true" else ""}}"""
     require(line.length <= DriverLineBudget,
       s"driver line is ${line.length} chars > budget $DriverLineBudget: " +
         "trim keys/precision or move data to an earlier line, or the " +
@@ -252,6 +311,22 @@ object Bench {
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
 
+    // Self-heal pass (see retryKeys/heal): re-run the canary-named keys
+    // once more, warm (every key already ran twice in this JVM), with
+    // the same shuffle-partition config as the timed runs. The band arm
+    // only exists at the bands' own SF — the committed file is sf0.1
+    // evidence — but tripped sentinels heal at any SF.
+    val bands =
+      if (sfDir.endsWith("sf0.1")) loadQuietBands()
+      else Map.empty[String, Double]
+    val toRetry = retryKeys(results.toMap, bands)
+    val retryTimes = toRetry.map { n =>
+      val t = materialize(n)
+      spark.sharedState.cacheManager.clearCache()
+      n -> t
+    }.toMap
+    val healed = heal(results, retryTimes)
+
     val nEvents = Tables.events(spark, sfDir).count()
 
     // Streaming paths: cap state partitions at 8. Stateful queries pay a
@@ -310,17 +385,22 @@ object Bench {
       .mkString("{", ",", "}")
 
     // Session-health canary (see SentinelBands / medianRunRatio /
-    // quietBandTrips). The band check only fires at the bands' own SF
-    // (the committed file is sf0.1 evidence; sf0.001 smoke runs are far
-    // below every band and a hypothetical larger SF would false-trip).
+    // quietBandTrips), computed on the HEALED times: a transient
+    // disturbance whose keys re-measured quiet reads green (with the
+    // retried list on the driver line); a sustained one also inflated
+    // the retry runs and stays red. The spread line keeps BOTH views —
+    // the pre-heal trips (what the two timed runs observed) and the
+    // post-heal residue — plus the raw retry times.
     val ratio = medianRunRatio(runs)
-    val bandTrips =
-      if (sfDir.endsWith("sf0.1")) quietBandTrips(results.toMap, loadQuietBands())
-      else Nil
-    val isNoisy = noisy(results.toMap, ratio, bandTrips)
+    val bandTripsObserved = quietBandTrips(results.toMap, bands)
+    val bandTrips = quietBandTrips(healed.toMap, bands)
+    val isNoisy = noisy(healed.toMap, ratio, bandTrips)
 
+    val retryJson = retryTimes.toSeq.sorted
+      .map { case (k, t) => "\"" + k + f"\":$t%.3f" }
+      .mkString("{", ",", "}")
     val spreadLine =
-      f"""{"metric":"spread","cpus":$cpus,"sf":"${sfDir.split('/').last}","noisy":$isNoisy,"ratio":$ratio%.3f,"sentinel_trips":${sentinelTrips(results.toMap).map("\"" + _ + "\"").mkString("[", ",", "]")},"band_trips":${bandTrips.map("\"" + _ + "\"").mkString("[", ",", "]")},"stream":{"q25_stream_parity":$tParity%.3f,"stream_ingest":$tIngest%.3f},"spread":$spread}"""
+      f"""{"metric":"spread","cpus":$cpus,"sf":"${sfDir.split('/').last}","noisy":$isNoisy,"ratio":$ratio%.3f,"sentinel_trips":${sentinelTrips(healed.toMap).map("\"" + _ + "\"").mkString("[", ",", "]")},"band_trips":${bandTripsObserved.map("\"" + _ + "\"").mkString("[", ",", "]")},"band_trips_healed":${bandTrips.map("\"" + _ + "\"").mkString("[", ",", "]")},"retry":$retryJson,"stream":{"q25_stream_parity":$tParity%.3f,"stream_ingest":$tIngest%.3f},"spread":$spread}"""
     println(spreadLine)
     // Persist the full spread to a stable repo path every run: the
     // driver captures only the last 2000 stdout chars, so without this
@@ -332,10 +412,10 @@ object Bench {
       java.nio.file.Paths.get("bench_spread_last.json"),
       (spreadLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    val total = results.map(_._2).filter(_ > 0).sum + tParity + tIngest
+    val total = healed.map(_._2).filter(_ > 0).sum + tParity + tIngest
     println(driverLine(total,
-      results ++ Seq("q25_stream_parity" -> tParity, "stream_ingest" -> tIngest),
-      sfDir, streamRowsPerSec, isNoisy))
+      healed ++ Seq("q25_stream_parity" -> tParity, "stream_ingest" -> tIngest),
+      sfDir, streamRowsPerSec, isNoisy, retried = toRetry))
     spark.stop()
   }
 }

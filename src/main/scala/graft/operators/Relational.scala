@@ -2753,9 +2753,13 @@ object Relational {
   // a sparse aggregate never emits). index_ppm = 1e6 · (bucket mean) /
   // (grand mean), computed as one all-integer floor division
   // 1e6·sum_b·cells_total / (cells_b·sum_total) — bit-identical
-  // cross-engine with no float in sight. The pre-read before q78's
-  // anomaly z-scores: a 3 a.m. "drop" is only an anomaly net of the
-  // 3 a.m. index.
+  // cross-engine with no float in sight. int64 envelope (q238's
+  // discipline): the numerator 1e6·n_events·cells_total holds to
+  // ~1e9 events over a ~1e3-hour grid (1e6·1e9·1e3 ≈ 1e18 < 2^63);
+  // past that Spark wraps silently while DuckDB promotes to HUGEINT —
+  // the DECIMAL(38,0) swap is one cast on both engines. The pre-read
+  // before q78's anomaly z-scores: a 3 a.m. "drop" is only an anomaly
+  // net of the 3 a.m. index.
   //
   // Shape: the corpus shuffles once into the hour-count aggregate;
   // everything after is grid-sized (≤ |hours| rows). Epoch-hour
@@ -3205,7 +3209,13 @@ object Relational {
   //
   // Exactness: population variance over mean clears to a ratio of two
   // exact int64 forms — F = (N·Σx² − S²)/(N·S) — so the only float is
-  // ONE pinned 6-dp division; the mean reports as floor-ppm. Shape: one
+  // ONE pinned 6-dp division; the mean reports as floor-ppm. int64
+  // envelope (q238's discipline): n·sxx and sx·sx hold to ~1e5
+  // events/hour over ~1e3-hour spans (sxx ≈ 1e13, n·sxx ≈ 1e16 < 2^63);
+  // past that Spark wraps silently where DuckDB promotes to HUGEINT —
+  // the DECIMAL(38,0) swap is one cast on both engines (the
+  // `overdispersed` comparison n·sxx − sx² > n·sx shares the same
+  // envelope). Shape: one
   // corpus shuffle into the (hour, type) counts (q152's grid — silent
   // hours are exactly the dispersion signal), then a |types|-sized
   // aggregate.

@@ -97,6 +97,13 @@ object TwoPass {
     * unpersisting the second. */
   private[graft] def globalNtileLazy(df: DataFrame, keys: Seq[Column],
       k: Int, bucketName: String, parts: Int): (DataFrame, DataFrame) = {
+    // The decomposition builds through fixed working columns; a caller
+    // column with one of these names would be silently overwritten by
+    // withColumn and then dropped from the result — refuse instead.
+    val clash = df.columns.toSet &
+      Set("gnt_pid", "gnt_off", "gnt_rank")
+    require(clash.isEmpty,
+      s"globalNtile: input already has working column(s) ${clash.mkString(", ")} — rename them before calling")
     val (frozen, offsets, totals) =
       frozenPrefix(df, parts, keys, Seq(count(lit(1))))
     val n = totals(0)

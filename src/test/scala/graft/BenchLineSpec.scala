@@ -20,10 +20,18 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("driver line fits the tail-capture budget at the full query surface") {
     // 9.94 s per query formats at worst-case width, so a pass here
-    // means any real bench line is shorter still.
+    // means any real bench line is shorter still. The retried list is
+    // at its worst case too: BenchRetryMax keys, all 3-digit numbers
+    // (the widest shortKey render), plus the noisy flag.
+    val worstRetried = fullSurface.map(_._1)
+      .filter(_.drop(1).takeWhile(_.isDigit).length >= 3)
+      .take(Bench.BenchRetryMax)
+      .padTo(Bench.BenchRetryMax, "q999_pad")
     val line = Bench.driverLine(9999.99, fullSurface,
-      "/root/testdata/sf0.1", 999999.0)
+      "/root/testdata/sf0.1", 999999.0, isNoisy = true,
+      retried = worstRetried)
     assert(line.length <= Bench.DriverLineBudget)
+    assert(line.contains("\"retried\":["))
     assert(line.startsWith("{\"metric\":\"total\""))
     assert(line.endsWith("}"))
     // The queries map must actually be on the line (that's what r07 lost).
@@ -169,7 +177,8 @@ class BenchLineSpec extends AnyFunSuite {
     val f = new java.io.File("bench_spread_last.json")
     assert(f.exists(), "bench_spread_last.json missing — run graft.Bench")
     val node = om.readTree(f)
-    for (k <- Seq("metric", "cpus", "sf", "noisy", "ratio", "stream", "spread"))
+    for (k <- Seq("metric", "cpus", "sf", "noisy", "ratio", "stream", "spread",
+        "band_trips", "band_trips_healed", "retry"))
       assert(node.has(k), s"spread file key $k")
     val keys = scala.jdk.CollectionConverters
       .IteratorHasAsScala(node.get("spread").fieldNames()).asScala.toSet
@@ -224,7 +233,96 @@ class BenchLineSpec extends AnyFunSuite {
     val grown = fullSurface ++
       (1 to 15).map(i => s"q${maxNum + i}_future" -> 9.94)
     val line = Bench.driverLine(9999.99, grown,
-      "/root/testdata/sf0.1", 999999.0)
+      "/root/testdata/sf0.1", 999999.0, isNoisy = true,
+      retried = Seq.fill(Bench.BenchRetryMax)("q999_pad"))
     assert(line.length <= Bench.DriverLineBudget)
+  }
+
+  // --- self-heal: replayed against the RECORDED r11 board ---
+
+  test("self-heal names the r11 board's inflated keys and corrects the board") {
+    // The r11 driver board (bench_board_r11.json — snapshotted from the
+    // committed bench_spread_last.json) read 595.5 s noisy:true with 21
+    // band trips; judge re-timing pinned every tripped key at quiet
+    // levels (q124: 2.9 s vs the board's 131.8 s). Replay: the retry
+    // plan must name those keys (most inflated first, inside the cap),
+    // and healing them with the quiet runE times must turn the board
+    // green with totals at quiet levels.
+    val bands = Bench.loadQuietBands()
+    val (mins, pairs) = spreadMinTimes("bench_board_r11.json")
+    val observedTrips = Bench.quietBandTrips(mins, bands)
+    assert(observedTrips.size >= Bench.QuietBandMinKeys,
+      s"r11 board must trip the band check pre-heal, got $observedTrips")
+    val ratio = Bench.medianRunRatio(pairs)
+    assert(Bench.noisy(mins, ratio, observedTrips), "r11 board reads red pre-heal")
+
+    val plan = Bench.retryKeys(mins, bands)
+    assert(plan.nonEmpty && plan.size <= Bench.BenchRetryMax)
+    assert(observedTrips.toSet.subsetOf(plan.toSet) ||
+      plan.size == Bench.BenchRetryMax,
+      "every observed trip is retried unless the cap binds")
+    // most-inflated-first: the two headline keys (q201 79.7x its band,
+    // q124 ~80x — 131.8 s vs ~1.6 s) lead the plan
+    assert(plan.take(2).toSet ==
+      Set("q124_embedding_cov", "q201_poisson_boot"),
+      s"worst keys first, got ${plan.take(3)}")
+
+    // transient disturbance: the retry run lands at quiet levels
+    // (bench_local_r11_runE min-of-2 stands in for the re-measurement)
+    val (quietMins, _) = spreadMinTimes("bench_local_r11_runE.json")
+    val retryTimes = plan.flatMap(k => quietMins.get(k).map(k -> _)).toMap
+    val healed = Bench.heal(mins.toSeq, retryTimes).toMap
+    val healedTrips = Bench.quietBandTrips(healed, bands)
+    assert(healedTrips.size < Bench.QuietBandMinKeys,
+      s"healed board trips residue: $healedTrips")
+    assert(!Bench.noisy(healed, ratio, healedTrips),
+      "healed r11 board must read green")
+    // the healed totals land at quiet levels: the ~290 s of disturbance
+    // concentrated in the retried keys is gone
+    val delta = plan.map(k => mins(k) - healed(k)).sum
+    assert(delta > 200, f"self-heal recovered only $delta%.1f s")
+    // and the corrected line names the retried keys
+    val line = Bench.driverLine(300.0, healed.toSeq,
+      "/root/testdata/sf0.1", 60000.0, isNoisy = false, retried = plan)
+    assert(line.contains("\"retried\":[") && line.contains("\"124\""))
+    assert(!line.contains("noisy"))
+  }
+
+  test("a sustained disturbance survives the retry and stays red") {
+    // negative control: if the retry runs are ALSO inflated (a
+    // disturbance spanning the whole session including the heal pass),
+    // min-of-3 changes nothing and the board must remain noisy.
+    val bands = Bench.loadQuietBands()
+    val (mins, pairs) = spreadMinTimes("bench_board_r11.json")
+    val plan = Bench.retryKeys(mins, bands)
+    val stillInflated = plan.map(k => k -> mins(k)).toMap
+    val healed = Bench.heal(mins.toSeq, stillInflated).toMap
+    val trips = Bench.quietBandTrips(healed, bands)
+    assert(trips.size >= Bench.QuietBandMinKeys)
+    assert(Bench.noisy(healed, Bench.medianRunRatio(pairs), trips))
+  }
+
+  test("quiet profiles produce an empty (or near-empty) retry plan") {
+    val bands = Bench.loadQuietBands()
+    for (p <- Seq("bench_local_r09_runJ.json", "bench_local_r10_runA.json",
+        "bench_local_r11_runE.json")) {
+      val (mins, _) = spreadMinTimes(p)
+      // quiet sessions trip 0-3 keys (runE trips 3: q228/q213/q232 sit
+      // just past bands refreshed from a different session) — the heal
+      // pass costs at most those few extra executions when quiet
+      val plan = Bench.retryKeys(mins, bands)
+      assert(plan.size <= 4, s"$p quiet retry plan too big: $plan")
+    }
+  }
+
+  test("heal never resurrects a failure and never raises a time") {
+    val results = Seq("a" -> 5.0, "b" -> -1.0, "c" -> 2.0)
+    val healed = Bench.heal(results,
+      Map("a" -> 1.0, "b" -> 0.5, "c" -> 9.0)).toMap
+    assert(healed("a") == 1.0, "min-of-3 takes the retry when faster")
+    assert(healed("b") == -1.0, "a failed query stays -1")
+    assert(healed("c") == 2.0, "a slower retry changes nothing")
+    val failedRetry = Bench.heal(Seq("a" -> 5.0), Map("a" -> -1.0)).toMap
+    assert(failedRetry("a") == 5.0, "a failed retry changes nothing")
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Doctor adjudication must reproduce, from the committed artifacts
+  * alone, the verdicts three rounds of judges reached by hand: the r10
+  * and r11 driver boards read DISTURBED with the known keys named, and
+  * the quiet closing runs read QUIET. */
+class DoctorSpec extends AnyFunSuite {
+
+  private val bands = Bench.loadQuietBands()
+
+  test("r11 board adjudicates DISTURBED with q124 as the worst key") {
+    val spread = Doctor.loadSpread("bench_board_r11.json")
+    val rows = Doctor.adjudicate(spread, bands)
+    val trips = rows.filter(_.verdict == "TRIPPED")
+    assert(trips.size >= Bench.QuietBandMinKeys, s"got ${trips.size}")
+    // the table is most-inflated-first and the r11 disturbance's two
+    // headline keys (q201 79.7x, q124 ~80x — 131.8 s vs a ~1.6 s band)
+    // lead it
+    assert(rows.take(2).map(_.key).toSet ==
+      Set("q124_embedding_cov", "q201_poisson_boot"),
+      rows.take(3).toString)
+    assert(rows.take(2).forall(_.inflation.exists(_ > 20)))
+    val verdict = Doctor.sessionVerdict(rows, Bench.medianRunRatio(spread))
+    assert(verdict.startsWith("DISTURBED"), verdict)
+    assert(verdict.contains("band trips"))
+  }
+
+  test("r10 board adjudicates DISTURBED via the band arm") {
+    val spread = Doctor.loadSpread("bench_board_r10.json")
+    val rows = Doctor.adjudicate(spread, bands)
+    assert(rows.count(_.verdict == "TRIPPED") >= Bench.QuietBandMinKeys)
+    assert(Doctor.sessionVerdict(rows,
+      Bench.medianRunRatio(spread)).startsWith("DISTURBED"))
+  }
+
+  test("quiet closing runs adjudicate QUIET") {
+    for (p <- Seq("bench_local_r10_runA.json", "bench_local_r11_runE.json")) {
+      val spread = Doctor.loadSpread(p)
+      val rows = Doctor.adjudicate(spread, bands)
+      val verdict = Doctor.sessionVerdict(rows, Bench.medianRunRatio(spread))
+      assert(verdict.startsWith("QUIET"), s"$p: $verdict")
+    }
+  }
+
+  test("stream keys and failures are never TRIPPED; band-less keys are named") {
+    val rows = Doctor.adjudicate(Seq(
+      "q99_stream_thing" -> (9.0, 9.0),   // would be 30x a 0.3 band
+      "q98_fails" -> (-1.0, 2.0),
+      "q97_new_query" -> (1.0, 1.0)),
+      Map("q99_stream_thing" -> 0.3))
+    assert(rows.find(_.key == "q99_stream_thing").get.verdict == "stream")
+    assert(rows.find(_.key == "q98_fails").get.verdict == "FAILED")
+    assert(rows.find(_.key == "q97_new_query").get.verdict == "no-band")
+  }
+}
