@@ -201,31 +201,25 @@ object StreamParity {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("first_id",
         org.apache.spark.sql.types.LongType)))
-    // Path of the latest compacted snapshot (foreachBatch runs serially
-    // on the driver, so a plain var is the batch-to-batch handoff), plus
-    // the verdict dirs written so far (read back after the stream stops).
-    var prevSnap: Option[String] = None
+    // Snapshot pointer + idempotence guard + stamp GC live in the shared
+    // StampedLedger (the snapshot pointer tracks the kind=s SUBDIR of
+    // each stamp — the kind=v verdict dirs are tracked separately and
+    // read back after the stream stops).
+    val ledger = new StampedLedger(ioRoot)
     val verdictDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-    def deleteTree(p: String): Unit = {
-      val root = Paths.get(p)
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Files.delete(q))
-    }
 
     val query = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ledger.guard(batchId) {
         val s = batch.sparkSession
         val b = batch.cache()
         val hashed = b.select(col("doc_id"), md5(col("text")).as("ch"))
         // The ONLY aggregation this batch runs is over its own rows.
         val batchMins = hashed.groupBy(col("ch"))
           .agg(min(col("doc_id")).as("bmin"))
-        val prev = prevSnap.map(p => s.read.parquet(p))
-          .getOrElse(s.createDataFrame(
-            java.util.Collections.emptyList[Row](), seenSchema))
+        val prev = ledger.previous(s, seenSchema)
           .select(col("ch"), col("first_id").as("pmin"))
         val firstIds = batchMins.join(prev, Seq("ch"), "left")
           .select(col("ch"),
@@ -260,7 +254,7 @@ object StreamParity {
         // rounds for two tiny frames). coalesce(1): one file per kind —
         // these frames are batch/seen-sized, and default-parallelism
         // writes cost 8+ tasks/files per micro-batch for ~25 rows.
-        val stamp = s"$ioRoot/b$batchId"
+        val stamp = ledger.stampFor(batchId)
         verdicts
           .select(lit("v").as("kind"), col("doc_id"), col("verdict"),
             lit(null).cast("string").as("ch"),
@@ -272,23 +266,18 @@ object StreamParity {
           .coalesce(1)
           .write.mode("overwrite").partitionBy("kind").parquet(stamp)
         verdictDirs += s"$stamp/kind=v"
-        // The previous snapshot is fully folded into this one — delete it
-        // so seen-state temp usage stays O(distinct hashes), not
-        // O(batches x distinct hashes) over a long stream.
-        val oldSnap = prevSnap
-        // An all-empty batch over empty prior state writes no kind=s
-        // subdir (dynamic partitioning emits nothing for zero rows) —
-        // only advance the pointer to a directory that exists, else the
-        // next trigger's snapshot read throws PATH_NOT_FOUND. (When the
-        // new dir is missing, prev state was necessarily empty too — the
-        // full join preserves every prior row — so retaining oldSnap is
-        // a no-op defensive choice, not a state fork.)
-        val newSnap = s"$stamp/kind=s"
-        if (new java.io.File(newSnap).isDirectory) {
-          prevSnap = Some(newSnap)
-          oldSnap.foreach(deleteTree)
-        }
+        // Advance the snapshot pointer to this stamp's kind=s subdir and
+        // GC the superseded one. An all-empty batch over empty prior
+        // state writes no kind=s subdir (dynamic partitioning emits
+        // nothing for zero rows) — advanceTo leaves the pointer alone,
+        // which is safe: when the new dir is missing, prev state was
+        // necessarily empty too (the full join preserves every prior
+        // row), so retaining it is a no-op defensive choice, not a
+        // state fork.
+        ledger.advanceTo(s"$stamp/kind=s")
         b.unpersist()
+        ()
+        }
         ()
       }
       .start()
@@ -597,19 +586,17 @@ object StreamParity {
       .write.mode("overwrite").parquet(dir.toString)
 
     val outRoot = Files.createTempDirectory("q233_ledger").toString
-    var prevLedger: Option[String] = None
-    var lastFolded = -1L
+    val ledger = new StampedLedger(outRoot)
 
     val schema = spark.read.parquet(dir.toString).schema
     val query = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastFolded) {
-          lastFolded = batchId
+        ledger.fold(batchId) { stamp =>
           val s = batch.sparkSession
           val batchLedger = mediaAdmissionLedger(batch)
-          val folded = prevLedger match {
+          val folded = ledger.previousPath match {
             case Some(p) => s.read.parquet(p).unionByName(batchLedger)
               .groupBy(col("sample_rate"))
               .agg(sum(col("n_docs")).as("n_docs"),
@@ -618,10 +605,7 @@ object StreamParity {
                 sum(col("adm_px")).as("adm_px"))
             case None => batchLedger
           }
-          val stamp = s"$outRoot/v$batchId"
           folded.write.mode("overwrite").parquet(stamp)
-          prevLedger.foreach(p => deleteRecursively(new java.io.File(p)))
-          prevLedger = Some(stamp)
         }
         ()
       }.start()
@@ -630,10 +614,10 @@ object StreamParity {
       query.stop()
       deleteRecursively(dir.toFile)
     }
-    val out = prevLedger.map(p => spark.read.parquet(p))
+    val out = ledger.previousPath.map(p => spark.read.parquet(p))
       .getOrElse(sys.error("q233: no ledger written"))
       .orderBy("sample_rate").localCheckpoint(true)
-    prevLedger.foreach(p => deleteRecursively(new java.io.File(p)))
+    ledger.close()
     out
   }
 
@@ -704,8 +688,7 @@ object StreamParity {
 
     val idxRoot = Files.createTempDirectory("q227_idx").toString
     val outRoot = Files.createTempDirectory("q227_out").toString
-    var prevIdx: Option[String] = None
-    var lastFolded = -1L
+    val ledger = new StampedLedger(idxRoot)
     val idxSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("bh",
         org.apache.spark.sql.types.BinaryType)))
@@ -715,8 +698,7 @@ object StreamParity {
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastFolded) {
-          lastFolded = batchId
+        ledger.guard(batchId) {
           val s = batch.sparkSession
           val blocks = batch
             .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
@@ -727,9 +709,7 @@ object StreamParity {
             .withColumn("bh", unhex(md5(col("block"))))
             .persist() // feeds admission, per-doc counts, and index growth
           try {
-            val idx = prevIdx.map(p => s.read.parquet(p)).getOrElse(
-              s.createDataFrame(java.util.Collections.emptyList[Row](),
-                idxSchema))
+            val idx = ledger.previous(s, idxSchema)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col("bh")).orderBy(col("doc_id"), col("bidx"))
             val kept = blocks
@@ -748,11 +728,11 @@ object StreamParity {
                 coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_fp"))
               .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
             // Index grows by THIS batch's distinct hashes (hash-only).
-            val stamp = s"$idxRoot/v$batchId"
+            val stamp = ledger.stampFor(batchId)
             idx.union(blocks.select(col("bh")).distinct()).distinct()
               .write.mode("overwrite").parquet(stamp)
-            prevIdx.foreach(p => deleteRecursively(new java.io.File(p)))
-            prevIdx = Some(stamp)
+            ledger.advanceTo(stamp)
+            ()
           } finally { blocks.unpersist(); () }
         }
         ()
@@ -766,7 +746,7 @@ object StreamParity {
     val out = spark.read.parquet(s"$outRoot/b*").orderBy("doc_id")
       .localCheckpoint(true)
     deleteRecursively(new java.io.File(outRoot))
-    prevIdx.foreach(p => deleteRecursively(new java.io.File(p)))
+    ledger.close()
     out
   }
 
@@ -814,22 +794,21 @@ object StreamParity {
     // foreachBatch is AT-LEAST-ONCE: a retried/re-executed trigger
     // re-delivers the same batchId, and a second fold of the same batch
     // into the driver-local accumulator silently corrupts the summary.
-    // Tracking the last folded batchId makes the fold idempotent (the
-    // same discipline the q58 batchId-stamped sink files encode).
-    var lastFolded = -1L
+    // The shared ledger's guard makes the fold idempotent (guard-only
+    // use: the MG sketch lives on the driver, no parquet state).
+    val ledger = new StampedLedger()
     val toks = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
     val query = toks.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastFolded) {
+        ledger.guard(batchId) {
           val row = batch.agg(mgSketch(col("tok")).as("sketch"),
             count(lit(1)).as("n")).head()
           val batchSketch = scala.collection.mutable.HashMap(
             row.getMap[String, Long](0).toSeq: _*)
           nTokens += row.getLong(1)
           merger.merge(running, batchSketch)
-          lastFolded = batchId
         }
         ()
       }.start()
@@ -872,14 +851,14 @@ object StreamParity {
     keys.repartition(ReplayFiles).write.mode("overwrite").parquet(dir.toString)
 
     val z = Array.fill(32)(0L)
-    // idempotent fold under foreachBatch's at-least-once contract (q66)
-    var lastFolded = -1L
+    // idempotent fold under foreachBatch's at-least-once contract
+    // (shared guard-only ledger — driver-side Z accumulator)
+    val ledger = new StampedLedger()
     val stream = spark.readStream.schema(keys.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val query = stream.writeStream.outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        if (batchId > lastFolded) {
-        lastFolded = batchId
+        ledger.guard(batchId) {
         batch.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
           .select(explode(expr("sequence(1, 32)")).as("j"), col("l_partkey"),
             col("f"))
@@ -936,12 +915,12 @@ object StreamParity {
     var running = Vector.empty[(Long, Long, Double)] // (doc_id, w, es_key)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-    // idempotent fold under foreachBatch's at-least-once contract (q66)
-    var lastFolded = -1L
+    // idempotent fold under foreachBatch's at-least-once contract
+    // (shared guard-only ledger — driver-side top-K accumulator)
+    val ledger = new StampedLedger()
     val query = stream.writeStream.outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        if (batchId > lastFolded) {
-        lastFolded = batchId
+        ledger.guard(batchId) {
         val top = batch.where("n_chars > 0").selectExpr(
             "doc_id", "n_chars AS w",
             "ROUND(ln((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS DOUBLE) + 1.0D)" +
@@ -1000,14 +979,14 @@ object StreamParity {
     // multiplicity — a value-keyed fold would collapse them and shift
     // the k-th order statistic.
     var running = Map.empty[String, Double]
-    // idempotent fold under foreachBatch's at-least-once contract (q66)
-    var lastFolded = -1L
+    // idempotent fold under foreachBatch's at-least-once contract
+    // (shared guard-only ledger — driver-side KMV accumulator)
+    val ledger = new StampedLedger()
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val query = stream.writeStream.outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        if (batchId > lastFolded) {
-          lastFolded = batchId
+        ledger.guard(batchId) {
           val top = shingles(batch).selectExpr("g", s"$uExpr AS u")
             .orderBy(col("u"), col("g")).limit(K)
             .collect().map(r => r.getString(0) -> r.getDouble(1))
@@ -1065,13 +1044,12 @@ object StreamParity {
       require(f.setLastModified(t0 + i * 10000L)) }
 
     val snapRoot = Files.createTempDirectory("q81_snap").toString
-    var prevSnap: Option[String] = None
-    def deleteTree(p: String): Unit = {
-      val root = Paths.get(p)
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Files.delete(q))
-    }
+    // Shared fold discipline — this copy had drifted: it lacked the
+    // batchId idempotence guard, and the counts-add fold is NOT
+    // idempotent under foreachBatch's at-least-once retries (a retried
+    // trigger would double-count its batch into the already-advanced
+    // snapshot). The ledger's guard closes that hole.
+    val ledger = new StampedLedger(snapRoot)
     val snapSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ws",
         org.apache.spark.sql.types.LongType),
@@ -1084,27 +1062,24 @@ object StreamParity {
         .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        // The ONLY aggregation is over the batch's own rows.
-        val bAgg = batch.select(
-            (floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("ws"),
-            col("event_type").as("et"))
-          .groupBy(col("ws"), col("et")).agg(count(lit(1)).as("cnt"))
-        val prev = prevSnap.map(p => s.read.parquet(p))
-          .getOrElse(s.createDataFrame(
-            java.util.Collections.emptyList[Row](), snapSchema))
-        // Mergeable fold: counts add. Full outer on the grid key, both
-        // sides grid-sized.
-        val next = prev.select(col("ws"), col("et"), col("cnt").as("pc"))
-          .join(bAgg.select(col("ws"), col("et"), col("cnt").as("bc")),
-            Seq("ws", "et"), "full")
-          .select(col("ws"), col("et"),
-            (coalesce(col("pc"), lit(0L)) + coalesce(col("bc"), lit(0L)))
-              .as("cnt"))
-        val stamp = s"$snapRoot/v$batchId"
-        next.write.mode("overwrite").parquet(stamp)
-        prevSnap.foreach(deleteTree)
-        prevSnap = Some(stamp)
+        ledger.fold(batchId) { stamp =>
+          val s = batch.sparkSession
+          // The ONLY aggregation is over the batch's own rows.
+          val bAgg = batch.select(
+              (floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("ws"),
+              col("event_type").as("et"))
+            .groupBy(col("ws"), col("et")).agg(count(lit(1)).as("cnt"))
+          val prev = ledger.previous(s, snapSchema)
+          // Mergeable fold: counts add. Full outer on the grid key, both
+          // sides grid-sized.
+          val next = prev.select(col("ws"), col("et"), col("cnt").as("pc"))
+            .join(bAgg.select(col("ws"), col("et"), col("cnt").as("bc")),
+              Seq("ws", "et"), "full")
+            .select(col("ws"), col("et"),
+              (coalesce(col("pc"), lit(0L)) + coalesce(col("bc"), lit(0L)))
+                .as("cnt"))
+          next.write.mode("overwrite").parquet(stamp)
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1114,7 +1089,7 @@ object StreamParity {
 
     // Dense grid + z from the final grid-sized snapshot (q75's shape,
     // then q78's exact double sequence — same expression tokens).
-    val agg = spark.read.parquet(prevSnap.get).cache()
+    val agg = spark.read.parquet(ledger.previousPath.get).cache()
     val bounds = agg.agg(min(col("ws")).as("lo"), max(col("ws")).as("hi"))
     val types = agg.select(col("et").as("event_type")).distinct()
     val grid = bounds
@@ -1440,31 +1415,25 @@ object StreamParity {
     }
 
     val snapRoot = Files.createTempDirectory("q80_snap").toString
-    var prevSnap: Option[String] = None
-    def deleteTree(p: String): Unit = {
-      val root = Paths.get(p)
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Files.delete(q))
-    }
+    // Shared fold discipline (this copy had also drifted guard-less;
+    // the version-desc keep-first merge happens to be re-fold-idempotent,
+    // but the guard costs nothing and keeps every site uniform).
+    val ledger = new StampedLedger(snapRoot)
 
     val query = spark.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val prev = prevSnap.map(p => s.read.parquet(p))
-          .getOrElse(s.createDataFrame(
-            java.util.Collections.emptyList[Row](), base.schema))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
-        val next = prev.unionByName(batch)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        val stamp = s"$snapRoot/v$batchId"
-        next.write.mode("overwrite").parquet(stamp)
-        prevSnap.foreach(deleteTree)
-        prevSnap = Some(stamp)
+        ledger.fold(batchId) { stamp =>
+          val s = batch.sparkSession
+          val prev = ledger.previous(s, base.schema)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+          val next = prev.unionByName(batch)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          next.write.mode("overwrite").parquet(stamp)
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1472,7 +1441,8 @@ object StreamParity {
     try query.awaitTermination()
     finally query.stop()
 
-    val merged = spark.read.parquet(prevSnap.get).filter(!col("deleted"))
+    val merged = spark.read.parquet(ledger.previousPath.get)
+      .filter(!col("deleted"))
     val out = merged.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_price"))
@@ -2453,23 +2423,21 @@ object StreamParity {
         require(f.setLastModified(t0 + i * 10000L)) }
 
     val outRoot = Files.createTempDirectory("q245_ledger").toString
-    var prevLedger: Option[String] = None
-    var lastFolded = -1L
+    val ledger = new StampedLedger(outRoot)
     val query = graft.Tables.normalizeTs(
         spark.readStream.schema(raw.schema)
           .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .selectExpr("user_id", "unix_micros(ts) AS us", "event_type")
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastFolded) {
-          lastFolded = batchId
+        ledger.fold(batchId) { stamp =>
           val s = batch.sparkSession
           val batchLedger = batch.groupBy(col("user_id"))
             .agg(min(col("us")).as("first_us"),
               min(when(col("event_type") === "purchase", col("us")))
                 .as("conv_us"),
               max(col("us")).as("last_us"))
-          val folded = prevLedger match {
+          val folded = ledger.previousPath match {
             case Some(p) => s.read.parquet(p).unionByName(batchLedger)
               .groupBy(col("user_id"))
               .agg(min(col("first_us")).as("first_us"),
@@ -2477,10 +2445,7 @@ object StreamParity {
                 max(col("last_us")).as("last_us"))
             case None => batchLedger
           }
-          val stamp = s"$outRoot/v$batchId"
           folded.write.mode("overwrite").parquet(stamp)
-          prevLedger.foreach(p => deleteRecursively(new java.io.File(p)))
-          prevLedger = Some(stamp)
         }
         ()
       }.start()
@@ -2489,14 +2454,14 @@ object StreamParity {
       query.stop()
       deleteRecursively(dir.toFile)
     }
-    val ledger = prevLedger.map(p => spark.read.parquet(p))
+    val perUser = ledger.previousPath.map(p => spark.read.parquet(p))
       .getOrElse(sys.error("q245: no ledger written"))
-    val horizon = ledger.agg(max(col("last_us")).as("h"))
+    val horizon = perUser.agg(max(col("last_us")).as("h"))
     val out = graft.operators.Relational.kmFromPerUser(
-        ledger.select(col("user_id"), col("first_us"), col("conv_us")),
+        perUser.select(col("user_id"), col("first_us"), col("conv_us")),
         horizon)
       .localCheckpoint(true)
-    prevLedger.foreach(p => deleteRecursively(new java.io.File(p)))
+    ledger.close()
     out
   }
 }
