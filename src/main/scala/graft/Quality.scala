@@ -17,6 +17,95 @@ import graft.operators.{Clustering, Dedup, Relational, Similarity}
   */
 object Quality {
 
+  /** Drift direction per metric: +1 = higher is better (a drop is
+    * adverse), -1 = lower is better (a rise is adverse), 0 =
+    * informational (pairs counts, data-dependent shares — never
+    * flagged). The floors only gate the FLOOR; a metric can sag from
+    * 0.92 toward a 0.85 floor across rounds without any single round
+    * noticing — the drift guard (QualityDriftSpec) red-flags any >10%
+    * adverse round-over-round move even when still above floor. */
+  val MetricDirection: Map[String, Int] = Map(
+    "minhash_overlap_recall" -> 1, "recall_at_10" -> 1, "recall" -> 1,
+    "precision" -> 1, "objective_final" -> 1,
+    "max_rel_error" -> -1, "max_rank_error_frac" -> -1,
+    "orthonormality_residual" -> -1, "monotonic_violations" -> -1,
+    "pairs" -> 0, "floor" -> 0, "objective_gain" -> 0,
+    "explained_top8_share" -> 0)
+
+  /** True when `cur` moved >10% in the adverse direction vs `prev`.
+    * Lower-better (error) metrics get an absolute epsilon of 10% of the
+    * metric's floor so near-zero noise (0 -> 1e-3 under a 0.05 floor)
+    * never flags; higher-better (recall-class) metrics sit near 1 where
+    * the relative threshold alone is the right test. */
+  def adverseDrift(metric: String, prev: Double, cur: Double,
+      floor: Option[Double]): Boolean =
+    MetricDirection.getOrElse(metric, 0) match {
+      case 1  => cur < prev * 0.9 - 1e-12
+      case -1 =>
+        val eps = math.max(floor.map(f => 0.1 * math.abs(f)).getOrElse(1e-9), 1e-12)
+        cur > prev * 1.1 + eps
+      case _  => false
+    }
+
+  /** All committed round files, (round -> query -> metric -> value),
+    * sorted by round. */
+  def loadRounds(dir: String = "."): Seq[(Int, Map[String, Map[String, Double]])] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.matches("QUALITY_r\\d+\\.json"))
+    files.map { f =>
+      val round = f.getName.stripPrefix("QUALITY_r").stripSuffix(".json").toInt
+      val qs = om.readTree(f).get("queries")
+      val m = scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fieldNames())
+        .asScala.map { q =>
+          val n = qs.get(q)
+          q -> scala.jdk.CollectionConverters.IteratorHasAsScala(n.fieldNames())
+            .asScala.map(k => k -> n.get(k).asDouble()).toMap
+        }.toMap
+      round -> m
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Adverse >10% moves between the two most recent rounds:
+    * (query, metric, prev, cur). */
+  def driftReport(rounds: Seq[(Int, Map[String, Map[String, Double]])]): Seq[(String, String, Double, Double)] =
+    if (rounds.size < 2) Nil
+    else {
+      val (_, prev) = rounds(rounds.size - 2)
+      val (_, cur) = rounds.last
+      for {
+        (q, cm) <- cur.toSeq
+        pm <- prev.get(q).toSeq
+        (metric, cv) <- cm.toSeq
+        pv <- pm.get(metric).toSeq
+        if adverseDrift(metric, pv, cv, cm.get("floor"))
+      } yield (q, metric, pv, cv)
+    }
+
+  /** quality_history.json: every metric's full per-round history — the
+    * committed record that makes a slow multi-round sag visible at a
+    * glance (and lets the drift spec run without re-measuring). */
+  def writeHistory(dir: String = "."): Unit = {
+    val rounds = loadRounds(dir)
+    val queries = rounds.flatMap(_._2.keys).distinct.sorted
+    val json = queries.map { q =>
+      val metrics = rounds.flatMap(_._2.get(q).map(_.keys).getOrElse(Nil))
+        .distinct.sorted
+      val ms = metrics.map { k =>
+        val hist = rounds.flatMap { case (r, m) =>
+          m.get(q).flatMap(_.get(k)).map(v => f""""r$r":$v%.9f""")
+        }.mkString("{", ",", "}")
+        s""""$k":$hist"""
+      }.mkString("{", ",", "}")
+      s""""$q":$ms"""
+    }.mkString(
+      s"""{"rounds":${rounds.map(_._1).mkString("[", ",", "]")},"queries":{""",
+      ",", "}}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/quality_history.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private def topkSet(df: DataFrame): Set[(Long, Long)] =
     df.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -179,6 +268,16 @@ object Quality {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
+    // Refresh the committed per-round history + print the drift verdict
+    // (the spec-enforced check lives in QualityDriftSpec; this print is
+    // the human-readable echo at measurement time).
+    if (outPath.matches("QUALITY_r\\d+\\.json")) {
+      writeHistory()
+      val drifts = driftReport(loadRounds())
+      if (drifts.isEmpty) println("quality drift: none >10% adverse vs previous round")
+      else drifts.foreach { case (q, k, p, c) =>
+        println(f"quality drift ALERT: $q.$k $p%.6f -> $c%.6f") }
+    }
     spark.stop()
   }
 }
