@@ -253,9 +253,88 @@ object Bench {
     line
   }
 
+  /** Cumulative JVM session counters for the spread line: GC seconds
+    * (all collectors), used heap MB, used metaspace MB. The split-half
+    * experiment (BASELINE.md) reads these to attribute session-level
+    * drift: if one 250-query JVM carries a growing GC/metaspace tax
+    * that two 125-query JVMs don't, it shows here. */
+  def jvmCounters(): (Double, Double, Double) = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val gcSec = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum / 1000.0
+    val heapMb =
+      ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e6
+    val metaMb = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .find(_.getName.contains("Metaspace"))
+      .map(_.getUsage.getUsed / 1e6).getOrElse(0.0)
+    (gcSec, heapMb, metaMb)
+  }
+
+  /** The two streaming measurements (q25 parity path + flagship ingest),
+    * returning (parity sec, ingest sec, ingest rows/s). Streaming paths
+    * cap state partitions at 8: stateful queries pay a per-partition
+    * state-store commit every micro-batch; at this state volume (~30k
+    * window-state groups) the sweep measured 3.4/3.8/4.4/6.0 s ingest at
+    * 4/8/16/32 partitions (HDFS-backed store; RocksDB 4x worse here —
+    * its per-query instance setup dominates at this scale). 8 keeps ~4k
+    * state rows per partition while staying wide enough to not serialize
+    * the map side. On a real cluster this is the
+    * `shuffle.partitions`-vs-state-store sizing tradeoff — partitions
+    * sized to state volume, not core count. */
+  def streamPaths(spark: SparkSession, sfDir: String,
+      cpus: String): (Double, Double, Double) = {
+    val nEvents = Tables.events(spark, sfDir).count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, cpus.toInt).toString)
+
+    // Parity path (file-stream source end to end — no driver in the data
+    // path; includes the final result sort).
+    val tParity = {
+      val t0 = System.nanoTime()
+      graft.streaming.StreamParity.q25StreamBatchParity(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Flagship streaming ingest: file source -> watermark -> sliding
+    // window agg -> noop, no driver in the data path. Measures the real
+    // Structured Streaming pipeline throughput.
+    val tIngest = {
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the file stream source requires a directory: symlink the table in
+      val dir = java.nio.file.Files.createTempDirectory("bench_events")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val agg = Tables.normalizeTs(
+          spark.readStream.schema(schema).parquet(dir.toString))
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("event_type"))
+        .agg(sum("value").as("sum_value"), max("value").as("max_value"),
+          min("value").as("min_value"), count(lit(1)).as("cnt"))
+      val t0 = System.nanoTime()
+      val q = agg.writeStream.outputMode("append").format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    (tParity, tIngest, nEvents / tIngest)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_BENCH_SLICE=A|B runs only the first/second half of the
+    // sorted batch surface in this JVM — the split-half drift experiment
+    // (one full session vs two half sessions, same machine). Slice runs
+    // skip the stream paths (they'd double-count across halves) and do
+    // NOT overwrite bench_spread_last.json (that file must always cover
+    // the full surface).
+    val slice = sys.env.get("SPARK_GRAFT_BENCH_SLICE")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -286,8 +365,13 @@ object Bench {
     // min of 2 runs per query: the second run reuses JIT-compiled code
     // and OS page cache, which is the steady-state a long-lived cluster
     // session sees; min also suppresses one-off GC/scheduler noise.
-    val names = SparkEntry.queries.keys.filterNot(_ == "q25_stream_batch_parity")
-      .toSeq.sorted
+    val allNames = SparkEntry.queries.keys
+      .filterNot(_ == "q25_stream_batch_parity").toSeq.sorted
+    val names = slice match {
+      case Some("A") => allNames.take(allNames.size / 2)
+      case Some("B") => allNames.drop(allNames.size / 2)
+      case _         => allNames
+    }
     // If either run fails, report -1: a half-failed query must be visible
     // in the JSON, not silently replaced by its surviving (possibly cold)
     // run's time.
@@ -327,55 +411,8 @@ object Bench {
     }.toMap
     val healed = heal(results, retryTimes)
 
-    val nEvents = Tables.events(spark, sfDir).count()
-
-    // Streaming paths: cap state partitions at 8. Stateful queries pay a
-    // per-partition state-store commit every micro-batch; at this state
-    // volume (~30k window-state groups) the sweep measured 3.4/3.8/4.4/
-    // 6.0 s ingest at 4/8/16/32 partitions (HDFS-backed store; RocksDB
-    // 4x worse here — its per-query instance setup dominates at this
-    // scale). 8 keeps ~4k state rows per partition while staying wide
-    // enough to not serialize the map side. On a real cluster this is
-    // the `shuffle.partitions`-vs-state-store sizing tradeoff —
-    // partitions sized to state volume, not core count.
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(8, cpus.toInt).toString)
-
-    // Parity path (file-stream source end to end — no driver in the data
-    // path; includes the final result sort).
-    val tParity = {
-      val t0 = System.nanoTime()
-      graft.streaming.StreamParity.q25StreamBatchParity(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    // Flagship streaming ingest: file source -> watermark -> sliding
-    // window agg -> noop, no driver in the data path. Measures the real
-    // Structured Streaming pipeline throughput.
-    val tIngest = {
-      import org.apache.spark.sql.functions._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the file stream source requires a directory: symlink the table in
-      val dir = java.nio.file.Files.createTempDirectory("bench_events")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val agg = Tables.normalizeTs(
-          spark.readStream.schema(schema).parquet(dir.toString))
-        .withWatermark("ts", "1 second")
-        .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("event_type"))
-        .agg(sum("value").as("sum_value"), max("value").as("max_value"),
-          min("value").as("min_value"), count(lit(1)).as("cnt"))
-      val t0 = System.nanoTime()
-      val q = agg.writeStream.outputMode("append").format("noop")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val streamRowsPerSec = nEvents / tIngest
-    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    val (tParity, tIngest, streamRowsPerSec) =
+      if (slice.isDefined) (0.0, 0.0, 0.0) else streamPaths(spark, sfDir, cpus)
 
     // Spread (both raw run times per query) goes on its OWN earlier line:
     // it is diagnostic data for humans/BASELINE.md, not driver-consumed,
@@ -399,8 +436,11 @@ object Bench {
     val retryJson = retryTimes.toSeq.sorted
       .map { case (k, t) => "\"" + k + f"\":$t%.3f" }
       .mkString("{", ",", "}")
+    // session-level JVM counters (GC seconds, heap MB, metaspace MB) —
+    // the split-half drift experiment's attribution data
+    val (gcSec, heapMb, metaMb) = jvmCounters()
     val spreadLine =
-      f"""{"metric":"spread","cpus":$cpus,"sf":"${sfDir.split('/').last}","noisy":$isNoisy,"ratio":$ratio%.3f,"sentinel_trips":${sentinelTrips(healed.toMap).map("\"" + _ + "\"").mkString("[", ",", "]")},"band_trips":${bandTripsObserved.map("\"" + _ + "\"").mkString("[", ",", "]")},"band_trips_healed":${bandTrips.map("\"" + _ + "\"").mkString("[", ",", "]")},"retry":$retryJson,"stream":{"q25_stream_parity":$tParity%.3f,"stream_ingest":$tIngest%.3f},"spread":$spread}"""
+      f"""{"metric":"spread","cpus":$cpus,"sf":"${sfDir.split('/').last}"${slice.map(s => s""","slice":"$s"""").getOrElse("")},"noisy":$isNoisy,"ratio":$ratio%.3f,"gc_sec":$gcSec%.1f,"heap_mb":$heapMb%.0f,"meta_mb":$metaMb%.0f,"sentinel_trips":${sentinelTrips(healed.toMap).map("\"" + _ + "\"").mkString("[", ",", "]")},"band_trips":${bandTripsObserved.map("\"" + _ + "\"").mkString("[", ",", "]")},"band_trips_healed":${bandTrips.map("\"" + _ + "\"").mkString("[", ",", "]")},"retry":$retryJson,"stream":{"q25_stream_parity":$tParity%.3f,"stream_ingest":$tIngest%.3f},"spread":$spread}"""
     println(spreadLine)
     // Persist the full spread to a stable repo path every run: the
     // driver captures only the last 2000 stdout chars, so without this
@@ -408,9 +448,12 @@ object Bench {
     // (real regression vs disturbed session) is lost with the session.
     // Overwritten per run; the round driver commits it with the round,
     // so the BOARD's own spread lands in git alongside BENCH_r{N}.json.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_spread_last.json"),
-      (spreadLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Slice runs never overwrite it — the file must cover the FULL
+    // surface (BenchLineSpec asserts exactly that).
+    if (slice.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_spread_last.json"),
+        (spreadLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     val total = healed.map(_._2).filter(_ > 0).sum + tParity + tIngest
     println(driverLine(total,

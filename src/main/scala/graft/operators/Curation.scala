@@ -660,7 +660,7 @@ object Curation {
   // ntile here doubles as that sketch path's oracle). Ties broken by
   // doc_id for cross-engine determinism.
   // ---------------------------------------------------------------------
-  private val LenBuckets = 10
+  private[graft] val LenBuckets = 10
 
   def q88LengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("tok_cnt").asc, col("doc_id").asc)

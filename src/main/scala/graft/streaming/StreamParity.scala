@@ -2464,4 +2464,119 @@ object StreamParity {
     ledger.close()
     out
   }
+
+  /** q251 — EXACT global ntile over a CONTINUOUSLY INGESTING corpus:
+    * q88/q232's length bucketing as a streaming fold, completing the
+    * "every batch idiom has a streaming twin" story for the last batch
+    * idiom that lacked one (exact rank statistics).
+    *
+    * The key identity (q232's, pushed one step further): the bucket
+    * AGGREGATE (n_docs, min/max/sum toks per ntile bucket over
+    * ORDER BY (tok_cnt, doc_id)) is a pure function of the per-VALUE
+    * count table — docs sharing a tok_cnt are interchangeable for every
+    * output column, and a bucket boundary that splits a tie splits it
+    * between interchangeable rows. A count table is the simplest
+    * mergeable summary there is (counts add), so the stream folds ONE
+    * key-cardinality frame per trigger through the [[StampedLedger]]
+    * discipline (batchId-idempotent, stamped overwrite dirs — the q245
+    * pattern), and the end-of-stream bucketing is pure closed-form
+    * integer arithmetic over that aggregate:
+    *
+    *   with n rows, k buckets, q = n div k, r = n mod k, bucket b spans
+    *   ranks (s_b, e_b] = ((b-1)q + min(b-1, r), bq + min(b, r)];
+    *   a value with prefix offset o and count c contributes
+    *   max(0, min(e_b, o+c) - max(s_b+1, o+1) + 1) rows to bucket b.
+    *
+    * Output is row-identical to q88 (same DuckDB oracle; the streaming
+    * spec also pins q251 == q88 directly). 100 TB: per-trigger state is
+    * DISTINCT-token-length-cardinality (thousands), never corpus
+    * cardinality; the only unpartitioned window runs over the
+    * re-aggregated count table (Aggregate-bounded frame — the plan-gate
+    * discipline q232 documents); the bucket overlap join is
+    * keys × k ≈ 10^4 rows. No doc-scale sort, window, or collect
+    * anywhere. */
+  def q251StreamNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Curation.LenBuckets
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("q251_docs")
+    docs.repartitionByRange(ReplayFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 10000L)) }
+
+    val outRoot = Files.createTempDirectory("q251_counts").toString
+    val ledger = new StampedLedger(outRoot)
+    val countSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tok_cnt",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ledger.fold(batchId) { stamp =>
+          val s = batch.sparkSession
+          // the ONLY aggregation is over the batch's own rows; the
+          // tokenization is q88's expression verbatim
+          val bCounts = batch
+            .select(size(split(trim(col("text")), " +")).cast("long")
+              .as("tok_cnt"))
+            .groupBy(col("tok_cnt")).agg(count(lit(1)).as("cnt"))
+          val folded = ledger.previous(s, countSchema)
+            .select(col("tok_cnt"), col("cnt").as("pc"))
+            .join(bCounts.select(col("tok_cnt"), col("cnt").as("bc")),
+              Seq("tok_cnt"), "full")
+            .select(col("tok_cnt"),
+              (coalesce(col("pc"), lit(0L)) + coalesce(col("bc"), lit(0L)))
+                .as("cnt"))
+          folded.write.mode("overwrite").parquet(stamp)
+        }
+        ()
+      }.start()
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      deleteRecursively(dir.toFile)
+    }
+
+    // End-of-stream bucketing over the folded key-cardinality table.
+    // The re-aggregation makes the prefix window's child an Aggregate —
+    // the bounded-frame shape the global-window plan gate admits.
+    val counts = ledger.previousPath.map(p => spark.read.parquet(p))
+      .getOrElse(sys.error("q251: no count table written"))
+      .groupBy(col("tok_cnt")).agg(sum(col("cnt")).as("cnt"))
+    val offs = counts.withColumn("off",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("tok_cnt"))) - col("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    val out = offs.crossJoin(broadcast(total))
+      .select(col("tok_cnt"), col("cnt"), col("off"), col("n"),
+        explode(expr(s"sequence(1L, ${LenBuckets}L)")).as("bucket"))
+      .withColumn("q", expr(s"n div $LenBuckets"))
+      .withColumn("r", expr(s"n % $LenBuckets"))
+      // bucket b spans ranks (s_b, e_b]; the value spans (off, off+cnt];
+      // both half-open, so the overlap is the plain interval intersection
+      .withColumn("s_b", expr("(bucket - 1) * q + least(bucket - 1, r)"))
+      .withColumn("e_b", expr("bucket * q + least(bucket, r)"))
+      .withColumn("ov", expr(
+        "greatest(0L, least(e_b, off + cnt) - greatest(s_b, off))"))
+      .filter(col("ov") > 0)
+      .groupBy(col("bucket"))
+      .agg(sum(col("ov")).as("n_docs"),
+        min(col("tok_cnt")).as("min_toks"),
+        max(col("tok_cnt")).as("max_toks"),
+        sum(col("tok_cnt") * col("ov")).as("sum_toks"))
+      .orderBy("bucket")
+      .localCheckpoint(true)
+    ledger.close()
+    out
+  }
 }

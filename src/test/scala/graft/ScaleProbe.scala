@@ -98,12 +98,64 @@ object ScaleProbe {
       .r.findAllIn(plan).toSeq.distinct.sorted
   }
 
+  /** Warm interleaved scale A/B — the q195 discipline applied to the
+    * scale axis (`sbt "Test/runMain graft.ScaleProbe warm"`, 24g heap,
+    * quiet machine): per query, run 1x, 10x, 1x, 10x in ONE session
+    * with no cache clears inside the quartet, and report min-of-2 per
+    * scale. The cold single-run table (below, `main` without args)
+    * produced contradictory exponents across probes (q199 1.74x vs
+    * 19.88x — the second reading was one cold iteration chain paying
+    * uncached-shuffle I/O); interleaving cancels the first-run
+    * JIT/page-cache bias that inverted the q195 probe conclusion, and
+    * min-of-2 drops one-off GC/scheduler noise. */
+  private def warmAb(spark: SparkSession, base: String, big: String,
+      cases: Seq[(String, (SparkSession, String) => DataFrame)]): Unit = {
+    for ((name, fn) <- cases) {
+      spark.sharedState.cacheManager.clearCache()
+      val obs = scala.collection.mutable.Map[String, List[Double]]()
+        .withDefaultValue(Nil)
+      val rows = scala.collection.mutable.Map[String, Long]()
+      val shapes = scala.collection.mutable.Map[String, Seq[String]]()
+      for ((label, dir) <- Seq("1x" -> base, "10x" -> big,
+          "1x" -> base, "10x" -> big)) {
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        rows(label) = df.count()
+        obs(label) = obs(label) :+ (System.nanoTime() - t0) / 1e9
+        shapes(label) = planShape(df)
+      }
+      spark.sharedState.cacheManager.clearCache()
+      val m1 = obs("1x").min; val m10 = obs("10x").min
+      val ratio = m10 / m1
+      println(f"$name%-22s 1x min ${m1}%7.2f s (runs ${obs("1x").map(t => f"$t%.2f").mkString("/")})" +
+        f"  10x min ${m10}%7.2f s (runs ${obs("10x").map(t => f"$t%.2f").mkString("/")})" +
+        f"  warm ratio $ratio%5.2f  exp ${math.log10(ratio)}%4.2f" +
+        f"  rows ${rows("1x")}%d -> ${rows("10x")}%d" +
+        s"  shape${if (shapes("1x") == shapes("10x")) "=SAME" else
+          s" 1x=${shapes("1x").mkString("|")} 10x=${shapes("10x").mkString("|")}"}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     val base = "/root/testdata/sf0.1"
     println("building 10x blow-up ...")
     val big = blowUp(spark, base)
     println(s"blow-up at $big")
+
+    if (args.headOption.contains("warm")) {
+      // the three operators whose cold continuation readings contradict
+      // the first probe (SCALING.md), plus q195's two closes for the
+      // size-driven default's record at both scales
+      warmAb(spark, base, big, Seq(
+        "q40_ngram_jaccard" -> (Dedup.q40NgramJaccard _),
+        "q26_embedding_dedup" -> (Similarity.q26EmbeddingDedup _),
+        "q199_kcore" -> (Clustering.q199KCore _),
+        "q195_triangles" -> (Clustering.q195Triangles _),
+        "q46_dedup_components" -> (Clustering.q46DedupComponents _)))
+      spark.stop()
+      return
+    }
 
     val cases: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q40_ngram_jaccard" -> (Dedup.q40NgramJaccard _),

@@ -250,6 +250,17 @@ class ParitySpec extends SparkSpec {
         "risk sets, event counts, and the ln-sum survival included")
   }
 
+  test("q251 streamed exact-ntile fold equals the single-shot q88 bucketing") {
+    val streamed = StreamParity.q251StreamNtile(spark, sf).collect().toSeq
+    val batch = graft.operators.Curation.q88LengthBuckets(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "the per-trigger count-table fold + closed-form bucket-overlap " +
+        "arithmetic must reproduce q88's doc-scale global-window ntile " +
+        "aggregate row for row — counts, min/max, and token sums included")
+  }
+
   test("q81 incremental anomaly monitor equals batch q78 (count folds across triggers)") {
     val streamed = StreamParity.q81StreamAnomaly(spark, sf).collect().toSeq
     val batch = graft.operators.Relational.q78TimelineAnomaly(spark, sf)
