@@ -936,9 +936,30 @@ object Clustering {
     // by round 8, which stalls Catalyst. Truncating lineage keeps plan
     // size constant per round. (localCheckpoint trades fault tolerance
     // for speed; a cluster deployment swaps in reliable checkpoint().)
+    //
+    // FIXPOINT EARLY EXIT (exact): a round that drops zero edges means
+    // every node passed the degree filter, so e_i == e_{i-1} as a set
+    // and every remaining round is the identity — skipping them returns
+    // EXACTLY the result of KCorePeels rounds (the DETERMINISM contract
+    // with the unrolled oracle is preserved by construction, and the
+    // ClusteringSpec driver replay of all 8 rounds stays row-identical).
+    // The edge count is free evidence — the frame is already
+    // materialized by the eager checkpoint — and each skipped round
+    // saves a full degree-agg + two joins + a re-materialization pass,
+    // the cost that dominates q199's measured 10x exponent (SCALING.md:
+    // 45 s warm at 10x for 8 unconditional rounds).
     var e = coPurchaseEdges(spark, sfDir).localCheckpoint(true)
-    for (_ <- 1 to KCorePeels)
-      e = kCorePeelOnce(e).localCheckpoint(true)
+    var edges = e.count()
+    var round = 0
+    var fixed = false
+    while (round < KCorePeels && !fixed) {
+      val next = kCorePeelOnce(e).localCheckpoint(true)
+      val m = next.count()
+      fixed = m == edges
+      e = next
+      edges = m
+      round += 1
+    }
     degreeOf(e)
       .select(col("node").as("part"), col("deg").as("core_deg"))
       .orderBy("part")
