@@ -157,6 +157,20 @@ object ScaleProbe {
       return
     }
 
+    if (args.headOption.contains("warm2")) {
+      // round-12 extension: the remaining heavy BATCH operators whose
+      // 10x exponents were never warm-measured — the board's batch cost
+      // head (q50/q208/q86) plus q124 (the r11 board's headline
+      // disturbance key, whose own scaling was never on record)
+      warmAb(spark, base, big, Seq(
+        "q50_semdedup" -> (Clustering.q50SemDedup _),
+        "q208_coreset_greedy" -> (Curation.q208CoresetGreedy _),
+        "q86_cluster_canonical" -> (Clustering.q86ClusterCanonical _),
+        "q124_embedding_cov" -> (Similarity.q124EmbeddingCovariance _)))
+      spark.stop()
+      return
+    }
+
     val cases: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q40_ngram_jaccard" -> (Dedup.q40NgramJaccard _),
       "q46_dedup_components" -> (Clustering.q46DedupComponents _),
