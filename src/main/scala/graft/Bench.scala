@@ -253,6 +253,18 @@ object Bench {
     line
   }
 
+  /** Split-half slice selection (SPARK_GRAFT_BENCH_SLICE=A|B): the two
+    * halves of the sorted batch surface partition it exactly — no key
+    * lost, none doubled — which is what makes sum-of-halves comparable
+    * to the full session in the drift experiment. Any other value runs
+    * the full surface. */
+  def sliceNames(allNames: Seq[String], slice: Option[String]): Seq[String] =
+    slice match {
+      case Some("A") => allNames.take(allNames.size / 2)
+      case Some("B") => allNames.drop(allNames.size / 2)
+      case _         => allNames
+    }
+
   /** Cumulative JVM session counters for the spread line: GC seconds
     * (all collectors), used heap MB, used metaspace MB. The split-half
     * experiment (BASELINE.md) reads these to attribute session-level
@@ -367,11 +379,7 @@ object Bench {
     // session sees; min also suppresses one-off GC/scheduler noise.
     val allNames = SparkEntry.queries.keys
       .filterNot(_ == "q25_stream_batch_parity").toSeq.sorted
-    val names = slice match {
-      case Some("A") => allNames.take(allNames.size / 2)
-      case Some("B") => allNames.drop(allNames.size / 2)
-      case _         => allNames
-    }
+    val names = sliceNames(allNames, slice)
     // If either run fails, report -1: a half-failed query must be visible
     // in the JSON, not silently replaced by its surviving (possibly cold)
     // run's time.

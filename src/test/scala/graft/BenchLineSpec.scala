@@ -315,6 +315,18 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("split-half slices partition the surface exactly") {
+    val all = SparkEntry.queries.keys
+      .filterNot(_ == "q25_stream_batch_parity").toSeq.sorted
+    val a = Bench.sliceNames(all, Some("A"))
+    val b = Bench.sliceNames(all, Some("B"))
+    assert(a ++ b == all, "A then B is the whole sorted surface")
+    assert((a.toSet & b.toSet).isEmpty, "no key runs in both halves")
+    assert(math.abs(a.size - b.size) <= 1)
+    assert(Bench.sliceNames(all, None) == all)
+    assert(Bench.sliceNames(all, Some("bogus")) == all)
+  }
+
   test("heal never resurrects a failure and never raises a time") {
     val results = Seq("a" -> 5.0, "b" -> -1.0, "c" -> 2.0)
     val healed = Bench.heal(results,
