@@ -48,12 +48,19 @@ final class StampedLedger(root: String = "") {
 
   /** Run `body` only if `batchId` has not been folded yet; returns
     * whether it ran. Use alone for driver-accumulator folds (the
-    * q66/q212/q218/q221 mergeable sketches) that keep no parquet state. */
+    * q66/q212/q218/q221 mergeable sketches) that keep no parquet state.
+    *
+    * The id is marked consumed only AFTER `body` succeeds: a fold that
+    * THROWS leaves the batch un-folded, so an engine retry of the same
+    * batchId re-runs it instead of silently dropping the batch forever
+    * (the stamped-dir write is overwrite-idempotent and [[advanceTo]]
+    * only moves on success, so the re-run is safe for ledger folds;
+    * driver-accumulator bodies should mutate their state last). */
   def guard(batchId: Long)(body: => Unit): Boolean =
     if (batchId <= lastFolded) false
     else {
-      lastFolded = batchId
       body
+      lastFolded = batchId
       true
     }
 

@@ -84,6 +84,17 @@ class StampedLedgerSpec extends SparkSpec {
     intercept[IllegalArgumentException](ledger.stampFor(2))
   }
 
+  test("a fold that THROWS does not consume its batchId (retry re-runs it)") {
+    val ledger = new StampedLedger()
+    var acc = 0L
+    intercept[RuntimeException](
+      ledger.guard(0) { sys.error("task failure mid-fold") })
+    assert(ledger.guard(0) { acc += 10 },
+      "the failed batch must fold on retry, not be dropped forever")
+    assert(!ledger.guard(0) { acc += 10 }, "...and only once")
+    assert(acc == 10)
+  }
+
   test("previous() is an empty frame of the given schema before the first fold") {
     val ledger = new StampedLedger(
       java.nio.file.Files.createTempDirectory("ledger_empty").toString)
