@@ -53,7 +53,7 @@ object Doctor {
       val infl = band.collect { case bd if m > 0 && bd > 0 => m / bd }
       val verdict =
         if (m < 0) "FAILED"
-        else if (k.contains("stream")) "stream"
+        else if (Bench.isStreamClass(k)) "stream"
         else if (band.isEmpty) "no-band"
         else if (m > Bench.QuietBandMult * band.get) "TRIPPED"
         else "ok"
@@ -122,7 +122,10 @@ object Doctor {
         val t1 = once(r.key); val t2 = once(r.key)
         val t = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
         spark.sharedState.cacheManager.clearCache()
-        val v = if (r.band.exists(b => t > Bench.QuietBandMult * b))
+        // a failed re-timing exonerates nothing — name it, don't let
+        // -1 < band read as "quiet" (ADVICE r12)
+        val v = if (t < 0) "FAILED re-time — inconclusive, re-run by hand"
+        else if (r.band.exists(b => t > Bench.QuietBandMult * b))
           "STILL TRIPPED — treat as a real regression" else "quiet — board reading was disturbance"
         println(f"${r.key}%-34s board ${r.min}%8.2f  retimed $t%8.2f  $v")
         r.key -> t

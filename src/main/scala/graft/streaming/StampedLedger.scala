@@ -33,6 +33,13 @@ import org.apache.spark.sql.types.StructType
   * At 100 TB the same discipline holds with `root` on the cluster store:
   * the ledger is state-cardinality (never corpus-cardinality), each fold
   * is one distributed job, and the driver holds only the path + id.
+  * CAVEAT (ADVICE r12): [[advanceTo]]/`deleteTree` use local-filesystem
+  * APIs (`java.io.File`/`java.nio.file`) — correct for the local
+  * checkpoint roots this repo runs, but on HDFS/S3 `isDirectory` is
+  * always false, so the pointer would never advance and stamps would
+  * never be GC'd. A cluster deployment must swap the exists/delete
+  * pair for `org.apache.hadoop.fs.FileSystem` calls (the fold/guard
+  * logic itself is store-agnostic).
   */
 final class StampedLedger(root: String = "") {
   private var lastFolded = -1L

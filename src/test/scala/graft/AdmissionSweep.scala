@@ -38,7 +38,9 @@ object AdmissionSweep {
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       })
-    val keys = SparkEntry.queries.keys.filter(_.contains("stream")).toSeq.sorted
+    // stream-CLASS, not stream-named: q126_transform_state shares the
+    // per-trigger floor economics without the name (Bench.isStreamClass)
+    val keys = SparkEntry.queries.keys.filter(Bench.isStreamClass).toSeq.sorted
     // warmup (JIT + codegen, not recorded)
     SparkEntry.queries(keys.head)(spark, sf)
       .write.format("noop").mode("overwrite").save()

