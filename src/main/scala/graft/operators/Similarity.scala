@@ -296,7 +296,19 @@ object Similarity {
   // at index-build time, same class as the max-id scalars.
   // ---------------------------------------------------------------------
   private val MinCells      = 24
-  private val ProbeFrac     = 0.20 // nprobe = max(6, ceil(K/5))
+  private val ProbeFrac     = 0.20 // nprobe = max(ProbeFloor, ceil(K/5))
+  /** nprobe floor — the SMALL-K knob (VERDICT r12 #3). At the sf0.01
+    * quality gate (n=500, K=24) the floor is what binds: raising it
+    * 6 → 8 bought measured recall@10 0.86 → 0.90 (q30) at a 1.19x
+    * candidate set — isolated from the delta knob by the r13 IvfSweep
+    * rows (pf 0.30 ≡ floor 8 at K=24: delta 0.18 alone 0.90/0.561;
+    * delta 0.22 alone 0.88/0.580). At bench scale (sf0.1, K=45) the
+    * frac-derived nprobe=9 already exceeds the floor, so the board
+    * keys' cost and recall (0.94) are UNCHANGED — and at 100 TB
+    * (K=sqrt(n) in the thousands) the floor is dead weight by design:
+    * probeFrac is the knob that matters, the floor only guards tiny
+    * quantizers. */
+  private val ProbeFloor    = 8
   private val SamplePerCell = 32   // training sample = max(4096, 32K), bounded
 
   /** Absolute ceiling on any driver-side training collect(), Faiss-style:
@@ -330,7 +342,7 @@ object Similarity {
     * information wall q23 documents). On a real near-dup workload
     * (neighbors at cosine >= 0.8) a vector's cell and its neighbor's
     * coincide with high probability, so a SMALL CONSTANT nprobe (the
-    * max(6, _) floor) already recalls them and the scored fraction
+    * ProbeFloor) already recalls them and the scored fraction
     * collapses to ~6 * multiAssign / K — shrinking as K = sqrt(n) grows
     * with the corpus. probeFrac is the knob a deployment turns down to
     * match its neighbor distances, exactly like q23's probes. */
@@ -404,7 +416,7 @@ object Similarity {
     // Size the quantizer to the corpus (see the K-scaling note above).
     val n = e.count()
     val k = math.max(MinCells, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val nprobe = math.max(6, math.ceil(k * probeFrac).toInt)
+    val nprobe = math.max(ProbeFloor, math.ceil(k * probeFrac).toInt)
 
     // Index build: train the coarse quantizer on a bounded, absolutely
     // capped sample (driver-side by design — this is index training, not
@@ -770,7 +782,7 @@ object Similarity {
     val e = withNorm(Tables.embeddings(spark, sfDir)).cache()
     val n = e.count() // also materializes the cache: norm is read back, not recomputed
     val kc = math.max(MinCells, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val nprobe = math.max(6, math.ceil(kc * ProbeFrac).toInt)
+    val nprobe = math.max(ProbeFloor, math.ceil(kc * ProbeFrac).toInt)
 
     // One bounded, capped sample trains BOTH quantizers (see q30's
     // sampling note and TrainSampleCap).

@@ -23,11 +23,14 @@ object IvfSweep {
       // sample; the 512 rows force a BINDING training-sample cap (well
       // below every corpus here) to confirm the recall floor survives
       // capping — the evidence behind Similarity.TrainSampleCap.
+      // r13 additions isolate the two knobs at the gate SF: pf 0.30 at
+      // k=24 is nprobe 8 (emulating a probe FLOOR of 8, which leaves
+      // the sf0.1 nprobe=9 untouched), crossed with delta 0.18/0.22.
       for ((pf, d, cap) <- Seq(
           (0.20, 0.15, Int.MaxValue), (0.20, 0.18, Int.MaxValue),
-          (0.25, 0.18, Int.MaxValue), (0.20, 0.20, Int.MaxValue),
+          (0.30, 0.18, Int.MaxValue), (0.20, 0.22, Int.MaxValue),
           (0.25, 0.20, Int.MaxValue), (0.30, 0.22, Int.MaxValue),
-          (0.20, 0.18, 512), (0.25, 0.20, 512))) {
+          (0.20, 0.22, 512), (0.30, 0.22, 512))) {
         val cands = Similarity.ivfCandidates(spark, sf, pf, d, cap)
         val nCands = cands.count()
         val frac = nCands.toDouble / (n * 5)
