@@ -294,6 +294,18 @@ object GraftFunctions {
     ColumnBridge.column(PqAdcScore(ColumnBridge.expression(code),
       ColumnBridge.expression(lut), m, bits, k))
 
+  /** Unit-normalize a numeric array column in one fused codegen loop
+    * (see [[UnitNormalize]]): array<double> unit vector, NULL on zero
+    * norm. Bit-identical to the norm-bound-once lambda formulation. */
+  def unitNormalize(v: Column): Column =
+    ColumnBridge.column(UnitNormalize(ColumnBridge.expression(v)))
+
+  /** Cyclic-neighbor mix out[j] = a[j] + eps*a[(j+1) mod n] (see
+    * [[NeighborMix]]) — the planted-near-dup generator of the ANN/dedup
+    * fixtures, codegen'd. */
+  def neighborMix(v: Column, eps: Double): Column =
+    ColumnBridge.column(NeighborMix(ColumnBridge.expression(v), eps))
+
   /** Cosine similarity via [[dot]]; norms computed inline. Prefer
     * precomputing norms once per side when a side is reused (see
     * Similarity.withNorm). */

@@ -1049,3 +1049,152 @@ object PqAdcScore {
     java.lang.Double.valueOf(acc)
   }
 }
+
+/** Unit-normalize a numeric array in ONE fused codegen loop: norm =
+  * sqrt of the sequential left-to-right fold of x*x in double (the
+  * exact fold order of the `aggregate(...)` lambda it replaces, so
+  * existing oracle hashes are unaffected), output x/norm per element,
+  * NULL when the norm is zero.
+  *
+  * Why: the lambda formulation (`transform(array(sqrt(aggregate(...))),
+  * nrm -> ...)` — the norm-bound-once q48 construct) walks THREE
+  * higher-order-function frames per row, all interpreted with boxed
+  * elements. On the q50/q26 build path the normalize pass was ~10x the
+  * cost of the underlying scan (Q50Probe); here it is a two-line loop
+  * inside whole-stage codegen.
+  *
+  * Null semantics: zero norm -> NULL (matches the lambda's CASE). A
+  * null ELEMENT also yields NULL — the lambda instead produced an
+  * array of nulls (its `nrm = 0D` test is NULL, falling to the ELSE
+  * branch dividing by a null norm); no caller feeds nullable elements,
+  * and dropping the row beats emitting a poisoned vector.
+  */
+case class UnitNormalize(child: Expression) extends UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unit_normalize expects array<float|double>, got $t")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UnitNormalize.compute(input.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.UnitNormalize.compute($a, $elemIsFloat);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnitNormalize {
+
+  /** One definition of truth for interpreted eval AND codegen. */
+  def compute(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(acc)
+    if (nrm == 0.0) return null
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x / nrm
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The planted near-duplicate of the ANN/dedup fixtures in one codegen
+  * loop: out[j] = a[j] + eps * a[(j+1) mod n] — the cyclic-neighbor mix
+  * `dupCorpus` previously spelled as `transform(sequence(1, size(emb)),
+  * i -> element_at(emb, i) + eps*element_at(emb, i % size + 1))`, an
+  * interpreted O(n) lambda with two boxed positional lookups per
+  * element. Arithmetic is per-element identical (each output is one
+  * double add of one double multiply), so planted fixtures and their
+  * oracles are bit-unchanged. Null element -> NULL row, like the
+  * lambda's null propagation.
+  */
+case class NeighborMix(child: Expression, eps: Double)
+    extends UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"neighbor_mix expects array<float|double>, got $t")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    NeighborMix.compute(input.asInstanceOf[ArrayData], eps, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.NeighborMix.compute($a, $eps, $elemIsFloat);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NeighborMix {
+
+  /** One definition of truth for interpreted eval AND codegen. */
+  def compute(a: ArrayData, eps: Double, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    def get(i: Int): Double =
+      if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      out(i) = get(i) + eps * get((i + 1) % n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -132,16 +132,14 @@ object Similarity {
     * as a BroadcastNestedLoopJoin, which PlanSpec's no-BNLJ gate on q26
     * deliberately forbids.) */
   private[graft] def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    // Native array cast + codegen'd NeighborMix replace two interpreted
+    // per-element lambdas (bit-identical values — see NeighborMix doc).
     val base = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val idOff: Long = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
     base.unionAll(
       base.select((col("vec_id") + idOff).as("vec_id"),
-        expr("""transform(sequence(1, size(emb)),
-               |  i -> element_at(emb, i)
-               |       + 0.1D * element_at(emb, i % size(emb) + 1))"""
-          .stripMargin).as("emb")))
+        graft.functions.GraftFunctions.neighborMix(col("emb"), 0.1).as("emb")))
   }
 
   def q26EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
