@@ -313,4 +313,81 @@ class VectorSpec extends SparkSpec {
       assert(r.isNullAt(3), "lut length != m*K must yield NULL score")
     }
   }
+
+  // --- UnitNormalize / NeighborMix (round 13, the q50 constant cut) ---
+
+  private val lambdaUnit =
+    """transform(array(sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+      |    (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |  nrm -> CASE WHEN nrm = 0D THEN NULL
+      |              ELSE transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+      |         END)[0]""".stripMargin
+
+  test("unitNormalize is bit-identical to the norm-bound-once lambda") {
+    import graft.functions.GraftFunctions.unitNormalize
+    val rows = Tables.embeddings(spark, sf)
+      .select(unitNormalize(col("embedding")).as("native"),
+        expr(lambdaUnit).as("fold"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y))
+      }
+    }
+  }
+
+  test("unitNormalize: zero vector yields NULL; interpreted == codegen") {
+    import graft.functions.GraftFunctions.unitNormalize
+    val df = spark.sql(
+      "SELECT CAST(array(0.0, 0.0) AS array<double>) AS z, " +
+        "CAST(array(3.0, 4.0) AS array<float>) AS f")
+    val r = df.select(
+      unitNormalize(col("z")).as("zn"),
+      unitNormalize(col("f")).as("fn")).head()
+    assert(r.isNullAt(0), "zero norm must yield NULL")
+    assert(r.getSeq[Double](1) == Seq(0.6, 0.8), "float input normalizes in double")
+    // interpreted path (no codegen): same via direct compute
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    assert(graft.functions.UnitNormalize.compute(
+      new GenericArrayData(Array[Any](0.0, 0.0)), isFloat = false) == null)
+    val i = graft.functions.UnitNormalize.compute(
+      new GenericArrayData(Array[Any](3.0, 4.0)), isFloat = false)
+    assert(i.toDoubleArray().toSeq == Seq(0.6, 0.8))
+  }
+
+  test("neighborMix equals the sequence/element_at lambda it replaced") {
+    import graft.functions.GraftFunctions.neighborMix
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("emb"))
+      .select(neighborMix(col("emb"), 0.1).as("native"),
+        expr("""transform(sequence(1, size(emb)),
+               |  i -> element_at(emb, i)
+               |       + 0.1D * element_at(emb, i % size(emb) + 1))"""
+          .stripMargin).as("fold"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y))
+      }
+    }
+  }
+
+  test("neighborMix: empty array passes through, single element doubles back on itself") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val empty = graft.functions.NeighborMix.compute(
+      new GenericArrayData(Array[Any]()), 0.1, isFloat = false)
+    assert(empty.numElements() == 0)
+    // n=1: neighbor of the only element is itself -> x * (1 + eps)
+    val one = graft.functions.NeighborMix.compute(
+      new GenericArrayData(Array[Any](2.0)), 0.1, isFloat = false)
+    assert(one.toDoubleArray().toSeq == Seq(2.0 + 0.1 * 2.0))
+  }
 }
