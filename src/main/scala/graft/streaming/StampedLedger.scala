@@ -33,13 +33,12 @@ import org.apache.spark.sql.types.StructType
   * At 100 TB the same discipline holds with `root` on the cluster store:
   * the ledger is state-cardinality (never corpus-cardinality), each fold
   * is one distributed job, and the driver holds only the path + id.
-  * CAVEAT (ADVICE r12): [[advanceTo]]/`deleteTree` use local-filesystem
-  * APIs (`java.io.File`/`java.nio.file`) — correct for the local
-  * checkpoint roots this repo runs, but on HDFS/S3 `isDirectory` is
-  * always false, so the pointer would never advance and stamps would
-  * never be GC'd. A cluster deployment must swap the exists/delete
-  * pair for `org.apache.hadoop.fs.FileSystem` calls (the fold/guard
-  * logic itself is store-agnostic).
+  * [[advanceTo]]/`deleteTree` go through `org.apache.hadoop.fs.
+  * FileSystem` resolved from the active session's Hadoop conf (ADVICE
+  * r12 closed in r13: the original `java.io.File` exists-check was
+  * local-only — on HDFS/S3 the pointer would never advance and stamps
+  * would never be GC'd), so the same code runs against file://, hdfs://
+  * or s3a:// roots with the session's credentials.
   */
 final class StampedLedger(root: String = "") {
   private var lastFolded = -1L
@@ -85,7 +84,7 @@ final class StampedLedger(root: String = "") {
     * leaves the pointer — and therefore the prior state it protects —
     * untouched. Returns whether the pointer moved. */
   def advanceTo(path: String): Boolean =
-    if (!new java.io.File(path).isDirectory) false
+    if (!StampedLedger.isDir(path)) false
     else {
       val old = prevPath
       prevPath = Some(path)
@@ -112,11 +111,27 @@ final class StampedLedger(root: String = "") {
 }
 
 object StampedLedger {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** The store behind `p`: the active session's Hadoop conf (S3/HDFS
+    * credentials and defaults ride along) or a bare Configuration when
+    * no session is up (close() after spark.stop() in specs). */
+  private def fsFor(p: Path): FileSystem = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf)
+  }
+
+  private[streaming] def isDir(p: String): Boolean = {
+    val hp = new Path(p)
+    try fsFor(hp).getFileStatus(hp).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
   def deleteTree(p: String): Unit = {
-    val root = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => java.nio.file.Files.delete(q))
+    val hp = new Path(p)
+    val fs = fsFor(hp)
+    if (fs.exists(hp)) fs.delete(hp, true)
   }
 }
