@@ -2280,16 +2280,21 @@ object Curation {
     while (r <= CoresetK && !exhausted) {
       val coveredDf = covered.toSeq.map(_.toArray).toDF("gh")
       val remaining = sh.join(broadcast(coveredDf), Seq("gh"), "left_anti")
-      val winner = coresetRound(remaining).collect()
-      if (winner.isEmpty) exhausted = true // whole universe covered
+      // ONE job per round (was two): the TakeOrdered(1) winner broadcasts
+      // back onto the remaining frame, so the collect carries the winner
+      // row AND its uncovered shingle hashes together — bounded by one
+      // doc's length, the per-round driver transfer. (Its already-covered
+      // hashes are in `covered` by definition, so the union is identical
+      // to the old full-shingle fetch.)
+      val rows = remaining
+        .join(broadcast(coresetRound(remaining)), "doc_id")
+        .select(col("doc_id"), col("gain"), col("gh")).collect()
+      if (rows.isEmpty) exhausted = true // whole universe covered
       else {
-        val (docId, gain) = (winner(0).getLong(0), winner(0).getLong(1))
+        val (docId, gain) = (rows(0).getLong(0), rows(0).getLong(1))
         coveredN += gain
         picks += ((r.toLong, docId, gain, coveredN))
-        // the winner's shingle hashes: bounded by one doc's length —
-        // the per-round driver transfer, same size class as the winner row
-        sh.filter(col("doc_id") === docId).select(col("gh")).collect()
-          .foreach(row => covered += row.getAs[Array[Byte]](0).toSeq)
+        rows.foreach(row => covered += row.getAs[Array[Byte]](2).toSeq)
         r += 1
       }
     }
