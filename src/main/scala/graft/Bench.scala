@@ -155,7 +155,7 @@ object Bench {
     sentinelTrips(minTimes).size >= 2 || ratio > 2.2 ||
       bandTrips.size >= QuietBandMinKeys
 
-  // --- self-heal: retry the keys the canary names, publish min-of-3 ---
+  // --- self-heal: retry the keys the canary names, publish the min ---
   //
   // Three consecutive driver boards (r09/r10/r11) were disturbed; the
   // r11 canary NAMED its 21 inflated keys from inside the session (q124
@@ -163,9 +163,10 @@ object Bench {
   // at min-of-2, so the board shipped 595.5 s where the true surface
   // cost ~300 s and adjudication happened offline. The fix is mechanical
   // and bounded: after the two timed runs, re-run ONLY the tripped
-  // non-stream keys once more (most-inflated first, capped at
-  // [[BenchRetryMax]] — the worst board ever seen tripped 21), publish
-  // min-of-3 for them, and recompute the canary from the healed times.
+  // non-stream keys as their own min-of-2 pair (most-inflated first,
+  // capped at [[BenchRetryMax]] — the worst board ever seen tripped 21),
+  // publish the min across all four executions, and recompute the
+  // canary from the healed times.
   // A roaming/transient disturbance (the r11 class) heals to a green
   // board with the retried keys named on the driver line; a SUSTAINED
   // disturbance also inflates the retry run, the healed times still
@@ -220,11 +221,15 @@ object Bench {
     Seq("q03_filter_project", "q42_stratified_mix", "q200_weighted_sample")
 
   /** True when the retry window itself was disturbed: >=2 retry
-    * sentinels above their pinned session-health bands. Pure. */
+    * sentinels above their pinned session-health bands. A sentinel
+    * re-run that FAILED (-1) counts as hot — a disturbance severe
+    * enough to kill the measurement must not exonerate the window
+    * (the Doctor --retime rule from ADVICE r12, applied here). Pure. */
   def retryWindowHot(times: Map[String, Double]): Boolean = {
     val bands = SentinelBands.toMap
     RetrySentinels.count(k =>
-      times.get(k).exists(t => bands.get(k).exists(t > _))) >= 2
+      times.get(k).exists(t =>
+        t < 0 || bands.get(k).exists(t > _))) >= 2
   }
 
   /** Defensible engine number for a board that never went quiet:
@@ -547,8 +552,13 @@ object Bench {
     // engine number alongside its raw total (see [[bandTotal]]) — the
     // stream-path pair is capped by its own band entries so a disturbed
     // streaming measurement cannot leak into the capped sum.
+    // Emitted whenever the line flags trouble (noisy OR host_disturbed):
+    // the contract is "when flagged, read band_total, not value", so the
+    // field must exist in every flagged line. Off the bands' own SF the
+    // map is empty and bandTotal degrades to the observed sum — no quiet
+    // evidence exists to cap with, but the field still rides.
     val bandTotalSec =
-      if (isNoisy && bands.nonEmpty)
+      if (isNoisy || hostDisturbed)
         Some(bandTotal(healed.toMap ++ Map(
           "q25_stream_parity" -> tParity, "stream_ingest" -> tIngest), bands))
       else None

@@ -1137,8 +1137,12 @@ object UnitNormalize {
   * interpreted O(n) lambda with two boxed positional lookups per
   * element. Arithmetic is per-element identical (each output is one
   * double add of one double multiply), so planted fixtures and their
-  * oracles are bit-unchanged. Null element -> NULL row, like the
-  * lambda's null propagation.
+  * oracles are bit-unchanged. Null-element semantics DIFFER from the
+  * lambda (same deliberate deviation as [[UnitNormalize]]): the lambda
+  * propagated nulls per element (an array containing nulls); here any
+  * null element yields NULL for the whole value — no caller feeds
+  * nullable elements, and dropping the row beats emitting a poisoned
+  * vector.
   */
 case class NeighborMix(child: Expression, eps: Double)
     extends UnaryExpression {

@@ -483,9 +483,10 @@ object Clustering {
         .localCheckpoint(true)
       subs = subsFull.select("cell", "sub_id", "sc")
       trace(s"round$trainRound-done")
-      if (trainRound >= 2 && trainRound < SemSubRounds) {
-        // round 1 always moves (init centroids are raw members) and the
-        // last round has nothing left to skip — check only in between
+      if (trainRound < SemSubRounds) {
+        // the final round has nothing left to skip; every earlier round
+        // checks — including round 1, for a corpus whose id-spaced init
+        // is already the fixpoint
         val minDot = subsFull.agg(min(col("mv"))).head().getDouble(0)
         converged = minDot >= 1.0 - 1e-12
         trace(s"round$trainRound-move")

@@ -404,6 +404,15 @@ class BenchLineSpec extends AnyFunSuite {
       "q03_filter_project" -> 5.0, "q42_stratified_mix" -> 0.2,
       "q200_weighted_sample" -> 0.1)))
     assert(!Bench.retryWindowHot(Map.empty))
+    // a FAILED sentinel re-run (-1) must count as hot, not exonerate:
+    // two failures alone flag the window even with the third quiet
+    assert(Bench.retryWindowHot(Map(
+      "q03_filter_project" -> -1.0, "q42_stratified_mix" -> -1.0,
+      "q200_weighted_sample" -> 0.1)))
+    // one failure + one hot is sustained too
+    assert(Bench.retryWindowHot(Map(
+      "q03_filter_project" -> -1.0, "q42_stratified_mix" -> 4.0,
+      "q200_weighted_sample" -> 0.1)))
     // every retry sentinel must have a pinned session-health band and
     // exist on the live surface
     val bands = Bench.SentinelBands.toMap
@@ -420,6 +429,11 @@ class BenchLineSpec extends AnyFunSuite {
     // a capped at 1.0, b observed 1.5 (below band is kept), c no band
     // rides observed, d failed is skipped
     assert(math.abs(t - (1.0 + 1.5 + 3.0)) < 1e-9, s"got $t")
+    // with NO bands (a non-sf0.1 run) it degrades to the observed sum —
+    // the flagged-line contract "read band_total" still has a field to
+    // read even when no quiet evidence exists to cap with
+    val t2 = Bench.bandTotal(Map("a" -> 10.0, "b" -> 1.5), Map.empty)
+    assert(math.abs(t2 - 11.5) < 1e-9, s"got $t2")
   }
 
   test("a sustained disturbance survives the retry and stays red") {
