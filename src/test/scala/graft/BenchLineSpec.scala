@@ -153,18 +153,19 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("every band's provenance names the quiet run that produced it") {
-    // VERDICT r12 #2: the bands were refreshed from the three r12 quiet
-    // runs; band_source pins WHICH run produced each band, and this
-    // test re-derives each band from its named source file — a band
-    // edited by hand (or a provenance gone stale after the next
-    // refresh) fails here.
+    // VERDICT r12 #2 (refreshed again in r13 after the q50/q208 constant
+    // cuts — stale-high bands weaken the 3x trip arm): bands derive from
+    // the three r13 quiet runs; band_source pins WHICH run produced each
+    // band, and this test re-derives each band from its named source
+    // file — a band edited by hand (or a provenance gone stale after
+    // the next refresh) fails here.
     val root = om.readTree(new java.io.File(Bench.QuietBandsFile))
     val bandsN = root.get("bands"); val srcN = root.get("band_source")
     assert(srcN != null, "band_source provenance map missing")
     val runs = Map(
-      "runA" -> "bench_local_r12_runA.json",
-      "runB" -> "bench_local_r12_runB.json",
-      "runC" -> "bench_local_r12_runC.json")
+      "runA" -> "bench_local_r13_runA.json",
+      "runB" -> "bench_local_r13_runB.json",
+      "runC" -> "bench_local_r13_runC.json")
     val loaded = runs.map { case (tag, p) =>
       val node = om.readTree(new java.io.File(p))
       val sp = node.get("spread")
@@ -351,7 +352,10 @@ class BenchLineSpec extends AnyFunSuite {
     // quiet re-time), so healing with the SESSION'S OWN retries leaves
     // the board red at ~540 s where the quiet engine measures 280.5 s
     // (bench_local_r12_runC). The band_total emitted for exactly this
-    // case must land within 10% of that quiet total.
+    // case must land within 10% of the CURRENT engine's quiet total
+    // (the bands are r13 evidence, so the defensible number they yield
+    // is the r13 engine — bench_local_r13_runC — not the slower r12
+    // engine the board was contemporary with).
     val bands = Bench.loadQuietBands()
     val node = om.readTree(new java.io.File("bench_board_r12.json"))
     val (mins, pairs) = spreadMinTimes("bench_board_r12.json")
@@ -369,7 +373,7 @@ class BenchLineSpec extends AnyFunSuite {
       .map(k => k -> node.get("stream").get(k).asDouble()).toMap
     val bt = Bench.bandTotal(healed ++ stream, bands)
     val quietC = {
-      val c = om.readTree(new java.io.File("bench_local_r12_runC.json"))
+      val c = om.readTree(new java.io.File("bench_local_r13_runC.json"))
       val sp = c.get("spread")
       val batch = scala.jdk.CollectionConverters
         .IteratorHasAsScala(sp.fieldNames()).asScala
