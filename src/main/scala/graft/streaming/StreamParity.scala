@@ -112,7 +112,7 @@ object StreamParity {
       deleteRecursively(sentinelDir.toFile)
     }
 
-    spark.table(table)
+    drainMemorySink(spark, table)
       .filter(col("event_type") =!= "zzz_sentinel")
       .select(
         col("window.start").cast("long").as("window_start"),
@@ -281,26 +281,31 @@ object StreamParity {
         ()
       }
       .start()
-    try query.processAllAvailable()
-    finally query.stop()
-    // The persistent index's caches belong to the stream's lifetime, not
-    // the session's — release them now that the stream has stopped.
-    index.close()
-    existingH.unpersist()
-    existing.unpersist()
+    // Cleanup runs in finally: a foreachBatch failure must not leak the
+    // corpus-sized replay/io trees on disk or the index's cached frames
+    // in the session (they'd otherwise pin memory until session end).
+    try {
+      query.processAllAvailable()
 
-    // A batch with no admissible rows writes no kind=v subdir — read only
-    // the ones that exist (never the case with this 4-file layout, but an
-    // empty trailing trigger must not fail the read).
-    val existingDirs = verdictDirs.filter(d => new java.io.File(d).isDirectory)
-    // materialize eagerly so the verdict/incoming temp trees can go
-    val out = spark.read.parquet(existingDirs.toSeq: _*)
-      .select(col("doc_id"), col("verdict"))
-      .orderBy("doc_id")
-      .localCheckpoint(true)
-    deleteRecursively(dir.toFile)
-    deleteRecursively(new java.io.File(ioRoot))
-    out
+      // A batch with no admissible rows writes no kind=v subdir — read
+      // only the ones that exist (never the case with this 4-file
+      // layout, but an empty trailing trigger must not fail the read).
+      val existingDirs = verdictDirs.filter(d => new java.io.File(d).isDirectory)
+      // materialize eagerly so the verdict/incoming temp trees can go
+      spark.read.parquet(existingDirs.toSeq: _*)
+        .select(col("doc_id"), col("verdict"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally {
+      query.stop()
+      // The persistent index's caches belong to the stream's lifetime,
+      // not the session's — release them now that the stream has stopped.
+      index.close()
+      existingH.unpersist()
+      existing.unpersist()
+      deleteRecursively(dir.toFile)
+      deleteRecursively(new java.io.File(ioRoot))
+    }
   }
 
   /** q71 — SESSION windows through the REAL streaming engine: the q08
@@ -384,7 +389,7 @@ object StreamParity {
       }
     }
 
-    spark.table(table)
+    drainMemorySink(spark, table)
       .filter(col("user_id") =!= -1L)
       .select(
         col("session_window.start").cast("long").as("session_start"),
@@ -428,7 +433,7 @@ object StreamParity {
       deleteRecursively(dir.toFile) // output lives in the memory sink
     }
 
-    spark.table(table).orderBy("keep_id")
+    drainMemorySink(spark, table).orderBy("keep_id")
   }
 
   /** q231 — streaming vector-index ingest: the ANN family's LIVE path.
@@ -618,6 +623,7 @@ object StreamParity {
       .getOrElse(sys.error("q233: no ledger written"))
       .orderBy("sample_rate").localCheckpoint(true)
     ledger.close()
+    deleteRecursively(new java.io.File(outRoot)) // the (now empty) root
     out
   }
 
@@ -747,6 +753,7 @@ object StreamParity {
       .localCheckpoint(true)
     deleteRecursively(new java.io.File(outRoot))
     ledger.close()
+    deleteRecursively(new java.io.File(idxRoot)) // the (now empty) root
     out
   }
 
@@ -807,8 +814,11 @@ object StreamParity {
             count(lit(1)).as("n")).head()
           val batchSketch = scala.collection.mutable.HashMap(
             row.getMap[String, Long](0).toSeq: _*)
-          nTokens += row.getLong(1)
+          // state mutates LAST (StampedLedger.guard's contract): if
+          // merge threw after nTokens had advanced, the engine's retry
+          // of this un-marked batch would double-count the token total
           merger.merge(running, batchSketch)
+          nTokens += row.getLong(1)
         }
         ()
       }.start()
@@ -1033,6 +1043,10 @@ object StreamParity {
     * batch-to-batch. */
   def q81StreamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Relational
+    // raw schema read: nanos generations reject without the legacy conf
+    // (see Tables.scala:26) — every events reader must set it itself or
+    // break when it runs FIRST in a fresh session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dir = Files.createTempDirectory("q81_events")
     raw.repartitionByRange(ReplayFiles, col("ts")).sortWithinPartitions("ts")
@@ -1159,6 +1173,9 @@ object StreamParity {
 
   private def q8xSideDirs(spark: SparkSession, sfDir: String): (String, String) =
     q8xDirs.computeIfAbsent(sfDir, { _ =>
+      // legacy conf before the raw read: this loader must survive running
+      // FIRST in a fresh session on a nanos testdata generation
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       val sentinelTs = sentinelTsPlus1h(raw)
       def sideDir(etype: String): String = {
@@ -1276,7 +1293,7 @@ object StreamParity {
       finally query.stop()
     }
 
-    spark.table(table)
+    drainMemorySink(spark, table)
       .filter(col("p_user") =!= -1L) // shared-harness sentinel pair
       .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
         col("p_user").as("user_id"),
@@ -1338,7 +1355,7 @@ object StreamParity {
       finally query.stop()
     }
 
-    spark.table(table)
+    drainMemorySink(spark, table)
       .filter(col("p_user") =!= -1L) // drop nothing real; guard only
       .select(col("p_id").as("purchase_id"),
         col("c_id").as("click_id"), // null when unattributed
@@ -1600,7 +1617,7 @@ object StreamParity {
       }
     }
 
-    spark.table(table)
+    drainMemorySink(spark, table)
       .filter(col("user_id") =!= -1L)
       .orderBy("user_id")
   }
@@ -1664,26 +1681,34 @@ object StreamParity {
         }
       }
     }
+    // One live fold per run id family: the spec reads the LATEST run,
+    // so prior runs' counter maps are dead weight in the session-long
+    // ConcurrentHashMap — drop them before this run registers.
+    observedFold.keySet.removeIf(k => k.startsWith("q106_quality_"))
     spark.streams.addListener(listener)
-    val query = result.writeStream.outputMode("complete")
-      .format("memory").queryName(table).start()
-    try query.processAllAvailable()
-    finally {
-      query.stop()
-      deleteRecursively(dir.toFile) // output lives in the memory sink
-    }
-    // progress events arrive on an async bus: poll until the listener
-    // has folded every processed row (bounded — the events were all
-    // committed before processAllAvailable returned)
-    val out = spark.table(table).orderBy("rule")
-    val nExpected = out.select(max(col("n_rows"))).collect()(0).getLong(0)
-    val deadline = System.currentTimeMillis + 10000
-    while (System.currentTimeMillis < deadline &&
-        observedFold.getOrDefault(table, Map.empty)
-          .getOrElse("n_rows", -1L) != nExpected)
-      Thread.sleep(50)
-    spark.streams.removeListener(listener)
-    out
+    // removeListener runs in finally: a leaked listener would stay on
+    // the SHARED session forever, folding every future q106 run's
+    // progress events into this stale key.
+    try {
+      val query = result.writeStream.outputMode("complete")
+        .format("memory").queryName(table).start()
+      try query.processAllAvailable()
+      finally {
+        query.stop()
+        deleteRecursively(dir.toFile) // output lives in the memory sink
+      }
+      // progress events arrive on an async bus: poll until the listener
+      // has folded every processed row (bounded — the events were all
+      // committed before processAllAvailable returned)
+      val out = drainMemorySink(spark, table).orderBy("rule")
+      val nExpected = out.select(max(col("n_rows"))).collect()(0).getLong(0)
+      val deadline = System.currentTimeMillis + 10000
+      while (System.currentTimeMillis < deadline &&
+          observedFold.getOrDefault(table, Map.empty)
+            .getOrElse("n_rows", -1L) != nExpected)
+        Thread.sleep(50)
+      out
+    } finally spark.streams.removeListener(listener)
   }
 
   /** q116 — q110's sliding-window exact distinct through CHAINED
@@ -1745,7 +1770,7 @@ object StreamParity {
       deleteRecursively(sentinelDir.toFile)
     }
 
-    spark.table(table)
+    drainMemorySink(spark, table)
       .select(col("window.start").cast("long").as("window_start"),
         col("n_users"), col("n_events"))
       .filter(col("window_start") <= realMaxSec) // drop sentinel windows
@@ -1813,7 +1838,7 @@ object StreamParity {
       }
     }
 
-    spark.table(table).orderBy("user_id", "minute_start")
+    drainMemorySink(spark, table).orderBy("user_id", "minute_start")
   }
 
   val q123Sql: String =
@@ -1896,11 +1921,7 @@ object StreamParity {
       .zipWithIndex.foreach { case (f, i) =>
         require(f.setLastModified(t0 + i * 10000L)) }
 
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try withRocksDBProvider(spark) {
       val schema = spark.read.parquet(dir.toString).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
@@ -1909,14 +1930,21 @@ object StreamParity {
         .format("memory").queryName(table).start()
       try query.processAllAvailable()
       finally query.stop()
-      spark.table(table)
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(key, p)
-        case None    => spark.conf.unset(key)
-      }
-      deleteRecursively(dir.toFile)
-    }
+      drainMemorySink(spark, table)
+    } finally deleteRecursively(dir.toFile)
+  }
+
+  /** Drain a finished memory-sink table into a session-GC-able frame
+    * and DROP the temp view: a memory sink otherwise pins its full
+    * result set in the driver catalog for the session's lifetime — one
+    * corpus-sized runId-suffixed table per invocation in the long-lived
+    * bench JVM. localCheckpoint(eager) copies the rows into block
+    * storage that the ContextCleaner frees once the frame is GC'd; the
+    * view (and the sink buffer it references) is dropped immediately. */
+  private def drainMemorySink(spark: SparkSession, table: String): DataFrame = {
+    val out = spark.table(table).localCheckpoint(true)
+    spark.catalog.dropTempView(table)
+    out
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -2257,11 +2285,11 @@ object StreamParity {
       .foreach(p => Files.copy(p, sentinelTarget))
     require(sentinelTarget.toFile.setLastModified(t0 + parts.length * 10000L))
 
-    val prevProvider = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // One provider-swap implementation (withRocksDBProvider) — the
+    // inline copy this replaced also forfeited the helper's
+    // shuffle-partition pinning, the dominant per-trigger RocksDB
+    // open/commit cost (measured 6.2 -> 4.6 s in the helper's doc).
+    try withRocksDBProvider(spark) {
       val out = graft.Tables.normalizeTs(spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir.toString))
         .withWatermark("ts", "1 second")
@@ -2275,16 +2303,10 @@ object StreamParity {
         .format("memory").queryName(table).start()
       try query.processAllAvailable()
       finally query.stop()
-      spark.table(table)
+      drainMemorySink(spark, table)
         .filter(col("user_id") =!= -1L)
         .orderBy("user_id", "start_us")
     } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
-      }
       deleteRecursively(dir.toFile) // corpus-sized replay copies
       deleteRecursively(sentinelDir.toFile)
     }
@@ -2412,6 +2434,8 @@ object StreamParity {
     * in DIFFERENT triggers — the min/max merge is genuinely exercised,
     * not incidentally trivial. */
   def q245StreamKmSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    // legacy conf before the raw read (nanos-generation safety; see q81)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dir = Files.createTempDirectory("q245_events")
     raw.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
@@ -2462,6 +2486,7 @@ object StreamParity {
         horizon)
       .localCheckpoint(true)
     ledger.close()
+    deleteRecursively(new java.io.File(outRoot)) // the (now empty) root
     out
   }
 
@@ -2577,6 +2602,7 @@ object StreamParity {
       .orderBy("bucket")
       .localCheckpoint(true)
     ledger.close()
+    deleteRecursively(new java.io.File(outRoot)) // the (now empty) root
     out
   }
 }
