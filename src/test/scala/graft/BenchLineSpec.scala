@@ -165,7 +165,8 @@ class BenchLineSpec extends AnyFunSuite {
     val runs = Map(
       "runA" -> "bench_local_r13_runA.json",
       "runB" -> "bench_local_r13_runB.json",
-      "runC" -> "bench_local_r13_runC.json")
+      "runC" -> "bench_local_r13_runC.json",
+      "runD" -> "bench_local_r13_runD.json")
     val loaded = runs.map { case (tag, p) =>
       val node = om.readTree(new java.io.File(p))
       val sp = node.get("spread")
