@@ -101,8 +101,11 @@ object Similarity {
   // corpus at sf0.001, and PlanSpec pins the no-cross-product plan shape.
   //
   // Shape — zero cross products:
-  //  1. bucket: 18 tables x 12 sign bits of seeded-Gaussian hyperplane
-  //     dots, one codegen'd projection; shuffle rows are 3 longs.
+  //  1. bucket: `tables x bits` sign bits of seeded-Gaussian hyperplane
+  //     dots (18 x 12 floor; both grow with corpus size via dupGeometry
+  //     so bucket occupancy — and with it the self-join's per-bucket
+  //     pair count — stays CONSTANT per vector), one codegen'd
+  //     projection; shuffle rows are 3 longs.
   //  2. candidates: equi-self-join on (tbl, bucket), vec_a < vec_b,
   //     distinct.
   //  3. verify: re-join the corpus by id, exact cosine, filter >= 0.8.
@@ -116,10 +119,50 @@ object Similarity {
   private val DupTables   = 18
   private val DupBits     = 12
 
-  /** 216 fixed hyperplanes for the dedup LSH (seed distinct from q23's). */
-  private lazy val dupPlanes: Array[Array[Double]] = {
+  /** Expected vectors per (table, bucket) the sizing law holds constant.
+    * Fixed bucket geometry is the classic LSH scale trap: with b sign
+    * bits there are 2^b buckets, bucket occupancy grows as n/2^b, and
+    * the within-bucket self-join emits Θ(n²/2^b) candidate pairs — the
+    * round-13 two-interval probe MEASURED exactly that (warm3: q26
+    * exp(1→10) 1.10 but exp(10→30) 2.08; SCALING.md). Holding occupancy
+    * constant instead (b = log₂(n/C)) keeps candidates at Θ(n·C) —
+    * linear at any corpus size. */
+  private val DupOccupancy = 16
+  /** Design per-pair collision probability at the near-dup operating
+    * point (cosine 0.995 — the perturbed-copy similarity this corpus
+    * and its oracle contain): p = 1 - acos(0.995)/π. */
+  private val DupPlaneP = 1.0 - math.acos(0.995) / math.Pi
+  /** Design miss probability per true near-dup pair — exactly the
+    * historical geometry's value ((1 - p^12)^18 = 1.4e-9, the number the
+    * analysis above has always quoted), so the table solve reproduces
+    * the 18-table floor at 12 bits byte-for-byte. Expected missed pairs
+    * stay ≪ 1 at any target corpus (1e9 pairs × 1.4e-9 ≈ 1 borderline;
+    * tested SFs carry ≤ 1e5 pairs → ≤ 1e-4 expected misses, which is
+    * what keeps the brute-force DuckDB oracle valid). */
+  private val DupMissProb = 1.4e-9
+
+  /** Corpus-size-adaptive LSH geometry: bits grow with log₂(n) to pin
+    * expected bucket occupancy at [[DupOccupancy]], and the table count
+    * is re-solved so (1 - p^bits)^tables ≤ [[DupMissProb]] at the design
+    * similarity. Floors at the historical (18 tables × 12 bits) so every
+    * tested SF sees byte-identical behavior; only genuinely larger
+    * corpora pay more bits/tables — e.g. n = 1e9 → 26 bits, 37 tables,
+    * per-vector candidate work still O(occupancy × tables). */
+  private[graft] def dupGeometry(n: Long): (Int, Int) = {
+    val bits = math.max(DupBits,
+      math.ceil(math.log(math.max(1L, n / DupOccupancy).toDouble) /
+        math.log(2.0)).toInt)
+    val tables = math.max(DupTables,
+      math.ceil(math.log(DupMissProb) /
+        math.log(1.0 - math.pow(DupPlaneP, bits))).toInt)
+    (tables, bits)
+  }
+
+  /** Fixed seeded hyperplanes for the dedup LSH (seed distinct from
+    * q23's); sized for the geometry the corpus requires. */
+  private def dupPlanes(tables: Int, bits: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(26)
-    Array.fill(DupTables * DupBits)(Array.fill(Dim)(rnd.nextGaussian()))
+    Array.fill(tables * bits)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
   /** embeddings ∪ perturbed copies, as array<double> (oracle-exact: the
@@ -131,26 +174,45 @@ object Similarity {
     * (A broadcast one-row cross join would express this lazily but plans
     * as a BroadcastNestedLoopJoin, which PlanSpec's no-BNLJ gate on q26
     * deliberately forbids.) */
-  private[graft] def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def dupCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    dupCorpusSized(spark, sfDir)._1
+
+  /** (corpus, corpus row count). The count rides the same one-row
+    * aggregate that derives the id offset — no extra job — and feeds
+    * [[dupGeometry]]'s occupancy law. */
+  private[graft] def dupCorpusSized(
+      spark: SparkSession, sfDir: String): (DataFrame, Long) = {
     // Native array cast + codegen'd NeighborMix replace two interpreted
     // per-element lambdas (bit-identical values — see NeighborMix doc).
     val base = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val idOff: Long = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    base.unionAll(
+    val agg = base.agg(max(col("vec_id")), count(lit(1))).head()
+    val idOff: Long = agg.getLong(0) + 1L
+    val df = base.unionAll(
       base.select((col("vec_id") + idOff).as("vec_id"),
         graft.functions.GraftFunctions.neighborMix(col("emb"), 0.1).as("emb")))
+    (df, 2L * agg.getLong(1))
   }
 
   def q26EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = dupCorpus(spark, sfDir)
+    val (rawCorpus, corpusN) = dupCorpusSized(spark, sfDir)
+    val (tables, bits) = dupGeometry(corpusN)
+    q26WithGeometry(rawCorpus, tables, bits)
+  }
+
+  /** q26 body with explicit LSH geometry — the scale probe A/Bs
+    * geometries in one session through this. */
+  private[graft] def q26WithGeometry(
+      rawCorpus: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val corpus = rawCorpus
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
 
-    // All 18 bucket ids in ONE fused codegen loop (HyperplaneBuckets):
-    // composing 216 per-plane dot expressions instead would embed 216
-    // 64-double literals into the generated Java of every stage that
-    // references this projection — seconds of Janino compile time per
-    // cold run for identical arithmetic.
+    // All `tables` bucket ids in ONE fused codegen loop
+    // (HyperplaneBuckets): composing tables*bits per-plane dot
+    // expressions instead would embed that many 64-double literals into
+    // the generated Java of every stage that references this projection
+    // — seconds of Janino compile time per cold run for identical
+    // arithmetic.
     //
     // Single cache, placed on the EXPENSIVE-to-compute, CHEAP-to-hold
     // side: banded rows are 3 longs (~24 B) each, so both sides of the
@@ -162,7 +224,7 @@ object Similarity {
     val banded = corpus
       .select(col("vec_id"), posexplode(
         graft.functions.GraftFunctions.hyperplaneBuckets(
-          col("emb"), dupPlanes.map(_.toSeq).toSeq, DupBits)))
+          col("emb"), dupPlanes(tables, bits).map(_.toSeq).toSeq, bits)))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
       .cache()
 

@@ -27,8 +27,11 @@ import graft.operators.{Clustering, Curation, Dedup, Relational, Similarity}
 object ScaleProbe {
   private val K = 10
 
-  private def blowUp(spark: SparkSession, base: String): String = {
-    val out = Files.createTempDirectory("scaleprobe").toString
+  private def blowUp(spark: SparkSession, base: String): String =
+    blowUpK(spark, base, K)
+
+  private def blowUpK(spark: SparkSession, base: String, K: Int): String = {
+    val out = Files.createTempDirectory(s"scaleprobe${K}x").toString
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).first().getLong(0) + 1
@@ -153,6 +156,85 @@ object ScaleProbe {
         "q199_kcore" -> (Clustering.q199KCore _),
         "q195_triangles" -> (Clustering.q195Triangles _),
         "q46_dedup_components" -> (Clustering.q46DedupComponents _)))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("geom")) {
+      // q26 LSH geometry A/B at 30x in ONE session (the 99s-vs-40s
+      // cross-session reading was confounded: the second session's 1x
+      // leg was 4.7x slower with UNCHANGED geometry). For each geometry:
+      // full-query wall time (interleaved twice, min-of-2) plus the
+      // candidate-pair count before/after distinct — the quantity the
+      // occupancy law is supposed to bound.
+      val big30 = { println("building 30x blow-up ..."); blowUpK(spark, base, 30) }
+      val (raw, n) = Similarity.dupCorpusSized(spark, big30)
+      println(s"corpus n=$n adaptive=${Similarity.dupGeometry(n)}")
+      val variants = Seq("fixed_18x12" -> (18, 12),
+        "adaptive" -> Similarity.dupGeometry(n))
+      val obs = scala.collection.mutable.Map[String, List[Double]]()
+        .withDefaultValue(Nil)
+      for (round <- 1 to 2; (label, (t, b)) <- variants) {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val rows = Similarity.q26WithGeometry(raw, t, b).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        obs(label) = obs(label) :+ dt
+        println(f"[$round] $label%-12s ($t x $b) $dt%7.2f s  out rows $rows%d")
+      }
+      for ((label, (t, b)) <- variants)
+        println(f"$label%-12s ($t x $b) min ${obs(label).min}%7.2f s" +
+          f" (runs ${obs(label).map(x => f"$x%.2f").mkString("/")})")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("warm3")) {
+      // round-13 extension: a SECOND scale point. A single 10x ratio can
+      // hide super-linear onset (a term that is 5% of the cost at 10x
+      // dominates at 100x); two intervals measure the exponent's
+      // CURVATURE. Per query: interleave 1x,10x,30x twice (min-of-2 per
+      // scale, the warm discipline), report the per-decade exponent on
+      // each interval — exp(1->10) = log10(t10/t1), exp(10->30) =
+      // log(t30/t10)/log(3). A 100 TB claim wants the second number at
+      // or below the first; rising curvature names the operator whose
+      // constant-looking term is actually growing.
+      val big30 = { println("building 30x blow-up ..."); blowUpK(spark, base, 30) }
+      println(s"30x blow-up at $big30")
+      val allCases: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+        "q40_ngram_jaccard" -> (Dedup.q40NgramJaccard _),
+        "q26_embedding_dedup" -> (Similarity.q26EmbeddingDedup _),
+        "q46_dedup_components" -> (Clustering.q46DedupComponents _),
+        "q199_kcore" -> (Clustering.q199KCore _),
+        "q50_semdedup" -> (Clustering.q50SemDedup _),
+        "q208_coreset_greedy" -> (Curation.q208CoresetGreedy _))
+      // optional extra args: probe only the named cases
+      val cases = if (args.length > 1)
+        allCases.filter(c => args.tail.contains(c._1)) else allCases
+      for ((name, fn) <- cases) {
+        spark.sharedState.cacheManager.clearCache()
+        val obs = scala.collection.mutable.Map[String, List[Double]]()
+          .withDefaultValue(Nil)
+        val rows = scala.collection.mutable.Map[String, Long]()
+        val shapes = scala.collection.mutable.Map[String, Seq[String]]()
+        val legs = Seq("1x" -> base, "10x" -> big, "30x" -> big30)
+        for ((label, dir) <- legs ++ legs) {
+          val t0 = System.nanoTime()
+          val df = fn(spark, dir)
+          rows(label) = df.count()
+          obs(label) = obs(label) :+ (System.nanoTime() - t0) / 1e9
+          shapes(label) = planShape(df)
+        }
+        spark.sharedState.cacheManager.clearCache()
+        val (m1, m10, m30) = (obs("1x").min, obs("10x").min, obs("30x").min)
+        val e10 = math.log10(m10 / m1)
+        val e30 = math.log(m30 / m10) / math.log(3.0)
+        println(f"$name%-22s 1x $m1%7.2f  10x $m10%7.2f  30x $m30%7.2f s" +
+          f"  exp(1->10) $e10%5.2f  exp(10->30) $e30%5.2f" +
+          f"  rows ${rows("1x")}%d/${rows("10x")}%d/${rows("30x")}%d" +
+          s"  shape${if (shapes("10x") == shapes("30x")) "=SAME@10/30" else
+            s" 10x=${shapes("10x").mkString("|")} 30x=${shapes("30x").mkString("|")}"}")
+      }
       spark.stop()
       return
     }

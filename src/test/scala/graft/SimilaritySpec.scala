@@ -133,6 +133,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("q26 LSH geometry pins bucket occupancy, not bucket count") {
+    // Floor: every tested SF (corpus ≤ ~2^16 here) keeps the historical
+    // 18x12 geometry — oracle behavior is unchanged by the sizing law.
+    assert(Similarity.dupGeometry(1000L) === ((18, 12)))
+    assert(Similarity.dupGeometry(65536L) === ((18, 12)))
+    val p = 1.0 - math.acos(0.995) / math.Pi
+    for (n <- Seq(1L << 20, 1L << 25, 1L << 30)) {
+      val (tables, bits) = Similarity.dupGeometry(n)
+      // occupancy law: expected vectors per bucket stays in [8, 16] —
+      // the self-join's per-bucket pair count is O(1) per vector at any
+      // corpus size (the round-13 warm3 probe measured exp 2.08 on the
+      // 10x->30x interval for the FIXED 12-bit geometry).
+      val occupancy = n.toDouble / (1L << bits)
+      assert(occupancy <= 16.0 && occupancy > 8.0,
+        s"n=$n bits=$bits occupancy=$occupancy")
+      // recall law: the re-solved table count keeps the design per-pair
+      // miss probability at the 0.995 operating point
+      val miss = math.pow(1.0 - math.pow(p, bits), tables)
+      assert(miss <= 1.4e-9, s"n=$n tables=$tables bits=$bits miss=$miss")
+    }
+    // concrete far-extrapolation point quoted in the Scaladoc
+    assert(Similarity.dupGeometry(1000000000L) === ((37, 26)))
+  }
+
   test("salted join equals the plain shuffle join bit-for-bit") {
     val ev = Tables.events(spark, sf)
     val cust = Tables.customer(spark, sf)
