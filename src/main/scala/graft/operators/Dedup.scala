@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -206,6 +206,67 @@ object Dedup {
   private val HamMax = 3
   private val SimBands = 4 // 4 x 16-bit bands; pigeonhole for ham <= 3
 
+  /** Sub-chunks per band in the two-level pigeonhole (12-bit slices of
+    * the 48 bits outside the band's chunk). */
+  private val SimSubBands = 4
+  /** Expected single-level band occupancy (n / 2^16) above which the
+    * banding switches to the two-level pigeonhole. Same scale law as
+    * q26's dupGeometry: fixed bucket geometry makes the banded
+    * self-join Θ(n²/2^bits) — the round-13 warm3 probe measured the
+    * onset (exp(10→30) = 1.34 at 1.8M docs). The refinement below cuts
+    * the quadratic constant 2^12× while provably returning the SAME
+    * pairs, so the switch only ever trades candidate volume. */
+  private val SimOccupancy = 16L
+
+  /** Pigeonhole banding of a (doc_id, simhash) frame.
+    *
+    * Single-level (`twoLevel = false`, every tested SF): one row per
+    * 16-bit chunk — if hamming(x, y) ≤ 3 then some chunk of the 4 is
+    * error-free (4 chunks ≥ HamMax + 1), so the pair collides in that
+    * band. Buckets per band: 2^16.
+    *
+    * Two-level (`twoLevel = true`, large corpora): if some chunk b is
+    * error-free, the ≤ 3 errors all sit in the OTHER 48 bits — so of
+    * the 4 twelve-bit sub-chunks of those 48 bits, some sub-chunk s is
+    * ALSO error-free (4 ≥ HamMax + 1 again). Every true pair therefore
+    * collides in band (b, s) on the 28-bit joint key chunk|sub<<16 —
+    * recall is EXACT at both levels (the exact hamming filter
+    * downstream is unchanged); only candidate volume differs:
+    * 16 bands × 2^28 buckets vs 4 × 2^16. */
+  private[graft] def simHashBands(sims: DataFrame, twoLevel: Boolean): DataFrame = {
+    val bands: Column =
+      if (!twoLevel)
+        explode(expr(
+          s"""transform(sequence(0, ${SimBands - 1}),
+             |  b -> struct(b AS band,
+             |              shiftright(simhash, b * 16) & 65535 AS bh))""".stripMargin))
+      else {
+        val rest48 = (1L << 48) - 1
+        val entries = for (b <- 0 until SimBands; s <- 0 until SimSubBands)
+          yield {
+            // the 48 bits outside chunk b, packed low (masks kill the
+            // sign bits arithmetic shiftright drags in)
+            val rest = b match {
+              case 0 => s"(shiftright(simhash, 16) & $rest48)"
+              case 3 => s"(simhash & $rest48)"
+              case _ =>
+                s"((simhash & ${(1L << (16 * b)) - 1}) | " +
+                  s"((shiftright(simhash, ${16 * (b + 1)}) & " +
+                  s"${(1L << (48 - 16 * b)) - 1}) << ${16 * b}))"
+            }
+            val chunk = s"(shiftright(simhash, ${16 * b}) & 65535)"
+            val sub = s"(shiftright($rest, ${12 * s}) & 4095)"
+            struct(
+              lit(b * SimSubBands + s).as("band"),
+              expr(s"$chunk | ($sub << 16)").as("bh"))
+          }
+        explode(array(entries: _*))
+      }
+    sims.select(col("doc_id"), col("simhash"), bands.as("e"))
+      .select(col("doc_id"), col("simhash"),
+        col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
   def q21SimHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     // Signature = one fused projection (graft.functions.SimHash64 over
     // the per-token xxhash64 array). SimHash is a function of a
@@ -213,20 +274,17 @@ object Dedup {
     // groupBy(doc_id) shape re-shuffled every token in the corpus just
     // to reassemble rows that were never split; as a projection the
     // first exchange in this plan is the banded candidate join itself.
-    val sims = Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    // parquet row count from footers — the same O(1)-class driver
+    // scalar as q26's corpus count, feeding the occupancy switch
+    val n = docs.count()
+    val sims = docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simHash64(
           expr("transform(split(trim(text), ' +'), t -> xxhash64(t))"))
           .as("simhash"))
 
-    // Pigeonhole bands: one row per 16-bit slice.
-    val banded = sims.select(col("doc_id"), col("simhash"),
-      explode(expr(
-        s"""transform(sequence(0, ${SimBands - 1}),
-           |  b -> struct(b AS band,
-           |              shiftright(simhash, b * 16) & 65535 AS bh))""".stripMargin)).as("e"))
-      .select(col("doc_id"), col("simhash"),
-        col("e.band").as("band"), col("e.bh").as("bh"))
+    val banded = simHashBands(sims, twoLevel = n > (SimOccupancy << 16))
       .cache() // consumed by both sides of the self-join
 
     val l = banded.as("l"); val r = banded.as("r")

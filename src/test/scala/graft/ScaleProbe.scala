@@ -207,7 +207,12 @@ object ScaleProbe {
         "q46_dedup_components" -> (Clustering.q46DedupComponents _),
         "q199_kcore" -> (Clustering.q199KCore _),
         "q50_semdedup" -> (Clustering.q50SemDedup _),
-        "q208_coreset_greedy" -> (Curation.q208CoresetGreedy _))
+        "q208_coreset_greedy" -> (Curation.q208CoresetGreedy _),
+        // the other fixed-bucket LSH ops, probed after q26's geometry
+        // went quadratic on the second interval: q21 bands on 4 x 2^16
+        // fixed buckets, q20 bands on hash-valued (unbounded) buckets
+        "q21_simhash_dedup" -> (Dedup.q21SimHashDedup _),
+        "q20_minhash_dedup" -> (Dedup.q20MinHashDedup _))
       // optional extra args: probe only the named cases
       val cases = if (args.length > 1)
         allCases.filter(c => args.tail.contains(c._1)) else allCases

@@ -116,6 +116,62 @@ class TrainingDataSpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("q21 two-level pigeonhole banding returns exactly the single-level pairs") {
+    import spark.implicits._
+    // Synthetic signature corpus with planted perturbations at every
+    // interesting Hamming distance: for each of 200 seeded random base
+    // signatures, plant copies at distance 0..5 with the flipped bits
+    // drawn adversarially — concentrated in one 16-bit chunk, spread
+    // across chunks, and (for the two-level path) concentrated inside a
+    // single 12-bit sub-chunk of the complement. Both banding levels,
+    // run through q21's exact join+filter shape, must equal brute-force
+    // hamming <= 3 over all pairs.
+    val rnd = new scala.util.Random(2113)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var id = 0L
+    for (_ <- 0 until 200) {
+      val base = rnd.nextLong()
+      rows += ((id, base)); id += 1
+      for (d <- 1 to 5) {
+        val positions = rnd.nextInt(3) match {
+          case 0 => // all flips inside one random 16-bit chunk
+            val c = rnd.nextInt(4)
+            Seq.fill(d)(16 * c + rnd.nextInt(16)).distinct
+          case 1 => // spread across distinct chunks
+            rnd.shuffle((0 until 4).toList).take(math.min(d, 4))
+              .map(c => 16 * c + rnd.nextInt(16))
+          case 2 => // inside one 12-bit window (a sub-chunk-shaped burst)
+            val start = rnd.nextInt(52)
+            Seq.fill(d)(start + rnd.nextInt(12)).distinct
+        }
+        rows += ((id, positions.foldLeft(base)((v, p) => v ^ (1L << p))))
+        id += 1
+      }
+    }
+    val sims = rows.toSeq.toDF("doc_id", "simhash")
+    def pairsOf(twoLevel: Boolean): Set[(Long, Long)] = {
+      val banded = Dedup.simHashBands(sims, twoLevel)
+      val l = banded.as("l"); val r = banded.as("r")
+      l.join(r,
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    }
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty)
+    val one = pairsOf(twoLevel = false)
+    val two = pairsOf(twoLevel = true)
+    assert(one === brute, "single-level banding must equal brute force")
+    assert(two === brute, "two-level banding must equal brute force")
+  }
+
   test("q162 paragraph near-dup: matches the brute-force first-wins drop list") {
     import spark.implicits._
     // Brute-force reference at this SF: positional 32-token paragraphs,
