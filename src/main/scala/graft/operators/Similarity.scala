@@ -299,6 +299,20 @@ object Similarity {
   // 12% random-pair fraction — probes is the knob a deployment turns to
   // match its neighbor distances, and multiprobe moves it query-side
   // only, with zero index rebuild.
+  //
+  // CORPUS-SIZE scaling (the audit that made q26/q21's geometry
+  // adaptive — r13): per-query candidates here are ~n/2^bits x tables x
+  // probes, i.e. a FIXED FRACTION of the corpus, so this operator's
+  // per-query cost is Θ(n) by design. That is deliberately NOT fixed
+  // with an occupancy law: the sweep above measures that at this
+  // neighbor regime more bits destroy recall faster than they cut
+  // candidates ((8,10,11): recall 0.40 at frac 0.10) — bits here is a
+  // RECALL knob, not an occupancy knob, and growing it with log2(n)
+  // would silently trade measured recall for speed. The corpus-size
+  // scale path for ANN is IVF/IVF-PQ (q30/q53), whose cell count
+  // already grows as sqrt(n); q23 is the zero-training,
+  // zero-index-rebuild alternative a deployment picks when its
+  // neighbor similarities (>= 0.8) put it in the 12%-fraction regime.
   // ---------------------------------------------------------------------
   private val Tables_ = 8
   private val BitsPerTable = 6

@@ -212,7 +212,14 @@ object ScaleProbe {
         // went quadratic on the second interval: q21 bands on 4 x 2^16
         // fixed buckets, q20 bands on hash-valued (unbounded) buckets
         "q21_simhash_dedup" -> (Dedup.q21SimHashDedup _),
-        "q20_minhash_dedup" -> (Dedup.q20MinHashDedup _))
+        "q20_minhash_dedup" -> (Dedup.q20MinHashDedup _),
+        // second-interval completion for the rest of the cost head:
+        // q86/q195 never measured at 30x, q124/q151 flat at 10x (flat
+        // often means constant-dominated — the 30x point shows the slope)
+        "q86_cluster_canonical" -> (Clustering.q86ClusterCanonical _),
+        "q195_triangles" -> (Clustering.q195Triangles _),
+        "q124_embedding_cov" -> (Similarity.q124EmbeddingCovariance _),
+        "q151_quantile_norm" -> (Curation.q151QuantileNorm _))
       // optional extra args: probe only the named cases
       val cases = if (args.length > 1)
         allCases.filter(c => args.tail.contains(c._1)) else allCases
