@@ -122,6 +122,11 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Double]],
 
   require(planes.nonEmpty && planes.length % bitsPerTable == 0,
     s"planes (${planes.length}) must be a multiple of bitsPerTable ($bitsPerTable)")
+  // bucket ids are ints built by `1 << p`: p >= 31 would hit the sign
+  // bit / wrap mod 32 and silently alias distinct sign patterns — fail
+  // fast instead (callers' geometry laws cap at 30, e.g. DupMaxBits)
+  require(bitsPerTable >= 1 && bitsPerTable <= 30,
+    s"bitsPerTable must be in [1, 30], got $bitsPerTable")
   private val numTables = planes.length / bitsPerTable
   private val dim = planes.head.length
 

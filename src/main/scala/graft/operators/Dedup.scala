@@ -214,7 +214,8 @@ object Dedup {
     * q26's dupGeometry: fixed bucket geometry makes the banded
     * self-join Θ(n²/2^bits) — the round-13 warm3 probe measured the
     * onset (exp(10→30) = 1.34 at 1.8M docs). The refinement below cuts
-    * the quadratic constant 2^12× while provably returning the SAME
+    * the quadratic constant 2^10× (buckets per band grow 2^12×, bands
+    * 4×: 4·n²/2^16 → 16·n²/2^28) while provably returning the SAME
     * pairs, so the switch only ever trades candidate volume. */
   private val SimOccupancy = 16L
 
@@ -275,8 +276,13 @@ object Dedup {
     // to reassemble rows that were never split; as a projection the
     // first exchange in this plan is the banded candidate join itself.
     val docs = Tables.documents(spark, sfDir)
-    // parquet row count from footers — the same O(1)-class driver
-    // scalar as q26's corpus count, feeding the occupancy switch
+    // Construction-time driver scalar (q26's dupCorpusSized precedent):
+    // one count() job — the no-column parquet scan path, row counts
+    // from row-group metadata — feeding the occupancy switch. The
+    // switch is OUTPUT-NEUTRAL (both levels return identical pairs), so
+    // a consumer that needs a fully lazy plan can call simHashBands
+    // with a pinned level instead; precision here only tunes candidate
+    // volume, never results.
     val n = docs.count()
     val sims = docs
       .select(col("doc_id"),

@@ -148,10 +148,21 @@ object Similarity {
     * tested SF sees byte-identical behavior; only genuinely larger
     * corpora pay more bits/tables — e.g. n = 1e9 → 26 bits, 37 tables,
     * per-vector candidate work still O(occupancy × tables). */
+  /** Hard bits ceiling: bucket ids are Java ints built by `1 << p`
+    * ([[graft.functions.HyperplaneBuckets]] requires bits ≤ 30, clear
+    * of both the 32-bit shift wrap and the sign bit). The occupancy law
+    * therefore holds exactly up to n = 16·2^30 ≈ 1.7e10 vectors; past
+    * that, occupancy grows as n/2^30 — the next lever at that scale is
+    * long bucket ids or corpus sharding, not more int bits. */
+  private val DupMaxBits = 30
+
   private[graft] def dupGeometry(n: Long): (Int, Int) = {
-    val bits = math.max(DupBits,
-      math.ceil(math.log(math.max(1L, n / DupOccupancy).toDouble) /
-        math.log(2.0)).toInt)
+    // ceil(log2(m)) in exact integer math — Math.log is only 1-ulp
+    // accurate and a platform where log(4096)/log(2) reads 12.0000…02
+    // would silently flip the geometry at power-of-two corpus sizes
+    val m = math.max(1L, n / DupOccupancy)
+    val ceilLog2 = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    val bits = math.min(DupMaxBits, math.max(DupBits, ceilLog2))
     val tables = math.max(DupTables,
       math.ceil(math.log(DupMissProb) /
         math.log(1.0 - math.pow(DupPlaneP, bits))).toInt)

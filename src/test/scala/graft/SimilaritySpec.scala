@@ -155,6 +155,10 @@ class SimilaritySpec extends SparkSpec {
     }
     // concrete far-extrapolation point quoted in the Scaladoc
     assert(Similarity.dupGeometry(1000000000L) === ((37, 26)))
+    // int bucket-id ceiling: bits cap at 30 (HyperplaneBuckets requires
+    // <= 30 — `1 << p` would wrap/sign past that), tables keep the miss
+    // solve at the capped width
+    assert(Similarity.dupGeometry(1L << 40) === ((43, 30)))
   }
 
   test("salted join equals the plain shuffle join bit-for-bit") {

@@ -133,17 +133,23 @@ class TrainingDataSpec extends SparkSpec {
       val base = rnd.nextLong()
       rows += ((id, base)); id += 1
       for (d <- 1 to 5) {
+        // exactly d DISTINCT flip positions per plant (shuffle-take, not
+        // fill-distinct, so every advertised distance 0..5 really occurs)
         val positions = rnd.nextInt(3) match {
           case 0 => // all flips inside one random 16-bit chunk
             val c = rnd.nextInt(4)
-            Seq.fill(d)(16 * c + rnd.nextInt(16)).distinct
-          case 1 => // spread across distinct chunks
-            rnd.shuffle((0 until 4).toList).take(math.min(d, 4))
-              .map(c => 16 * c + rnd.nextInt(16))
+            rnd.shuffle((0 until 16).toList).take(d).map(16 * c + _)
+          case 1 => // spread across chunks: at most two flips per chunk,
+            // so d=4 spans >= 2 chunks and d=5 spans >= 3
+            rnd.shuffle(
+              rnd.shuffle((0 until 4).toList)
+                .flatMap(c => rnd.shuffle((0 until 16).toList).take(2)
+                  .map(16 * c + _))).take(d)
           case 2 => // inside one 12-bit window (a sub-chunk-shaped burst)
             val start = rnd.nextInt(52)
-            Seq.fill(d)(start + rnd.nextInt(12)).distinct
+            rnd.shuffle((0 until 12).toList).take(d).map(start + _)
         }
+        assert(positions.distinct.size == d)
         rows += ((id, positions.foldLeft(base)((v, p) => v ^ (1L << p))))
         id += 1
       }
