@@ -743,24 +743,39 @@ object Clustering {
   // All counts are exact integers; the only double is the final
   // 6-dp-rounded coefficient (repo-wide cross-engine rounding idiom).
   //
-  // Scale shape: basket self-join shuffles on orderkey (fan-out bounded
-  // by basket size squared), edge dedup + degree are one shuffle each,
-  // the 25k-row degree map broadcasts, wedges/closures are rank-keyed
-  // equi-joins — no cartesian anywhere (plan-gated).
+  // Scale shape: basket aggregation shuffles on orderkey (per-basket
+  // pair fan-out bounded by basket size squared, generated map-side),
+  // edge dedup + degree are one shuffle each, the 25k-row degree map
+  // broadcasts, wedges/closures are rank-keyed equi-joins — no
+  // cartesian anywhere (plan-gated).
   // ---------------------------------------------------------------------
   /** Undirected co-purchase edge list (u < v): parts adjacent iff they
     * share an order. One orderkey shuffle + one 16-byte-pair dedup.
-    * No pre-dedup of (order, part): the strict u < v pair-level distinct
-    * already collapses any repeated part within an order, so the extra
-    * 600k-row shuffle would buy nothing. */
-  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val po = Tables.lineitem(spark, sfDir)
+    *
+    * Shape (round 13): ONE aggregation per order (collect_set, partial
+    * map-side) and the basket's u < v pairs generated in the projection
+    * from the SORTED set — the basket² fan-out never passes through a
+    * join. The pre-r13 self-join on orderkey produced the IDENTICAL
+    * pair set (each basket contributes exactly its u < v pairs either
+    * way; the cross-order distinct is unchanged) but paid the join
+    * machinery on the fan-out: interleaved warm A/B at sf0.1 reads
+    * join-shape min 3.72 s vs this shape 2.61 s over 3 rounds, equal
+    * counts every run (EdgeBuildProbe; q195/q197/q199 oracles re-green
+    * after the switch). Basket sizes bound the per-row work exactly as
+    * they bounded the join fan-out, so the 100 TB envelope is the same
+    * Θ(Σ basket²) with one less sorted merge. collect_set also drops
+    * any repeated (order, part) before pair generation, which the old
+    * pair-level distinct had to absorb downstream. */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    po.as("a").join(po.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("o").agg(array_sort(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
-  }
 
   /** Per-node degree of a (u, v) edge list. */
   private def degreeOf(e: DataFrame): DataFrame =
