@@ -179,6 +179,52 @@ object Bench {
     * worst-case `"retried"` list fits). */
   val BenchRetryMax = 24
 
+  // --- stream-class self-heal arm (VERDICT r13 item #2) ---
+  //
+  // The band arm above EXEMPTS stream-class keys by design (their
+  // per-trigger floors legitimately swing 2-5x across sessions), which
+  // also barred them from healing: the r13 board shipped q116 at 31 s —
+  // a 5.3x inflation over its committed floor, same-day 8-core re-read
+  // 3.9 s — as a fake 0.52x regression. Stream keys get their own retry
+  // arm keyed to stream_floor_ledger.json (quiet-machine min evidence,
+  // regenerated whenever the stream operators change): a key observed
+  // past [[StreamRetryMult]] x its ledger floor is above the legitimate
+  // swing band and below nothing but disturbance, so it is re-run as a
+  // min-of-2 pair and published as the min-of-4, exactly like the band
+  // arm. A genuine regression also inflates the retry pair and stays
+  // visible; a 2-5x session swing never trips the threshold.
+
+  val StreamFloorLedgerFile = "stream_floor_ledger.json"
+  /** Retry threshold multiple over the ledger floor: above the
+    * documented legitimate 2-5x per-trigger session swing, far below
+    * the observed disturbance class (q116 5.3x on the r13 board). */
+  val StreamRetryMult = 5.0
+  /** Cap on stream-key retries per session (each retry pair replays the
+    * query's full micro-batch harness — costlier than a batch key). */
+  val StreamRetryMax = 8
+
+  def loadStreamFloors(path: String = StreamFloorLedgerFile): Map[String, Double] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(new java.io.File(path)).get("queries")
+      scala.jdk.CollectionConverters.IteratorHasAsScala(node.fieldNames())
+        .asScala.map(k => k -> node.get(k).get("seconds").asDouble()).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Stream-class keys whose observed min sits past [[StreamRetryMult]]x
+    * their committed quiet floor — most inflated first, capped at
+    * [[StreamRetryMax]]. Keys without a ledger entry never retry (no
+    * quiet evidence to heal toward). Pure — BenchLineSpec replays
+    * recorded boards through it. */
+  def streamRetryKeys(minTimes: Map[String, Double],
+      floors: Map[String, Double]): Seq[String] =
+    minTimes.toSeq.collect {
+      case (k, v) if isStreamClass(k) && v > 0 &&
+          floors.get(k).exists(f => f > 0 && v > StreamRetryMult * f) =>
+        (k, v / floors(k))
+    }.sortBy { case (k, infl) => (-infl, k) }
+      .take(StreamRetryMax).map(_._1)
+
   /** Keys the self-heal pass should re-run: every quiet-band trip plus
     * every tripped sentinel (both non-stream by construction), most
     * inflated relative to its band first, capped at [[BenchRetryMax]].
@@ -482,12 +528,26 @@ object Bench {
       if (sfDir.endsWith("sf0.1")) loadQuietBands()
       else Map.empty[String, Double]
     val toRetry = retryKeys(results.toMap, bands)
-    val retryTimes = toRetry.map { n =>
+    def retryPass(keys: Seq[String]): Map[String, Double] = keys.map { n =>
       val t1 = materialize(n); val t2 = materialize(n)
       spark.sharedState.cacheManager.clearCache()
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }.toMap
-    val healed = heal(results, retryTimes)
+    val retryTimes = retryPass(toRetry)
+    val bandHealed = heal(results, retryTimes)
+
+    // Stream-class self-heal arm (see streamRetryKeys): the band arm
+    // never touches stream keys, so a disturbed one (q116 at 31 s on
+    // the r13 board) needs its own pass keyed to the committed floors.
+    // The ledger is sf0.1 evidence, like the quiet bands.
+    val streamFloors =
+      if (sfDir.endsWith("sf0.1")) loadStreamFloors()
+      else Map.empty[String, Double]
+    val streamToRetry = streamRetryKeys(bandHealed.toMap, streamFloors)
+    val streamRetryTimes = retryPass(streamToRetry)
+    val healed = heal(bandHealed, streamRetryTimes)
+    val allRetried = toRetry ++ streamToRetry
+    val allRetryTimes = retryTimes ++ streamRetryTimes
 
     // Retry-window bracket: when a heal pass ran, re-run the cheap
     // retry sentinels right after it. If they are hot too, the
@@ -495,7 +555,7 @@ object Bench {
     // window (the r12 board's failure mode: q54's retry read 105.3 s
     // vs 1.14 s re-timed) — and even min-of-4 values are suspect.
     val retrySentinelTimes =
-      if (toRetry.isEmpty) Map.empty[String, Double]
+      if (allRetried.isEmpty) Map.empty[String, Double]
       else RetrySentinels.map(n => n -> materialize(n)).toMap
     val hostDisturbed = retrySentinelTimes.nonEmpty &&
       retryWindowHot(retrySentinelTimes)
@@ -522,7 +582,7 @@ object Bench {
     val bandTrips = quietBandTrips(healed.toMap, bands)
     val isNoisy = noisy(healed.toMap, ratio, bandTrips)
 
-    val retryJson = retryTimes.toSeq.sorted
+    val retryJson = allRetryTimes.toSeq.sorted
       .map { case (k, t) => "\"" + k + f"\":$t%.3f" }
       .mkString("{", ",", "}")
     val retrySentinelJson = retrySentinelTimes.toSeq.sorted
@@ -564,7 +624,7 @@ object Bench {
       else None
     println(driverLine(total,
       healed ++ Seq("q25_stream_parity" -> tParity, "stream_ingest" -> tIngest),
-      sfDir, streamRowsPerSec, isNoisy, retried = toRetry, slice = slice,
+      sfDir, streamRowsPerSec, isNoisy, retried = allRetried, slice = slice,
       bandTotalSec = bandTotalSec, hostDisturbed = hostDisturbed))
     spark.stop()
   }

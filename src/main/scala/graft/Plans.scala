@@ -31,6 +31,9 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that fails to plan must FAIL the tool (ADVICE r13): the
+    // committed plans/ evidence must never silently omit an artifact.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -38,10 +41,16 @@ object Plans {
         Files.writeString(Paths.get(s"$outDir/$name.txt"), txt)
         println(s"[plans] wrote $name (${txt.length} chars)")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[plans] $name failed: ${e.getMessage}")
       }
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[plans] ${failed.size} queries produced no " +
+        s"plan file: ${failed.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

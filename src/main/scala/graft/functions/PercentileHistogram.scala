@@ -199,10 +199,16 @@ object GraftFunctions {
 
   /** Cosine against every centroid of a coarse quantizer in one fused
     * loop (see [[CentroidScores]]): array<struct<s:double,c:int>> in
-    * centroid order — `array_max`/`array_sort` pick cells by score. */
-  def centroidScores(v: Column, norm: Column, cents: Seq[Seq[Double]]): Column =
+    * centroid order — `array_max`/`array_sort` pick cells by score.
+    * The centroid matrix rides as a [[BcTensor]] broadcast (validated
+    * and shipped here, once per call site, not per task). */
+  def centroidScores(v: Column, norm: Column, cents: Seq[Seq[Double]]): Column = {
+    require(cents.nonEmpty, "need at least one centroid")
+    require(cents.forall(_.length == cents.head.length), "ragged centroids")
     ColumnBridge.column(CentroidScores(
-      ColumnBridge.expression(v), ColumnBridge.expression(norm), cents))
+      ColumnBridge.expression(v), ColumnBridge.expression(norm),
+      BcTensor.of2(cents.map(_.toArray).toArray)))
+  }
 
   /** Jaccard of two ascending-sorted array<long> hash sets in one O(n+m)
     * merge (see [[SortedHashJaccard]]): the exactness-preserving
@@ -276,16 +282,32 @@ object GraftFunctions {
   def tokenRuleStats(toks: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(TokenRuleStats(ColumnBridge.expression(toks), stopwords))
 
+  private def validPqBooks(books: Seq[Seq[Seq[Double]]], bits: Int): Unit = {
+    val (m, k) = (books.length, books.head.length)
+    require(m >= 1 && k >= 1 && k <= (1 << bits) && m * bits <= 64,
+      s"PQ shape invalid: m=$m K=$k bits=$bits")
+    require(books.forall(b => b.length == k &&
+      b.forall(_.length == books.head.head.length)), "ragged codebook tensor")
+  }
+
   /** Pack a vector's m per-subspace PQ code indices into one long (see
-    * [[PqEncode]]): the 8-byte index-side representation of a PQ scan. */
-  def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]], bits: Int): Column =
-    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), books, bits))
+    * [[PqEncode]]): the 8-byte index-side representation of a PQ scan.
+    * The codebook tensor rides as a [[BcTensor]] broadcast. */
+  def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]], bits: Int): Column = {
+    validPqBooks(books, bits)
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v),
+      BcTensor.of3(books.map(_.map(_.toArray).toArray).toArray), bits))
+  }
 
   /** Flat m*K ADC lookup table of a query vector against the PQ
     * codebooks (see [[PqLut]]): the query-side companion of
     * [[pqEncode]]. */
-  def pqLut(q: Column, books: Seq[Seq[Seq[Double]]]): Column =
-    ColumnBridge.column(PqLut(ColumnBridge.expression(q), books))
+  def pqLut(q: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    require(books.nonEmpty && books.forall(b => b.length == books.head.length
+      && b.forall(_.length == books.head.head.length)), "ragged codebook tensor")
+    ColumnBridge.column(PqLut(ColumnBridge.expression(q),
+      BcTensor.of3(books.map(_.map(_.toArray).toArray).toArray)))
+  }
 
   /** Asymmetric-distance score of a packed code against a query LUT
     * (see [[PqAdcScore]]): m table reads per candidate, inside

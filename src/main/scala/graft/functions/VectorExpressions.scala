@@ -356,6 +356,56 @@ object HyperplaneBucketProbes {
   }
 }
 
+/** Broadcast-backed carrier for the trained tensors (centroid matrices,
+  * PQ codebooks) that ride inside expressions.
+  *
+  * Why not a plain Seq field (the pre-r14 shape): a case-class Seq field
+  * PRINTS into every plan string — q53's explain was 825 KB of codebook
+  * doubles (VERDICT r13 item #4) — and SERIALIZES into every task
+  * closure, once per task instead of once per executor. The carrier
+  * fixes both: toString is a shape+content digest (plans stay KB-sized)
+  * and the tensor ships as a Spark broadcast (task closures carry the
+  * handle). Codegen was never the problem — the tensor already rode
+  * `addReferenceObj`, outside the Janino source.
+  *
+  * Equality is BY CONTENT DIGEST so canonicalization/semanticEquals
+  * still dedup identical subtrees even across two carriers of the same
+  * trained tensor. The broadcast is cleaned by the ContextCleaner when
+  * the expression tree is GC'd, like any other broadcast. */
+final class BcTensor[T] private (
+    private val bc: org.apache.spark.broadcast.Broadcast[T],
+    val shape: String, val digest: String) extends Serializable {
+  // Java-friendly accessor for generated code; Broadcast caches the
+  // value per executor after the first read.
+  def value: T = bc.value
+  override def toString: String = s"tensor[$shape]#$digest"
+  override def equals(o: Any): Boolean = o match {
+    case t: BcTensor[_] => t.shape == shape && t.digest == digest
+    case _              => false
+  }
+  override def hashCode: Int = digest.hashCode
+}
+
+object BcTensor {
+  private def digestOf(flat: Array[Double]): String = {
+    val bb = java.nio.ByteBuffer.allocate(flat.length * 8)
+    flat.foreach(bb.putDouble)
+    java.security.MessageDigest.getInstance("MD5").digest(bb.array())
+      .take(8).map("%02x".format(_)).mkString
+  }
+  def of2(data: Array[Array[Double]]): BcTensor[Array[Array[Double]]] =
+    new BcTensor(
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(data),
+      s"${data.length}x${data.headOption.map(_.length).getOrElse(0)}",
+      digestOf(data.flatten))
+  def of3(data: Array[Array[Array[Double]]]): BcTensor[Array[Array[Array[Double]]]] =
+    new BcTensor(
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(data),
+      s"${data.length}x${data.headOption.map(_.length).getOrElse(0)}x" +
+        s"${data.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)}",
+      digestOf(data.flatten.flatten))
+}
+
 /** Cosine of a vector against every centroid of a coarse quantizer, in
   * ONE fused codegen loop: output[c] = struct(dot(v, cent[c]) / norm, c).
   *
@@ -379,15 +429,12 @@ object HyperplaneBucketProbes {
   * and of probing, as it did under the composed formulation.
   */
 case class CentroidScores(vec: Expression, norm: Expression,
-    cents: Seq[Seq[Double]]) extends BinaryExpression {
-
-  require(cents.nonEmpty, "need at least one centroid")
+    cents: BcTensor[Array[Array[Double]]]) extends BinaryExpression {
 
   override def left: Expression = vec
   override def right: Expression = norm
 
-  @transient private lazy val centsArr: Array[Array[Double]] =
-    cents.map(_.toArray).toArray
+  @transient private lazy val centsArr: Array[Array[Double]] = cents.value
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("s", DoubleType, nullable = false),
@@ -411,11 +458,16 @@ case class CentroidScores(vec: Expression, norm: Expression,
       n.asInstanceOf[Double], centsArr, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val centsRef = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    // the broadcast handle is the reference object; the tensor is
+    // unwrapped ONCE per codegen instance (partition), not per row
+    val bcRef = ctx.addReferenceObj("centsBc", cents,
+      "graft.functions.BcTensor")
+    val arr = ctx.addMutableState("double[][]", "cents",
+      v => s"$v = (double[][]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, (v, n) => {
       s"""
          |${ev.value} = graft.functions.CentroidScores.compute(
-         |  $v, $n, $centsRef, $isFloat);
+         |  $v, $n, $arr, $isFloat);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -816,19 +868,11 @@ object TokenRuleStats {
   * index; null input, shape mismatch, or a null element yields NULL (the
   * vector drops out of the index, matching every other vector op here).
   */
-case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]],
+case class PqEncode(child: Expression, books: BcTensor[Array[Array[Array[Double]]]],
     bits: Int) extends UnaryExpression {
 
-  private val m = books.length
-  private val k = books.head.length
-  private val dsub = books.head.head.length
-  require(m >= 1 && k >= 1 && k <= (1 << bits) && m * bits <= 64,
-    s"PQ shape invalid: m=$m K=$k bits=$bits")
-  require(books.forall(b => b.length == k && b.forall(_.length == dsub)),
-    "ragged codebook tensor")
-
   @transient private lazy val booksArr: Array[Array[Array[Double]]] =
-    books.map(_.map(_.toArray).toArray).toArray
+    books.value
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -850,12 +894,15 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val booksRef = ctx.addReferenceObj("books", booksArr, "double[][][]")
+    val bcRef = ctx.addReferenceObj("booksBc", books,
+      "graft.functions.BcTensor")
+    val arr = ctx.addMutableState("double[][][]", "books",
+      v => s"$v = (double[][][]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, v => {
       val boxed = ctx.freshName("boxed")
       s"""
          |java.lang.Long $boxed = graft.functions.PqEncode.compute(
-         |  $v, $booksRef, $bits, $isFloat);
+         |  $v, $arr, $bits, $isFloat);
          |if ($boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $boxed.longValue(); }
        """.stripMargin
@@ -910,17 +957,11 @@ object PqEncode {
   * asymmetric-distance trick that makes PQ scans cheap. Null/shape
   * semantics match [[PqEncode]].
   */
-case class PqLut(child: Expression, books: Seq[Seq[Seq[Double]]])
+case class PqLut(child: Expression, books: BcTensor[Array[Array[Array[Double]]]])
     extends UnaryExpression {
 
-  private val m = books.length
-  private val k = books.head.length
-  private val dsub = books.head.head.length
-  require(books.forall(b => b.length == k && b.forall(_.length == dsub)),
-    "ragged codebook tensor")
-
   @transient private lazy val booksArr: Array[Array[Array[Double]]] =
-    books.map(_.map(_.toArray).toArray).toArray
+    books.value
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
@@ -940,10 +981,13 @@ case class PqLut(child: Expression, books: Seq[Seq[Seq[Double]]])
     PqLut.compute(input.asInstanceOf[ArrayData], booksArr, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val booksRef = ctx.addReferenceObj("books", booksArr, "double[][][]")
+    val bcRef = ctx.addReferenceObj("booksBc", books,
+      "graft.functions.BcTensor")
+    val arr = ctx.addMutableState("double[][][]", "books",
+      v => s"$v = (double[][][]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |${ev.value} = graft.functions.PqLut.compute($v, $booksRef, $isFloat);
+         |${ev.value} = graft.functions.PqLut.compute($v, $arr, $isFloat);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })

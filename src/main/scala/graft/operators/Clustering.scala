@@ -761,9 +761,14 @@ object Clustering {
     * machinery on the fan-out: interleaved warm A/B at sf0.1 reads
     * join-shape min 3.72 s vs this shape 2.61 s over 3 rounds, equal
     * counts every run (EdgeBuildProbe; q195/q197/q199 oracles re-green
-    * after the switch). Basket sizes bound the per-row work exactly as
-    * they bounded the join fan-out, so the 100 TB envelope is the same
-    * Θ(Σ basket²) with one less sorted merge. collect_set also drops
+    * after the switch). TOTAL work stays Θ(Σ basket²) with one less
+    * sorted merge, but the MEMORY envelope is not identical: each row
+    * now materializes its basket in the aggregation buffer and its
+    * basket² pair array in the projection, where the join streamed the
+    * fan-out with shuffle spill — fine for order-bounded baskets (TPC-H
+    * caps them small), while a hub basket of B parts would hold O(B²)
+    * structs in one row; past ~10⁴-part baskets, split hot orders or
+    * fall back to the join shape (ADVICE r13). collect_set also drops
     * any repeated (order, part) before pair generation, which the old
     * pair-level distinct had to absorb downstream. */
   private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
@@ -777,10 +782,13 @@ object Clustering {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
 
-  /** Per-node degree of a (u, v) edge list. */
+  /** Per-node degree of a (u, v) edge list. ONE scan of `e` (explode of
+    * the 2-element endpoint array) instead of the unionAll-of-two-
+    * projections form, which scanned the cached/checkpointed edge list
+    * twice — q199 pays this once per peel round. Same partial-agg
+    * shuffle (counts per node), identical result. */
   private def degreeOf(e: DataFrame): DataFrame =
-    e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
+    e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
   /** Crossover for the size-driven close. Measured (SCALING.md): at
@@ -850,9 +858,25 @@ object Clustering {
     val useBroadcast = broadcastClose.getOrElse(
       dir.count() <= BroadcastCloseMaxEdges)
     val close = if (useBroadcast) broadcast(dir.as("e3")) else dir.as("e3")
-    val tri = dir.as("e1").join(dir.as("e2"),
-        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
-      .select(col("e1.lo").as("rx"), col("e1.hi").as("ra"), col("e2.hi").as("rb"))
+    // Wedge enumeration (round 14): ONE exchange — group the oriented
+    // list by its low corner and generate each out-neighbor pair (a<b)
+    // map-side from the SORTED neighbor array (the r13 edge-build shape
+    // applied to the wedge stage; the pre-r14 self-join on e1.lo=e2.lo
+    // sorted and merged the full oriented list TWICE to produce the
+    // identical wedge set). posexplode + suffix-slice keeps per-row
+    // memory O(out-deg); the orientation already bounds out-deg by
+    // O(sqrt |E|), so the per-group buffer is the same bound the wedge
+    // join's fan-out carried. collect_list is exact here: (lo, hi)
+    // pairs are distinct by construction (ranks are injective, edges
+    // distinct).
+    val adj = dir.groupBy(col("lo"))
+      .agg(array_sort(collect_list(col("hi"))).as("hs"))
+    val wedges = adj
+      .select(col("lo").as("rx"), col("hs"),
+        posexplode(col("hs")).as(Seq("i", "ra")))
+      .select(col("rx"), col("ra"),
+        explode(expr("slice(hs, i + 2, size(hs))")).as("rb"))
+    val tri = wedges
       .join(close, col("ra") === col("e3.lo") && col("rb") === col("e3.hi"))
       .select(col("rx"), col("ra"), col("rb"))
     val triPerNode = tri.select(explode(array(col("rx"), col("ra"), col("rb"))).as("r"))

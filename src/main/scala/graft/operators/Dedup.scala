@@ -728,11 +728,26 @@ object Dedup {
 
   /** Prefix-collision candidates (la vs rb) verified in the two-stage
     * q40 shape: sorted-hash merge prefilter, then exact string Jaccard.
-    * Returns distinct left-side doc_ids with a verified near-dup. */
+    * Returns distinct left-side doc_ids with a verified near-dup.
+    *
+    * `broadcastLeft` marks the LEFT (la/docsA) side as batch-sized —
+    * the q58 probe shape, where la is one streaming micro-batch probing
+    * a PERSISTENT corpus index (rb/docsB, cached). Without the hints the
+    * batch side's size is opaque to Catalyst (it descends from a
+    * foreachBatch frame), the joins plan sort-merge, and every trigger
+    * re-shuffles and re-sorts the CORPUS-side cached frames — the
+    * measured per-trigger floor of q58. With the hints every join
+    * builds on the batch side and the corpus frames stream straight out
+    * of the cache, exchange-free (guide §3.1: broadcast the side you
+    * KNOW is small when estimates can't see it). q52's whole-batch gate
+    * keeps the default: there the left side is a 1/5-corpus slice, not
+    * a micro-batch, and broadcasting it is not cluster-sane. */
   private[graft] def verifiedNearIds(la: DataFrame, rb: DataFrame,
-      docsA: DataFrame, docsB: DataFrame): DataFrame = {
+      docsA: DataFrame, docsB: DataFrame,
+      broadcastLeft: Boolean = false): DataFrame = {
     val t = JaccardThreshold
-    val cands = la.as("l").join(rb.as("r"),
+    def bl(df: DataFrame): DataFrame = if (broadcastLeft) broadcast(df) else df
+    val cands = bl(la).as("l").join(rb.as("r"),
         col("l.h") === col("r.h") &&
           greatest(col("l.sz"), col("r.sz")) * t <=
             least(col("l.sz"), col("r.sz")))
@@ -740,13 +755,13 @@ object Dedup {
       .distinct()
     val ha = docsA.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val hb = docsB.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    val hashPass = cands.join(ha, "doc_a").join(hb, "doc_b")
+    val hashPass = bl(cands.join(bl(ha), "doc_a")).join(hb, "doc_b")
       .filter(graft.functions.GraftFunctions
         .sortedHashJaccard(col("hs_a"), col("hs_b")) >= t)
       .select(col("doc_a"), col("doc_b"))
     val a = docsA.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docsB.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    hashPass.join(a, "doc_a").join(b, "doc_b")
+    bl(hashPass.join(bl(a), "doc_a")).join(b, "doc_b")
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
         / size(array_union(col("sh_a"), col("sh_b"))) >= t)
       .select(col("doc_a").as("doc_id")).distinct()
@@ -774,16 +789,36 @@ object Dedup {
     * index side alone (see prefixRows: any consistent total order is
     * exact), which is precisely the statistic a persistent index can
     * actually maintain without seeing the future. */
+  /** State partition count of the q58 probing stream (Bench's
+    * state-volume-sized pin): the index's df table is laid out in this
+    * many h-hashed, h-sorted cached partitions so the per-trigger
+    * prefix-order join reuses the cache's partitioning+ordering — the
+    * batch side is the ONLY side exchanged per trigger. */
+  private[graft] val ProbePartitions = 8
+
   private[graft] final class NearDupIndex(existing: DataFrame) {
     val docsEx: DataFrame = shingleDocs(existing).cache()
+    // df is joined on h every trigger as the preserved-side of a left
+    // join (no broadcast possible): pre-partition AND pre-sort the
+    // cached layout on the join key so the per-trigger sort-merge reads
+    // it exchange-free and sort-free (guide §2.4 — two operations keyed
+    // the same way share one exchange; here the exchange is paid once
+    // at index build).
     val dfreq: DataFrame = docsEx.select(explode(col("hs")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("df")).cache()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .repartition(ProbePartitions, col("h")).sortWithinPartitions("h")
+      .cache()
     val prefixesEx: DataFrame = prefixRows(docsEx, dfreq).cache()
 
-    /** doc_ids of `incoming` with a verified near-dup in the index. */
+    /** doc_ids of `incoming` with a verified near-dup in the index.
+      * The incoming micro-batch rides the BROADCAST side of every
+      * verification join (see verifiedNearIds' broadcastLeft note), so
+      * the corpus-sized cached frames are scanned, never re-shuffled,
+      * per trigger. */
     def probe(incoming: DataFrame): DataFrame = {
       val docsIn = shingleDocs(incoming)
-      verifiedNearIds(prefixRows(docsIn, dfreq), prefixesEx, docsIn, docsEx)
+      verifiedNearIds(prefixRows(docsIn, dfreq), prefixesEx, docsIn, docsEx,
+        broadcastLeft = true)
     }
 
     /** Release the cached index frames. Call when the probing stream

@@ -490,4 +490,87 @@ class BenchLineSpec extends AnyFunSuite {
     val failedRetry = Bench.heal(Seq("a" -> 5.0), Map("a" -> -1.0)).toMap
     assert(failedRetry("a") == 5.0, "a failed retry changes nothing")
   }
+
+  // --- stream-class self-heal arm (VERDICT r13 #2): replayed against
+  //     the RECORDED r13 driver board ---
+
+  test("stream arm heals the r13 board's disturbed q116 and spares real swings") {
+    // The r13 driver board shipped q116_stream_distinct at 31 s — 5.3x
+    // its then-committed quiet floor (5.809 s), same-day 8-core re-read
+    // 3.9 s — as a fake 0.52x regression, because stream keys are
+    // exempt from the band arm (their 2-5x per-trigger swing is
+    // legitimate) and so could never heal. Replay the board's parsed
+    // driver line against the r13-era floors, PINNED as literals here:
+    // the live ledger is regenerated whenever the stream operators get
+    // faster, and this replay must keep testing the r13 scenario.
+    val r13Floors = Map(
+      "q116_stream_distinct" -> 5.809, "q126_transform_state" -> 3.228,
+      "q58_stream_admission" -> 7.217, "q106_stream_observe" -> 3.631,
+      "q141_stream_timer_sessions" -> 3.476)
+    val qs = om.readTree(new java.io.File("BENCH_r13.json"))
+      .get("parsed").get("queries")
+    val shortToFull = SparkEntry.queries.keySet
+      .map(k => Bench.shortKey(k) -> k).toMap
+    val mins = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(qs.fieldNames()).asScala
+      .flatMap(s => shortToFull.get(s).map(_ -> qs.get(s).asDouble())).toMap
+    assert(mins("q116_stream_distinct") == 31.0, "board precondition")
+    val plan = Bench.streamRetryKeys(mins, r13Floors)
+    assert(plan == Seq("q116_stream_distinct"),
+      s"exactly the disturbed stream key retries, got $plan")
+    // healing with the same-day re-measurement lands the key sane
+    val healed = Bench.heal(mins.toSeq,
+      Map("q116_stream_distinct" -> 3.9)).toMap
+    assert(healed("q116_stream_distinct") <= 7.0, "q116 healed")
+    // a genuine swing at 4.99x the floor never trips
+    assert(Bench.streamRetryKeys(
+      Map("q126_transform_state" -> 3.228 * 4.99), r13Floors).isEmpty)
+    // ...and just past 5x it does
+    assert(Bench.streamRetryKeys(
+      Map("q126_transform_state" -> 3.228 * 5.01), r13Floors)
+      == Seq("q126_transform_state"))
+    // keys without ledger evidence never retry (nothing to heal toward)
+    assert(Bench.streamRetryKeys(
+      Map("q999_stream_x" -> 100.0), r13Floors).isEmpty)
+    // non-stream keys are invisible to this arm (the band arm owns them)
+    assert(Bench.streamRetryKeys(Map("q124_embedding_cov" -> 1000.0),
+      Map("q124_embedding_cov" -> 1.0)).isEmpty)
+    // the cap binds, most-inflated first
+    val wide = (1 to 20).map(i => f"q$i%03d_stream_t" -> 1000.0 * i).toMap
+    val floors = (1 to 20).map(i => f"q$i%03d_stream_t" -> 1.0).toMap
+    val capped = Bench.streamRetryKeys(wide, floors)
+    assert(capped.size == Bench.StreamRetryMax)
+    assert(capped.head == "q020_stream_t", "most inflated first")
+    // failed keys (-1) never enter the stream arm
+    assert(Bench.streamRetryKeys(
+      Map("q116_stream_distinct" -> -1.0), r13Floors).isEmpty)
+  }
+
+  test("stream floors loader reads the committed ledger") {
+    val floors = Bench.loadStreamFloors()
+    assert(floors.nonEmpty, "stream_floor_ledger.json must parse")
+    // the loader's floors are the ledger's `seconds` field and sane
+    floors.foreach { case (k, f) =>
+      assert(f > 0 && f < 60, s"$k floor $f degenerate")
+      assert(Bench.isStreamClass(k), s"$k in ledger but not stream-class")
+    }
+    // observing every key AT its floor trips nothing (v = f < 5f)
+    assert(Bench.streamRetryKeys(floors, floors).isEmpty)
+    // a missing file degrades to no-op, never throws
+    assert(Bench.loadStreamFloors("/nonexistent.json").isEmpty)
+  }
+
+  test("driver line fits with BOTH retry arms at their caps") {
+    val maxNum = SparkEntry.queries.keys
+      .map(_.drop(1).takeWhile(_.isDigit).toInt).max
+    val grown = fullSurface ++
+      (1 to 15).map(i => s"q${maxNum + i}_future" -> 9.94)
+    val retried = Seq.fill(Bench.BenchRetryMax)("q999_pad") ++
+      Seq.fill(Bench.StreamRetryMax)("q998_pad")
+    val line = Bench.driverLine(9999.99, grown,
+      "/root/testdata/sf0.1", 999999.0, isNoisy = true,
+      retried = retried, slice = Some("A"), bandTotalSec = Some(9999.9),
+      hostDisturbed = true)
+    assert(line.length <= Bench.DriverLineBudget)
+  }
 }

@@ -64,6 +64,12 @@ object EdgeBuildProbe {
       val (at, ac) = once(s"agg$i", aggShape(spark, sf)); as += at; an = ac
     }
     require(jn == an, s"edge counts differ: join=$jn agg=$an")
+    // One-shot SET equality outside the timed loop (ADVICE r13): equal
+    // counts alone do not prove equal pair sets.
+    val (j, a) = (joinShape(spark, sf), aggShape(spark, sf))
+    require(j.except(a).isEmpty && a.except(j).isEmpty,
+      "edge SETS differ between the join and agg shapes")
+    println("edge sets identical (except() empty both ways)")
     println(f"join min ${js.result().min}%6.2f s   agg min ${as.result().min}%6.2f s   (counts equal: $jn)")
     spark.stop()
   }

@@ -366,35 +366,51 @@ class ParitySpec extends SparkSpec {
     assert(streamed.exists(r => r.getLong(1) > r.getLong(2)))
   }
 
-  test("q106 streaming quality gate: aggregation, observe listener, and batch all agree") {
+  test("q106 streaming quality gate: observe-folded counters equal the batch gate") {
+    // since r14 the observe fold IS the result (no complete-mode replay
+    // aggregation — VERDICT r13 item #6), so streamed == batch is the
+    // full cross-channel parity statement: per-micro-batch engine
+    // metrics folded across triggers must reproduce the single-shot
+    // batch aggregation exactly.
     val res = StreamParity.q106StreamObserveQuality(spark, sf)
     val streamed = res.collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val batch = graft.operators.Observability.q105ObserveQuality(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed === batch,
-      "complete-mode streaming counters must equal the batch gate")
-    // the observe side channel folded across micro-batches must agree
-    // with the aggregation result — metric truth is channel-independent
-    import scala.jdk.CollectionConverters._
-    val fold = StreamParity.observedFold.asScala
-      .maxBy(_._1.split("_").last.toInt)._2
-    graft.operators.Observability.rules.map(_._1).foreach { rule =>
-      assert(fold(rule) === streamed(rule)._1,
-        s"listener-folded counter for $rule")
-    }
-    assert(fold("n_rows") === streamed.head._2._2)
+      "observe-folded streaming counters must equal the batch gate")
+    // bad_frac rides the same Spark round() in both engines
+    val fracs = res.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val batchFracs = graft.operators.Observability.q105ObserveQuality(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(fracs === batchFracs, "bad_frac parity")
+    // the stream ran with NO stateful operator and NO shuffle: the
+    // micro-batch plan is scan -> observe -> sink
+    val plan = StreamParity.lastStreamPlans.get("q106_stream_observe")
+    assert(plan != null, "micro-batch plan captured")
+    assert(!plan.contains("StateStoreSave"),
+      "q106's stream must not carry a state store")
+    assert(!plan.contains("Exchange"),
+      "q106's stream must not shuffle")
   }
 
-  test("q116 chained stateful aggregations equal the batch sliding distinct") {
+  test("q116 single stateful dedup + per-batch count equals the batch sliding distinct") {
     val streamed = StreamParity.q116StreamSlidingDistinct(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val batch = graft.operators.Relational.q110SlidingDistinct(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(streamed.nonEmpty)
     assert(streamed === batch,
-      "two chained windowed aggregations through streaming state must " +
-        "reproduce the batch dedup-then-count exactly")
+      "one windowed dedup through streaming state finished by per-batch " +
+        "counts must reproduce the batch dedup-then-count exactly")
+    // the r14 rewrite's contract: exactly ONE stateful operator in the
+    // streaming plan (the pre-r14 shape ran a second stateful agg just
+    // to count — VERDICT r13 item #1)
+    val plan = StreamParity.lastStreamPlans.get("q116_stream_distinct")
+    assert(plan != null, "micro-batch plan captured")
+    val nState = "StateStoreSave".r.findAllIn(plan).size
+    assert(nState === 1,
+      s"q116 streaming plan must hold exactly one stateful aggregation, got $nState")
   }
 
   test("q123 dropDuplicatesWithinWatermark equals the batch DISTINCT") {
