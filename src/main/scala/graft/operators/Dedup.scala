@@ -753,6 +753,12 @@ object Dedup {
             least(col("l.sz"), col("r.sz")))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+    // Verification stays TWO-STAGE in both shapes — an r14 experiment
+    // collapsed the probe path into one sh+hs-carrying join and lost
+    // ~20%: the broadcast side then ships every candidate's full string
+    // shingle array per trigger, where the staged shape broadcasts the
+    // 8-byte hash arrays first and touches strings only for
+    // hash-prefilter survivors.
     val ha = docsA.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val hb = docsB.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     val hashPass = bl(cands.join(bl(ha), "doc_a")).join(hb, "doc_b")

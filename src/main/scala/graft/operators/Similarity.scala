@@ -257,6 +257,22 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Candidate-pair count of q26's banded self-join BEFORE the distinct
+    * and the exact verification — the quantity the occupancy law bounds
+    * (≈ tables·occupancy·n/2). Measurement hook for the scale probe's
+    * linearity check (VERDICT r13 item #7); never on a query path. */
+  private[graft] def dupCandidateCount(
+      rawCorpus: DataFrame, tables: Int, bits: Int): Long = {
+    val banded = rawCorpus
+      .select(col("vec_id"), posexplode(
+        graft.functions.GraftFunctions.hyperplaneBuckets(
+          col("emb"), dupPlanes(tables, bits).map(_.toSeq).toSeq, bits)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    banded.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) / 2"))).head().getLong(0)
+  }
+
   val q26Sql: String =
     s"""WITH base AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -176,8 +176,14 @@ object StreamParity {
       .select(col("doc_id"), col("text"))
     val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
     val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0).cache()
+    // corpus hash set, laid out like the index's df table: ch-hashed,
+    // ch-sorted cached partitions at the stream's state partition count,
+    // so the per-trigger exact-layer join sorts/shuffles ONLY the batch
+    // side (broadcasting this side would not be corpus-scale-sane)
     val existingH = existing.select(md5(col("text")).as("ch")).distinct()
-      .withColumn("hit_corpus", lit(true)).cache()
+      .withColumn("hit_corpus", lit(true))
+      .repartition(graft.operators.Dedup.ProbePartitions, col("ch"))
+      .sortWithinPartitions("ch").cache()
     // Build the persistent near-dup index ONCE; every micro-batch only
     // probes it (shingles/df/prefixes of the 4/5 existing corpus are
     // computed and cached here, not recomputed per batch).
@@ -214,6 +220,16 @@ object StreamParity {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ledger.guard(batchId) {
         val s = batch.sparkSession
+        // AQE off for the per-batch jobs (cloned-session conf, set once
+        // per trigger): every AQE query stage runs as its own Spark job,
+        // and this body plans ~20 exchanges/broadcasts over KB-scale
+        // frames — the measured q58 floor was ~30 jobs/trigger of pure
+        // scheduling (AdmissionSweep). Static planning emits ONE job per
+        // action here; the joins that must broadcast carry explicit
+        // hints (NearDupIndex.probe), so nothing depends on AQE's
+        // runtime sizing. Batch volume is micro-batch-scale by
+        // construction, exactly the case static planning handles.
+        s.conf.set("spark.sql.adaptive.enabled", "false")
         val b = batch.cache()
         val hashed = b.select(col("doc_id"), md5(col("text")).as("ch"))
         // The ONLY aggregation this batch runs is over its own rows.
@@ -225,15 +241,17 @@ object StreamParity {
           .select(col("ch"),
             least(col("bmin"), coalesce(col("pmin"), col("bmin")))
               .as("first_id"))
+        // explicit build-side hints: with AQE off, the batch-derived
+        // frames have no stats and would otherwise plan sort-merge
         val exactFlags = hashed
           .join(existingH, Seq("ch"), "left")
-          .join(firstIds, "ch")
+          .join(broadcast(firstIds), "ch")
           .select(col("doc_id"),
             coalesce(col("hit_corpus"), lit(false)).as("exact_corpus"),
             (col("doc_id") > col("first_id")).as("exact_batch"))
         val near = index.probe(b)
           .withColumn("near_corpus", lit(true))
-        val verdicts = exactFlags.join(near, Seq("doc_id"), "left")
+        val verdicts = exactFlags.join(broadcast(near), Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("exact_corpus"), "exact_corpus")
               .when(col("exact_batch"), "exact_batch")

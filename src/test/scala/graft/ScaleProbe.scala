@@ -30,8 +30,29 @@ object ScaleProbe {
   private def blowUp(spark: SparkSession, base: String): String =
     blowUpK(spark, base, K)
 
-  private def blowUpK(spark: SparkSession, base: String, K: Int): String = {
-    val out = Files.createTempDirectory(s"scaleprobe${K}x").toString
+  private def blowUpK(spark: SparkSession, base: String, K: Int): String =
+    // SPARK_GRAFT_BLOWUP_ROOT persists the fixture across probe runs
+    // (VERDICT r13 item #5: "generate sf1 testdata once") — the blow-up
+    // is deterministic (pure projections of the seeded base tables), so
+    // a reused directory is the same bytes modulo file split; without
+    // the env var the old temp-dir behavior stands.
+    sys.env.get("SPARK_GRAFT_BLOWUP_ROOT") match {
+      case Some(root) =>
+        val dir = java.nio.file.Paths.get(root, s"x$K")
+        if (Files.isDirectory(dir.resolve("lineitem.parquet"))) {
+          println(s"[blowup] reusing persisted ${K}x fixture at $dir")
+          dir.toString
+        } else {
+          Files.createDirectories(dir)
+          blowUpInto(spark, base, K, dir.toString)
+        }
+      case None =>
+        blowUpInto(spark, base, K,
+          Files.createTempDirectory(s"scaleprobe${K}x").toString)
+    }
+
+  private def blowUpInto(spark: SparkSession, base: String, K: Int,
+      out: String): String = {
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).first().getLong(0) + 1
@@ -139,7 +160,147 @@ object ScaleProbe {
     }
   }
 
+  /** Shuffle-codec A/B (guide §2.3; VERDICT r13 item #5): run the
+    * shuffle-heavy probe queries at the 10x fixture under the codec
+    * named in args(1) — `spark.io.compression.codec` is a core conf,
+    * immutable after SparkContext start, so one JVM measures one codec
+    * and the A/B interleaves two invocations of this mode. Prints
+    * per-query min-of-2 wall time plus total shuffle-write bytes (the
+    * quantity the codec actually changes). */
+  private def codecMode(codec: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-codec-$codec")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.io.compression.codec", codec)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleBytes.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    val base = "/root/testdata/sf0.1"
+    val big = blowUp(spark, base)
+    println(s"[codec] $codec fixture=$big")
+    val cases: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q195_triangles" -> (Clustering.q195Triangles _),
+      "q46_dedup_components" -> (Clustering.q46DedupComponents _),
+      "q40_ngram_jaccard" -> (Dedup.q40NgramJaccard _),
+      "q26_embedding_dedup" -> (Similarity.q26EmbeddingDedup _))
+    for ((name, fn) <- cases) {
+      spark.sharedState.cacheManager.clearCache()
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, big).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Thread.sleep(500) // stage-completed events drain asynchronously
+      println(f"[codec] $codec $name%-22s min ${times.min}%7.2f s " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})  " +
+        f"cum_shuffle_write_mb ${shuffleBytes.get() / 1e6}%.0f")
+    }
+    spark.stop()
+  }
+
+  /** Above-switch recall validation for the adaptive dedup geometries
+    * (VERDICT r13 item #7). q26 at the 10x fixture (adaptive bits > the
+    * 12-bit floor): every planted (v, v+idOff) perturbed pair must be
+    * output — recall 1.0 — and the banded candidate volume must scale
+    * ~linearly in n. q21 at a documents-only blow-up past its 2^20-doc
+    * switch: the two-level pigeonhole branch must reproduce every
+    * shifted copy of the 1x pair set (the blow-up's shards are
+    * token-disjoint, so the true pair set IS the shifted union, modulo
+    * chance 64-bit simhash collisions, which are reported). */
+  private def bigRecallMode(): Unit = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = "/root/testdata/sf0.1"
+
+    // --- q26 at 10x ---
+    val big = blowUp(spark, base)
+    val (raw1, n1) = Similarity.dupCorpusSized(spark, base)
+    val (raw10, n10) = Similarity.dupCorpusSized(spark, big)
+    val (t1, b1) = Similarity.dupGeometry(n1)
+    val (t10, b10) = Similarity.dupGeometry(n10)
+    println(s"[recall] q26 n=$n1 -> $n10  geometry ${t1}x$b1 -> ${t10}x$b10" +
+      s" (adaptive branch engaged: ${b10 > b1 || t10 != t1})")
+    val out10 = Similarity.q26WithGeometry(raw10, t10, b10)
+      .select(col("vec_a"), col("vec_b")).cache()
+    // planted pair = (v, v + idOff): idOff is max(vec_id)+1 over the
+    // 10x embeddings table (dupCorpusSized's own offset rule); a pair
+    // matching the filter is necessarily real-vector + its OWN
+    // perturbed copy. One planted pair exists per embedding row.
+    val idOff10 = graft.Tables.embeddings(spark, big)
+      .agg(max(col("vec_id"))).head().getLong(0) + 1
+    val nVecRows10 = n10 / 2
+    val planted = out10.filter(col("vec_b") === col("vec_a") + lit(idOff10))
+      .count()
+    println(f"[recall] q26 planted pairs present $planted%d of $nVecRows10%d" +
+      f" -> recall ${planted.toDouble / nVecRows10}%.4f")
+    val c1 = Similarity.dupCandidateCount(raw1, t1, b1)
+    val c10 = Similarity.dupCandidateCount(raw10, t10, b10)
+    println(f"[recall] q26 banded candidates $c1%d -> $c10%d " +
+      f"(ratio ${c10.toDouble / c1}%.2f at 10x rows — occupancy law holds" +
+      f" if ~linear)")
+    out10.unpersist()
+
+    // --- q21 past its 1M-doc switch, documents-only blow-up ---
+    val docs1 = spark.read.parquet(s"$base/documents.parquet")
+    val nDocs = docs1.count()
+    val needK = (1048576L / nDocs + 2).toInt
+    val droot = sys.env.get("SPARK_GRAFT_BLOWUP_ROOT")
+      .map(r => java.nio.file.Paths.get(r, s"docs_x$needK"))
+      .getOrElse(Files.createTempDirectory(s"docsx$needK"))
+    if (!Files.isDirectory(droot.resolve("documents.parquet"))) {
+      Files.createDirectories(droot)
+      (0 until needK).map { k =>
+        docs1.select(
+          (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+          expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$k')), ' ')")
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(droot.resolve("documents.parquet").toString)
+    }
+    println(s"[recall] q21 corpus ${nDocs * needK} docs (K=$needK) at $droot" +
+      s" — two-level switch at ${16L << 16}")
+    val out1 = Dedup.q21SimHashDedup(spark, base)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val t0 = System.nanoTime()
+    val outK = Dedup.q21SimHashDedup(spark, droot.toString)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val nOutK = outK.count()
+    println(f"[recall] q21 at ${needK}x: $nOutK%d pairs in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s (1x: ${out1.length}%d)")
+    val expected = (0 until needK).flatMap(k =>
+      out1.map { case (a, b) => (a + k * nDocs, b + k * nDocs) })
+      .toDF("doc_a", "doc_b")
+    val missing = expected.except(outK).count()
+    val extra = outK.except(expected).count()
+    println(f"[recall] q21 shifted-union check: missing=$missing%d " +
+      f"(recall ${1.0 - missing.toDouble / (out1.length.toLong * needK)}%.6f)" +
+      f" extra=$extra%d (chance 64-bit simhash collisions)")
+    outK.unpersist()
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("codec")) {
+      codecMode(if (args.length > 1) args(1) else "lz4"); return
+    }
+    if (args.headOption.contains("bigrecall")) { bigRecallMode(); return }
     val spark = TestSpark.spark
     val base = "/root/testdata/sf0.1"
     println("building 10x blow-up ...")
