@@ -216,8 +216,21 @@ object Dedup {
     * onset (exp(10→30) = 1.34 at 1.8M docs). The refinement below cuts
     * the quadratic constant 2^10× (buckets per band grow 2^12×, bands
     * 4×: 4·n²/2^16 → 16·n²/2^28) while provably returning the SAME
-    * pairs, so the switch only ever trades candidate volume. */
-  private val SimOccupancy = 16L
+    * pairs, so the switch only ever trades candidate volume.
+    *
+    * Switch point MEASURED in round 14 (ScaleProbe q21cross, persisted
+    * 211x/422x token-suffixed corpora): both levels return identical
+    * pair sets at 1.05M docs (206,396) and 2.1M docs (384,907) —
+    * the exactness statement executed at real volume — but the
+    * single-level plan stays 2-4x FASTER through 2.1M (min 6.3 vs
+    * 13.2 s at 1.05M; 12.9 vs 37.0 s at 2.1M): this corpus's simhashes
+    * cluster, so real chunk occupancy sits far below the uniform-hash
+    * bound and the quadratic term has not materialized where the
+    * uniform model predicted. The switch sits at the measured frontier
+    * (occupancy 32 ≈ 2.1M docs); past it the candidate bound is
+    * unmeasured and the provably-exact two-level takes over as the
+    * safety valve. */
+  private val SimOccupancy = 32L
 
   /** Pigeonhole banding of a (doc_id, simhash) frame.
     *
@@ -268,7 +281,15 @@ object Dedup {
         col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
-  def q21SimHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def q21SimHashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    q21WithLevel(spark, sfDir, level = None)
+
+  /** q21 with the banding level pinned (scale-probe surface: the
+    * two-level-vs-single-level set-equality check at an above-switch
+    * corpus needs both plans over the SAME data). `None` = the shipped
+    * occupancy-gated auto switch. */
+  private[graft] def q21WithLevel(spark: SparkSession, sfDir: String,
+      level: Option[Boolean]): DataFrame = {
     // Signature = one fused projection (graft.functions.SimHash64 over
     // the per-token xxhash64 array). SimHash is a function of a
     // document's OWN tokens, so the previous explode + 64-vote-column
@@ -290,7 +311,8 @@ object Dedup {
           expr("transform(split(trim(text), ' +'), t -> xxhash64(t))"))
           .as("simhash"))
 
-    val banded = simHashBands(sims, twoLevel = n > (SimOccupancy << 16))
+    val banded = simHashBands(sims,
+        twoLevel = level.getOrElse(n > (SimOccupancy << 16)))
       .cache() // consumed by both sides of the self-join
 
     val l = banded.as("l"); val r = banded.as("r")

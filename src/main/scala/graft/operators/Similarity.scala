@@ -270,7 +270,7 @@ object Similarity {
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
     banded.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) / 2"))).head().getLong(0)
+      .agg(sum(expr("c * (c - 1) div 2"))).head().getLong(0)
   }
 
   val q26Sql: String =

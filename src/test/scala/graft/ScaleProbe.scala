@@ -226,33 +226,37 @@ object ScaleProbe {
     import spark.implicits._
     val base = "/root/testdata/sf0.1"
 
-    // --- q26 at 10x ---
-    val big = blowUp(spark, base)
-    val (raw1, n1) = Similarity.dupCorpusSized(spark, base)
-    val (raw10, n10) = Similarity.dupCorpusSized(spark, big)
-    val (t1, b1) = Similarity.dupGeometry(n1)
-    val (t10, b10) = Similarity.dupGeometry(n10)
-    println(s"[recall] q26 n=$n1 -> $n10  geometry ${t1}x$b1 -> ${t10}x$b10" +
-      s" (adaptive branch engaged: ${b10 > b1 || t10 != t1})")
-    val out10 = Similarity.q26WithGeometry(raw10, t10, b10)
-      .select(col("vec_a"), col("vec_b")).cache()
-    // planted pair = (v, v + idOff): idOff is max(vec_id)+1 over the
-    // 10x embeddings table (dupCorpusSized's own offset rule); a pair
-    // matching the filter is necessarily real-vector + its OWN
-    // perturbed copy. One planted pair exists per embedding row.
-    val idOff10 = graft.Tables.embeddings(spark, big)
-      .agg(max(col("vec_id"))).head().getLong(0) + 1
-    val nVecRows10 = n10 / 2
-    val planted = out10.filter(col("vec_b") === col("vec_a") + lit(idOff10))
-      .count()
-    println(f"[recall] q26 planted pairs present $planted%d of $nVecRows10%d" +
-      f" -> recall ${planted.toDouble / nVecRows10}%.4f")
-    val c1 = Similarity.dupCandidateCount(raw1, t1, b1)
-    val c10 = Similarity.dupCandidateCount(raw10, t10, b10)
-    println(f"[recall] q26 banded candidates $c1%d -> $c10%d " +
-      f"(ratio ${c10.toDouble / c1}%.2f at 10x rows — occupancy law holds" +
-      f" if ~linear)")
-    out10.unpersist()
+    // --- q26 at 10x and 30x (the adaptive branch engages at 30x: the
+    // 2k-row embeddings table gives corpus n = 120k there, past the
+    // 12-bit/16-occupancy floor) ---
+    for (k <- Seq(10, 30)) {
+      val big = blowUpK(spark, base, k)
+      val (raw1, n1) = Similarity.dupCorpusSized(spark, base)
+      val (rawK, nK) = Similarity.dupCorpusSized(spark, big)
+      val (t1, b1) = Similarity.dupGeometry(n1)
+      val (tK, bK) = Similarity.dupGeometry(nK)
+      println(s"[recall] q26 ${k}x n=$n1 -> $nK  geometry ${t1}x$b1 -> " +
+        s"${tK}x$bK (adaptive branch engaged: ${bK > b1 || tK != t1})")
+      val outK = Similarity.q26WithGeometry(rawK, tK, bK)
+        .select(col("vec_a"), col("vec_b")).cache()
+      // planted pair = (v, v + idOff): idOff is max(vec_id)+1 over the
+      // blown-up embeddings table (dupCorpusSized's own offset rule); a
+      // pair matching the filter is necessarily a real vector + its OWN
+      // perturbed copy. One planted pair exists per embedding row.
+      val idOff = graft.Tables.embeddings(spark, big)
+        .agg(max(col("vec_id"))).head().getLong(0) + 1
+      val nVecRows = nK / 2
+      val planted = outK.filter(col("vec_b") === col("vec_a") + lit(idOff))
+        .count()
+      println(f"[recall] q26 ${k}x planted pairs present $planted%d of " +
+        f"$nVecRows%d -> recall ${planted.toDouble / nVecRows}%.4f")
+      val c1 = Similarity.dupCandidateCount(raw1, t1, b1)
+      val cK = Similarity.dupCandidateCount(rawK, tK, bK)
+      println(f"[recall] q26 ${k}x banded candidates $c1%d -> $cK%d " +
+        f"(per-row density ${c1.toDouble / n1}%.1f -> ${cK.toDouble / nK}%.1f" +
+        f" — the occupancy law bounds density at tables*occupancy/2)")
+      outK.unpersist()
+    }
 
     // --- q21 past its 1M-doc switch, documents-only blow-up ---
     val docs1 = spark.read.parquet(s"$base/documents.parquet")
@@ -274,25 +278,71 @@ object ScaleProbe {
         .parquet(droot.resolve("documents.parquet").toString)
     }
     println(s"[recall] q21 corpus ${nDocs * needK} docs (K=$needK) at $droot" +
-      s" — two-level switch at ${16L << 16}")
-    val out1 = Dedup.q21SimHashDedup(spark, base)
-      .select(col("doc_a"), col("doc_b")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      s" — two-level switch at ${16L << 16} docs")
+    // The exactness statement at above-switch volume: the two-level
+    // pigeonhole (the branch the big corpus auto-selects) must return
+    // the IDENTICAL pair set as the single-level banding — the shape
+    // every tested SF runs and the oracle verifies — over the same
+    // 1M-doc corpus. (A shifted-union-of-1x expectation does NOT hold
+    // here: the blow-up suffixes tokens per shard, which re-draws every
+    // simhash, so within-shard pair sets differ from 1x by design.)
     val t0 = System.nanoTime()
-    val outK = Dedup.q21SimHashDedup(spark, droot.toString)
+    val outTwo = Dedup.q21WithLevel(spark, droot.toString, Some(true))
       .select(col("doc_a"), col("doc_b")).cache()
-    val nOutK = outK.count()
-    println(f"[recall] q21 at ${needK}x: $nOutK%d pairs in " +
-      f"${(System.nanoTime() - t0) / 1e9}%.2f s (1x: ${out1.length}%d)")
-    val expected = (0 until needK).flatMap(k =>
-      out1.map { case (a, b) => (a + k * nDocs, b + k * nDocs) })
-      .toDF("doc_a", "doc_b")
-    val missing = expected.except(outK).count()
-    val extra = outK.except(expected).count()
-    println(f"[recall] q21 shifted-union check: missing=$missing%d " +
-      f"(recall ${1.0 - missing.toDouble / (out1.length.toLong * needK)}%.6f)" +
-      f" extra=$extra%d (chance 64-bit simhash collisions)")
-    outK.unpersist()
+    val nTwo = outTwo.count()
+    val tTwo = (System.nanoTime() - t0) / 1e9
+    val t1s = System.nanoTime()
+    val outOne = Dedup.q21WithLevel(spark, droot.toString, Some(false))
+      .select(col("doc_a"), col("doc_b")).cache()
+    val nOne = outOne.count()
+    val tOne = (System.nanoTime() - t1s) / 1e9
+    val missing = outOne.except(outTwo).count()
+    val extra = outTwo.except(outOne).count()
+    println(f"[recall] q21 two-level $nTwo%d pairs in $tTwo%.2f s; " +
+      f"single-level $nOne%d pairs in $tOne%.2f s; " +
+      f"missing=$missing%d extra=$extra%d (exactness holds iff both 0)")
+    outTwo.unpersist(); outOne.unpersist()
+    spark.stop()
+  }
+
+  /** q21 banding-level crossover: time BOTH pigeonhole levels on
+    * doubled corpora built from the persisted 211x docs fixture (one
+    * more token-suffix union per doubling — the 422-way union a direct
+    * blow-up would need stalls Catalyst). Prints per-level wall time
+    * and pair counts at each corpus size; the SimOccupancy switch
+    * constant should sit at the measured crossover. */
+  private def q21CrossMode(): Unit = {
+    val spark = TestSpark.spark
+    val root = sys.env.getOrElse("SPARK_GRAFT_BLOWUP_ROOT",
+      sys.error("q21cross needs SPARK_GRAFT_BLOWUP_ROOT"))
+    val base211 = java.nio.file.Paths.get(root, "docs_x211")
+    require(Files.isDirectory(base211.resolve("documents.parquet")),
+      "run `ScaleProbe bigrecall` first to build docs_x211")
+    def doubled(src: java.nio.file.Path, name: String): java.nio.file.Path = {
+      val dst = java.nio.file.Paths.get(root, name)
+      if (!Files.isDirectory(dst.resolve("documents.parquet"))) {
+        Files.createDirectories(dst)
+        val d = spark.read.parquet(src.resolve("documents.parquet").toString)
+        val n = d.agg(max("doc_id")).first().getLong(0) + 1
+        d.unionAll(d.select((col("doc_id") + lit(n)).as("doc_id"),
+            expr("array_join(transform(split(text, ' '), t -> concat(t, '_d')), ' ')")
+              .as("text"),
+            col("lang"), col("source"), col("n_chars")))
+          .repartition(32).write.mode("overwrite")
+          .parquet(dst.resolve("documents.parquet").toString)
+      }
+      dst
+    }
+    val dirs = Seq("1.05M" -> base211,
+      "2.1M" -> doubled(base211, "docs_x422"))
+    for ((label, dir) <- dirs; round <- 1 to 2;
+         (lname, lvl) <- Seq("single" -> false, "two" -> true)) {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val n = Dedup.q21WithLevel(spark, dir.toString, Some(lvl)).count()
+      println(f"[q21cross] $label $lname%-6s run$round " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n pairs)")
+    }
     spark.stop()
   }
 
@@ -301,6 +351,7 @@ object ScaleProbe {
       codecMode(if (args.length > 1) args(1) else "lz4"); return
     }
     if (args.headOption.contains("bigrecall")) { bigRecallMode(); return }
+    if (args.headOption.contains("q21cross")) { q21CrossMode(); return }
     val spark = TestSpark.spark
     val base = "/root/testdata/sf0.1"
     println("building 10x blow-up ...")
